@@ -1,0 +1,181 @@
+"""URL canonicalization + key construction (reference parity: C1-C3).
+
+The reference canonicalizes Maven coordinates into fetch URLs by RFC-3986
+resolution + percent-encoding (MavenIdentifier.scala:31-46, golden-tested in
+MavenURLConstructionCheck.scala:28-46 — e.g. ``${parent.version}`` must
+encode to ``%24%7Bparent.version%7D``), and builds a canonical unique string
+``repo:group:artifact:version`` used as the dedup/upsert key
+(MavenIdentifier.scala:25-27, ElasticStoreQueries.scala:66).
+
+Our engine operates on web URLs; the same contract becomes:
+
+``canonicalize_url``  (vectorized pandas UDF — the ONLY Python in this
+module's hot path, Arrow-batched, no per-row Spark UDF):
+  1. trim whitespace; drop fragment
+  2. scheme lowercased; only http/https accepted (else NULL = malformed,
+     the analogue of the reference's malformed-index-record skip,
+     IndexProcessing.scala:78-99)
+  3. host lowercased, trailing dot stripped, default port removed
+     (80 for http, 443 for https)
+  4. path dot-segments resolved (RFC 3986 §5.2.4), empty path -> "/"
+  5. every path segment / query percent-encoded over the RFC 3986
+     unreserved set (existing ``%XX`` escapes preserved + hex uppercased;
+     raw ``${...}``, spaces etc. encoded — matching the reference's golden
+     vectors ``%24%7B...%7D``)
+
+Key columns (pure JVM-side Spark functions, zero Python):
+  - ``host``      regexp from canonical url
+  - ``host_rev``  reversed host labels (com.example.www) — north-rule key
+  - ``url_hash``  Spark ``hash()`` = 32-bit Murmur3 (the north rule's
+                  murmur3 requirement)
+  - ``url_hash64`` ``xxhash64()`` — bloom-filter key
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import quote
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://")
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+# RFC 3986 unreserved + '%' so pre-encoded escapes survive un-doubled.
+_SEG_SAFE = "%-._~"
+_QUERY_SAFE = "%-._~=&+"
+_PCT_RE = re.compile(r"%[0-9a-fA-F]{2}")
+
+
+def _resolve_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out:
+                out.pop()
+            continue
+        out.append(seg)
+    # preserve trailing slash produced by '.'/'..' final segments
+    if path.endswith(("/.", "/..")) or path.endswith("/"):
+        if not out or out[-1] != "":
+            out.append("")
+    resolved = "/".join(out)
+    if not resolved.startswith("/"):
+        resolved = "/" + resolved
+    return resolved
+
+
+def canonicalize_url_py(raw: str | None) -> str | None:
+    """Pure-Python single-URL canonicalizer.
+
+    This is the semantic source of truth: the pandas UDF applies it per
+    Arrow batch, the pure-Python scheduler oracle (plans/oracle.py) calls it
+    directly, and the golden-vector tests pin its output byte-for-byte.
+    Returns None for malformed/unsupported URLs.
+    """
+    if raw is None:
+        return None
+    s = raw.strip()
+    m = _SCHEME_RE.match(s)
+    if not m:
+        return None
+    scheme = m.group(1).lower()
+    if scheme not in ("http", "https"):
+        return None
+    rest = s[m.end():]
+    # split off fragment first (dropped), then query
+    rest = rest.split("#", 1)[0]
+    if "?" in rest:
+        rest, query = rest.split("?", 1)
+    else:
+        query = None
+    # authority = up to first '/'
+    if "/" in rest:
+        authority, path = rest.split("/", 1)
+        path = "/" + path
+    else:
+        authority, path = rest, ""
+    # drop userinfo
+    if "@" in authority:
+        authority = authority.rsplit("@", 1)[1]
+    host, port = authority, None
+    if ":" in authority:
+        host, port = authority.rsplit(":", 1)
+        if not port.isdigit():
+            return None
+    host = host.lower().rstrip(".")
+    if not host:
+        return None
+    if port is not None and port != _DEFAULT_PORTS.get(scheme):
+        hostport = f"{host}:{port}"
+    else:
+        hostport = host
+    path = _resolve_dot_segments(path) if path else "/"
+    segs = [quote(seg, safe=_SEG_SAFE) for seg in path.split("/")]
+    path = "/".join(segs)
+    path = _PCT_RE.sub(lambda mm: mm.group(0).upper(), path)
+    out = f"{scheme}://{hostport}{path}"
+    if query is not None:
+        q = quote(query, safe=_QUERY_SAFE)
+        q = _PCT_RE.sub(lambda mm: mm.group(0).upper(), q)
+        out = f"{out}?{q}"
+    return out
+
+
+@F.pandas_udf(StringType())
+def canonicalize_url(urls: pd.Series) -> pd.Series:
+    """Arrow-vectorized canonicalization (C1). NULL = malformed (F5)."""
+    return urls.map(canonicalize_url_py)
+
+
+# ---------------------------------------------------------------- key columns
+# All pure Spark Column expressions — JVM-side, whole-stage-codegen'd.
+
+_HOST_REGEX = r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)"
+
+
+def host_col(url: Column) -> Column:
+    """Host (no port) from a *canonical* URL — JVM regexp, no Python."""
+    return F.regexp_extract(url, _HOST_REGEX, 1)
+
+
+def host_rev_col(host: Column) -> Column:
+    """Reversed host labels: www.example.com -> com.example.www.
+
+    North-rule key: groups URLs of one registrable domain lexically
+    adjacent, so Iceberg host-bucket partitioning and per-host politeness
+    windows cluster well. Pure Spark: split + reverse + rejoin.
+    """
+    return F.array_join(F.reverse(F.split(host, r"\.")), ".")
+
+
+def url_hash_col(url: Column) -> Column:
+    """32-bit Murmur3 (Spark ``hash()``) — the north rule's murmur3 key."""
+    return F.hash(url)
+
+
+def url_hash64_col(url: Column) -> Column:
+    """xxhash64 — the 64-bit bloom-filter key."""
+    return F.xxhash64(url)
+
+
+def unique_key_col(*parts: Column) -> Column:
+    """Canonical unique string, reference ``toUniqueString`` =
+    ``repo:group:artifact:version`` (MavenIdentifier.scala:25-27)."""
+    return F.concat_ws(":", *parts)
+
+
+def with_url_keys(df, url_col_name: str = "url"):
+    """Attach the standard key columns to a DataFrame of canonical URLs."""
+    u = F.col(url_col_name)
+    return (
+        df.withColumn("host", host_col(u))
+        .withColumn("host_rev", host_rev_col(F.col("host")))
+        .withColumn("url_hash", url_hash_col(u))
+        .withColumn("url_hash64", url_hash64_col(u))
+    )

@@ -1,0 +1,115 @@
+"""Politeness throttle, priority, ordering, limit (reference parity:
+P1/P2/P3/P6).
+
+The reference shapes the identifier stream with a token bucket —
+``throttle(5 elements / 1 second, maxBurst 5, ThrottleMode.shaping)``
+(Configuration.scala:80,101, applied MavenDiscoveryProcess.scala:77) — and
+optionally caps it with ``take(limit)`` (MavenDiscoveryProcess.scala:80-82).
+Emission order is the index FIFO order after filtering (P3).
+
+Spark-first realization — **pure column math, zero UDFs**:
+
+- rank every candidate within its host by the scheduling order
+  ``(priority DESC, discovery_ts ASC, seq ASC)`` (the north rule's host-level
+  max-heap P6; with all priorities equal this reduces exactly to the
+  reference's FIFO P3);
+- a token bucket with rate ρ and burst b emits element k (1-based) at
+  ``t=0`` for k ≤ b and ``t=(k-b)/ρ`` after — deterministic replay of
+  Akka's shaping mode.  We materialize that as an integer millisecond slot
+  ``emit_ms = ceil((k-b)*1000/ρ)`` so ordering keys are exact (no float
+  compare ambiguity between engine and oracle);
+- per-round admission: only ranks with ``emit_ms < round_ms`` are scheduled
+  this round; the remainder stays ``pending`` in the frontier — the
+  load-shedding analogue of the reference's 5000-element dropNew buffer
+  (CallGraphStream.scala:122) except nothing is lost (recorded in metrics).
+
+Scale note: the window shuffles by host.  Hot hosts skew this exchange, so
+callers repartition by a salted key first (``salting.salted_repartition``)
+for any *per-row compute* stage; the window itself is cheap (rank only) and
+AQE skew-split handles the join side.  Emission ordering stays exact
+because the final ``orderBy`` is on explicit total keys with the ``seq``
+tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_RATE = 5.0  # reference Configuration.scala:80 — 5 elements / second
+DEFAULT_BURST = 5  # reference maxBurst 5
+
+
+def schedule_order_cols() -> list:
+    """The total scheduling order within a host (P6 ⊇ P3)."""
+    return [F.col("priority").desc(), F.col("discovery_ts").asc(), F.col("seq").asc()]
+
+
+def assign_emission_slots(
+    candidates: DataFrame,
+    politeness: DataFrame | None = None,
+    default_rate: float = DEFAULT_RATE,
+    default_burst: int = DEFAULT_BURST,
+) -> DataFrame:
+    """Attach ``host_rank`` (1-based position in the host's queue) and
+    ``emit_ms`` (token-bucket emission time in ms from round start).
+
+    ``politeness`` is a small dim table (host, rate_per_sec, max_burst) —
+    broadcast-joined (reference's single global constant generalized to
+    per-host budgets).
+    """
+    if politeness is not None:
+        candidates = candidates.join(
+            F.broadcast(politeness.select("host", "rate_per_sec", "max_burst")),
+            "host",
+            "left",
+        )
+    else:
+        candidates = candidates.withColumn("rate_per_sec", F.lit(None).cast("double")) \
+            .withColumn("max_burst", F.lit(None).cast("int"))
+    candidates = candidates.withColumn(
+        "rate_per_sec", F.coalesce("rate_per_sec", F.lit(default_rate))
+    ).withColumn("max_burst", F.coalesce("max_burst", F.lit(default_burst)))
+
+    w = Window.partitionBy("host").orderBy(*schedule_order_cols())
+    ranked = candidates.withColumn("host_rank", F.row_number().over(w))
+    return ranked.withColumn(
+        "emit_ms",
+        F.when(F.col("host_rank") <= F.col("max_burst"), F.lit(0).cast("long")).otherwise(
+            F.ceil(
+                (F.col("host_rank") - F.col("max_burst")).cast("double")
+                * 1000.0
+                / F.col("rate_per_sec")
+            ).cast("long")
+        ),
+    )
+
+
+def admit_round(slotted: DataFrame, round_ms: int) -> DataFrame:
+    """Per-round budget admission (P1 + S9): schedule rows whose bucket slot
+    falls inside this round; the rest remain pending for the next round."""
+    return slotted.filter(F.col("emit_ms") < F.lit(round_ms))
+
+
+def deferred_round(slotted: DataFrame, round_ms: int) -> DataFrame:
+    return slotted.filter(F.col("emit_ms") >= F.lit(round_ms))
+
+
+def emission_order(df: DataFrame) -> DataFrame:
+    """The exact global fetch ordering (P3 + P6): by emission slot, then the
+    scheduling order, with ``seq`` making it a total order — byte-identical
+    run-to-run and across parallelism levels."""
+    return df.orderBy(
+        F.col("emit_ms").asc(),
+        F.col("priority").desc(),
+        F.col("discovery_ts").asc(),
+        F.col("seq").asc(),
+    )
+
+
+def global_limit(df: DataFrame, n: int) -> DataFrame:
+    """P2 ``take(limit)`` — TopK via sort+limit (Spark runs TakeOrdered:
+    per-partition top-n, then a single merge on the driver — no full sort)."""
+    if n and n > 0:
+        return emission_order(df).limit(n)
+    return df

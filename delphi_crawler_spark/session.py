@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the crawl-frontier engine.
+
+Local sandbox runs single-JVM ``local[N]``; production target is a
+multi-executor cluster (``spark-submit --py-files``) — every config here is
+chosen to survive that move: AQE on (runtime re-plan + skew-join splitting),
+shuffle partitions sized to cores not the 200 default, Arrow enabled for the
+vectorized-UDF hot paths, UTC session time zone for deterministic timestamp
+semantics (the reference stamps wall-clock `DateTime.now()` at store time,
+ElasticStoreQueries.scala:46,73 — we instead thread an explicit ``batch_ts``
+through jobs so replays are byte-identical).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "delphi_crawler_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` maps to ``local[cores]`` in the sandbox; on a real cluster the
+    master URL comes from spark-submit and this argument is ignored by Spark.
+    ``shuffle_partitions`` defaults to 2x cores — small enough to avoid tiny
+    empty tasks at test scale, and AQE coalesces further at runtime; at
+    100 TB the same code runs with a larger explicit setting (AQE's
+    ``advisoryPartitionSizeInBytes`` keeps post-shuffle partitions bounded).
+    """
+    cores = cores or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(8, cores * 2)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,90 @@
+"""Golden-vector canonicalization tests.
+
+Port of the reference's URL-construction contract
+(MavenURLConstructionCheck.scala:23-47): exact expected strings for regular
+ids and percent-encoded irregular ids (``${parent.version}`` ->
+``%24%7Bparent.version%7D``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from delphi_crawler_spark.datagen import gen_seed_urls
+from delphi_crawler_spark.functions.canonicalize import (
+    canonicalize_url,
+    canonicalize_url_py,
+    host_rev_col,
+    with_url_keys,
+)
+
+GOLDEN = [
+    # regular URL passes through
+    ("https://repo1.maven.org/maven2/junit/junit/4.12/junit-4.12.jar",
+     "https://repo1.maven.org/maven2/junit/junit/4.12/junit-4.12.jar"),
+    # percent-encoding of ${...} — the reference's irregular-id vector
+    ("https://repo1.maven.org/maven2/a/b/${parent.version}/x.jar",
+     "https://repo1.maven.org/maven2/a/b/%24%7Bparent.version%7D/x.jar"),
+    # space
+    ("https://example.com/a b/c", "https://example.com/a%20b/c"),
+    # case folding host + scheme
+    ("HTTPS://WWW.Example.COM/Path", "https://www.example.com/Path"),
+    # default-port stripping
+    ("https://example.com:443/x", "https://example.com/x"),
+    ("http://example.com:80/x", "http://example.com/x"),
+    ("http://example.com:8080/x", "http://example.com:8080/x"),
+    # dot-segment resolution
+    ("https://example.com/a/./b/../c", "https://example.com/a/c"),
+    ("https://example.com/../a", "https://example.com/a"),
+    # empty path
+    ("https://example.com", "https://example.com/"),
+    # fragment dropped, query kept + encoded
+    ("https://example.com/x?q=a b#frag", "https://example.com/x?q=a%20b"),
+    # pre-encoded escape preserved, hex uppercased
+    ("https://example.com/a%2fb", "https://example.com/a%2Fb"),
+    # userinfo dropped, trailing host dot stripped
+    ("https://user:pw@example.com./x", "https://example.com/x"),
+    # malformed
+    ("notaurl", None),
+    ("ftp://example.com/x", None),
+    ("https://:80/x", None),
+]
+
+
+@pytest.mark.parametrize("raw,expected", GOLDEN)
+def test_golden_python(raw, expected):
+    assert canonicalize_url_py(raw) == expected
+
+
+def test_golden_spark_udf(spark):
+    pdf = pd.DataFrame({"url": [g[0] for g in GOLDEN]})
+    df = spark.createDataFrame(pdf).select(canonicalize_url("url").alias("c"))
+    got = [r.c for r in df.collect()]
+    assert got == [g[1] for g in GOLDEN]
+
+
+def test_udf_matches_python_on_fixture(spark):
+    pdf = gen_seed_urls(n=2000)
+    expected = [canonicalize_url_py(u) for u in pdf.url]
+    df = spark.createDataFrame(pdf[["url"]]).select(canonicalize_url("url").alias("c"))
+    assert [r.c for r in df.collect()] == expected
+
+
+def test_key_columns(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["https://www.example.com/x"]})
+    )
+    row = with_url_keys(df).collect()[0]
+    assert row.host == "www.example.com"
+    assert row.host_rev == "com.example.www"
+    assert isinstance(row.url_hash, int)
+    assert isinstance(row.url_hash64, int)
+
+
+def test_idempotent():
+    pdf = gen_seed_urls(n=500)
+    for u in pdf.url:
+        c = canonicalize_url_py(u)
+        assert c is not None
+        assert canonicalize_url_py(c) == c

@@ -1,0 +1,271 @@
+"""Operator unit tests: F1 dedup, P1 token bucket, bloom seen-set property,
+robots gate, link extraction span invariant, J4/J5 ordered joins, A1 aggs."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from delphi_crawler_spark.datagen import docs_df, gen_seed_urls, seed_urls_df
+from delphi_crawler_spark.functions.canonicalize import canonicalize_url, with_url_keys
+from delphi_crawler_spark.functions.versions import version_sort_key_py
+from delphi_crawler_spark.operators.aggs import group_edges, partition_metrics
+from delphi_crawler_spark.operators.dedup import first_occurrence_dedup
+from delphi_crawler_spark.operators.joins import first_match_join, resolve_versions, semi_anti_split
+from delphi_crawler_spark.operators.links import canonical_links, extract_links, feature_map, span_stats
+from delphi_crawler_spark.operators.politeness import (
+    admit_round,
+    assign_emission_slots,
+    emission_order,
+    global_limit,
+)
+from delphi_crawler_spark.operators.robots import allowed_py, compile_rules, robots_filter
+from delphi_crawler_spark.operators.seen import BloomBits, build_bloom, seen_anti_join
+
+
+# ---------------------------------------------------------------- F1 dedup
+def test_first_occurrence_dedup(spark):
+    pdf = pd.DataFrame(
+        {
+            "url": ["a", "b", "a", "c", "b", "a"],
+            "seq": [5, 1, 2, 3, 4, 0],
+            "tag": ["x5", "x1", "x2", "x3", "x4", "x0"],
+        }
+    )
+    out = first_occurrence_dedup(spark.createDataFrame(pdf), key="url").orderBy("url")
+    rows = [(r.url, r.seq, r.tag) for r in out.collect()]
+    assert rows == [("a", 0, "x0"), ("b", 1, "x1"), ("c", 3, "x3")]
+
+
+# ------------------------------------------------------------ P1 token bucket
+def test_emission_slots_token_bucket(spark):
+    # one host, 12 rows, rate 5/s burst 5 -> slots 0..0 (x5) then ceil(k*200ms)
+    pdf = pd.DataFrame(
+        {
+            "host": ["h"] * 12,
+            "url": [f"u{i}" for i in range(12)],
+            "priority": [0] * 12,
+            "discovery_ts": pd.date_range("2024-01-01", periods=12, freq="s"),
+            "seq": range(12),
+        }
+    )
+    out = (
+        assign_emission_slots(spark.createDataFrame(pdf))
+        .orderBy("host_rank")
+        .select("host_rank", "emit_ms")
+        .collect()
+    )
+    expected = [0 if k <= 5 else math.ceil((k - 5) * 1000 / 5.0) for k in range(1, 13)]
+    assert [r.emit_ms for r in out] == expected
+    admitted = admit_round(assign_emission_slots(spark.createDataFrame(pdf)), 1000)
+    # slots < 1000ms: ranks 1..9 (rank 10 -> 1000)
+    assert admitted.count() == 9
+
+
+def test_priority_order_reduces_to_fifo(spark):
+    # equal priorities -> emission order is pure (discovery_ts, seq) FIFO (P3)
+    pdf = gen_seed_urls(n=500)
+    df = spark.createDataFrame(pdf).withColumn("url", canonicalize_url("url"))
+    df = with_url_keys(df)
+    out = emission_order(assign_emission_slots(df.withColumn("priority", F.lit(0))))
+    seqs_by_slot = [(r.emit_ms, r.seq) for r in out.select("emit_ms", "seq").collect()]
+    assert seqs_by_slot == sorted(seqs_by_slot)
+
+
+def test_global_limit_topk(spark):
+    pdf = gen_seed_urls(n=300)
+    df = with_url_keys(spark.createDataFrame(pdf).withColumn("url", canonicalize_url("url")))
+    slotted = assign_emission_slots(df)
+    top = global_limit(slotted, 10).collect()
+    assert len(top) == 10
+    full = emission_order(slotted).limit(10).collect()
+    assert [r.url for r in top] == [r.url for r in full]
+
+
+# ---------------------------------------------------------------- bloom seen
+def test_bloom_no_false_negatives_and_bounded_fp():
+    b = BloomBits.sized(10_000, 0.01)
+    vals = np.random.default_rng(0).integers(-(2**63), 2**63 - 1, size=10_000, dtype=np.int64)
+    b.add_many(vals.view(np.uint64))
+    assert b.might_contain_many(vals.view(np.uint64)).all()
+    other = np.random.default_rng(1).integers(-(2**63), 2**63 - 1, size=10_000, dtype=np.int64)
+    fp = b.might_contain_many(other.view(np.uint64)).mean()
+    assert fp < 0.03
+
+
+def test_seen_anti_join_bloom_property(spark):
+    """Bloom prefilter must never change the anti-join result (SURVEY §7.1.4)."""
+    pdf = gen_seed_urls(n=4000)
+    df = with_url_keys(
+        spark.createDataFrame(pdf).withColumn("url", canonicalize_url("url"))
+    )
+    cand = first_occurrence_dedup(df, key="url")
+    seen = cand.filter(F.col("seq") % 3 == 0).select("url", "url_hash64")
+    bloom = build_bloom(seen, expected_items=2000)
+    exact = set(r.url for r in seen_anti_join(cand, seen, None).select("url").collect())
+    with_bloom = set(
+        r.url for r in seen_anti_join(cand, seen, bloom).select("url").collect()
+    )
+    assert exact == with_bloom
+    assert exact == set(
+        r.url for r in cand.join(seen.select("url"), "url", "left_anti").select("url").collect()
+    )
+
+
+# -------------------------------------------------------------------- robots
+def test_robots_semantics(spark):
+    rules = pd.DataFrame(
+        [
+            {"host": "a.com", "rule": "disallow", "path_prefix": "/", "order": 0},
+            {"host": "b.com", "rule": "disallow", "path_prefix": "/private", "order": 0},
+            {"host": "b.com", "rule": "allow", "path_prefix": "/private/ok", "order": 1},
+        ]
+    )
+    compiled = compile_rules(rules)
+    assert not allowed_py(compiled, "a.com", "/anything")
+    assert not allowed_py(compiled, "b.com", "/private/x")
+    assert allowed_py(compiled, "b.com", "/private/ok/y")  # longest prefix wins
+    assert allowed_py(compiled, "b.com", "/public")
+    assert allowed_py(compiled, "c.com", "/")
+
+    cand = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [
+                    "https://a.com/x",
+                    "https://b.com/private/x",
+                    "https://b.com/private/ok/y",
+                    "https://b.com/pub",
+                    "https://c.com/",
+                ],
+                "host": ["a.com", "b.com", "b.com", "b.com", "c.com"],
+            }
+        )
+    )
+    out = robots_filter(cand, spark.createDataFrame(rules)).select("url").collect()
+    assert sorted(r.url for r in out) == ["https://b.com/private/ok/y", "https://b.com/pub", "https://c.com/"]
+
+
+# ----------------------------------------------------------- links + spans
+def test_extract_links_preserves_span_order(spark):
+    docs = docs_df(spark, n=200)
+    links = extract_links(docs).collect()
+    # span_pos strictly increasing per doc in collection order after sort
+    by_doc: dict[str, list[int]] = {}
+    for r in sorted(links, key=lambda r: (r.doc_id, r.span_pos)):
+        by_doc.setdefault(r.doc_id, []).append(r.span_pos)
+    for positions in by_doc.values():
+        assert positions == sorted(set(positions))
+    # cross-check against pandas-side truth
+    from delphi_crawler_spark.datagen import gen_docs
+
+    pdf = gen_docs(n=200)
+    expected = sum(sum(1 for s in row.spans if s["kind"] == "link") for row in pdf.itertuples())
+    assert len(links) == expected
+
+
+def test_span_sequence_invariant_roundtrip(spark):
+    """(kind, text, media_ref, order) per row survives the transform chain."""
+    docs = docs_df(spark, n=100)
+    back = docs.select("doc_id", F.posexplode("spans").alias("pos", "s")).select(
+        "doc_id", "pos", "s.kind", "s.text", "s.media_ref"
+    )
+    from delphi_crawler_spark.datagen import gen_docs
+
+    pdf = gen_docs(n=100)
+    truth = {
+        (row.doc_id, i, s["kind"], s["text"] or "", s["media_ref"] or "")
+        for row in pdf.itertuples()
+        for i, s in enumerate(row.spans)
+    }
+    got = {
+        (r.doc_id, r.pos, r.kind, r.text or "", r.media_ref or "") for r in back.collect()
+    }
+    assert got == truth
+
+
+def test_canonical_links_and_feature_map(spark):
+    docs = docs_df(spark, n=300)
+    links = canonical_links(docs)
+    assert links.filter(F.col("url").isNull()).count() == 0
+    assert links.filter(~F.col("url").rlike("^https?://")).count() == 0
+    stats = span_stats(docs).collect()
+    for r in stats:
+        assert r.n_spans == r.n_text + r.n_link + r.n_media
+    fm = feature_map(docs).first()
+    assert set(fm.features.keys()) == {
+        "n_spans", "n_text", "n_link", "n_media", "total_text_len", "n_media_refs"
+    }
+
+
+# ------------------------------------------------------------- ordered joins
+def test_first_match_join(spark):
+    calls = spark.createDataFrame(
+        pd.DataFrame({"call_id": [1, 2], "sig": ["s1", "s2"]})
+    )
+    libs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sig": ["s1", "s1", "s2"],
+                "library": ["libB", "libA", "libC"],
+                "dep_order": [2, 1, 1],
+            }
+        )
+    )
+    out = first_match_join(calls, libs, ["sig"], "call_id", "dep_order").orderBy("call_id")
+    assert [(r.call_id, r.library) for r in out.collect()] == [(1, "libA"), (2, "libC")]
+
+
+def test_semi_anti_split(spark):
+    probe = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3, 4]}))
+    build = spark.createDataFrame(pd.DataFrame({"k": [2, 4]}))
+    hits, misses = semi_anti_split(probe, build, ["k"])
+    assert sorted(r.k for r in hits.collect()) == [2, 4]
+    assert sorted(r.k for r in misses.collect()) == [1, 3]
+
+
+def test_version_sort_key_order():
+    versions = ["1.0-alpha", "1.0-beta", "1.0-rc", "1.0", "1.0-sp", "1.0.1", "1.2", "1.10", "2.0"]
+    keys = [version_sort_key_py(v) for v in versions]
+    assert keys == sorted(keys), list(zip(versions, keys))
+
+
+def test_resolve_versions(spark):
+    specs = spark.createDataFrame(
+        pd.DataFrame({"g": ["x", "x", "x"], "version_spec": ["1.1", "1.0", "9.9"]})
+    )
+    avail = spark.createDataFrame(
+        pd.DataFrame({"g": ["x"] * 4, "version": ["1.0", "1.2", "1.10", "2.0"]})
+    )
+    out = {
+        (r.version_spec): r.resolved_version
+        for r in resolve_versions(specs, avail, ["g"]).collect()
+    }
+    assert out["1.0"] == "1.0"  # exact
+    assert out["1.1"] == "1.2"  # smallest >= spec in maven order
+    assert out["9.9"] == "2.0"  # fallback: largest available
+
+
+# ---------------------------------------------------------------------- aggs
+def test_group_edges_deterministic(spark):
+    links = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "library": ["L1", "L1", "L1", "L2"],
+                "method": ["mB", "mA", "mB", "mC"],
+            }
+        )
+    )
+    out = {r.library: (r.methods, r.n_edges) for r in group_edges(links).collect()}
+    assert out["L1"] == (["mA", "mB"], 3)
+    assert out["L2"] == (["mC"], 1)
+
+
+def test_partition_metrics(spark):
+    df = spark.createDataFrame(pd.DataFrame({"seq": range(100)})).repartition(4)
+    m = partition_metrics(df).agg(F.sum("n_rows")).collect()[0][0]
+    assert m == 100
