@@ -184,5 +184,20 @@ class TableStore:
         with open(os.path.join(d, rounds[-1])) as f:
             return json.load(f)
 
+    def current_snapshot(self, table: str) -> str | None:
+        """Current snapshot id (recorded in checkpoints for exact resume)."""
+        return self._current_snap(table)
+
+    def restore(self, table: str, snap: str) -> None:
+        """Roll the table's pointer back to an earlier snapshot (Iceberg
+        time-travel / rollback analogue) — used on resume to discard the
+        uncommitted mutations of a killed round."""
+        if not os.path.isdir(self._snap_path(table, snap)):
+            raise FileNotFoundError(f"snapshot {snap!r} of {table!r} not found")
+        tmp = self._current_file(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(snap)
+        os.replace(tmp, self._current_file(table))
+
     def drop(self, table: str) -> None:
         shutil.rmtree(self._tdir(table), ignore_errors=True)
