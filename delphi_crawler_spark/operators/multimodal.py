@@ -1,0 +1,190 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with typed metadata — the
+reference's jar payloads are exactly this (raw byte streams attached to an
+identifier, preprocessing/package.scala:32-44, analyzed per-doc by
+HermesActor). The Spark-side contract:
+
+    media(doc_id string, media_ref string, kind string, payload binary,
+          meta struct<width:int, height:int, sample_rate:int,
+                      duration_ms:int, codec:string>)
+
+Decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages: each batch arrives as a pandas DataFrame whose
+``payload`` column is bytes; the decode callable is pluggable. The
+image/audio libraries are NOT in this container, so the default decoder is
+a **deterministic fake** (clearly marked) that derives pseudo-features from
+the payload bytes — the Spark plumbing (schema, batch shape, partitioning)
+is real and tested; swapping in PIL/torchaudio is a one-line injection.
+
+Scale notes: payloads dominate bytes — keep them OUT of shuffles. All
+transforms here are narrow (mapInPandas); anything keyed joins on doc_id
+with the payload projected away first. ``spark.sql.execution.arrow.
+maxRecordsPerBatch`` bounds decode batch memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "doc_id string, media_ref string, kind string, "
+    "feat array<float>, payload_sha256 string, payload_bytes int"
+)
+
+
+def fake_decode(payload: bytes, kind: str) -> np.ndarray:
+    """DETERMINISTIC FAKE decoder (container has no image/audio libs).
+
+    Derives a 16-dim float feature from the payload digest — stable,
+    collision-resistant, and shaped like a real embedding so downstream
+    plumbing (similarity, dedup) is exercised for real. Production swaps
+    this for PIL/librosa/ffmpeg decode + a model forward pass.
+    """
+    digest = hashlib.sha256(payload).digest()
+    return (np.frombuffer(digest[:16], dtype=np.uint8).astype(np.float32) / 255.0)
+
+
+def extract_media_features(
+    media: DataFrame,
+    decode: Callable[[bytes, str], np.ndarray] = fake_decode,
+) -> DataFrame:
+    """Arrow-batched decode + feature extraction (mapInPandas). The batch
+    loop is the vectorization boundary: decode is per payload (unavoidable
+    — codecs are per-file), everything around it is columnar."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode(p if p is not None else b"", k).tolist()
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": pdf["kind"],
+                    "feat": feats,
+                    "payload_sha256": [
+                        hashlib.sha256(p if p is not None else b"").hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                    "payload_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage contract. STUB: real decode-resize-encode requires an
+    image library not present in this container; the stage validates kind,
+    passes payloads through, and records the requested geometry so the
+    pipeline shape is testable end-to-end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            img = pdf[pdf["kind"] == "image"].copy()
+            if len(img) == 0:
+                continue
+            # NotImplemented decode: passthrough payload + stamped geometry
+            yield pd.DataFrame(
+                {
+                    "doc_id": img["doc_id"],
+                    "media_ref": img["media_ref"],
+                    "payload": img["payload"],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(
+        run, schema="doc_id string, media_ref string, payload binary, width int, height int"
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling contract for video: emits (doc_id, media_ref, frame_ts)
+    rows from meta.duration_ms — pure JVM (sequence + explode), the decode
+    of actual frames being the pluggable stage above."""
+    vids = media.filter(F.col("kind") == "video")
+    return vids.select(
+        "doc_id",
+        "media_ref",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts"),
+    )
+
+
+def synth_media(spark, docs: DataFrame, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table derived from docs' media spans
+    (payload = seeded bytes from the media_ref) — test fodder only."""
+    refs = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, kinds, metas = [], [], []
+            for ref in pdf["media_ref"]:
+                h = hashlib.sha256((ref or "").encode()).digest()
+                kind = ["image", "audio", "video"][h[0] % 3]
+                payloads.append(h * (2 + h[1] % 4))
+                kinds.append(kind)
+                metas.append(
+                    {
+                        "width": 64 + h[2] % 192 if kind == "image" else None,
+                        "height": 64 + h[3] % 192 if kind == "image" else None,
+                        "sample_rate": 16000 if kind == "audio" else None,
+                        "duration_ms": 1000 + h[4] * 37 if kind != "image" else None,
+                        "codec": {"image": "png", "audio": "pcm", "video": "h264"}[kind],
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": kinds,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return refs.mapInPandas(gen, schema=MEDIA_SCHEMA)

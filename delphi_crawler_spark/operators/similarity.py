@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the scale doctrine:
+
+- ``brute_force_topk`` — exact cosine top-k. The query set is a small dim
+  (broadcast); scoring is either one JVM expression (zip_with + aggregate,
+  whole-stage-codegen'd — the oracle-matchable path) or a numpy matmul
+  pandas UDF (the throughput path); top-k per query is a window rank.
+  At 100 TB this is the correctness baseline and the refine stage.
+- ``ivf_topk`` — IVF-style pruning: k-means coarse centroids (seeded,
+  fixed iterations, deterministic), every vector assigned to its nearest
+  centroid (one narrow pass), queries probe only the ``nprobe`` nearest
+  lists -> the scan touches nlist/nprobe of the data. Centroid assignment
+  is a broadcast of (nlist x dim) floats; no shuffle on the corpus beyond
+  the partition-local scoring.
+- ``lsh_bucket_udf`` — random-hyperplane sign buckets shared with
+  embedding near-dup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Exact cosine similarity as one JVM expression (zip_with dot product +
+    aggregate norms). Element order of the sums is array order on both
+    sides — reproducible in ANSI SQL oracles."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / F.greatest(na * nb, F.lit(1e-12))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    use_pandas: bool = False,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    Broadcast the (small) query side; rank with a per-query window.
+    ``use_pandas=True`` scores with one numpy matmul per Arrow batch —
+    same results, ~10x faster at width 512+.
+    """
+    if not use_pandas:
+        joined = corpus.crossJoin(
+            F.broadcast(queries.select(query_id_col, query_vec_col))
+        )
+        scored = joined.withColumn(
+            "cosine", F.round(cosine_col(F.col(vec_col), F.col(query_vec_col)), 6)
+        )
+    else:
+        spark = corpus.sparkSession
+        q = queries.select(query_id_col, query_vec_col).toPandas()
+        qids = q[query_id_col].to_numpy()
+        qm = np.stack(q[query_vec_col].map(np.asarray).to_list()).astype(np.float64)
+        qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+        bc = spark.sparkContext.broadcast((qids, qn))
+
+        def score_batches(it):
+            qids_, qn_ = bc.value
+            for pdf in it:
+                m = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
+                mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                sims = mn @ qn_.T  # (batch, n_queries)
+                n, nq = sims.shape
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(pdf[id_col].to_numpy(), nq),
+                        query_id_col: np.tile(qids_, n),
+                        "cosine": np.round(sims.ravel(), 6),
+                    }
+                )
+
+        scored = corpus.select(id_col, vec_col).mapInPandas(
+            score_batches,
+            schema=f"{id_col} long, {query_id_col} long, cosine double",
+        )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
+
+
+# --------------------------------------------------------------------- IVF
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def _kmeans(mat: np.ndarray, nlist: int, iters: int, seed: int) -> np.ndarray:
+    """Spherical k-means (unit-norm points + centroids): the coarse
+    quantizer must share the query metric (cosine), else list boundaries
+    cut across cosine neighborhoods and recall collapses."""
+    mat = _normalize(mat)
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = (mat @ centroids.T).argmax(1)
+        for c in range(len(centroids)):
+            pts = mat[assign == c]
+            if len(pts):
+                centroids[c] = pts.mean(0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-pruned ANN: train coarse centroids on a seeded sample (driver
+    numpy, deterministic), assign corpus rows to nearest list (vectorized
+    UDF over a broadcast centroid matrix), probe the ``nprobe`` nearest
+    lists per query, exact-rank inside the probed subset.
+
+    At 10^10 rows the assignment is a single narrow pass; the probed join
+    is an equi-join on ``list_id`` touching ~nprobe/nlist of the corpus.
+    """
+    spark = corpus.sparkSession
+    sample = corpus.select(vec_col).limit(sample_size).toPandas()
+    mat = np.stack(sample[vec_col].map(np.asarray).to_list()).astype(np.float64)
+    centroids = _kmeans(mat, nlist, iters=5, seed=seed)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf(IntegerType())
+    def nearest_list(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        m = _normalize(np.stack(vecs.map(np.asarray).to_list()).astype(np.float64))
+        return pd.Series((m @ c.T).argmax(1).astype(np.int32))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        m = _normalize(np.stack(vecs.map(np.asarray).to_list()).astype(np.float64))
+        order = (-(m @ c.T)).argsort(1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    listed = corpus.withColumn("list_id", nearest_list(F.col(vec_col)))
+    probed = queries.withColumn(
+        "list_id", F.explode(probe_lists(F.col(query_vec_col)))
+    )
+    joined = listed.join(F.broadcast(probed), "list_id")
+    scored = joined.withColumn(
+        "cosine", F.round(cosine_col(F.col(vec_col), F.col(query_vec_col)), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
+
+
+# --------------------------------------------------------------------- LSH
+
+
+def lsh_bucket_udf(spark: SparkSession, n_planes: int, seed: int, dim: int | None = None):
+    """Random-hyperplane sign-bucket: bucket = bits of sign(V @ P^T).
+    Planes are generated lazily at first batch from the row width (or
+    ``dim``), seeded — deterministic across executors."""
+    state: dict = {}
+
+    @F.pandas_udf(LongType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.map(np.asarray).to_list()).astype(np.float64)
+        planes = state.get("planes")
+        if planes is None:
+            rng = np.random.default_rng(seed)
+            planes = rng.standard_normal((n_planes, m.shape[1]))
+            state["planes"] = planes
+        bits = (m @ planes.T) > 0
+        vals = (bits * (1 << np.arange(n_planes))).sum(1).astype(np.int64)
+        return pd.Series(vals)
+
+    return _bucket

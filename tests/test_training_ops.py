@@ -1,0 +1,252 @@
+"""Training-data pipeline operator tests: text functions, exact/fuzzy
+dedup, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from delphi_crawler_spark.functions.textfns import (
+    bow_fingerprint_col,
+    lang_id,
+    quality_features,
+    rolling_fingerprint_col,
+    token_count_col,
+)
+from delphi_crawler_spark.operators.dedup_fuzzy import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard_verify,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash_near_dup_pairs,
+    simhash_signatures,
+)
+from delphi_crawler_spark.operators.multimodal import (
+    extract_media_features,
+    sample_frames,
+    synth_media,
+)
+from delphi_crawler_spark.operators.similarity import brute_force_topk, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+# -------------------------------------------------------------------- text
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["a b  c", "", "   ", "one", None]})
+    )
+    out = [r[0] for r in df.select(token_count_col(F.col("text"))).collect()]
+    assert out == [3, 0, 0, 1, None]
+
+
+def test_quality_features(docs):
+    q = quality_features(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+    rows = q.collect()
+    assert all(0 <= r.quality_score <= 1 for r in rows)
+    assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "text": [
+                    "the cat is on the mat and it is happy",
+                    "el perro y la casa de los niños en un día",
+                    "这是 一个 中文 句子",
+                    "zzz qqq xxx",
+                ]
+            }
+        )
+    )
+    out = [r[0] for r in df.select(lang_id(F.col("text"))).collect()]
+    assert out == ["en", "es", "zh", "und"]
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "dog lazy the over jumps fox brown quick the",  # same bag
+                    "completely different words here",
+                ]
+            }
+        )
+    )
+    bow = [r[0] for r in df.select(bow_fingerprint_col(F.col("text"))).collect()]
+    assert bow[0] == bow[1] != bow[2]
+    roll = [r[0] for r in df.select(rolling_fingerprint_col(F.col("text"))).collect()]
+    assert roll[0] != roll[1]  # order-sensitive
+
+
+# ------------------------------------------------------------------- dedup
+def test_exact_dedup(spark, docs):
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    both = docs.select("doc_id", "text").unionByName(dup)
+    out = exact_dedup(both)
+    assert out.count() == docs.count()
+    assert out.agg(F.max("doc_id")).collect()[0][0] < 100000  # min id kept
+
+
+def _neardup_docs(spark):
+    base = (
+        "spark shuffles data across the cluster when a wide dependency "
+        "requires rows with the same key to be colocated on one executor "
+        "for aggregation or join processing stages"
+    )
+    variants = [
+        base,
+        base.replace("cluster", "fleet"),  # 1-word change: near-dup
+        base.replace("spark", "flink").replace("rows", "records"),
+        "totally unrelated short text about cooking pasta at home tonight",
+        "another unrelated document mentioning gardens flowers and rain water",
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(variants))], "text": variants})
+    )
+
+
+def test_minhash_lsh_finds_neardups(spark):
+    d = _neardup_docs(spark)
+    signed = minhash_signatures(d, num_hashes=64, shingle_n=3)
+    cands = minhash_lsh_candidates(signed, bands=16, rows_per_band=4)
+    verified = jaccard_verify(cands, d, threshold=0.5)
+    pairs = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert ("d0", "d1") in pairs
+    assert all("d3" not in p and "d4" not in p for p in pairs)
+    kept = minhash_dedup(d, threshold=0.5)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert "d0" in ids and "d1" not in ids
+    assert {"d3", "d4"} <= ids
+
+
+def test_minhash_jaccard_estimates_true_jaccard(spark):
+    """Signature agreement rate ~ true Jaccard (property, +-0.15)."""
+    d = _neardup_docs(spark).limit(3)
+    signed = minhash_signatures(d, num_hashes=128, shingle_n=3).collect()
+    sigs = {r.doc_id: np.array(r.minhash) for r in signed}
+    texts = {r.doc_id: r.text for r in d.collect()}
+
+    def true_jacc(a, b):
+        def grams(t):
+            w = t.split()
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        A, B = grams(texts[a]), grams(texts[b])
+        return len(A & B) / len(A | B)
+
+    est = (sigs["d0"] == sigs["d1"]).mean()
+    assert abs(est - true_jacc("d0", "d1")) < 0.15
+
+
+def test_simhash_neardups(spark):
+    d = _neardup_docs(spark)
+    signed = simhash_signatures(d)
+    pairs = simhash_near_dup_pairs(signed, max_hamming=10, blocks=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert ("d0", "d1") in got
+    assert ("d3", "d4") not in got
+
+
+def test_embedding_neardup_lsh_vs_brute(spark, emb):
+    # inject exact near-dups: copy 5 vectors with tiny perturbation
+    pdf = emb.limit(5).toPandas()
+    pdf["vec_id"] = pdf["vec_id"] + 100000
+    pdf["embedding"] = pdf["embedding"].map(
+        lambda v: (np.asarray(v) * 1.0001).tolist()
+    )
+    both = emb.unionByName(spark.createDataFrame(pdf[["vec_id", "embedding", "label"]]))
+    brute = embedding_neardup_pairs(both, threshold=0.999, brute_force=True)
+    got = {(r.id_a, r.id_b) for r in brute.collect()}
+    assert all((i, i + 100000) in got for i in range(5))
+    lsh = embedding_neardup_pairs(both, threshold=0.999, n_planes=8)
+    got_lsh = {(r.id_a, r.id_b) for r in lsh.collect()}
+    # LSH recall on the injected planted pairs (identical direction -> same bucket)
+    assert all((i, i + 100000) in got_lsh for i in range(5))
+
+
+# -------------------------------------------------------------- similarity
+def test_brute_force_topk_matches_numpy(spark, emb):
+    queries = (
+        emb.limit(3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    got = {(r.query_id, r.rank): r.vec_id for r in out.collect()}
+    # numpy truth
+    pdf = emb.toPandas()
+    m = np.stack(pdf.embedding.map(np.asarray).to_list()).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = pdf.vec_id.to_numpy()
+    for q in range(3):
+        sims = mn @ mn[q]
+        order = sorted(zip(np.round(sims, 6), -ids), key=lambda t: (-t[0], t[1]))
+        top = [int(-t[1]) for t in order[:5]]
+        for rank, vid in enumerate(top, 1):
+            assert got[(ids[q], rank)] == vid
+    # self is rank 1
+    assert all(got[(ids[q], 1)] == ids[q] for q in range(3))
+
+
+def test_pandas_scorer_matches_jvm_scorer(spark, emb):
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = brute_force_topk(emb, queries, k=8, use_pandas=False).collect()
+    b = brute_force_topk(emb, queries, k=8, use_pandas=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_topk_recall(spark, emb):
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(emb, queries, k=3)
+    # the synthetic embeddings are uniform-random (no cluster structure:
+    # max non-self cosine ~0.47), so recall is bounded by the probed
+    # fraction of lists; 6/8 gives recall 1.0 on this corpus
+    approx = ivf_topk(emb, queries, k=3, nlist=8, nprobe=6)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"IVF recall {recall}"
+    # self-hit must always survive probing
+    assert all((r.query_id, r.query_id) in a for r in queries.select("query_id").collect())
+
+
+# -------------------------------------------------------------- multimodal
+def test_multimodal_plumbing(spark):
+    from delphi_crawler_spark.datagen import docs_df
+
+    docs = docs_df(spark, n=200)
+    media = synth_media(spark, docs)
+    assert media.count() > 0
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    assert all(len(r.feat) == 16 for r in rows)
+    assert all(r.payload_bytes > 0 for r in rows)
+    # deterministic: same payload -> same feature
+    again = {(r.doc_id, r.media_ref): r.feat for r in extract_media_features(media).collect()}
+    for r in rows:
+        assert again[(r.doc_id, r.media_ref)] == r.feat
+    frames = sample_frames(media, every_ms=500)
+    vids = media.filter(F.col("kind") == "video").count()
+    if vids:
+        assert frames.count() >= vids  # at least frame 0 per video
+        assert frames.filter(F.col("frame_ts") < 0).count() == 0
