@@ -1,0 +1,143 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+The headline metric is the BASELINE.json one — frontier throughput (URLs
+scheduled+deduped/sec) — measured by ``crawl_schedule``: a synthetic
+frontier generated *inside Spark* (spark.range → url expressions; zero
+driver-side data movement) pushed through the full scheduling core:
+canonicalize (Arrow UDF) → key derivation → F1 windowed dedup → bloom-
+prefiltered seen anti-join → politeness token-bucket slots → exact emission
+order. Every query is forced through the noop sink so projections (UDFs
+included) actually execute.
+
+Scaling evidence (north rule, two-cluster-size criterion): run this same
+script with SPARK_GRAFT_CPUS=8 and =32 on the same input; tools/scaling_report.py
+automates that and writes the efficiency table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+FRONTIER_N = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "2000000"))
+
+
+def synth_frontier(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic n-row raw frontier, generated distributed (spark.range):
+    skewed hosts (top hosts own a large share), junk variants exercising the
+    canonicalizer (case, default ports, dot-segments, encodable chars)."""
+    df = spark.range(n).withColumnRenamed("id", "seq")
+    h = F.pmod(F.col("seq") * 2654435761, F.lit(1 << 16))
+    # skew: ~25% of rows land on 4 hot hosts, rest spread over 4k hosts
+    host_id = F.when(h < (1 << 14), F.pmod(h, F.lit(4))).otherwise(F.pmod(h, F.lit(4096)))
+    host = F.concat(F.lit("host"), host_id, F.lit(".example-"), F.pmod(host_id, F.lit(5)), F.lit(".com"))
+    variant = F.pmod(F.col("seq"), F.lit(5))
+    raw = (
+        F.when(variant == 0, F.concat(F.lit("https://"), F.upper(host), F.lit("/p/"), F.col("seq")))
+        .when(variant == 1, F.concat(F.lit("https://"), host, F.lit(":443/a/./b/../p/"), F.col("seq")))
+        .when(variant == 2, F.concat(F.lit("https://"), host, F.lit("/item name/"), F.col("seq")))
+        .when(variant == 3, F.concat(F.lit("https://"), host, F.lit("/p/"), F.pmod(F.col("seq"), F.lit(n // 2 + 1))))
+        .otherwise(F.concat(F.lit("http://"), host, F.lit(":80/${q}/"), F.col("seq")))
+    )
+    return df.select(
+        raw.alias("url"),
+        F.pmod(F.col("seq"), F.lit(10)).cast("int").alias("priority"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("seq") / 1000.0)).alias("discovery_ts"),
+        F.col("seq"),
+    )
+
+
+def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier scheduling core at benchmark volume (the headline)."""
+    from delphi_crawler_spark.functions.canonicalize import canonicalize_url, with_url_keys
+    from delphi_crawler_spark.operators.dedup import first_occurrence_dedup
+    from delphi_crawler_spark.operators.politeness import assign_emission_slots, emission_order
+    from delphi_crawler_spark.operators.seen import build_bloom, seen_anti_join
+
+    raw = synth_frontier(spark, FRONTIER_N)
+    cand = raw.withColumn("url", canonicalize_url("url")).filter(F.col("url").isNotNull())
+    cand = with_url_keys(cand)
+    cand = first_occurrence_dedup(cand, key="url", order=["seq"])
+    # seen set: every 7th url of the first half (steady-state: most candidates new)
+    seen = (
+        synth_frontier(spark, FRONTIER_N // 7)
+        .withColumn("url", canonicalize_url("url"))
+        .filter(F.col("url").isNotNull())
+        .select("url")
+        .withColumn("url_hash64", F.xxhash64("url"))
+    )
+    bloom = build_bloom(seen, expected_items=FRONTIER_N // 7, fpp=0.01)
+    fresh = seen_anti_join(cand, seen, bloom)
+    slotted = assign_emission_slots(fresh, politeness=None)
+    return emission_order(slotted).select("url", "host", "priority", "seq", "emit_ms")
+
+
+BENCH_QUERIES = {
+    "crawl_schedule": crawl_schedule,
+    "seen_anti_join_bloom": E.q_j1_seen_anti_join_bloom,
+    "politeness_token_bucket": E.q_p1_politeness_token_bucket,
+    "first_occurrence_dedup": E.q_f1_first_occurrence_dedup,
+    "tpch_q1_pricing_summary": E.q_tpch_q1_pricing_summary,
+    "tpch_q3_topk_revenue": E.q_tpch_q3_topk_revenue,
+    "minhash_lsh_dedup": E.q_dedup_minhash_lsh,
+    "simhash_neardup": E.q_dedup_simhash,
+    "ivf_topk": E.q_sim_ivf_topk,
+    "text_quality_scores": E.q_text_quality_scores,
+    "tumbling_window": E.q_stream_tumbling_window,
+    "media_features": E.q_mm_media_features,
+}
+
+
+def force(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from delphi_crawler_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS)
+    # warmup: JVM/codegen/Arrow path
+    force(spark.range(1000).select((F.col("id") * 2).alias("x")))
+
+    times: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES.items():
+        t0 = time.time()
+        force(fn(spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {times[name]}s", file=sys.stderr, flush=True)
+
+    # frontier throughput: URLs pushed through the scheduling core per second
+    urls_per_sec = round(FRONTIER_N / times["crawl_schedule"], 1)
+    total = round(sum(times.values()), 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "frontier throughput (URLs scheduled+deduped/sec); total headline-query wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+        "frontier_urls": FRONTIER_N,
+        "frontier_urls_per_sec": urls_per_sec,
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,9 +31,9 @@ def token_count_col(text: Column) -> Column:
 def bpe_ish_token_count_col(text: Column) -> Column:
     """BPE-ish subword proxy: count of word/number/punct units — the
     regex-segmentation used by byte-pair tokenizers' pretokenizers.
-    JVM regexp, useful as a fast token-budget estimator."""
-    units = F.split(F.trim(text), r"(?<=\W)(?=\w)|(?<=\w)(?=\W)")
-    return F.size(F.filter(units, lambda u: F.trim(u) != ""))
+    JVM regexp (``\\w+`` runs and punctuation runs), useful as a fast
+    token-budget estimator; RE2-compatible so SQL oracles can replicate."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]+"), 0))
 
 
 # ---------------------------------------------------------------- quality
@@ -71,7 +71,10 @@ def quality_features(df, text_col: str = "text"):
             F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6),
         )
     )
-    # simple interpretable score: long enough, some stopwords, sane tokens
+    # simple interpretable score: long enough, some stopwords, sane tokens.
+    # NOT rounded: rounding a value composed from already-rounded ratios
+    # lands on exact .5e-6 lattice points where engines' round() implementations
+    # disagree; the raw double is bit-deterministic (fixed IEEE op order).
     score = (
         F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * 0.4
         + F.least(F.col("stopword_ratio") * F.lit(5.0), F.lit(1.0)) * 0.3
@@ -81,7 +84,7 @@ def quality_features(df, text_col: str = "text"):
         ).otherwise(F.lit(0.0))
         * 0.3
     )
-    return out.withColumn("quality_score", F.round(score, 6))
+    return out.withColumn("quality_score", score)
 
 
 # ---------------------------------------------------------------- lang id

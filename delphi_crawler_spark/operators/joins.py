@@ -36,18 +36,20 @@ def first_match_join(
     right: DataFrame,
     on: list[str],
     left_key: str,
-    order_col: str,
+    order_col: str | list[str],
 ) -> DataFrame:
     """Ordered first-match join (J4): join produces ALL matches, then the
     first by ``order_col`` per ``left_key`` claims the row — the reference's
     sequential "first library that resolves a call wins" walk
     (MavenEdgeMappingActor.scala:36-83) without the sequential scan.
 
-    Ties beyond ``order_col`` cannot occur when ``order_col`` is unique per
-    (left_key, match); callers add a tiebreak column otherwise.
+    ``order_col`` must be a total order per ``left_key`` (pass a list with a
+    tiebreak column otherwise) — the determinism discipline: a tie here would
+    make the pick shuffle-dependent.
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     matched = left.join(right, on, "inner")
-    w = Window.partitionBy(left_key).orderBy(F.col(order_col).asc())
+    w = Window.partitionBy(left_key).orderBy(*[F.col(c).asc() for c in order_cols])
     return (
         matched.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -39,6 +39,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def merge_frames(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+    insert: bool = True,
+) -> DataFrame:
+    """The MERGE INTO plan as a pure DataFrame transform — untouched rows
+    (left_anti) ∪ matched-updated rows ∪ (optionally) inserted rows. This is
+    exactly the copy-on-write plan Iceberg's MERGE runs; ``TableStore.
+    merge_upsert`` commits it as a snapshot (reference keyed upserts,
+    ElasticStoreQueries.scala:38-50,63-75; ElasticCallGraphActor.scala:31-59).
+    """
+    untouched = target.join(source, keys, "left_anti")
+    if update_cols is not None:
+        src_renamed = source.select(
+            *keys, *[F.col(c).alias(f"__src_{c}") for c in update_cols]
+        )
+        matched = target.join(src_renamed, keys, "inner").select(
+            *[
+                (F.col(f"__src_{c}") if c in update_cols else F.col(c)).alias(c)
+                for c in target.columns
+            ]
+        )
+    else:
+        matched = source.join(target.select(*keys), keys, "left_semi").select(
+            *target.columns
+        )
+    merged = untouched.unionByName(matched)
+    if insert:
+        inserted = source.join(target.select(*keys), keys, "left_anti").select(
+            *target.columns
+        )
+        merged = merged.unionByName(inserted)
+    return merged
+
+
 @dataclass
 class TableStore:
     spark: SparkSession
@@ -128,30 +165,7 @@ class TableStore:
             merged = source if insert else source.limit(0)
             return self.write_snapshot(table, merged, partition_by=partition_by)
         target = self.read(table)
-        untouched = target.join(source, keys, "left_anti")
-        if update_cols is not None:
-            src_renamed = source.select(
-                *keys, *[F.col(c).alias(f"__src_{c}") for c in update_cols]
-            )
-            matched = (
-                target.join(src_renamed, keys, "inner")
-                .select(
-                    *[
-                        (F.col(f"__src_{c}") if c in update_cols else F.col(c)).alias(c)
-                        for c in target.columns
-                    ]
-                )
-            )
-        else:
-            matched = source.join(target.select(*keys), keys, "left_semi").select(
-                *target.columns
-            )
-        merged = untouched.unionByName(matched)
-        if insert:
-            inserted = source.join(target.select(*keys), keys, "left_anti").select(
-                *target.columns
-            )
-            merged = merged.unionByName(inserted)
+        merged = merge_frames(target, source, keys, update_cols, insert)
         return self.write_snapshot(table, merged, partition_by=partition_by)
 
     def append(
