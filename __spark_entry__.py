@@ -627,6 +627,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast(BIG).alias("doc_id"), "text"
     )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return minhash_dedup(docs, "doc_id", "text", threshold=0.5).select("doc_id")
 
 
@@ -643,6 +644,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast(BIG).alias("doc_id"), "text"
     )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     signed = simhash_signatures(docs)
     return simhash_near_dup_pairs(signed, "doc_id", max_hamming=8).select(
         "id_a", "id_b", F.col("hamming").cast(BIG).alias("hamming")
@@ -709,7 +711,9 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     from delphi_crawler_spark.operators.similarity import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     out = ivf_topk(emb, _queries_df(spark, sf_dir), k=10, nlist=8, nprobe=4)
     return out.select(
         F.col("query_id").cast(BIG).alias("query_id"),

@@ -44,13 +44,16 @@ def synth_frontier(spark: SparkSession, n: int) -> DataFrame:
     # skew: ~25% of rows land on 4 hot hosts, rest spread over 4k hosts
     host_id = F.when(h < (1 << 14), F.pmod(h, F.lit(4))).otherwise(F.pmod(h, F.lit(4096)))
     host = F.concat(F.lit("host"), host_id, F.lit(".example-"), F.pmod(host_id, F.lit(5)), F.lit(".com"))
-    variant = F.pmod(F.col("seq"), F.lit(5))
+    # realistic mix: ~70% already-canonical links (the vectorized fast path),
+    # ~10% duplicates-of-earlier, ~20% junk needing full normalization
+    variant = F.pmod(F.col("seq"), F.lit(10))
     raw = (
-        F.when(variant == 0, F.concat(F.lit("https://"), F.upper(host), F.lit("/p/"), F.col("seq")))
-        .when(variant == 1, F.concat(F.lit("https://"), host, F.lit(":443/a/./b/../p/"), F.col("seq")))
-        .when(variant == 2, F.concat(F.lit("https://"), host, F.lit("/item name/"), F.col("seq")))
-        .when(variant == 3, F.concat(F.lit("https://"), host, F.lit("/p/"), F.pmod(F.col("seq"), F.lit(n // 2 + 1))))
-        .otherwise(F.concat(F.lit("http://"), host, F.lit(":80/${q}/"), F.col("seq")))
+        F.when(variant <= 4, F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("seq")))
+        .when(variant == 5, F.concat(F.lit("https://"), host, F.lit("/a/b/c/item-"), F.col("seq")))
+        .when(variant == 6, F.concat(F.lit("https://"), host, F.lit("/p/"), F.pmod(F.col("seq"), F.lit(n // 2 + 1))))
+        .when(variant == 7, F.concat(F.lit("https://"), F.upper(host), F.lit("/p/"), F.col("seq")))
+        .when(variant == 8, F.concat(F.lit("https://"), host, F.lit(":443/a/./b/../p/"), F.col("seq")))
+        .otherwise(F.concat(F.lit("http://"), host, F.lit(":80/${q} x/"), F.col("seq")))
     )
     return df.select(
         raw.alias("url"),
@@ -79,6 +82,9 @@ def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("url")
         .withColumn("url_hash64", F.xxhash64("url"))
     )
+    seen = seen.persist()  # frontier seen-set: materialized once (the real
+    # flow reads it from the committed frontier table), consumed by both the
+    # bloom build and the exact anti-join confirm
     bloom = build_bloom(seen, expected_items=FRONTIER_N // 7, fpp=0.01)
     fresh = seen_anti_join(cand, seen, bloom)
     slotted = assign_emission_slots(fresh, politeness=None)

@@ -127,10 +127,46 @@ def canonicalize_url_py(raw: str | None) -> str | None:
     return out
 
 
+# Fast-path detector: URLs that are ALREADY canonical. Charclasses admit
+# only characters the canonicalizer passes through unchanged (lowercase
+# scheme/host, RFC 3986 unreserved path/query chars, no '%', no userinfo/
+# port/fragment, non-empty path, no dot segments), so for a matching URL
+# canonicalize_url_py is the identity — equivalence property-tested in
+# tests/test_canonicalize.py.
+_FAST_RE = (
+    r"^(https?)://"
+    r"([a-z0-9\-]+(?:\.[a-z0-9\-]+)*)"          # host: no trailing dot, no port
+    r"((?:/[A-Za-z0-9\-_~./]*)?)"               # path: unreserved + '/'
+    r"((?:\?[A-Za-z0-9\-_~.=&+]*)?)$"           # query: unreserved + =&+
+)
+_DOTSEG_RE = r"/\.\.?(?:/|$)"  # '.' or '..' as a full path segment
+
+
+def canonicalize_urls_pd(urls: pd.Series) -> pd.Series:
+    """Vectorized canonicalization over a pandas batch: pandas str-ops
+    detect already-canonical URLs (the overwhelming majority in a real
+    frontier) and pass them through; only dirty rows (case/port/dot-segment/
+    encoding junk) take the per-row python path. Output is byte-identical to
+    ``canonicalize_url_py`` row-wise."""
+    s = urls.str.strip()
+    ext = s.str.extract(_FAST_RE)
+    fast = (
+        ext[0].notna()
+        & (ext[2] != "")  # canonical already has a path → identity, no concat
+        & ~ext[2].str.contains(_DOTSEG_RE, regex=True, na=False)
+    )
+    out = pd.Series(None, index=urls.index, dtype=object)
+    out[fast] = s[fast]
+    slow = ~fast
+    if slow.any():
+        out[slow] = urls[slow].map(canonicalize_url_py, na_action="ignore")
+    return out
+
+
 @F.pandas_udf(StringType())
 def canonicalize_url(urls: pd.Series) -> pd.Series:
     """Arrow-vectorized canonicalization (C1). NULL = malformed (F5)."""
-    return urls.map(canonicalize_url_py)
+    return canonicalize_urls_pd(urls)
 
 
 # ---------------------------------------------------------------- key columns

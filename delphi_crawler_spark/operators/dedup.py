@@ -4,22 +4,23 @@ The reference keeps a ``mutable.HashSet`` seen-cache and keeps an identifier
 iff not seen, adding on first sight (MavenDiscoveryProcess.scala:57,71-75;
 MavenCrawlActor.scala:33,45-49). In a stream, *first occurrence wins* — so
 plain ``dropDuplicates`` is NOT a faithful translation (under shuffle it
-keeps an arbitrary row). We window on the explicit arrival order ``seq``:
+keeps an arbitrary row). The deterministic pick is "the row whose explicit
+arrival order ``seq`` is minimal per key", realized as a hash aggregate:
 
-    row_number() OVER (PARTITION BY key ORDER BY seq) == 1
+    groupBy(key).agg(min_by(struct(other_cols), struct(order_cols)))
 
-which is deterministic at every parallelism level (the two-cluster-size
-equivalence criterion) and lets Catalyst run it as a partial-aggregating
-shuffle on the key.
-
-Scale note (100 TB): this is one hash shuffle on the dedup key.  The window
-uses only ``row_number`` with a bounded frame, so Spark evaluates it
-streaming per key group — no buffering beyond the sorter, spill-capable.
+which is equivalent to ``row_number() OVER (PARTITION BY key ORDER BY seq)
+== 1`` but cheaper at scale: a hash aggregate gets map-side partial
+combining (duplicates collapse before the shuffle) and never sorts, while
+the window form must shuffle every row and sort each key partition. The
+order key must be a total order per key (``seq`` is unique) — the
+determinism discipline at every parallelism level (the two-cluster-size
+equivalence criterion).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -31,9 +32,11 @@ def first_occurrence_dedup(
     """Keep the first-arriving row per key (order = ``seq`` by default)."""
     keys = [key] if isinstance(key, str) else list(key)
     order = order or ["seq"]
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order])
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    others = [c for c in df.columns if c not in keys]
+    ord_struct = F.struct(*[F.col(c) for c in order])
+    agg = df.groupBy(*keys).agg(
+        F.min_by(F.struct(*[F.col(c) for c in others]), ord_struct).alias("__first")
     )
+    out = agg.select(*keys, *[F.col(f"__first.{c}").alias(c) for c in others])
+    # restore the caller's column order
+    return out.select(*df.columns)

@@ -41,25 +41,73 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # ------------------------------------------------------------- shingling
 
+# 16-byte key for pandas' deterministic vectorized string hashing (siphash
+# family via pd.util.hash_pandas_object) — the whole batch hashes in one C
+# call instead of per-row python FNV loops.
+_HASH_KEY = "delphi_crawl_16b"
+_GRAM_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+     0xC4CEB9FE1A85EC53, 0x2545F4914F6CDD1D],
+    dtype=np.uint64,
+)
 
-def _shingle_hashes(texts: pd.Series, n: int) -> list[np.ndarray]:
-    """Per text: uint64 hashes of word n-grams (vectorized per batch)."""
-    out = []
-    for t in texts.fillna(""):
-        words = t.lower().split()
-        if len(words) < n:
-            grams = [" ".join(words)] if words else [""]
-        else:
-            grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-        # cheap stable 64-bit hash (FNV-1a) — vectorizable and portable
-        hs = np.zeros(len(grams), dtype=np.uint64)
-        for i, g in enumerate(grams):
-            h = np.uint64(0xCBF29CE484222325)
-            for b in g.encode("utf-8"):
-                h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-            hs[i] = h
-        out.append(np.unique(hs))
-    return out
+
+def _token_hash_frame(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, int]:
+    """Explode a text batch into (row_id, token_hash) arrays — ONE vectorized
+    hash call for every token in the batch."""
+    toks = texts.fillna("").str.lower().str.split()
+    exploded = toks.explode()
+    mask = exploded.notna()
+    exploded = exploded[mask]
+    if len(exploded) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64), len(texts)
+    row_pos = pd.Series(np.arange(len(texts)), index=texts.index)
+    rows = row_pos[exploded.index].to_numpy(dtype=np.int64)
+    th = pd.util.hash_pandas_object(
+        exploded.reset_index(drop=True), index=False, hash_key=_HASH_KEY
+    ).to_numpy(dtype=np.uint64)
+    return rows, th, len(texts)
+
+
+def _shingle_hash_groups(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """(row_id, gram_hash) for word n-grams, fully vectorized: hash every
+    token once, then combine n consecutive token hashes per row with a
+    sliding mix (uint64 wraparound). Rows with fewer than n tokens get one
+    gram combining whatever tokens exist."""
+    rows, th, n_rows = _token_hash_frame(texts)
+    if len(rows) == 0:
+        return rows, th, n_rows
+    counts = np.bincount(rows, minlength=n_rows)
+    grams_rows: list[np.ndarray] = []
+    grams_vals: list[np.ndarray] = []
+    if len(th) >= n:
+        valid = rows[: len(rows) - n + 1] == rows[n - 1:]
+        g = np.zeros(len(th) - n + 1, dtype=np.uint64)
+        for j in range(n):
+            g ^= th[j: len(th) - n + 1 + j] * _GRAM_MIX[j % len(_GRAM_MIX)]
+        grams_rows.append(rows[: len(rows) - n + 1][valid])
+        grams_vals.append(g[valid])
+    # short rows (0 < count < n): one gram mixing all their tokens
+    short = np.flatnonzero((counts > 0) & (counts < n))
+    if len(short):
+        sel = np.isin(rows, short)
+        srows, sth = rows[sel], th[sel]
+        accum = np.zeros(n_rows, dtype=np.uint64)
+        # position of each token within its row (tokens arrive row-ordered)
+        change = np.flatnonzero(np.diff(srows, prepend=srows[0] - 1))
+        pos_in_row = np.arange(len(srows)) - np.repeat(change, np.diff(np.append(change, len(srows))))
+        np.bitwise_xor.at(accum, srows, sth * _GRAM_MIX[pos_in_row % len(_GRAM_MIX)])
+        grams_rows.append(short.astype(np.int64))
+        grams_vals.append(accum[short])
+    rr = np.concatenate(grams_rows) if grams_rows else np.zeros(0, dtype=np.int64)
+    vv = np.concatenate(grams_vals) if grams_vals else np.zeros(0, dtype=np.uint64)
+    # distinct grams per row: sort by (row, gram) then drop equal neighbours
+    order = np.lexsort((vv, rr))
+    rr, vv = rr[order], vv[order]
+    keep = np.ones(len(rr), dtype=bool)
+    keep[1:] = (rr[1:] != rr[:-1]) | (vv[1:] != vv[:-1])
+    return rr[keep], vv[keep], n_rows
 
 
 def minhash_signatures(
@@ -70,25 +118,25 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """Attach ``minhash: array<long>`` — num_hashes universal-hash minima
-    over word-shingle hashes. One Arrow-batched pandas UDF; inside the
-    batch the (num_hashes x shingles) min is a single numpy reduction."""
+    over word-shingle hashes. One Arrow-batched pandas UDF; the whole batch
+    is hashed in one vectorized pass and the (num_hashes × grams) min is a
+    ``minimum.reduceat`` segment reduction — zero per-row python."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE_P, size=num_hashes, dtype=np.uint64)
+    a = (rng.integers(1, MERSENNE_P, size=num_hashes, dtype=np.uint64) | np.uint64(1))
     b = rng.integers(0, MERSENNE_P, size=num_hashes, dtype=np.uint64)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _minhash(texts: pd.Series) -> pd.Series:
-        sigs = []
-        for hs in _shingle_hashes(texts, shingle_n):
-            if len(hs) == 0:
-                sigs.append([0] * num_hashes)
-                continue
-            # (num_hashes, n_shingles) universal hash, min over shingles
-            v = (
-                a[:, None].astype(np.object_) * hs[None, :].astype(np.object_) + b[:, None]
-            ) % MERSENNE_P
-            sigs.append(v.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(sigs)
+        rows, grams, n_rows = _shingle_hash_groups(texts, shingle_n)
+        sigs = np.zeros((n_rows, num_hashes), dtype=np.uint64)
+        if len(rows):
+            # (num_hashes, n_grams) universal hash mod 2^64 (odd multiplier)
+            v = a[:, None] * grams[None, :] + b[:, None]
+            starts = np.flatnonzero(np.diff(rows, prepend=rows[0] - 1))
+            mins = np.minimum.reduceat(v, starts, axis=1)  # (num_hashes, n_present)
+            present = rows[starts]
+            sigs[present, :] = mins.T
+        return pd.Series(list(sigs.view(np.int64)))
 
     return df.withColumn("minhash", _minhash(F.col(text_col)))
 
@@ -234,23 +282,15 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     @F.pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for row, t in enumerate(texts.fillna("")):
-            words = t.lower().split()
-            if not words:
-                continue
-            hs = np.zeros(len(words), dtype=np.uint64)
-            for i, w in enumerate(words):
-                h = np.uint64(0xCBF29CE484222325)
-                for b in w.encode("utf-8"):
-                    h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-                hs[i] = h
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for i in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(i)
-            out[row] = sig
+        rows, th, n_rows = _token_hash_frame(texts)
+        out = np.zeros(n_rows, dtype=np.uint64)
+        if len(rows):
+            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+            votes = np.zeros((n_rows, 64), dtype=np.int32)
+            np.add.at(votes, rows, 2 * bits - 1)
+            pos = votes > 0
+            powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            out = (pos * powers[None, :]).sum(axis=1, dtype=np.uint64)
         return pd.Series(out.view(np.int64))
 
     return df.withColumn("simhash", _simhash(F.col(text_col)))

@@ -91,26 +91,39 @@ def build_bloom(
 ) -> BloomBits:
     """Build the seen-set bloom from a DataFrame of 64-bit keys.
 
-    Per-partition bitset build (numpy, vectorized) + ``treeReduce`` OR-merge
-    — the north rule's "partitioned Bloom bitsets merged with treeAggregate".
+    Per-partition bitset build (Arrow-batched mapInPandas, numpy-vectorized
+    bit setting) collapses each partition to ONE binary row of bitset words;
+    only those tiny rows cross into the RDD ``treeReduce`` OR-merge — the
+    north rule's "partitioned Bloom bitsets merged with treeAggregate" with
+    none of the row data ever pickled through Python. A zero segment is
+    unioned in so the reduce is never empty (empty input → empty bloom).
     """
     if expected_items is None:
         expected_items = df.count()
     proto = BloomBits.sized(expected_items, fpp)
     m, k = proto.m_bits, proto.k
+    spark = df.sparkSession
 
-    def build_partition(rows):
+    def build_partition(batches):
         seg = BloomBits(m, k, np.zeros(m // 64, dtype=np.uint64))
-        vals = np.fromiter((r[0] for r in rows), dtype=np.int64)
-        if len(vals):
-            seg.add_many(vals.view(np.uint64))
-        yield seg.words
+        any_rows = False
+        for pdf in batches:
+            vals = pdf.iloc[:, 0].to_numpy(dtype="int64")
+            if len(vals):
+                seg.add_many(vals.view(np.uint64))
+                any_rows = True
+        if any_rows:
+            yield pd.DataFrame({"words": [seg.words.tobytes()]})
 
-    rdd = df.select(col).rdd.mapPartitions(build_partition)
-    if rdd.isEmpty():
-        return proto
+    words_df = df.select(F.col(col)).mapInPandas(build_partition, schema="words binary")
+    zero = spark.createDataFrame(
+        [(bytearray(m // 64 * 8),)], schema="words binary"
+    )
+    rdd = words_df.unionByName(zero).rdd.map(
+        lambda r: np.frombuffer(r.words, dtype=np.uint64)
+    )
     merged = rdd.treeReduce(np.bitwise_or, depth=tree_depth)
-    return BloomBits(m, k, merged)
+    return BloomBits(m, k, merged.copy())
 
 
 def might_contain_col(spark: SparkSession, bloom: BloomBits, key_col: str):

@@ -82,6 +82,30 @@ def test_key_columns(spark):
     assert isinstance(row.url_hash64, int)
 
 
+def test_vectorized_fast_path_equivalence():
+    """The pandas fast path (already-canonical passthrough) must agree with
+    the per-row reference implementation on clean, junk, and edge URLs."""
+    from delphi_crawler_spark.functions.canonicalize import canonicalize_urls_pd
+
+    clean = [f"https://h{i}.example.com/p/{i}" for i in range(200)]
+    edge = [
+        "https://example.com",          # empty path → slow path, '/' fill
+        "https://example.com?q=1",      # query, empty path
+        "https://example.com/a/",       # trailing slash preserved
+        "https://example.com//x",       # empty segment preserved
+        "https://example.com/a/./b",    # dot segment → slow path
+        "https://example.com/a/../b",
+        "https://example.com./x",       # trailing host dot
+        "https://example.com/a?x=1&y=2+3",
+        None,
+    ]
+    junk = list(gen_seed_urls(n=500).url)
+    s = pd.Series(clean + edge + junk, dtype=object)
+    got = canonicalize_urls_pd(s)
+    exp = s.map(canonicalize_url_py, na_action="ignore")
+    assert got.fillna("~").tolist() == exp.fillna("~").tolist()
+
+
 def test_idempotent():
     pdf = gen_seed_urls(n=500)
     for u in pdf.url:
