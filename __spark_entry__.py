@@ -462,6 +462,63 @@ def q_a4_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a2_feature_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-doc feature map shaped as the reference's ``Map[String,Int]``
+    (HermesActor.scala:49) via map_from_entries — serialized to a canonical
+    sorted string for the oracle compare (map column hashing is
+    representation-dependent)."""
+    from delphi_crawler_spark.operators.links import feature_map
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    spans = F.transform(
+        words,
+        lambda w, i: F.struct(
+            F.when(F.length(w) % 3 == 0, F.lit("text"))
+            .when(F.length(w) % 3 == 1, F.lit("link"))
+            .otherwise(F.lit("media"))
+            .alias("kind"),
+            w.alias("text"),
+            F.when(F.length(w) % 3 == 2, F.concat(F.lit("m://"), i)).alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    docs2 = docs.select(F.col("doc_id").cast(BIG).alias("doc_id"), spans.alias("spans"))
+    fm = feature_map(docs2)
+    entry_strs = F.transform(
+        F.array_sort(F.map_entries("features")),
+        lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+    )
+    return fm.select("doc_id", F.array_join(entry_strs, ",").alias("features_str"))
+
+
+def q_c5_prop_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: ``${property}`` interpolation against a properties map (the
+    reference resolves POM coordinate placeholders,
+    MavenDependencyActor.scala:39-58) — broadcast-join the props dim and one
+    JVM regexp_replace; unresolvable placeholders pass through unchanged."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    raw = cust.select(
+        F.col("c_custkey").cast(BIG).alias("c_custkey"),
+        F.col("c_nationkey").alias("k"),
+        F.concat(
+            F.lit("ref-${nation_"), F.col("c_nationkey"), F.lit("}-"),
+            F.when(F.col("c_custkey") % 5 == 0, F.lit("${missing}")).otherwise(F.lit("ok")),
+        ).alias("tpl"),
+    )
+    props = nation.select(
+        F.col("n_nationkey").alias("k"),
+        F.concat(F.lit("${nation_"), F.col("n_nationkey"), F.lit("}")).alias("ph"),
+        F.lower(F.col("n_name")).alias("val"),
+    )
+    joined = raw.join(F.broadcast(props), "k", "left")
+    resolved = F.when(
+        F.col("ph").isNotNull(), F.replace(F.col("tpl"), F.col("ph"), F.col("val"))
+    ).otherwise(F.col("tpl"))
+    return joined.select("c_custkey", resolved.alias("resolved"))
+
+
 def q_a5_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 (rows-only: partition introspection has no SQL oracle): per-
     partition lineage/metrics rows the north rule checkpoints each round."""
@@ -874,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_group_edges": q_a1_group_edges,
         "a3_nested_calls": q_a3_nested_calls,
         "a4_span_stats": q_a4_span_stats,
+        "a2_feature_map": q_a2_feature_map,
+        "c5_prop_interpolation": q_c5_prop_interpolation,
         "a5_partition_metrics": q_a5_partition_metrics,
         "s4_merge_upsert": q_s4_merge_upsert,
         "agg_distinct_metrics": q_agg_distinct_metrics,
@@ -1055,6 +1114,29 @@ SELECT doc_id::BIGINT AS doc_id,
        coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT AS total_text_len,
        len(list_filter(ws, x -> length(x) % 3 = 2))::BIGINT AS n_media_refs
 FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents) t
+"""
+
+    o["a2_feature_map"] = """
+WITH s AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+f AS (SELECT doc_id,
+        len(ws) AS n_spans,
+        len(list_filter(ws, x -> length(x) % 3 = 0)) AS n_text,
+        len(list_filter(ws, x -> length(x) % 3 = 1)) AS n_link,
+        len(list_filter(ws, x -> length(x) % 3 = 2)) AS n_media,
+        coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS total_text_len
+      FROM s)
+SELECT doc_id::BIGINT AS doc_id,
+       'n_link=' || n_link || ',n_media=' || n_media || ',n_media_refs=' || n_media ||
+       ',n_spans=' || n_spans || ',n_text=' || n_text || ',total_text_len=' || total_text_len
+       AS features_str
+FROM f
+"""
+
+    o["c5_prop_interpolation"] = """
+SELECT c_custkey::BIGINT AS c_custkey,
+       'ref-' || lower(n_name) || '-' ||
+       CASE WHEN c_custkey % 5 = 0 THEN '${missing}' ELSE 'ok' END AS resolved
+FROM customer JOIN nation ON c_nationkey = n_nationkey
 """
 
     o["s4_merge_upsert"] = """

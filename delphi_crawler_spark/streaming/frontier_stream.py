@@ -1,0 +1,138 @@
+"""Structured Streaming façade (reference parity: §2.8).
+
+The reference is a continuous Akka stream with processing-time throttling
+and no event-time (SURVEY.md §2.8); our engine's core is iterated batch
+over snapshot tables (exact ordering + resume proofs live at round
+boundaries). This module is the streaming face of the same operators:
+
+- ``seed_stream``            file-source readStream over a drop directory of
+                             seed-batch parquet files (the unbounded
+                             identifier source, IndexProcessing.scala:45-48)
+- ``schedule_stream``        foreachBatch driving the SAME canonicalize →
+                             robots → dedup → politeness plan per micro-batch;
+                             batch/stream parity is tested (the plan is
+                             identical, only the driver loop differs)
+- ``windowed_event_metrics`` event-time tumbling windows + watermark for the
+                             metrics the north rule checkpoints per batch —
+                             the late-data upgrade the reference lacks
+
+Exactly-once: the file source tracks progress in the checkpoint dir;
+foreachBatch writes through the snapshot store's idempotent keyed commits
+keyed by (stream batch_id), so replays of a failed micro-batch converge —
+the streaming twin of the round checkpoint (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+SEED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("priority", T.IntegerType()),
+        T.StructField("discovery_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType(), False),
+    ]
+)
+
+
+def seed_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
+    """Unbounded seed source: each parquet file dropped into ``drop_dir`` is
+    one discovery batch (S1's stream shape; order carried by ``seq``)."""
+    return (
+        spark.readStream.schema(SEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+
+
+def schedule_batch(
+    batch: DataFrame,
+    politeness: DataFrame | None = None,
+    robots: DataFrame | None = None,
+    round_ms: int = 10_000,
+) -> DataFrame:
+    """One micro-batch through the scheduling core — the SAME operator
+    composition the batch engine runs (plan parity is what makes the
+    streaming façade honest)."""
+    from delphi_crawler_spark.functions.canonicalize import (
+        canonicalize_url,
+        with_url_keys,
+    )
+    from delphi_crawler_spark.operators.dedup import first_occurrence_dedup
+    from delphi_crawler_spark.operators.politeness import (
+        admit_round,
+        assign_emission_slots,
+        emission_order,
+    )
+    from delphi_crawler_spark.operators.robots import robots_filter
+
+    cand = batch.withColumn("url", canonicalize_url("url")).filter(
+        F.col("url").isNotNull()
+    )
+    cand = with_url_keys(cand)
+    cand = robots_filter(cand, robots)
+    cand = first_occurrence_dedup(cand, key="url", order=["seq"])
+    slotted = assign_emission_slots(cand, politeness)
+    return emission_order(admit_round(slotted, round_ms)).select(
+        "emit_ms", "host", "priority", "discovery_ts", "seq", "url"
+    )
+
+
+def schedule_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    politeness: DataFrame | None = None,
+    robots: DataFrame | None = None,
+    round_ms: int = 10_000,
+    on_batch: Callable[[DataFrame, int], None] | None = None,
+) -> StreamingQuery:
+    """readStream → scheduling core → idempotent per-batch parquet commit.
+
+    Each micro-batch lands in ``out_dir/batch_id=N`` (overwrite → replay-
+    safe); the source checkpoint makes file admission exactly-once. Run with
+    ``trigger(availableNow=True)`` semantics via ``.start()`` + await.
+    """
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        sched = schedule_batch(batch, politeness, robots, round_ms)
+        if on_batch is not None:
+            on_batch(sched, batch_id)
+        sched.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        seed_stream(spark, drop_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_metrics(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time tumbling-window metrics with late-data handling: counts +
+    exact-decimal sums per (window, event_type); state for windows older
+    than the watermark is dropped (bounded state at 100 TB/day volumes).
+    Works identically on a batch or streaming ``events`` DataFrame —
+    the batch twin is oracle-checked (q ``stream_tumbling_window``)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )

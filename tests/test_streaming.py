@@ -1,0 +1,139 @@
+"""Streaming façade tests (§2.8): batch/stream plan parity, exactly-once
+file admission, watermarked windows; plus the sources module."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delphi_crawler_spark.datagen import gen_seed_urls, politeness_df, robots_df, seed_urls_df
+from delphi_crawler_spark.sources.scan import (
+    attach_seq,
+    parse_index_records,
+    preflight,
+    scan_parquet,
+)
+from delphi_crawler_spark.streaming.frontier_stream import (
+    schedule_batch,
+    schedule_stream,
+    windowed_event_metrics,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    """The streaming façade must emit exactly the batch engine's schedule:
+    same operators, same ordering keys, per micro-batch."""
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(drop)
+
+    pdf = gen_seed_urls(n=3000)
+    b1, b2 = pdf.iloc[:1500], pdf.iloc[1500:]
+    pol, rob = politeness_df(spark), robots_df(spark)
+
+    b1.to_parquet(f"{drop}/b1.parquet", coerce_timestamps="us")  # single files
+    b2.to_parquet(f"{drop}/b2.parquet", coerce_timestamps="us")
+
+    q = schedule_stream(spark, drop, out, ckpt, politeness=pol, robots=rob)
+    q.awaitTermination(120)
+
+    got = spark.read.option("basePath", out).parquet(out)
+    cols = ["emit_ms", "host", "priority", "seq", "url"]
+
+    # batch twin: same per-batch plan over the same two admission batches
+    exp1 = schedule_batch(spark.createDataFrame(b1), pol, rob)
+    exp2 = schedule_batch(spark.createDataFrame(b2), pol, rob)
+    exp = _rows(exp1, cols) + _rows(exp2, cols)
+    assert sorted(_rows(got, cols)) == sorted(exp)
+    assert got.count() > 0
+
+
+def test_stream_resume_is_exactly_once(spark, tmp_path):
+    """Restarting the stream with the same checkpoint must not re-emit
+    processed files; a new file is picked up exactly once."""
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(drop)
+    pdf = gen_seed_urls(n=1200)
+    pdf.iloc[:600].to_parquet(f"{drop}/b1.parquet", coerce_timestamps="us")
+    q = schedule_stream(spark, drop, out, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+
+    pdf.iloc[600:].to_parquet(f"{drop}/b2.parquet", coerce_timestamps="us")
+    q2 = schedule_stream(spark, drop, out, ckpt)
+    q2.awaitTermination(120)
+    got = spark.read.option("basePath", out).parquet(out)
+    n2 = got.count()
+    assert n2 > n1
+    # batch 1 rows appear exactly once (no re-emission on resume)
+    b1_again = spark.read.parquet(f"{out}/batch_id=0")
+    assert b1_again.count() == n1
+
+
+def test_windowed_metrics_streaming_equals_batch(spark, tmp_path):
+    """The watermarked windowed aggregation run as a real stream over the
+    events table equals the batch run of the same function."""
+    src = str(tmp_path / "events")
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(rng.integers(0, 6 * 3600, 5000), unit="s"),
+            "event_type": rng.choice(["a", "b", "c"], 5000),
+            "value": rng.random(5000) * 10,
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+    batch = windowed_event_metrics(spark.read.parquet(src))
+
+    stream_in = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(src)
+    q = (
+        windowed_event_metrics(stream_in)
+        .writeStream.format("memory")
+        .queryName("win_metrics")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM win_metrics")
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_sources_scan_parse_preflight(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    seed_urls_df(spark, n=500).write.parquet(p)
+    df = scan_parquet(spark, p, columns=["url", "seq"], predicate=F.col("seq") < 100)
+    assert df.columns == ["url", "seq"]
+    assert df.count() == 100
+    # pushdown reaches the scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan or "LessThan" in plan
+
+    seq = attach_seq(df.drop("seq"), order=["url"])
+    assert seq.agg(F.max("seq")).collect()[0][0] == 100
+
+    recs = spark.createDataFrame(
+        [("a|b|c",), ("bad",), ("x|y|z|extra",)], ["u"]
+    )
+    parsed = parse_index_records(recs)
+    got = sorted((r.grp, r.art, r.ver) for r in parsed.collect())
+    assert got == [("a", "b", "c"), ("x", "y", "z")]
+
+    preflight(spark, [p])
+    with pytest.raises(Exception):
+        preflight(spark, [str(tmp_path / "missing.parquet")])
