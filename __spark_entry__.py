@@ -719,6 +719,22 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, the scale path (rows-only: seeded random
+    hyperplanes are not SQL-expressible): random-hyperplane sign buckets →
+    within-bucket pairs → exact cosine verify. At 10^9 vectors the pair
+    space is bucket-local — no cross join exists in the plan."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.dedup_fuzzy import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, n_planes=8, brute_force=False
+    )
+
+
 # =====================================================================
 # Training-data pipeline: similarity search
 # =====================================================================
@@ -944,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_topk_arrow": q_sim_topk_arrow,
         "sim_ivf_topk": q_sim_ivf_topk,

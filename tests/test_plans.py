@@ -1,0 +1,75 @@
+"""Physical-plan audits: the plan properties the 100 TB design depends on,
+asserted on the actual executed plans (SURVEY.md §4).
+
+These catch silent regressions that correctness tests cannot: a filter that
+stops pushing into the parquet scan, a dimension join that stops
+broadcasting, a dedup that starts shuffling columns it doesn't need, or an
+accidental cartesian product.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = _plan(E.q_tpch_q1_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read unused columns
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = _plan(E.q_tpch_q3_topk_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_politeness_single_host_shuffle(spark):
+    """The token-bucket ranking must shuffle exactly once, on host."""
+    plan = _plan(E.q_p1_politeness_token_bucket(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(host" in plan
+
+
+def test_seen_anti_join_no_cartesian_and_anti(spark):
+    df = E.q_j1_seen_anti_join_bloom(spark, SF)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_first_occurrence_dedup_partial_aggregation(spark):
+    """F1 as hash aggregate: map-side partial combine (two HashAggregate
+    nodes around one exchange), never a sort."""
+    plan = _plan(E.q_f1_first_occurrence_dedup(spark, SF))
+    assert "Exchange hashpartitioning" in plan
+    assert plan.count("Aggregate") >= 2
+
+
+def test_minhash_lsh_no_cartesian(spark):
+    """The LSH candidate join must be a bucket equi-join, not a cross."""
+    plan = _plan(E.q_dedup_minhash_lsh(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_robots_broadcast_not_join(spark):
+    """The robots gate is a broadcast-structure filter — no join node for
+    the rules at all."""
+    plan = _plan(E.q_f6_robots_gate(spark, SF))
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+
+
+def test_span_stats_whole_stage_codegen(spark):
+    """A4 runs entirely in whole-stage codegen — no python, no shuffle."""
+    plan = _plan(E.q_a4_span_stats(spark, SF))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
