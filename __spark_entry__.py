@@ -643,6 +643,69 @@ def q_tpch_q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q5_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style six-way join: region → nation → customer/supplier →
+    orders → lineitem, dims broadcast, exact-decimal revenue per nation."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice", 12) * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4))
+    dims = (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    j = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims.select("c_custkey", "n_name", "n_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("n_nationkey")))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-filter (HAVING) + distinct-count: parts appearing in many
+    orders — aggregate pushdown + post-aggregation predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_partkey").cast(BIG).alias("l_partkey")).agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+    )
+    return g.filter(F.col("n_orders") >= 30)
+
+
+def q_p1b_politeness_perhost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 with per-host budgets from a broadcast dim table (the reference's
+    single global constant generalized): rate/burst vary per host."""
+    from delphi_crawler_spark.operators.politeness import assign_emission_slots
+
+    fr = _events_frontier(spark, sf_dir)
+    pol = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id"), F.concat(F.lit("u"), F.col("user_id")).alias("host"))
+        .distinct()
+        .withColumn("rate_per_sec", (F.lit(1.0) + F.col("user_id") % 5).cast("double"))
+        .withColumn("max_burst", (F.col("user_id") % 3 + 1).cast("int"))
+        .drop("user_id")
+    )
+    slotted = assign_emission_slots(fr, politeness=pol)
+    return slotted.select(
+        "host", "seq",
+        F.col("priority").cast(BIG).alias("priority"),
+        F.col("host_rank").cast(BIG).alias("host_rank"),
+        F.col("emit_ms").cast(BIG).alias("emit_ms"),
+    )
+
+
 # =====================================================================
 # Training-data pipeline: dedup family
 # =====================================================================
@@ -955,6 +1018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling_window": q_stream_tumbling_window,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "tpch_q3_topk_revenue": q_tpch_q3_topk_revenue,
+        "tpch_q5_multijoin": q_tpch_q5_multijoin,
+        "agg_having": q_agg_having,
+        "p1b_politeness_perhost": q_p1b_politeness_perhost,
         "dedup_exact_text": q_dedup_exact_text,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1205,6 +1271,39 @@ JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY l_orderkey
 ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+    o["tpch_q5_multijoin"] = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+    o["p1b_politeness_perhost"] = """
+WITH fr AS (SELECT 'u' || user_id AS host, 1.0 + user_id % 5 AS rate, user_id % 3 + 1 AS burst,
+                   (event_id % 3)::BIGINT AS priority, ts, event_id::BIGINT AS seq
+            FROM events),
+r AS (SELECT host, seq, priority, rate, burst,
+             row_number() OVER (PARTITION BY host ORDER BY priority DESC, ts ASC, seq ASC) AS host_rank
+      FROM fr)
+SELECT host, seq, priority, host_rank::BIGINT AS host_rank,
+       CASE WHEN host_rank <= burst THEN 0
+            ELSE CAST(ceil((host_rank - burst) * 1000.0 / rate) AS BIGINT) END AS emit_ms
+FROM r
+"""
+
+    o["agg_having"] = """
+SELECT l_partkey::BIGINT AS l_partkey, count(DISTINCT l_orderkey) AS n_orders,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem GROUP BY l_partkey HAVING count(DISTINCT l_orderkey) >= 30
 """
 
     o["dedup_exact_text"] = """
