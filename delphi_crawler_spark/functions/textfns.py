@@ -102,28 +102,31 @@ _LANG_MARKERS = {
 @F.pandas_udf(StringType())
 def lang_id(texts: pd.Series) -> pd.Series:
     """Heuristic language ID: CJK script share, else stopword-profile vote.
-    Arrow-batched; vectorized string ops per batch. Returns 'und' when no
-    profile scores."""
+    Arrow-batched and fully vectorized: ONE explode of the batch's tokens,
+    one ``isin`` per language profile, segment sums via ``np.add.at`` —
+    no per-row Python loop. Returns 'und' when no profile scores."""
+    import numpy as np
+
     s = texts.fillna("")
     # CJK: any char in the unified ideograph block
-    cjk = s.str.contains(r"[一-鿿]", regex=True)
-    tokens = s.str.lower().str.split()
-
-    def vote(toks):
-        if not toks:
-            return "und"
-        best, best_hits = "und", 0
-        for lang, markers in _LANG_MARKERS.items():
-            if not markers:
-                continue
-            hits = sum(1 for t in toks if t in markers)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        return best
-
-    out = tokens.map(vote)
+    cjk = s.str.contains(r"[一-鿿]", regex=True).to_numpy()
+    exploded = s.str.lower().str.split().explode()
+    exploded = exploded[exploded.notna()]
+    langs = [(lang, m) for lang, m in _LANG_MARKERS.items() if m]
+    hits = np.zeros((len(s), len(langs)), dtype=np.int64)
+    if len(exploded):
+        row_pos = pd.Series(np.arange(len(s)), index=s.index)
+        rows = row_pos[exploded.index].to_numpy(dtype=np.int64)
+        toks = exploded.reset_index(drop=True)
+        for li, (_, markers) in enumerate(langs):
+            m = toks.isin(list(markers)).to_numpy()
+            np.add.at(hits[:, li], rows[m], 1)
+    # first language with the strictly-highest hit count wins; zero -> 'und'
+    best = hits.argmax(axis=1)
+    names = np.array([lang for lang, _ in langs])
+    out = np.where(hits.max(axis=1) > 0, names[best], "und")
     out[cjk] = "zh"
-    return out
+    return pd.Series(out)
 
 
 # ------------------------------------------------------------- fingerprint

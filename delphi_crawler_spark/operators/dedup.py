@@ -33,10 +33,19 @@ def first_occurrence_dedup(
     keys = [key] if isinstance(key, str) else list(key)
     order = order or ["seq"]
     others = [c for c in df.columns if c not in keys]
-    ord_struct = F.struct(*[F.col(c) for c in order])
-    agg = df.groupBy(*keys).agg(
-        F.min_by(F.struct(*[F.col(c) for c in others]), ord_struct).alias("__first")
+    if not others:  # key-only frame: first-per-key is just DISTINCT
+        return df.distinct()
+    def col(c: str):  # backtick-quote so dotted column names stay literal
+        return F.col(f"`{c}`")
+
+    ord_struct = F.struct(*[col(c) for c in order])
+    agg = df.groupBy(*[col(k) for k in keys]).agg(
+        F.min_by(F.struct(*[col(c).alias(c) for c in others]), ord_struct).alias("__first")
     )
-    out = agg.select(*keys, *[F.col(f"__first.{c}").alias(c) for c in others])
+    # getField (not string-path access) so dotted column names survive
+    out = agg.select(
+        *[col(k) for k in keys],
+        *[F.col("__first").getField(c).alias(c) for c in others],
+    )
     # restore the caller's column order
-    return out.select(*df.columns)
+    return out.select(*[f"`{c}`" for c in df.columns])

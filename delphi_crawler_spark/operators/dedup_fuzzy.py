@@ -52,6 +52,29 @@ _GRAM_MIX = np.array(
     dtype=np.uint64,
 )
 
+# Memory ceilings for the per-batch dense intermediates: the (num_hashes x
+# grams) minhash matrix and the (tokens x 64) simhash bit matrix are blocked
+# to these many grams/tokens at a time so realistic web documents (10^3-10^5
+# tokens each, tens of thousands of docs per Arrow batch) never materialize
+# multi-GB arrays in a python worker.
+_GRAM_BLOCK = 1 << 19   # 512k grams x 64 hashes x 8B = 256 MB per block
+_TOKEN_BLOCK = 1 << 20  # 1M tokens x 64 bits x 4B = 256 MB per block
+
+
+def _gram_mix(n: int) -> np.ndarray:
+    """Position multipliers for n-gram mixing. First 8 are fixed constants;
+    beyond that they extend deterministically via splitmix64 (odd-forced),
+    so shingle_n is unbounded — a plain ``j % 8`` wrap would let tokens 8
+    positions apart share a multiplier and XOR-cancel when equal."""
+    if n <= len(_GRAM_MIX):
+        return _GRAM_MIX[:n]
+    j = np.arange(len(_GRAM_MIX), n, dtype=np.uint64)
+    z = (j + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return np.concatenate([_GRAM_MIX, z | np.uint64(1)])
+
 
 def _token_hash_frame(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, int]:
     """Explode a text batch into (row_id, token_hash) arrays — ONE vectorized
@@ -78,6 +101,7 @@ def _shingle_hash_groups(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarr
     rows, th, n_rows = _token_hash_frame(texts)
     if len(rows) == 0:
         return rows, th, n_rows
+    mix = _gram_mix(n)
     counts = np.bincount(rows, minlength=n_rows)
     grams_rows: list[np.ndarray] = []
     grams_vals: list[np.ndarray] = []
@@ -85,7 +109,7 @@ def _shingle_hash_groups(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarr
         valid = rows[: len(rows) - n + 1] == rows[n - 1:]
         g = np.zeros(len(th) - n + 1, dtype=np.uint64)
         for j in range(n):
-            g ^= th[j: len(th) - n + 1 + j] * _GRAM_MIX[j % len(_GRAM_MIX)]
+            g ^= th[j: len(th) - n + 1 + j] * mix[j]
         grams_rows.append(rows[: len(rows) - n + 1][valid])
         grams_vals.append(g[valid])
     # short rows (0 < count < n): one gram mixing all their tokens
@@ -97,7 +121,7 @@ def _shingle_hash_groups(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarr
         # position of each token within its row (tokens arrive row-ordered)
         change = np.flatnonzero(np.diff(srows, prepend=srows[0] - 1))
         pos_in_row = np.arange(len(srows)) - np.repeat(change, np.diff(np.append(change, len(srows))))
-        np.bitwise_xor.at(accum, srows, sth * _GRAM_MIX[pos_in_row % len(_GRAM_MIX)])
+        np.bitwise_xor.at(accum, srows, sth * mix[pos_in_row])
         grams_rows.append(short.astype(np.int64))
         grams_vals.append(accum[short])
     rr = np.concatenate(grams_rows) if grams_rows else np.zeros(0, dtype=np.int64)
@@ -116,11 +140,13 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    gram_block: int = _GRAM_BLOCK,
 ) -> DataFrame:
     """Attach ``minhash: array<long>`` — num_hashes universal-hash minima
     over word-shingle hashes. One Arrow-batched pandas UDF; the whole batch
     is hashed in one vectorized pass and the (num_hashes × grams) min is a
-    ``minimum.reduceat`` segment reduction — zero per-row python."""
+    ``minimum.reduceat`` segment reduction — zero per-row python.
+    ``gram_block`` bounds the dense intermediate (see _GRAM_BLOCK)."""
     rng = np.random.default_rng(seed)
     a = (rng.integers(1, MERSENNE_P, size=num_hashes, dtype=np.uint64) | np.uint64(1))
     b = rng.integers(0, MERSENNE_P, size=num_hashes, dtype=np.uint64)
@@ -128,14 +154,22 @@ def minhash_signatures(
     @F.pandas_udf(ArrayType(LongType()))
     def _minhash(texts: pd.Series) -> pd.Series:
         rows, grams, n_rows = _shingle_hash_groups(texts, shingle_n)
-        sigs = np.zeros((n_rows, num_hashes), dtype=np.uint64)
-        if len(rows):
-            # (num_hashes, n_grams) universal hash mod 2^64 (odd multiplier)
-            v = a[:, None] * grams[None, :] + b[:, None]
-            starts = np.flatnonzero(np.diff(rows, prepend=rows[0] - 1))
+        sigs = np.full((n_rows, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+        present = np.zeros(n_rows, dtype=bool)
+        # blocked over grams so the dense (num_hashes x grams) universal-hash
+        # matrix stays bounded (~_GRAM_BLOCK) no matter how long the batch's
+        # documents are; a row split across blocks combines via np.minimum.
+        for lo in range(0, len(rows), gram_block):
+            r = rows[lo: lo + gram_block]
+            g = grams[lo: lo + gram_block]
+            # (num_hashes, block) universal hash mod 2^64 (odd multiplier)
+            v = a[:, None] * g[None, :] + b[:, None]
+            starts = np.flatnonzero(np.diff(r, prepend=r[0] - 1))
             mins = np.minimum.reduceat(v, starts, axis=1)  # (num_hashes, n_present)
-            present = rows[starts]
-            sigs[present, :] = mins.T
+            pr = r[starts]
+            sigs[pr, :] = np.minimum(sigs[pr, :], mins.T)
+            present[pr] = True
+        sigs[~present, :] = 0  # empty docs keep the all-zero signature
         return pd.Series(list(sigs.view(np.int64)))
 
     return df.withColumn("minhash", _minhash(F.col(text_col)))
@@ -275,7 +309,9 @@ def simhash_col(text_col: str = "text", bits: int = 64):
     return out
 
 
-def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", token_block: int = _TOKEN_BLOCK
+) -> DataFrame:
     """Attach ``simhash: long``. Vectorized numpy pandas UDF (the pure-JVM
     expression above is exact but compiles 64 aggregates; numpy per Arrow
     batch is the faster production path — both are tested equal)."""
@@ -285,9 +321,13 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
         rows, th, n_rows = _token_hash_frame(texts)
         out = np.zeros(n_rows, dtype=np.uint64)
         if len(rows):
-            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-            votes = np.zeros((n_rows, 64), dtype=np.int32)
-            np.add.at(votes, rows, 2 * bits - 1)
+            votes = np.zeros((n_rows, 64), dtype=np.int64)
+            # blocked over tokens: the dense (tokens x 64) bit matrix stays
+            # ~_TOKEN_BLOCK rows; vote accumulation is block-order-free.
+            for lo in range(0, len(rows), token_block):
+                t = th[lo: lo + token_block]
+                bits = ((t[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+                np.add.at(votes, rows[lo: lo + token_block], 2 * bits - 1)
             pos = votes > 0
             powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
             out = (pos * powers[None, :]).sum(axis=1, dtype=np.uint64)
@@ -297,30 +337,60 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_dup_pairs(
-    signed: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, blocks: int = 4
+    signed: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int | None = None,
 ) -> DataFrame:
-    """Near-dup candidates by the block trick: split 64 bits into ``blocks``
-    chunks; pairs within hamming<=blocks-1 share at least one exact chunk
-    (pigeonhole) -> equi-join per chunk, then exact hamming verify via
-    ``bit_count(a XOR b)`` (JVM)."""
-    width = 64 // blocks
-    chunks = [
-        F.shiftrightunsigned(F.col("simhash"), i * width)
-        .bitwiseAND(F.lit((1 << width) - 1))
-        .alias(f"c{i}")
-        for i in range(blocks)
-    ]
-    keyed = signed.select(id_col, "simhash", *chunks)
-    pairs = None
+    """Near-dup pairs by the block trick: split 64 bits into ``blocks``
+    chunks; pairs within hamming <= blocks-1 share at least one exact chunk
+    (pigeonhole), so with the default ``blocks = max_hamming + 1`` recall at
+    the requested radius is GUARANTEED, not probabilistic. Passing a smaller
+    ``blocks`` explicitly trades recall for fewer candidates (partial recall
+    beyond hamming blocks-1 — candidates-generator mode).
+
+    Plan shape: ONE exploded (block, chunk) self-equi-join — a single
+    shuffle on the bucket key — then exact hamming verify via
+    ``bit_count(a XOR b)`` (JVM). No cross join at any scale.
+    """
+    if blocks is None:
+        blocks = min(max_hamming + 1, 64)
+    if not 1 <= blocks <= 64:
+        raise ValueError(f"blocks must be in [1, 64], got {blocks}")
+    base, extra = divmod(64, blocks)  # first `extra` blocks get one more bit
+    bounds = []
+    off = 0
     for i in range(blocks):
-        l = keyed.select(
-            F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"c{i}").alias("ck")
-        )
-        r = keyed.select(
-            F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"c{i}").alias("ck")
-        )
-        p = l.join(r, ["ck"]).filter(F.col("id_a") < F.col("id_b")).drop("ck")
-        pairs = p if pairs is None else pairs.unionByName(p)
+        w = base + (1 if i < extra else 0)
+        bounds.append((off, w))
+        off += w
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftrightunsigned(F.col("simhash"), o)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("ck"),
+            )
+            for i, (o, w) in enumerate(bounds)
+        ]
+    )
+    keyed = signed.select(
+        F.col(id_col), F.col("simhash"), F.explode(entries).alias("b")
+    ).select(
+        id_col, "simhash", F.col("b.bi").alias("bi"), F.col("b.ck").alias("ck")
+    )
+    l = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "bi", "ck"
+    )
+    r = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "bi", "ck"
+    )
+    pairs = (
+        l.join(r, ["bi", "ck"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("bi", "ck")
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         pairs.dropDuplicates(["id_a", "id_b"])
@@ -338,34 +408,46 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int = 8,
+    bands: int = 4,
     seed: int = 42,
     brute_force: bool = False,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine >= threshold.
 
-    Scale path: random-hyperplane LSH — sign bits form a bucket key, pairs
-    join within buckets, exact cosine verifies. ``brute_force=True`` is the
-    small-data oracle path (self-join on a crossable size).
+    Scale path: BANDED random-hyperplane LSH — ``bands`` independent
+    sign-bucket keys of ``n_planes`` planes each; a pair is a candidate if
+    it collides in ANY band (P[candidate] = 1-(1-p^n_planes)^bands where
+    p = 1 - theta/pi, so recall at the threshold is tunable, unlike a
+    single all-or-nothing key). Candidate generation shuffles only
+    (id, band, bucket) — vectors join back in for the exact cosine verify.
+    ``brute_force=True`` is the small-data oracle path.
     """
-    from delphi_crawler_spark.operators.similarity import cosine_col, lsh_bucket_udf
+    from delphi_crawler_spark.operators.similarity import cosine_col, lsh_band_buckets_udf
 
+    vecs = emb.select(F.col(id_col), F.col(vec_col))
     if brute_force:
-        l = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-        r = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-        pairs = l.join(r, F.col("id_a") < F.col("id_b"))
+        l = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        r = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = l.join(r, F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "va", "vb")
     else:
-        bucketed = emb.withColumn(
-            "bucket", lsh_bucket_udf(emb.sparkSession, n_planes, seed)(F.col(vec_col))
+        bucketed = vecs.withColumn(
+            "__bks",
+            lsh_band_buckets_udf(emb.sparkSession, bands, n_planes, seed)(F.col(vec_col)),
+        ).select(F.col(id_col), F.posexplode("__bks").alias("band", "bucket"))
+        l = bucketed.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        r = bucketed.select(F.col(id_col).alias("id_b"), "band", "bucket")
+        cand = (
+            l.join(r, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
         )
-        l = bucketed.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+        pairs = cand.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "id_a"
+        ).join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")), "id_b"
         )
-        r = bucketed.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
-        )
-        pairs = l.join(r, ["bucket"]).filter(F.col("id_a") < F.col("id_b")).drop("bucket")
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     cos = cosine_col(F.col("va"), F.col("vb"))
     return (
         pairs.withColumn("cosine", F.round(cos, 6))

@@ -146,7 +146,16 @@ def ivf_topk(
     is an equi-join on ``list_id`` touching ~nprobe/nlist of the corpus.
     """
     spark = corpus.sparkSession
-    sample = corpus.select(vec_col).limit(sample_size).toPandas()
+    # deterministic training sample: TakeOrdered on a hash of the id — the
+    # same rows at any partition count / scan order (a bare limit() grabs
+    # whichever partitions answer first, so centroids — and therefore list
+    # assignments — would differ run to run)
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_size)
+        .toPandas()
+    )
     mat = np.stack(sample[vec_col].map(np.asarray).to_list()).astype(np.float64)
     centroids = _kmeans(mat, nlist, iters=5, seed=seed)
     bc = spark.sparkContext.broadcast(centroids)
@@ -183,6 +192,32 @@ def ivf_topk(
 
 
 # --------------------------------------------------------------------- LSH
+
+
+def lsh_band_buckets_udf(spark: SparkSession, bands: int, planes_per_band: int, seed: int):
+    """Banded random-hyperplane buckets: ``bands`` independent sign-bucket
+    keys per vector (band b uses its own ``planes_per_band`` seeded planes).
+    Two vectors are candidates if they agree in ANY band (OR over bands, the
+    MinHash-banding recall shape) — recall at a cosine threshold is tuned by
+    (bands, planes_per_band) instead of a single all-or-nothing key.
+    Returns ``array<long>`` of length ``bands``."""
+    state: dict = {}
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.map(np.asarray).to_list()).astype(np.float64)
+        planes = state.get("planes")
+        if planes is None:
+            rng = np.random.default_rng(seed)
+            planes = rng.standard_normal((bands * planes_per_band, m.shape[1]))
+            state["planes"] = planes
+        bits = (m @ planes.T) > 0  # (n, bands*ppb)
+        bits = bits.reshape(len(m), bands, planes_per_band)
+        weights = 1 << np.arange(planes_per_band)
+        vals = (bits * weights[None, None, :]).sum(2).astype(np.int64)  # (n, bands)
+        return pd.Series(list(vals))
+
+    return _buckets
 
 
 def lsh_bucket_udf(spark: SparkSession, n_planes: int, seed: int, dim: int | None = None):

@@ -269,3 +269,22 @@ def test_partition_metrics(spark):
     df = spark.createDataFrame(pd.DataFrame({"seq": range(100)})).repartition(4)
     m = partition_metrics(df).agg(F.sum("n_rows")).collect()[0][0]
     assert m == 100
+
+
+def test_first_occurrence_dedup_edge_shapes(spark):
+    """Key-only frames and dotted column names (ADVICE: F.struct() of zero
+    columns threw; string-path struct access broke on dots)."""
+    import pandas as pd
+    from delphi_crawler_spark.operators.dedup import first_occurrence_dedup
+
+    keys_only = spark.createDataFrame(pd.DataFrame({"url": ["a", "b", "a"]}))
+    out = first_occurrence_dedup(keys_only, key="url", order=["url"])
+    assert sorted(r.url for r in out.collect()) == ["a", "b"]
+
+    dotted = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "v.x": [10, 20, 30], "seq": [2, 1, 5]})
+    )
+    out2 = first_occurrence_dedup(dotted, key="k", order=["seq"])
+    got = sorted((r["k"], r["v.x"]) for r in out2.collect())
+    assert got == [(1, 20), (2, 30)]
+    assert out2.columns == ["k", "v.x", "seq"]

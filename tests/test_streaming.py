@@ -122,7 +122,7 @@ def test_sources_scan_parse_preflight(spark, tmp_path):
     assert df.count() == 100
     # pushdown reaches the scan
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [" in plan and "IsNotNull" in plan or "LessThan" in plan
+    assert "PushedFilters: [" in plan and ("IsNotNull" in plan or "LessThan" in plan)
 
     seq = attach_seq(df.drop("seq"), order=["url"])
     assert seq.agg(F.max("seq")).collect()[0][0] == 100

@@ -250,3 +250,93 @@ def test_multimodal_plumbing(spark):
     if vids:
         assert frames.count() >= vids  # at least frame 0 per video
         assert frames.filter(F.col("frame_ts") < 0).count() == 0
+
+
+# ----------------------------------------------------- round-2 hardening
+def test_gram_mix_extends_without_wrap():
+    from delphi_crawler_spark.operators.dedup_fuzzy import _GRAM_MIX, _gram_mix
+
+    m = _gram_mix(40)
+    assert len(m) == 40
+    assert (m[:8] == _GRAM_MIX).all()
+    assert len(set(m.tolist())) == 40  # no positions share a multiplier
+    assert all(int(v) % 2 == 1 for v in m[8:])  # odd => bijective mod 2^64
+
+
+def test_blocked_signatures_equal_unblocked(spark):
+    """Memory-bounded blocked reduction is bit-equal to the one-shot path
+    (ADVICE: dense per-batch matrices OOM on realistic document lengths)."""
+    d = _neardup_docs(spark)
+    full = {r.doc_id: r.minhash for r in minhash_signatures(d).collect()}
+    blocked = {
+        r.doc_id: r.minhash
+        for r in minhash_signatures(d, gram_block=7).collect()
+    }
+    assert full == blocked
+    sh_full = {r.doc_id: r.simhash for r in simhash_signatures(d).collect()}
+    sh_blocked = {
+        r.doc_id: r.simhash
+        for r in simhash_signatures(d, token_block=5).collect()
+    }
+    assert sh_full == sh_blocked
+
+
+def test_simhash_pigeonhole_exact_recall(spark, docs):
+    """With derived blocks = max_hamming + 1, the blocked path finds EXACTLY
+    the brute-force hamming pairs (VERDICT: 4 blocks at hamming 8 was
+    silently partial-recall)."""
+    d = docs.limit(120).select("doc_id", "text")
+    signed = simhash_signatures(d).persist()
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(signed, max_hamming=8).collect()
+    }
+    sigs = [(r.doc_id, r.simhash) for r in signed.select("doc_id", "simhash").collect()]
+    signed.unpersist()
+    want = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            (ia, sa), (ib, sb) = sigs[i], sigs[j]
+            h = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+            if h <= 8:
+                a, b = (ia, ib) if ia < ib else (ib, ia)
+                want.add((a, b, h))
+    assert got == want
+
+
+def test_embedding_banded_lsh_recall_floor(spark, emb):
+    """Banded multi-probe recall on planted noisy near-dups (direction
+    perturbed, not just rescaled): >= 0.95 of brute-force pairs found."""
+    rng = np.random.default_rng(7)
+    pdf = emb.limit(40).toPandas()
+    noisy = pdf.copy()
+    noisy["vec_id"] = noisy["vec_id"] + 100000
+    noisy["embedding"] = noisy["embedding"].map(
+        lambda v: (np.asarray(v) + rng.standard_normal(len(v)) * 0.01 * np.linalg.norm(v) / np.sqrt(len(v))).tolist()
+    )
+    both = spark.createDataFrame(
+        pd.concat([pdf, noisy])[["vec_id", "embedding", "label"]]
+    )
+    brute = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(both, threshold=0.995, brute_force=True).collect()
+    }
+    assert len(brute) >= 30  # the planted pairs survive the threshold
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(both, threshold=0.995, n_planes=8, bands=4).collect()
+    }
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.95, f"banded LSH recall {recall}"
+    assert lsh <= brute  # verify stage admits no false positives
+
+
+def test_ivf_sample_deterministic(spark, emb):
+    """Same IVF output across repeated runs and partition counts (VERDICT:
+    bare limit() sampled nondeterministically)."""
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(map(tuple, ivf_topk(emb, queries, k=5, nlist=8, nprobe=3).collect()))
+    b = sorted(map(tuple, ivf_topk(emb.repartition(7), queries, k=5, nlist=8, nprobe=3).collect()))
+    assert a == b
