@@ -101,7 +101,22 @@ def build_bloom(
     if expected_items is None:
         expected_items = df.count()
     proto = BloomBits.sized(expected_items, fpp)
-    m, k = proto.m_bits, proto.k
+    return build_bloom_segment(df, proto.m_bits, proto.k, col, tree_depth)
+
+
+def build_bloom_segment(
+    df: DataFrame,
+    m: int,
+    k: int,
+    col: str = "url_hash64",
+    tree_depth: int = 2,
+) -> BloomBits:
+    """Build an OR-mergeable bloom SEGMENT with fixed geometry (m bits, k
+    probes) from only ``df``'s rows. This is the incremental-maintenance
+    primitive: the engine persists the merged words each round and ORs in a
+    segment built from just that round's appends — the bloom build scans
+    O(new rows), never the full 10^10-row frontier (round-1 scale-killer #3).
+    """
     spark = df.sparkSession
 
     def build_partition(batches):

@@ -6,33 +6,44 @@ Reference plan (MavenDiscoveryProcess.scala:64-103, the live semantics):
            -> alsoTo(store) -> mapAsync(download) -> successFilter
            -> mapAsync(analyze) -> successFilter -> alsoTo(store) -> Sink
 
-Ours is the same dataflow as **iterated batch over snapshot tables**
+Ours is the same dataflow as **iterated batch over manifest tables**
 (SURVEY.md §7.0): each round is
 
-    pending frontier -> politeness slots (P1/P6) -> round admission
-      -> schedule table append (the emitted fetch ordering, P3)
-      -> frontier MERGE state='fetched' (the seen set, S4)
+    pending frontier (= frontier ∖ fetched-log, merge-on-read)
+      -> politeness slots (P1/P6) -> round admission
+      -> schedule table replace-round (the emitted fetch ordering, P3)
+      -> fetched-log APPEND (the seen-state transition, S4/S5 — O(round))
       -> fetch (deterministic URL->doc join over the docs corpus — the
          sandbox stand-in for the HTTP fetch UDF, S3)
       -> link extraction in span order (the POM-dependency analogue)
       -> canonicalize -> robots gate -> F1 dedup -> bloom-prefiltered
-         anti-join vs frontier (F2/J1) -> frontier append state='pending'
-      -> per-partition metrics append (A5) -> checkpoint row (LAST)
+         anti-join vs frontier (F2/J1) -> frontier APPEND (O(new links))
+      -> incremental bloom: OR in a segment built from ONLY the new rows
+      -> per-partition metrics replace-round (A5) -> checkpoint row (LAST)
 
 Every emitted ordering is a total order with the ``seq`` tiebreak, so the
-output is byte-identical at any parallelism level; every sink is a keyed
-snapshot commit, and the checkpoint row is written last, so a killed run
+output is byte-identical at any parallelism level; every sink is an atomic
+manifest commit, and the checkpoint row is written last, so a killed run
 resumes exactly (reference restart semantics, IndexProcessing.scala:36-41,
 upgraded from lossy to exact).
 
-Scale notes (100 TB / 10^10 URLs):
-- the frontier table is partitioned by host buckets; politeness windows
-  shuffle once on host; the hot-host fan-out for per-row compute goes
-  through ``salting.salted_repartition`` while final emission order is
-  re-established by explicit sort keys;
-- the seen-set anti-join is bloom-prefiltered: steady-state discovered
-  links are mostly bloom-negative (no shuffle) or true-seen (dropped);
-- the fetch join is an equi-join on the doc key — at production scale the
+Scale invariants (100 TB / 10^10 URLs) — each was a round-1 scale-killer,
+now structural:
+- **No O(table) writes in the loop.** State transitions are an append-only
+  fetched log (merge-on-read, like Iceberg MOR deletes); new links are one
+  appended part; schedule/metrics replace only their own round's part.
+  Round k's write volume is O(round k), independent of k (tested).
+- **No unpartitioned windows.** The global seq over discovered links is
+  range-partition + partition-local sort + driver prefix-sum offsets
+  (operators/ordering.py) — same bytes, no single-task sort.
+- **No full-frontier bloom rebuilds.** The bloom's merged words persist as
+  a checkpointed blob; each round ORs in a segment built from only that
+  round's appended rows (BloomBits segments are OR-mergeable). A full
+  rebuild happens only when the item count outgrows capacity (amortized,
+  geometric growth).
+- The seen-set anti-join is bloom-prefiltered: steady-state discovered
+  links are mostly bloom-negative (no shuffle) or true-seen (dropped).
+- The fetch join is an equi-join on the doc key — at production scale the
   docs side is the fetched-content store, bucketed on the same key, so the
   join is shuffle-free on one side; in sandbox it broadcast-joins.
 """
@@ -41,25 +52,37 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from delphi_crawler_spark.functions.canonicalize import canonicalize_url, with_url_keys
 from delphi_crawler_spark.operators.aggs import partition_metrics
 from delphi_crawler_spark.operators.dedup import first_occurrence_dedup
 from delphi_crawler_spark.operators.links import extract_links
+from delphi_crawler_spark.operators.ordering import attach_global_seq
 from delphi_crawler_spark.operators.politeness import (
     admit_round,
     assign_emission_slots,
     emission_order,
 )
 from delphi_crawler_spark.operators.robots import robots_filter
-from delphi_crawler_spark.operators.seen import build_bloom, seen_anti_join
+from delphi_crawler_spark.operators.seen import (
+    BloomBits,
+    build_bloom_segment,
+    seen_anti_join,
+)
 from delphi_crawler_spark.storage.tablestore import TableStore
 
-FRONTIER = "frontier"
+FRONTIER = "frontier"   # append-only: every URL ever admitted (the seen set)
+FETCHED = "fetched"     # append-only log of (url, round) state transitions
 SCHEDULE = "schedule"
 METRICS = "metrics"
+
+FRONTIER_COLS = [
+    "url", "url_hash", "url_hash64", "host", "host_rev",
+    "priority", "discovery_ts", "seq", "round",
+]
 
 
 @dataclass
@@ -67,6 +90,7 @@ class CrawlConfig:
     round_ms: int = 10_000
     limit: int = 0  # P2: 0 = unlimited (reference Configuration.scala:79)
     bloom_fpp: float = 0.01
+    bloom_growth: int = 4  # capacity headroom factor at (re)build
     n_docs: int | None = None  # size of the synthetic fetch corpus
     use_bloom: bool = True
 
@@ -89,10 +113,24 @@ class CrawlEngine:
         self.robots = robots
         self.cfg = config or CrawlConfig()
 
+    # ------------------------------------------------------------- bloom io
+    def _save_bloom(self, bloom: BloomBits, items: int, capacity: int) -> dict:
+        blob = self.store.save_blob("bloom", bloom.words.tobytes())
+        return {
+            "blob": blob, "m": bloom.m_bits, "k": bloom.k,
+            "items": items, "capacity": capacity,
+        }
+
+    def _load_bloom(self, meta: dict | None) -> BloomBits | None:
+        if not meta:
+            return None
+        words = np.frombuffer(self.store.load_blob(meta["blob"]), dtype=np.uint64)
+        return BloomBits(meta["m"], meta["k"], words.copy())
+
     # ------------------------------------------------------------ bootstrap
     def bootstrap(self, seeds: DataFrame) -> None:
         """Seed the frontier: canonicalize -> robots -> F1 dedup. Idempotent
-        (skipped when a frontier snapshot already exists — resume path)."""
+        (skipped when a frontier manifest already exists — resume path)."""
         if self.store.exists(FRONTIER):
             return
         cand = seeds.withColumn("url", canonicalize_url("url")).filter(
@@ -104,12 +142,31 @@ class CrawlEngine:
         frontier = cand.select(
             "url", "url_hash", "url_hash64", "host", "host_rev",
             "priority", "discovery_ts", "seq",
-            F.lit("pending").alias("state"),
             F.lit(-1).alias("round"),
         )
         snap = self.store.write_snapshot(FRONTIER, frontier)
+        # one bootstrap-time pass over the written part: max seq (the global
+        # monotonic sequence continues from here) + item count (bloom sizing)
+        agg = self.store.read(FRONTIER).agg(
+            F.max("seq").alias("mx"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        max_seq, n_items = int(agg.mx or 0), int(agg.n)
+        bloom_meta = None
+        if self.cfg.use_bloom:
+            capacity = max(1024, self.cfg.bloom_growth * n_items)
+            proto = BloomBits.sized(capacity, self.cfg.bloom_fpp)
+            bloom = build_bloom_segment(
+                self.store.read(FRONTIER).select("url_hash64"), proto.m_bits, proto.k
+            )
+            bloom_meta = self._save_bloom(bloom, n_items, capacity)
         # round -1 checkpoint anchors exact resume of round 0
-        self.store.checkpoint(-1, {"emitted_total": 0, "frontier_snap": snap})
+        self.store.checkpoint(-1, {
+            "emitted_total": 0,
+            "max_seq": max_seq,
+            "frontier_snap": snap,
+            "fetched_snap": None,
+            "bloom": bloom_meta,
+        })
 
     # -------------------------------------------------------------- a round
     def run_round(self, round_no: int, docs: DataFrame | None = None) -> dict:
@@ -118,16 +175,24 @@ class CrawlEngine:
         last = self.store.last_checkpoint()
         if last is not None and last["round"] >= round_no:
             return {"round": round_no, "skipped": True}
-        # exact resume: a killed round may have left partial (but snapshot-
-        # complete) mutations — roll the frontier back to the last committed
-        # checkpoint and drop the killed round's schedule/metrics rows, then
-        # recompute deterministically (resume-equivalence, SURVEY.md §5d)
-        if last is not None and last.get("frontier_snap"):
-            if self.store.current_snapshot(FRONTIER) != last["frontier_snap"]:
-                self.store.restore(FRONTIER, last["frontier_snap"])
+        # exact resume: a killed round may have left partial (but manifest-
+        # complete) commits — roll frontier + fetched back to the last
+        # committed checkpoint, then recompute deterministically; schedule/
+        # metrics heal via replace_round (resume-equivalence, SURVEY.md §5d)
+        if last is not None:
+            for tbl, key in ((FRONTIER, "frontier_snap"), (FETCHED, "fetched_snap")):
+                snap = last.get(key)
+                if snap and self.store.current_snapshot(tbl) != snap:
+                    self.store.restore(tbl, snap)
 
         frontier = self.store.read(FRONTIER)
-        pending = frontier.filter(F.col("state") == "pending")
+        # merge-on-read pending set: discovered minus fetched-log
+        if self.store.exists(FETCHED):
+            pending = frontier.join(
+                self.store.read(FETCHED).select("url"), "url", "left_anti"
+            )
+        else:
+            pending = frontier
 
         slotted = assign_emission_slots(pending, self.politeness)
         admitted = admit_round(slotted, self.cfg.round_ms)
@@ -146,25 +211,29 @@ class CrawlEngine:
         # S7 alsoTo: materialize once, feed both the schedule sink and the
         # fetch stage (write-then-read instead of recompute); replace-by-round
         # keeps re-runs of a killed round idempotent
-        self._replace_round(SCHEDULE, schedule, round_no)
+        self.store.replace_round(SCHEDULE, schedule, round_no)
         scheduled = self.store.read(SCHEDULE).filter(F.col("round") == round_no)
         n_admitted = scheduled.count()
 
-        # S4/S5: seen-set transition — admitted rows become 'fetched'
-        fetched_keys = scheduled.select("url").withColumn(
-            "state", F.lit("fetched")
-        ).withColumn("round", F.lit(round_no))
-        self.store.merge_upsert(
-            FRONTIER, fetched_keys, key="url",
-            update_cols=["state", "round"], insert=False,
-        )
+        # S4/S5: seen-state transition as an append-only log — one O(round)
+        # part, never a rewrite of the frontier
+        if n_admitted:
+            self.store.append(
+                FETCHED,
+                scheduled.select("url", F.lit(round_no).alias("round")),
+                round_no=round_no,
+            )
 
         n_new_links = 0
+        bloom_meta = (last or {}).get("bloom")
+        max_seq = (last or {}).get("max_seq", 0)
         if docs is not None and n_admitted > 0:
-            n_new_links = self._discover(round_no, scheduled, docs)
+            n_new_links, max_seq, bloom_meta = self._discover(
+                round_no, scheduled, docs, max_seq, bloom_meta
+            )
 
         # A5 per-partition lineage + metrics
-        self._replace_round(
+        self.store.replace_round(
             METRICS,
             partition_metrics(scheduled).withColumn("round", F.lit(round_no)),
             round_no,
@@ -173,22 +242,25 @@ class CrawlEngine:
             "emitted": n_admitted,
             "new_links": n_new_links,
             "emitted_total": (last.get("emitted_total", 0) if last else 0) + n_admitted,
+            "max_seq": max_seq,
             "frontier_snap": self.store.current_snapshot(FRONTIER),
+            "fetched_snap": self.store.current_snapshot(FETCHED),
+            "bloom": bloom_meta,
         }
         self.store.checkpoint(round_no, stats)  # commit point — written LAST
         return {"round": round_no, **stats}
 
-    def _replace_round(self, table: str, df: DataFrame, round_no: int) -> None:
-        """Idempotent per-round append: drop any partial rows a killed run
-        left for this round, then add the recomputed ones."""
-        if self.store.exists(table):
-            kept = self.store.read(table).filter(F.col("round") != round_no)
-            df = kept.unionByName(df)
-        self.store.write_snapshot(table, df)
-
     # ------------------------------------------------------------- discover
-    def _discover(self, round_no: int, scheduled: DataFrame, docs: DataFrame) -> int:
-        """Fetch + extract + admit new links into the frontier."""
+    def _discover(
+        self,
+        round_no: int,
+        scheduled: DataFrame,
+        docs: DataFrame,
+        max_seq: int,
+        bloom_meta: dict | None,
+    ) -> tuple[int, int, dict | None]:
+        """Fetch + extract + admit new links into the frontier. Returns
+        (n_new, new_max_seq, new_bloom_meta)."""
         n_docs = self.cfg.n_docs or docs.count()
         # S3 fetch: deterministic URL -> doc mapping (crc32, reproducible in
         # the pure-Python oracle); production swaps this join for the
@@ -216,36 +288,73 @@ class CrawlEngine:
         # F1: first occurrence in discovery order (parent emission, span pos)
         cand = first_occurrence_dedup(cand, key="url", order=["parent_seq", "span_pos"])
 
-        frontier = self.store.read(FRONTIER)
-        seen = frontier.select("url", "url_hash64")
-        bloom = None
-        if self.cfg.use_bloom:
-            bloom = build_bloom(
-                seen, expected_items=max(64, frontier.count()), fpp=self.cfg.bloom_fpp
-            )
+        seen = self.store.read(FRONTIER).select("url")
+        bloom = self._load_bloom(bloom_meta) if self.cfg.use_bloom else None
         fresh = seen_anti_join(cand, seen, bloom)
 
         # deterministic new seq over the SURVIVORS, continuing the global
-        # monotonic sequence in (parent_seq, span_pos) discovery order (S1).
-        # The unpartitioned window is a single-task sort over one round's
-        # survivors (bounded by admitted x links/doc); at 10^10-URL scale
-        # this becomes zipWithIndex-style per-partition offsets.
-        max_seq = frontier.agg(F.max("seq")).collect()[0][0] or 0
-        w = Window.orderBy("parent_seq", "span_pos")
-        fresh = fresh.withColumn("seq", F.row_number().over(w) + F.lit(max_seq))
-
-        new_rows = fresh.select(
-            "url", "url_hash", "url_hash64", "host", "host_rev",
-            "priority", "discovery_ts", "seq",
-            F.lit("pending").alias("state"),
-            F.lit(round_no).alias("round"),
+        # monotonic sequence in (parent_seq, span_pos) discovery order (S1):
+        # range partition + local sort + driver prefix-sum offsets — the
+        # exact global rank with no single-task sort (operators/ordering.py)
+        seqd, release = attach_global_seq(
+            fresh.select(
+                "url", "url_hash", "url_hash64", "host", "host_rev",
+                "priority", "discovery_ts", "parent_seq", "span_pos",
+            ),
+            order=["parent_seq", "span_pos"],
+            start=max_seq,
         )
-        n_new = new_rows.count()
+        n_new = seqd._attached_seq_total  # counted by the offsets pass
         if n_new:
-            self.store.append(FRONTIER, new_rows)
-        return n_new
+            new_rows = seqd.select(
+                "url", "url_hash", "url_hash64", "host", "host_rev",
+                "priority", "discovery_ts", "seq",
+                F.lit(round_no).alias("round"),
+            )
+            self.store.append(FRONTIER, new_rows, round_no=round_no)
+            if bloom is not None:
+                # incremental maintenance: segment over ONLY the appended
+                # part (scanned back from the manifest), OR-merged in
+                seg_src = self.store.read_parts(FRONTIER, round_no).select("url_hash64")
+                seg = build_bloom_segment(seg_src, bloom.m_bits, bloom.k)
+                bloom = bloom.merge(seg)
+                items = bloom_meta["items"] + n_new
+                capacity = bloom_meta["capacity"]
+                if items > capacity:
+                    # amortized geometric rebuild: full scan, new capacity
+                    capacity = max(1024, self.cfg.bloom_growth * items)
+                    proto = BloomBits.sized(capacity, self.cfg.bloom_fpp)
+                    bloom = build_bloom_segment(
+                        self.store.read(FRONTIER).select("url_hash64"),
+                        proto.m_bits, proto.k,
+                    )
+                bloom_meta = self._save_bloom(bloom, items, capacity)
+        release()
+        return n_new, max_seq + n_new, bloom_meta
 
     # ------------------------------------------------------------ accessors
+    def frontier_view(self) -> DataFrame:
+        """The classic frontier view (url, ..., state, round): append-only
+        frontier merged on read with the fetched log — what an Iceberg MOR
+        scan materializes."""
+        f = self.store.read(FRONTIER)
+        if self.store.exists(FETCHED):
+            fet = self.store.read(FETCHED).select(
+                "url", F.col("round").alias("__fetched_round")
+            )
+            f = f.join(fet, "url", "left")
+        else:
+            f = f.withColumn("__fetched_round", F.lit(None).cast("int"))
+        return (
+            f.withColumn(
+                "state",
+                F.when(F.col("__fetched_round").isNotNull(), F.lit("fetched"))
+                .otherwise(F.lit("pending")),
+            )
+            .withColumn("round", F.coalesce("__fetched_round", "round"))
+            .drop("__fetched_round")
+        )
+
     def schedule_rows(self) -> list[tuple]:
         """(round, emit_ms, host, priority, seq, url) in emission order."""
         df = self.store.read(SCHEDULE).orderBy(
@@ -257,10 +366,8 @@ class CrawlEngine:
         ]
 
     def seen_set(self) -> set[str]:
+        if not self.store.exists(FETCHED):
+            return set()
         return {
-            r.url
-            for r in self.store.read(FRONTIER)
-            .filter(F.col("state") == "fetched")
-            .select("url")
-            .collect()
+            r.url for r in self.store.read(FETCHED).select("url").collect()
         }

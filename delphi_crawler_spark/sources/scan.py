@@ -36,13 +36,18 @@ def scan_parquet(
 def attach_seq(df: DataFrame, order: list[str]) -> DataFrame:
     """Attach the explicit monotonic ``seq`` over a total order key.
 
-    One global window — use only on bounded admission batches (a round's
-    candidates), never a full 10^10-row table; bulk loads should carry seq
-    from the source (the reference's index position). The total ``order``
-    key makes the result parallelism-independent.
+    Delegates to ``operators.ordering.attach_global_seq`` (range partition +
+    partition-local sort + driver prefix-sum offsets) — the exact global
+    rank with NO single-task global sort, safe on unbounded tables. The
+    total ``order`` key makes the result parallelism-independent. The cached
+    intermediate is released by Spark's ContextCleaner on GC; callers inside
+    a tight loop should use ``attach_global_seq`` directly and call its
+    ``release()``.
     """
-    w = Window.orderBy(*[F.col(c).asc() for c in order])
-    return df.withColumn("seq", F.row_number().over(w).cast("long"))
+    from delphi_crawler_spark.operators.ordering import attach_global_seq
+
+    out, _release = attach_global_seq(df, order)
+    return out
 
 
 def parse_index_records(

@@ -1,4 +1,4 @@
-"""Snapshot-atomic keyed table store (reference parity: S4-S6, S10, §2.8).
+"""Manifest-of-parts keyed table store (reference parity: S4-S6, S10, §2.8).
 
 The reference persists everything in one Elasticsearch index with idempotent
 keyed upserts — ``indexInto(...).id(uniqueString)`` for inserts
@@ -6,24 +6,36 @@ keyed upserts — ``indexInto(...).id(uniqueString)`` for inserts
 (ElasticStoreQueries.scala:38-50), and find-or-create-then-update for edges
 (ElasticCallGraphActor.scala:31-59,87-93) — with the index schema created
 up-front if absent (ElasticIndexPreflightCheck.scala:42-49,
-ElasticIndexMaintenance.scala:30-77).
+ElasticIndexMaintenance.scala:30-77). Crucially its write cost is
+per-DOCUMENT, never per-index: storing one artifact touches one document.
 
-In production this engine targets **Iceberg**: each of these sinks is a
-single ``MERGE INTO`` with WHEN MATCHED / WHEN NOT MATCHED branches, tables
-partitioned by ``bucket(N, host_rev)``, and each crawl round committed as
-one atomic snapshot. The sandbox ships no Iceberg runtime jar, so this
-module provides the same contract over plain parquet:
+In production this engine targets **Iceberg**; this module is the same
+storage contract over plain parquet (the sandbox ships no Iceberg runtime
+jar), built the way Iceberg itself is built:
 
-- every write is a **new immutable snapshot directory**; a ``_current``
-  pointer file is swapped with ``os.replace`` (atomic on POSIX) — readers
-  always see a complete snapshot, a killed writer leaves the old snapshot
-  intact (the resume-equivalence property, SURVEY.md §5d);
-- ``merge_upsert`` implements MERGE semantics as anti-join + union — the
-  exact plan Iceberg's copy-on-write MERGE runs under the hood;
-- snapshots are retained, so time-travel/rollback for resume is free.
+- a table is a set of **immutable part directories** plus a **manifest**
+  (JSON list of parts); ``_current`` names the live manifest and is swapped
+  with ``os.replace`` (atomic on POSIX) — readers always see a complete
+  snapshot and a killed writer leaves the old manifest intact (the
+  resume-equivalence property, SURVEY.md §5d);
+- ``append`` writes ONE new part and a manifest referencing old parts + new
+  part — **write volume is O(appended rows), independent of table size**
+  (Iceberg fast-append). This is what keeps a 10^10-row frontier's
+  per-round cost proportional to the round, not the table;
+- ``replace_round`` drops the parts tagged with a round and adds the
+  recomputed one — idempotent re-runs of a killed round without rewriting
+  other rounds' data (Iceberg ``overwrite(partition)``);
+- ``merge_upsert`` implements MERGE semantics as anti-join + union and
+  compacts to a single part — the copy-on-write plan Iceberg's MERGE runs;
+  use it for keyed mutation of dimension-sized tables, use append/
+  replace_round for fact/log tables;
+- manifests are retained, so time-travel/rollback for resume is free
+  (``restore`` re-points ``_current`` to an older manifest).
 
 The API is deliberately shaped so a production deployment swaps the bodies
-for ``spark.sql("MERGE INTO ...")`` without touching callers.
+for Iceberg calls (``append`` -> fast-append commit, ``replace_round`` ->
+``overwritePartitions``, ``merge_upsert`` -> ``MERGE INTO``) without
+touching callers.
 """
 
 from __future__ import annotations
@@ -95,8 +107,38 @@ class TableStore:
         except FileNotFoundError:
             return None
 
-    def _snap_path(self, table: str, snap: str) -> str:
-        return os.path.join(self._tdir(table), snap)
+    def _read_manifest(self, table: str, mani: str) -> list[dict]:
+        with open(os.path.join(self._tdir(table), mani)) as f:
+            return json.load(f)["parts"]
+
+    def _write_part(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        sort_within_partitions: list[str] | None = None,
+    ) -> str:
+        os.makedirs(self._tdir(table), exist_ok=True)
+        part = f"part-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        if sort_within_partitions:
+            df = df.sortWithinPartitions(*sort_within_partitions)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self._tdir(table), part))
+        return part
+
+    def _commit(self, table: str, parts: list[dict]) -> str:
+        """Write a manifest naming ``parts`` and atomically point ``_current``
+        at it — the single commit point of every write path."""
+        mani = f"mani-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}.json"
+        with open(os.path.join(self._tdir(table), mani), "w") as f:
+            json.dump({"format": 2, "parts": parts}, f)
+        tmp = self._current_file(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(mani)
+        os.replace(tmp, self._current_file(table))  # atomic commit point
+        return mani
 
     # ------------------------------------------------------------------- API
     def exists(self, table: str) -> bool:
@@ -104,11 +146,31 @@ class TableStore:
         ElasticIndexPreflightCheck.scala:31-55)."""
         return self._current_snap(table) is not None
 
+    def parts(self, table: str) -> list[dict]:
+        """The current manifest's part list (path + optional round tag)."""
+        mani = self._current_snap(table)
+        if mani is None:
+            raise FileNotFoundError(f"table {table!r} has no committed manifest")
+        return self._read_manifest(table, mani)
+
     def read(self, table: str) -> DataFrame:
-        snap = self._current_snap(table)
-        if snap is None:
-            raise FileNotFoundError(f"table {table!r} has no committed snapshot")
-        return self.spark.read.parquet(self._snap_path(table, snap))
+        paths = [
+            os.path.join(self._tdir(table), p["path"]) for p in self.parts(table)
+        ]
+        return self.spark.read.parquet(*paths)
+
+    def read_parts(self, table: str, round_no: int) -> DataFrame:
+        """Scan only the parts tagged with ``round_no`` — manifest-level
+        partition pruning (O(that round's data), used for incremental bloom
+        maintenance)."""
+        paths = [
+            os.path.join(self._tdir(table), p["path"])
+            for p in self.parts(table)
+            if p.get("round") == round_no
+        ]
+        if not paths:
+            return self.read(table).limit(0)
+        return self.spark.read.parquet(*paths)
 
     def write_snapshot(
         self,
@@ -117,27 +179,33 @@ class TableStore:
         partition_by: list[str] | None = None,
         sort_within_partitions: list[str] | None = None,
     ) -> str:
-        """Commit ``df`` as the table's new current snapshot, atomically.
+        """Commit ``df`` as the table's full new contents (one part),
+        atomically. ``partition_by`` is the Iceberg ``PARTITIONED BY``
+        analogue; ``sort_within_partitions`` keeps files range-clustered."""
+        part = self._write_part(table, df, partition_by, sort_within_partitions)
+        return self._commit(table, [{"path": part, "round": None}])
 
-        ``partition_by`` is the Iceberg ``PARTITIONED BY`` analogue (we use
-        host buckets for the frontier so per-host politeness windows and
-        host-keyed joins get partition pruning). ``sort_within_partitions``
-        keeps files range-clustered for downstream merge joins.
-        """
-        os.makedirs(self._tdir(table), exist_ok=True)
-        snap = f"snap-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
-        path = self._snap_path(table, snap)
-        if sort_within_partitions:
-            df = df.sortWithinPartitions(*sort_within_partitions)
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
-        tmp = self._current_file(table) + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            f.write(snap)
-        os.replace(tmp, self._current_file(table))  # atomic commit point
-        return snap
+    def append(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        round_no: int | None = None,
+    ) -> str:
+        """Append rows as ONE new immutable part — never reads or rewrites
+        existing data (Iceberg fast-append). O(len(df)) write volume."""
+        part = self._write_part(table, df, partition_by)
+        old = self.parts(table) if self.exists(table) else []
+        return self._commit(table, old + [{"path": part, "round": round_no}])
+
+    def replace_round(self, table: str, df: DataFrame, round_no: int) -> str:
+        """Idempotent per-round write: drop any parts a killed run left
+        tagged with this round, add the recomputed one. Other rounds' parts
+        are untouched (no rewrite)."""
+        part = self._write_part(table, df)
+        old = self.parts(table) if self.exists(table) else []
+        kept = [p for p in old if p.get("round") != round_no]
+        return self._commit(table, kept + [{"path": part, "round": round_no}])
 
     def merge_upsert(
         self,
@@ -158,7 +226,8 @@ class TableStore:
           insert-if-new, ElasticStoreQueries.scala:63-75; S6's
           upsert-or-create is both branches at once)
 
-        Production body: one ``spark.sql("MERGE INTO ...")`` on Iceberg.
+        Copy-on-write: compacts the table to one part. Production body: one
+        ``spark.sql("MERGE INTO ...")`` on Iceberg.
         """
         keys = [key] if isinstance(key, str) else list(key)
         if not self.exists(table):
@@ -168,13 +237,23 @@ class TableStore:
         merged = merge_frames(target, source, keys, update_cols, insert)
         return self.write_snapshot(table, merged, partition_by=partition_by)
 
-    def append(
-        self, table: str, df: DataFrame, partition_by: list[str] | None = None
-    ) -> str:
-        """Append rows (new snapshot = old ∪ new)."""
-        if self.exists(table):
-            df = self.read(table).unionByName(df)
-        return self.write_snapshot(table, df, partition_by=partition_by)
+    # ----------------------------------------------------------- blob store
+    def save_blob(self, name: str, data: bytes) -> str:
+        """Persist an immutable sidecar blob (bloom bitsets, centroids);
+        returns its store-relative path. Never overwritten — referenced from
+        checkpoints the way manifests are."""
+        d = os.path.join(self.root, "blobs")
+        os.makedirs(d, exist_ok=True)
+        fname = f"{name}-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}.bin"
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(d, fname))
+        return os.path.join("blobs", fname)
+
+    def load_blob(self, rel_path: str) -> bytes:
+        with open(os.path.join(self.root, rel_path), "rb") as f:
+            return f.read()
 
     # ------------------------------------------------------- checkpoint API
     def checkpoint(self, round_no: int, payload: dict) -> None:
@@ -199,18 +278,18 @@ class TableStore:
             return json.load(f)
 
     def current_snapshot(self, table: str) -> str | None:
-        """Current snapshot id (recorded in checkpoints for exact resume)."""
+        """Current manifest id (recorded in checkpoints for exact resume)."""
         return self._current_snap(table)
 
-    def restore(self, table: str, snap: str) -> None:
-        """Roll the table's pointer back to an earlier snapshot (Iceberg
+    def restore(self, table: str, mani: str) -> None:
+        """Roll the table's pointer back to an earlier manifest (Iceberg
         time-travel / rollback analogue) — used on resume to discard the
         uncommitted mutations of a killed round."""
-        if not os.path.isdir(self._snap_path(table, snap)):
-            raise FileNotFoundError(f"snapshot {snap!r} of {table!r} not found")
+        if not os.path.isfile(os.path.join(self._tdir(table), mani)):
+            raise FileNotFoundError(f"manifest {mani!r} of {table!r} not found")
         tmp = self._current_file(table) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            f.write(snap)
+            f.write(mani)
         os.replace(tmp, self._current_file(table))
 
     def drop(self, table: str) -> None:

@@ -288,3 +288,75 @@ def test_first_occurrence_dedup_edge_shapes(spark):
     got = sorted((r["k"], r["v.x"]) for r in out2.collect())
     assert got == [(1, 20), (2, 30)]
     assert out2.columns == ["k", "v.x", "seq"]
+
+
+def test_attach_global_seq_exact_and_distributed(spark):
+    """attach_global_seq == global row_number rank, at any partition count,
+    with NO single-task global sort in the plan (round-1 scale-killer #2)."""
+    import pandas as pd
+    from delphi_crawler_spark.operators.ordering import attach_global_seq
+
+    pdf = pd.DataFrame({
+        "a": [5, 3, 9, 1, 7, 2, 8, 0, 6, 4] * 50,
+        "b": list(range(500)),
+    })
+    df = spark.createDataFrame(pdf)
+    expected = sorted(
+        ((r.a, r.b) for r in df.collect()), key=lambda t: (t[0], t[1])
+    )
+    for parts in (2, 7):
+        out, release = attach_global_seq(
+            df.repartition(parts), order=["a", "b"], start=100
+        )
+        got = {(r.a, r.b): r.seq for r in out.collect()}
+        assert out._attached_seq_total == 500
+        for rank, key in enumerate(expected, start=101):
+            assert got[key] == rank
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        assert "Window" not in plan
+        release()
+
+
+def test_no_unpartitioned_window_in_plans():
+    """Source-level ban: plans/ and sources/ must not assign seq via a
+    global (partition-less) window."""
+    import pathlib
+
+    pkg = pathlib.Path("delphi_crawler_spark")
+    for sub in ("plans", "sources"):
+        for f in (pkg / sub).glob("*.py"):
+            src = f.read_text()
+            assert "Window.orderBy" not in src, f"{f}: unpartitioned window"
+
+
+def test_tablestore_parts_semantics(spark, tmp_path):
+    """Manifest-of-parts contract: append adds one part, replace_round drops
+    only its round's parts, merge_upsert compacts, restore time-travels."""
+    import pandas as pd
+    from delphi_crawler_spark.storage.tablestore import TableStore
+
+    st = TableStore(spark, str(tmp_path / "ts"))
+    df1 = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    df2 = spark.createDataFrame(pd.DataFrame({"k": [3], "v": ["c"]}))
+    snap1 = st.write_snapshot("t", df1)
+    st.append("t", df2, round_no=7)
+    assert len(st.parts("t")) == 2
+    assert sorted((r.k, r.v) for r in st.read("t").collect()) == [(1, "a"), (2, "b"), (3, "c")]
+    assert [r.k for r in st.read_parts("t", 7).collect()] == [3]
+
+    # replace_round: only round 7's part is swapped
+    df2b = spark.createDataFrame(pd.DataFrame({"k": [30, 31], "v": ["c2", "c3"]}))
+    st.replace_round("t", df2b, 7)
+    assert sorted(r.k for r in st.read("t").collect()) == [1, 2, 30, 31]
+
+    # merge_upsert compacts to one part with MERGE semantics
+    src = spark.createDataFrame(pd.DataFrame({"k": [2, 99], "v": ["B", "z"]}))
+    st.merge_upsert("t", src, key="k")
+    assert len(st.parts("t")) == 1
+    got = dict((r.k, r.v) for r in st.read("t").collect())
+    assert got == {1: "a", 2: "B", 30: "c2", 31: "c3", 99: "z"}
+
+    # restore: time-travel back to the first manifest
+    st.restore("t", snap1)
+    assert sorted(r.k for r in st.read("t").collect()) == [1, 2]

@@ -1,0 +1,477 @@
+"""Generate expected-output parquet for queries whose values are not
+SQL-expressible in DuckDB (seeded sketches, Spark-specific hashes).
+
+Independent implementation discipline (VERDICT round 1, task 4): everything
+here is plain Python/numpy over the raw parquet inputs — no PySpark, no
+imports from the engine's operators. Algorithm PARAMETERS that define the
+operator's identity (hash seeds, mix constants, rng draws, plane seeds) are
+necessarily shared; the PIPELINE (joins, banding, blocking, windows,
+ordering) is re-derived with per-document loops so a bug in the Spark
+dataflow cannot self-confirm.
+
+Hash primitives are re-implemented from their public specifications:
+- Murmur3 x86_32 in Spark's byte-tail variant (each trailing byte gets a
+  full mix round — org.apache.spark.unsafe.hash.Murmur3_x86_32)
+- XXH64 per the reference spec (Spark's XxHash64 follows it; longs hash as
+  their 8 little-endian bytes)
+
+Outputs land in expected/sf{X}/<query>.parquet; oracle_sql() reads them via
+DuckDB read_parquet. Run: python tools/gen_expected.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import struct
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the scalar canonicalizer is shared deliberately: it is the engine's
+# semantic source of truth, pinned byte-for-byte by golden-vector tests
+from delphi_crawler_spark.functions.canonicalize import canonicalize_url_py
+
+MASK32 = 0xFFFFFFFF
+MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+# ---------------------------------------------------------------- murmur3_32
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & MASK32
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & MASK32
+    k1 = _rotl32(k1, 15)
+    return (k1 * 0x1B873593) & MASK32
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = _rotl32(h1, 13)
+    return (h1 * 5 + 0xE6546B64) & MASK32
+
+
+def murmur3_32_spark(data: bytes, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashUnsafeBytes: 4-byte little-endian words,
+    then each TAIL BYTE (sign-extended) mixed as a full round — this differs
+    from vanilla murmur3's tail handling. Returns signed int32."""
+    h1 = seed & MASK32
+    n_words = len(data) // 4
+    for i in range(n_words):
+        (w,) = struct.unpack_from("<i", data, i * 4)
+        h1 = _mix_h1(h1, _mix_k1(w & MASK32))
+    for i in range(n_words * 4, len(data)):
+        b = data[i]
+        if b >= 128:
+            b -= 256  # sign-extended byte
+        h1 = _mix_h1(h1, _mix_k1(b & MASK32))
+    h1 ^= len(data)
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & MASK32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & MASK32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+# -------------------------------------------------------------------- xxh64
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & MASK64
+
+
+def _xxh_round(acc: int, lane: int) -> int:
+    acc = (acc + lane * _P2) & MASK64
+    acc = _rotl64(acc, 31)
+    return (acc * _P1) & MASK64
+
+
+def _xxh_merge(acc: int, v: int) -> int:
+    acc ^= _xxh_round(0, v)
+    return (acc * _P1 + _P4) & MASK64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 per spec (matches Spark's xxhash64 on UTF-8 string bytes).
+    Returns signed int64."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & MASK64
+        v2 = (seed + _P2) & MASK64
+        v3 = seed & MASK64
+        v4 = (seed - _P1) & MASK64
+        while i <= n - 32:
+            l1, l2, l3, l4 = struct.unpack_from("<QQQQ", data, i)
+            v1, v2 = _xxh_round(v1, l1), _xxh_round(v2, l2)
+            v3, v4 = _xxh_round(v3, l3), _xxh_round(v4, l4)
+            i += 32
+        acc = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & MASK64
+        for v in (v1, v2, v3, v4):
+            acc = _xxh_merge(acc, v)
+    else:
+        acc = (seed + _P5) & MASK64
+    acc = (acc + n) & MASK64
+    while i <= n - 8:
+        (l,) = struct.unpack_from("<Q", data, i)
+        acc ^= _xxh_round(0, l)
+        acc = (_rotl64(acc, 27) * _P1 + _P4) & MASK64
+        i += 8
+    if i <= n - 4:
+        (w,) = struct.unpack_from("<I", data, i)
+        acc ^= (w * _P1) & MASK64
+        acc = (_rotl64(acc, 23) * _P2 + _P3) & MASK64
+        i += 4
+    while i < n:
+        acc ^= (data[i] * _P5) & MASK64
+        acc = (_rotl64(acc, 11) * _P1) & MASK64
+        i += 1
+    acc ^= acc >> 33
+    acc = (acc * _P2) & MASK64
+    acc ^= acc >> 29
+    acc = (acc * _P3) & MASK64
+    acc ^= acc >> 32
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+
+def xxh64_long(v: int, seed: int = 42) -> int:
+    """Spark xxhash64 of a LongType value = XXH64 of its 8 LE bytes."""
+    return xxh64(struct.pack("<q", v), seed)
+
+
+def xxh64_str(s: str, seed: int = 42) -> int:
+    return xxh64(s.encode("utf-8"), seed)
+
+
+# ------------------------------------------------------------ shared helpers
+def round_half_up6(x: float) -> float:
+    """Spark F.round(double, 6): BigDecimal on the shortest decimal repr of
+    the double (Double.toString semantics == python repr), HALF_UP."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def fold_cosine(a, b) -> float:
+    """cosine_col's exact IEEE op order: left-fold dot + left-fold norms."""
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na = na + float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb = nb + float(y) * float(y)
+    import math
+
+    denom = max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+    return dot / denom
+
+
+def ws_split(text: str) -> list[str]:
+    """F.split(lower(trim(t)), '\\s+') semantics."""
+    return re.split(r"\s+", text.strip().lower())
+
+
+_HOST_RE = re.compile(r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)")
+
+# parameters shared with the operators by identity (seeds/constants)
+_HASH_KEY = "delphi_crawl_16b"
+_GRAM_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9],
+    dtype=np.uint64,
+)
+MERSENNE_P = (1 << 61) - 1
+
+
+def token_hashes(tokens: list[str]) -> np.ndarray:
+    """Per-token deterministic hash — pandas' public vectorized string hash
+    (a library primitive, position-independent, same per token everywhere)."""
+    if not tokens:
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_pandas_object(
+        pd.Series(tokens), index=False, hash_key=_HASH_KEY
+    ).to_numpy(dtype=np.uint64)
+
+
+def doc_grams(tokens: list[str], n: int = 3) -> np.ndarray:
+    """Distinct mixed n-gram hashes for ONE document (plain loop).
+    uint64 wraparound is the intended arithmetic."""
+    np.seterr(over="ignore")
+    th = token_hashes(tokens)
+    if len(th) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    out = []
+    if len(th) >= n:
+        for i in range(len(th) - n + 1):
+            g = np.uint64(0)
+            for j in range(n):
+                g ^= th[i + j] * _GRAM_MIX[j]
+            out.append(g)
+    else:
+        g = np.uint64(0)
+        for j in range(len(th)):
+            g ^= th[j] * _GRAM_MIX[j]
+        out.append(g)
+    return np.unique(np.array(out, dtype=np.uint64))
+
+
+def simhash_of(tokens: list[str]) -> int:
+    """64-bit simhash of one document (bit-vote loop). Signed int64."""
+    th = token_hashes(tokens)
+    votes = [0] * 64
+    for h in th.tolist():
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    v = 0
+    for b in range(64):
+        if votes[b] > 0:
+            v |= 1 << b
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# ================================================================== queries
+def gen_c3_hash_keys(docs: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for r in docs.itertuples():
+        d = int(r.doc_id)
+        k = str(d % 7)
+        m = d % 4
+        if m == 0:
+            raw = f"HTTPS://WWW.Example{k}.COM:443/a/./b/../{r.source}/page{d}?b=2&a=1#frag"
+        elif m == 1:
+            raw = f"http://host{k}.example.org:8080/x y/${{v}}/p{d}"
+        elif m == 2:
+            raw = "ftp://bad.example.com/nope"
+        else:
+            raw = f"https://Host{k}.Example.IO/p{d}/"
+        url = canonicalize_url_py(raw)
+        if url is None:
+            continue
+        host = _HOST_RE.match(url).group(1)
+        rows.append(
+            {
+                "doc_id": d,
+                "url": url,
+                "host": host,
+                "host_rev": ".".join(reversed(host.split("."))),
+                "url_hash": murmur3_32_spark(url.encode("utf-8")),
+                "url_hash64": xxh64_str(url),
+            }
+        )
+    out = pd.DataFrame(rows)
+    return out.astype({"doc_id": "int64", "url_hash": "int64", "url_hash64": "int64"})
+
+
+def gen_fingerprint_rolling(docs: pd.DataFrame, window: int = 4, keep: int = 8) -> pd.DataFrame:
+    rows = []
+    for r in docs.itertuples():
+        words = ws_split(r.text)
+        n = max(len(words) - (window - 1), 1)
+        grams = [xxh64_str(" ".join(words[i : i + window])) for i in range(n)]
+        kept = sorted(grams)[:keep]  # signed int64 asc == Spark array_sort
+        fp = hashlib.md5(",".join(str(h) for h in kept).encode()).hexdigest()
+        rows.append({"doc_id": int(r.doc_id), "fp": fp})
+    return pd.DataFrame(rows).astype({"doc_id": "int64"})
+
+
+def gen_dedup_simhash(docs: pd.DataFrame, max_hamming: int = 8) -> pd.DataFrame:
+    sigs = []
+    for r in docs.itertuples():
+        sigs.append((int(r.doc_id), simhash_of(str(r.text).lower().split())))
+    rows = []
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            (ia, sa), (ib, sb) = sigs[i], sigs[j]
+            h = bin((sa ^ sb) & MASK64).count("1")
+            if h <= max_hamming:
+                a, b = (ia, ib) if ia < ib else (ib, ia)
+                rows.append({"id_a": a, "id_b": b, "hamming": h})
+    out = pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+    return out.astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"})
+
+
+def gen_dedup_minhash_lsh(
+    docs: pd.DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, MERSENNE_P, size=num_hashes, dtype=np.uint64)
+    rpb = num_hashes // bands
+
+    ids, sig_list = [], []
+    for r in docs.itertuples():
+        grams = doc_grams(str(r.text).lower().split(), shingle_n)
+        if len(grams):
+            sig = (a[:, None] * grams[None, :] + b[:, None]).min(axis=1)
+        else:
+            sig = np.zeros(num_hashes, dtype=np.uint64)
+        ids.append(int(r.doc_id))
+        sig_list.append(sig.view(np.int64))
+
+    # banding: bucket key = xxh64 of the comma-joined signed band slice
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, sig in zip(ids, sig_list):
+        for bi in range(bands):
+            key = ",".join(str(int(v)) for v in sig[bi * rpb : (bi + 1) * rpb])
+            buckets.setdefault((bi, xxh64_str(key)), []).append(did)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cand.add((ms[i], ms[j]))
+
+    # exact jaccard verify on word 3-gram STRING sets (regex-split semantics)
+    def gramset(text: str) -> set[str]:
+        words = ws_split(text)
+        n = max(len(words) - (shingle_n - 1), 1)
+        return {" ".join(words[i : i + shingle_n]) for i in range(n)}
+
+    gsets = {int(r.doc_id): gramset(str(r.text)) for r in docs.itertuples()}
+    losers = set()
+    for ia, ib in cand:
+        inter = len(gsets[ia] & gsets[ib])
+        union = len(gsets[ia] | gsets[ib])
+        if round_half_up6(inter / max(union, 1)) >= threshold:
+            losers.add(ib)
+    keep = sorted(d for d in ids if d not in losers)
+    return pd.DataFrame({"doc_id": keep}).astype({"doc_id": "int64"})
+
+
+def gen_dedup_embedding_lsh(
+    emb: pd.DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+) -> pd.DataFrame:
+    m = np.stack(emb["embedding"].map(np.asarray).to_list()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bands * n_planes, m.shape[1]))
+    bits = (m @ planes.T) > 0
+    bits = bits.reshape(len(m), bands, n_planes)
+    weights = 1 << np.arange(n_planes)
+    bkt = (bits * weights[None, None, :]).sum(2).astype(np.int64)
+    ids = emb["vec_id"].astype("int64").to_numpy()
+    vecs = emb["embedding"].to_list()
+
+    cand = set()
+    for bi in range(bands):
+        by_bucket: dict[int, list[int]] = {}
+        for idx in range(len(ids)):
+            by_bucket.setdefault(int(bkt[idx, bi]), []).append(idx)
+        for members in by_bucket.values():
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    x, y = members[i], members[j]
+                    if ids[x] > ids[y]:
+                        x, y = y, x
+                    cand.add((x, y))
+    rows = []
+    for x, y in cand:
+        cos = round_half_up6(fold_cosine(vecs[x], vecs[y]))
+        if cos >= threshold:
+            rows.append({"id_a": int(ids[x]), "id_b": int(ids[y]), "cosine": cos})
+    out = pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+    return out.astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+
+
+def gen_sim_ivf_topk(
+    emb: pd.DataFrame,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 4,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> pd.DataFrame:
+    ids = emb["vec_id"].astype("int64").to_numpy()
+    vecs = emb["embedding"].to_list()
+    m = np.stack([np.asarray(v) for v in vecs]).astype(np.float64)
+
+    def normalize(x):
+        return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+    # deterministic training sample: hash-ordered TakeOrdered
+    order = sorted(range(len(ids)), key=lambda i: (xxh64_long(int(ids[i])), int(ids[i])))
+    sample_idx = order[:sample_size]
+    mat = normalize(m[sample_idx])
+    # spherical k-means, seeded init, 5 iterations
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
+    for _ in range(5):
+        assign = (mat @ centroids.T).argmax(1)
+        for c in range(len(centroids)):
+            pts = mat[assign == c]
+            if len(pts):
+                centroids[c] = pts.mean(0)
+        centroids = normalize(centroids)
+
+    mn = normalize(m)
+    list_id = (mn @ centroids.T).argmax(1).astype(np.int32)
+    q_idx = [i for i in range(len(ids)) if ids[i] < 8]
+    rows = []
+    for qi in q_idx:
+        probes = (-(mn[qi : qi + 1] @ centroids.T)).argsort(1)[0, :nprobe].astype(np.int32)
+        cands = [i for i in range(len(ids)) if list_id[i] in set(int(p) for p in probes)]
+        scored = [
+            (round_half_up6(fold_cosine(vecs[i], vecs[qi])), int(ids[i])) for i in cands
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, vid) in enumerate(scored[:k], start=1):
+            rows.append(
+                {"query_id": int(ids[qi]), "rank": rank, "vec_id": vid, "cosine": cos}
+            )
+    out = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cosine"])
+    return out.astype(
+        {"query_id": "int64", "rank": "int64", "vec_id": "int64", "cosine": "float64"}
+    )
+
+
+# ==================================================================== driver
+GENERATORS = {
+    "c3_hash_keys": ("documents", gen_c3_hash_keys),
+    "text_fingerprint_rolling": ("documents", gen_fingerprint_rolling),
+    "dedup_simhash": ("documents", gen_dedup_simhash),
+    "dedup_minhash_lsh": ("documents", gen_dedup_minhash_lsh),
+    "dedup_embedding_lsh": ("embeddings", gen_dedup_embedding_lsh),
+    "sim_ivf_topk": ("embeddings", gen_sim_ivf_topk),
+}
+
+
+def main(sfs=("0.001", "0.01")) -> None:
+    base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for sf in sfs:
+        sf_dir = f"/root/testdata/sf{sf}"
+        out_dir = os.path.join(base, "expected", f"sf{sf}")
+        os.makedirs(out_dir, exist_ok=True)
+        tables = {
+            "documents": pd.read_parquet(f"{sf_dir}/documents.parquet"),
+            "embeddings": pd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        }
+        for name, (table, fn) in GENERATORS.items():
+            df = fn(tables[table])
+            path = os.path.join(out_dir, f"{name}.parquet")
+            df.to_parquet(path, index=False)
+            print(f"[gen_expected] sf{sf} {name}: {len(df)} rows -> {path}")
+
+
+if __name__ == "__main__":
+    main()
