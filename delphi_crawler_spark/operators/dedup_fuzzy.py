@@ -392,10 +392,12 @@ def simhash_near_dup_pairs(
         .drop("bi", "ck")
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # verify BEFORE the distinct: the hamming test is cheap codegen on the
+    # join output, so failing candidates never enter the dedup shuffle
     return (
-        pairs.dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", hamming)
+        pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 

@@ -37,11 +37,19 @@ def first_match_join(
     on: list[str],
     left_key: str,
     order_col: str | list[str],
+    valid_col: str | None = None,
 ) -> DataFrame:
     """Ordered first-match join (J4): join produces ALL matches, then the
     first by ``order_col`` per ``left_key`` claims the row — the reference's
     sequential "first library that resolves a call wins" walk
     (MavenEdgeMappingActor.scala:36-83) without the sequential scan.
+
+    ``valid_col`` is the failure-cascade channel (MavenEdgeMappingActor.
+    scala:41-44: a library whose processing fails is SKIPPED and the walk
+    cascades to the next candidate): matches where the boolean ``valid_col``
+    is false/null are excluded BEFORE ranking, so the next-ordered candidate
+    wins; a left row whose every candidate failed drops out entirely (the
+    reference's unmapped-edge outcome).
 
     ``order_col`` must be a total order per ``left_key`` (pass a list with a
     tiebreak column otherwise) — the determinism discipline: a tie here would
@@ -49,6 +57,8 @@ def first_match_join(
     """
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     matched = left.join(right, on, "inner")
+    if valid_col is not None:
+        matched = matched.filter(F.coalesce(F.col(valid_col), F.lit(False)))
     w = Window.partitionBy(left_key).orderBy(*[F.col(c).asc() for c in order_cols])
     return (
         matched.withColumn("__rn", F.row_number().over(w))

@@ -130,7 +130,12 @@ class CrawlEngine:
     # ------------------------------------------------------------ bootstrap
     def bootstrap(self, seeds: DataFrame) -> None:
         """Seed the frontier: canonicalize -> robots -> F1 dedup. Idempotent
-        (skipped when a frontier manifest already exists — resume path)."""
+        (skipped when a frontier manifest already exists — resume path).
+        Also creates/migrates the declared feature-schema registry (S10,
+        reference index bootstrap + version check)."""
+        from delphi_crawler_spark.storage.schema_registry import migrate_if_needed
+
+        migrate_if_needed(self.store)
         if self.store.exists(FRONTIER):
             return
         cand = seeds.withColumn("url", canonicalize_url("url")).filter(
@@ -331,6 +336,19 @@ class CrawlEngine:
                 bloom_meta = self._save_bloom(bloom, items, capacity)
         release()
         return n_new, max_seq + n_new, bloom_meta
+
+    # ------------------------------------------------------------ run loop
+    def run(self, n_rounds: int, docs: DataFrame | None = None, stop=None) -> list[dict]:
+        """Round loop with cooperative graceful stop (reference /stop,
+        Server.scala:42-51): the flag is checked BETWEEN rounds, so a stop
+        mid-crawl leaves a fully-checkpointed, exactly-resumable store.
+        ``stop`` is any object with ``is_set()`` (threading.Event)."""
+        out = []
+        for rnd in range(n_rounds):
+            if stop is not None and stop.is_set():
+                break
+            out.append(self.run_round(rnd, docs=docs))
+        return out
 
     # ------------------------------------------------------------ accessors
     def frontier_view(self) -> DataFrame:

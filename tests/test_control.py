@@ -1,0 +1,158 @@
+"""Control-plane parity tests: process admission queue + graceful stop
+(ProcessScheduler.scala:31-59, Server.scala:31-56), schema registry +
+version migration (ElasticFeatureListMapping, ElasticIndexMaintenance:79-85),
+and the J4 failure cascade (MavenEdgeMappingActor.scala:41-44)."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pandas as pd
+
+from delphi_crawler_spark.control.scheduler import ProcessScheduler
+
+
+def test_process_queue_bounds_concurrency():
+    """Enqueue 9 blocking jobs: at most 4 run at once; all finish; a
+    finishing process dequeues the next."""
+    sched = ProcessScheduler(max_running=4)
+    gate = threading.Event()
+    started = []
+    lock = threading.Lock()
+
+    def job(i):
+        def run():
+            with lock:
+                started.append(i)
+            gate.wait(10)
+            return i
+        return run
+
+    handles = [sched.submit(f"p{i}", job(i)) for i in range(9)]
+    time.sleep(0.3)
+    assert sched.running_count() == 4  # admission cap
+    assert len(started) == 4
+    gate.set()
+    assert sched.drain(timeout=10)
+    assert sched.peak_concurrent == 4
+    assert sorted(h.result for h in handles) == list(range(9))
+    assert all(h.status == "finished" for h in handles)
+
+
+def test_stop_drains_running_and_rejects_queued():
+    sched = ProcessScheduler(max_running=2)
+    gate = threading.Event()
+    handles = [sched.submit(f"p{i}", lambda: gate.wait(10)) for i in range(6)]
+    time.sleep(0.2)
+    sched.stop()
+    # queued remainder rejected immediately
+    rejected = [h for h in handles if h.status == "rejected"]
+    assert len(rejected) == 4
+    # nothing new admitted after stop
+    late = sched.submit("late", lambda: 1)
+    assert late.status == "rejected"
+    # running ones drain cleanly
+    gate.set()
+    assert sched.drain(timeout=10)
+    assert sched.running_count() == 0
+    assert sched.version()
+
+
+def test_failed_process_releases_slot():
+    sched = ProcessScheduler(max_running=1)
+
+    def boom():
+        raise RuntimeError("x")
+
+    h1 = sched.submit("bad", boom)
+    h2 = sched.submit("good", lambda: 42)
+    assert sched.drain(timeout=10)
+    assert h1.status == "failed" and isinstance(h1.error, RuntimeError)
+    assert h2.status == "finished" and h2.result == 42
+
+
+def test_schema_registry_bootstrap_and_migration(spark, tmp_path):
+    from delphi_crawler_spark.storage import schema_registry as SR
+    from delphi_crawler_spark.storage.tablestore import TableStore
+
+    store = TableStore(spark, str(tmp_path / "reg"))
+    reg = SR.ensure_registry(store)
+    assert reg["schema_version"] == SR.SCHEMA_VERSION
+    assert reg["fields"]["quality_score"] == "double"
+    assert len(reg["fields"]) >= 20
+    # idempotent
+    assert SR.ensure_registry(store)["schema_version"] == SR.SCHEMA_VERSION
+
+    # simulate an older on-disk version -> migrate-if-older records the event
+    old = dict(reg)
+    old["schema_version"] = SR.SCHEMA_VERSION - 1
+    old["fields"] = {k: v for k, v in reg["fields"].items() if k != "simhash"}
+    SR._write(store, old)
+    migrated = SR.migrate_if_needed(store)
+    assert migrated["schema_version"] == SR.SCHEMA_VERSION
+    assert migrated["migrations"][-1]["added"] == ["simhash"]
+    assert "simhash" in migrated["fields"]
+
+    assert SR.check_fields_declared(["quality_score", "nope"]) == ["nope"]
+
+
+def test_first_match_join_failure_cascade(spark):
+    """J4 cascade: a failing candidate is skipped, the next-ordered one
+    wins; a left row with only failing candidates drops out."""
+    from delphi_crawler_spark.operators.joins import first_match_join
+
+    left = spark.createDataFrame(pd.DataFrame({"k": ["a", "b", "c"], "payload": [1, 2, 3]}))
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "a", "b", "c"],
+                "lib": ["lib0", "lib1", "lib2", "lib3", "lib4"],
+                "ord": [0, 1, 2, 0, 0],
+                "ok": [False, True, True, True, False],
+            }
+        )
+    )
+    out = first_match_join(left, right, on=["k"], left_key="k", order_col="ord", valid_col="ok")
+    got = {(r.k, r.lib) for r in out.collect()}
+    assert got == {("a", "lib1"), ("b", "lib3")}  # a: lib0 failed -> lib1; c: all failed
+    # without the channel, order alone wins
+    out2 = first_match_join(left, right, on=["k"], left_key="k", order_col="ord")
+    assert {(r.k, r.lib) for r in out2.collect()} == {("a", "lib0"), ("b", "lib3"), ("c", "lib4")}
+
+
+def test_engine_run_with_graceful_stop(spark, tmp_path):
+    """Engine round loop honors the stop flag between rounds and the store
+    stays exactly resumable (a fresh engine continues from the checkpoint)."""
+    from delphi_crawler_spark.datagen import (
+        docs_df, politeness_df, robots_df, seed_urls_df,
+    )
+    from delphi_crawler_spark.plans.crawl_round import CrawlConfig, CrawlEngine
+
+    root = tmp_path / "store_stop"
+    cfg = CrawlConfig(round_ms=1500, n_docs=100)
+    eng = CrawlEngine(spark, str(root), politeness=politeness_df(spark),
+                      robots=robots_df(spark), config=cfg)
+    eng.bootstrap(seed_urls_df(spark, n=800))
+    docs = docs_df(spark, n=100)
+
+    class StopAfterFirst:
+        def __init__(self):
+            self.calls = 0
+        def is_set(self):
+            self.calls += 1
+            return self.calls > 1  # allow round 0 only
+
+    out = eng.run(3, docs=docs, stop=StopAfterFirst())
+    assert len(out) == 1 and out[0]["round"] == 0
+
+    # resumable: fresh engine finishes rounds 1-2; matches an unstopped run
+    eng2 = CrawlEngine(spark, str(root), politeness=politeness_df(spark),
+                       robots=robots_df(spark), config=cfg)
+    eng2.run(3, docs=docs)
+    clean = CrawlEngine(spark, str(tmp_path / "store_nostop"),
+                        politeness=politeness_df(spark), robots=robots_df(spark), config=cfg)
+    clean.bootstrap(seed_urls_df(spark, n=800))
+    clean.run(3, docs=docs)
+    assert eng2.schedule_rows() == clean.schedule_rows()
+    assert eng2.seen_set() == clean.seen_set()
