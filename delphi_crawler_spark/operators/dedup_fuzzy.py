@@ -28,14 +28,18 @@ MERSENNE_P = (1 << 61) - 1
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact content dedup: md5-group, keep the smallest id (deterministic
-    representative). One hash shuffle; the md5 narrows the shuffled payload
-    (we group on the digest, not the full text)."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    """Exact content dedup: group on the md5 digest, keep the smallest-id
+    row (deterministic representative) via a ``min_by`` hash aggregate —
+    map-side partial combine collapses duplicates BEFORE the shuffle and
+    nothing sorts (the same scale argument as F1, operators/dedup.py; the
+    previous window form shuffled every row and sorted each digest group)."""
+    agg = df.groupBy(F.md5(F.col(text_col)).alias("__digest")).agg(
+        F.min_by(
+            F.struct(*[F.col(c).alias(c) for c in df.columns]), F.col(id_col)
+        ).alias("__row")
+    )
+    return agg.select(
+        *[F.col("__row").getField(c).alias(c) for c in df.columns]
     )
 
 

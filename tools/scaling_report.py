@@ -39,11 +39,29 @@ def probe(job: str, cores: int, n: int, reps: int) -> dict:
     raise RuntimeError(f"no JSON from probe {job}/{cores}:\n{out.stderr[-1500:]}")
 
 
+MIN_HOST_EFF = 0.7  # below this the window is contention-invalid
+
+
+def host_window_valid(levels=(8, 32)) -> tuple[bool, float]:
+    """Pre-flight: the no-Spark spin control must itself scale, or nothing
+    measured on top of it can. Returns (valid, spin_efficiency)."""
+    lo = probe("spin", levels[0], 0, 1)["per_sec"]
+    hi = probe("spin", levels[1], 0, 1)["per_sec"]
+    eff = (hi / lo) / (levels[1] / levels[0])
+    return eff >= MIN_HOST_EFF, eff
+
+
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     crawl_n = int(sys.argv[2]) if len(sys.argv) > 2 else 16_000_000
     minhash_n = 600_000
     levels = (8, 32)
+    ok, pre_eff = host_window_valid(levels)
+    print(f"[scaling] host-window preflight: spin efficiency {pre_eff:.2f} "
+          f"({'VALID' if ok else 'INVALID — aborting, retry in a calmer window'})",
+          flush=True)
+    if not ok:
+        sys.exit(3)
     jobs = [("crawl", crawl_n), ("minhash", minhash_n), ("spin", 0)]
     best: dict[tuple[str, int], dict] = {}
     for r in range(reps):
