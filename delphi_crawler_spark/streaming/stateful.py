@@ -1,0 +1,118 @@
+"""Custom stateful streaming operator: per-host token-bucket politeness
+whose bucket position SURVIVES across micro-batches (§2.8).
+
+The batch engine's ``assign_emission_slots`` ranks within one round; in a
+continuous stream the reference's throttle is stateful — the bucket
+remembers how many elements a host has already emitted
+(``throttle(5/s, maxBurst 5, shaping)``, Configuration.scala:80,101). The
+built-in streaming operators cannot express "continue this host's emission
+schedule where the last micro-batch left off", so this is the engine's
+``applyInPandasWithState`` operator: state = rows already emitted per host;
+each batch's new arrivals get the NEXT bucket slots, exactly as if every
+batch so far had been one big round.
+
+Determinism: within a batch, a host's arrivals are ordered by the explicit
+total scheduling order (priority DESC, discovery_ts, seq) — the same order
+the batch operator uses — so for data arriving in seq order the cumulative
+stream output is byte-equal to the batch operator run over the union
+(property-tested in tests/test_streaming_stateful.py).
+
+Scale: state is ONE counter per host (a long), grouped on the same host
+key the politeness window shuffles on; GroupStateTimeout can evict idle
+hosts (unbounded-host crawls keep bounded state).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+DEFAULT_RATE = 5.0  # reference Configuration.scala:80
+DEFAULT_BURST = 5
+
+_STATE_SCHEMA = StructType([StructField("emitted", LongType())])
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("url", StringType()),
+        StructField("priority", IntegerType()),
+        StructField("discovery_ts", TimestampType()),
+        StructField("seq", LongType()),
+        StructField("host_rank", LongType()),
+        StructField("emit_ms", LongType()),
+    ]
+)
+
+
+def _emit_ms(rank: int, rate: float, burst: int) -> int:
+    return 0 if rank <= burst else math.ceil((rank - burst) * 1000.0 / rate)
+
+
+def _make_func(rate: float, burst: int):
+    def assign(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (host,) = key
+        (emitted,) = state.get if state.exists else (0,)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            batch = pd.concat(frames, ignore_index=True)
+            # the batch operator's per-host scheduling order (P6 ⊇ P3)
+            batch = batch.sort_values(
+                ["priority", "discovery_ts", "seq"],
+                ascending=[False, True, True],
+                kind="mergesort",
+            ).reset_index(drop=True)
+            ranks = emitted + 1 + batch.index.to_numpy()
+            out = pd.DataFrame(
+                {
+                    "host": host,
+                    "url": batch["url"],
+                    "priority": batch["priority"],
+                    "discovery_ts": batch["discovery_ts"],
+                    "seq": batch["seq"],
+                    "host_rank": ranks,
+                    "emit_ms": [_emit_ms(int(r), rate, burst) for r in ranks],
+                }
+            )
+            emitted += len(batch)
+            state.update((emitted,))
+            yield out
+        else:
+            state.update((emitted,))
+
+    return assign
+
+
+def stateful_emission_slots(
+    candidates: DataFrame,
+    rate: float = DEFAULT_RATE,
+    burst: int = DEFAULT_BURST,
+) -> DataFrame:
+    """Streaming per-host token bucket: each host's ``host_rank``/``emit_ms``
+    continues across micro-batches (GroupState counter per host). Works on a
+    streaming DataFrame grouped on host; the shuffle key is the same host
+    key the batch window uses."""
+    return (
+        candidates.select("host", "url", "priority", "discovery_ts", "seq")
+        .groupBy("host")
+        .applyInPandasWithState(
+            _make_func(rate, burst),
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
