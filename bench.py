@@ -186,6 +186,7 @@ def main() -> None:
 
     only = [q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q]
     times: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     for name, fn in BENCH_QUERIES.items():
         if only and name not in only:
             continue
@@ -193,14 +194,14 @@ def main() -> None:
         # swings on identical plans); repeated runs make best-of the least-
         # contaminated steady-state estimate
         reps = 3 if name == "crawl_schedule" else 2
-        best = None
+        rep_times = []
         for _ in range(reps):
             t0 = time.time()
             force(fn(spark, SF_DIR))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
-        print(f"[bench] {name}: {times[name]}s", file=sys.stderr, flush=True)
+            rep_times.append(round(time.time() - t0, 3))
+        times[name] = min(rep_times)
+        all_reps[name] = rep_times
+        print(f"[bench] {name}: {times[name]}s (reps {rep_times})", file=sys.stderr, flush=True)
 
     # frontier throughput: URLs pushed through the scheduling core per second
     urls_per_sec = (
@@ -222,6 +223,9 @@ def main() -> None:
         "frontier_urls": FRONTIER_N,
         "frontier_urls_per_sec": urls_per_sec,
         "cpus": CPUS,
+        # per-query rep times: a best/worst spread >2x on identical plans
+        # indicates neighbor contention in the shared sandbox, not plan cost
+        "rep_times": all_reps,
     }))
 
 

@@ -106,30 +106,77 @@ def extract_media_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage contract. STUB: real decode-resize-encode requires an
-    image library not present in this container; the stage validates kind,
-    passes payloads through, and records the requested geometry so the
-    pipeline shape is testable end-to-end."""
+def fake_decode_raster(payload: bytes, width: int | None, height: int | None) -> np.ndarray:
+    """DETERMINISTIC FAKE raster decoder (container ships no image codecs):
+    materializes a (height, width) uint8 grayscale raster by tiling the
+    payload bytes. Production swaps this for PIL/libjpeg decode; everything
+    downstream (the resize math, the encode, the Spark plumbing) is real."""
+    w, h = int(width or 64), int(height or 64)
+    buf = np.frombuffer(payload or b"\0", dtype=np.uint8)
+    reps = -(-(w * h) // len(buf))  # ceil
+    return np.tile(buf, reps)[: w * h].reshape(h, w)
+
+
+def encode_raster(raster: np.ndarray) -> bytes:
+    """Raw-raster encode (row-major uint8) — the fake codec's output format."""
+    return raster.astype(np.uint8).tobytes()
+
+
+def resize_raster(raster: np.ndarray, width: int, height: int) -> np.ndarray:
+    """REAL nearest-neighbor resample (pure numpy, no codec needed): index
+    maps per axis, gather — the standard NN kernel. Deterministic."""
+    src_h, src_w = raster.shape
+    yi = (np.arange(height) * src_h // height).clip(0, src_h - 1)
+    xi = (np.arange(width) * src_w // width).clip(0, src_w - 1)
+    return raster[yi][:, xi]
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    decode: Callable[[bytes, int | None, int | None], np.ndarray] = fake_decode_raster,
+    encode: Callable[[np.ndarray], bytes] = encode_raster,
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → encode for image rows, Arrow-
+    batched (mapInPandas, narrow — payloads never shuffle). The decode/
+    encode pair is pluggable; the default decoder is the clearly-marked
+    deterministic fake above, while the resize kernel itself is real math
+    (property: output payload is exactly the NN-gather of the decoded
+    raster, len == width*height — tested)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            img = pdf[pdf["kind"] == "image"].copy()
+            img = pdf[pdf["kind"] == "image"]
             if len(img) == 0:
                 continue
-            # NotImplemented decode: passthrough payload + stamped geometry
+            out_payloads = []
+            src_w, src_h = [], []
+            for p, m in zip(img["payload"], img["meta"]):
+                w0 = m.get("width") if isinstance(m, dict) else m["width"]
+                h0 = m.get("height") if isinstance(m, dict) else m["height"]
+                raster = decode(p if p is not None else b"", w0, h0)
+                out_payloads.append(encode(resize_raster(raster, width, height)))
+                src_w.append(w0)
+                src_h.append(h0)
             yield pd.DataFrame(
                 {
                     "doc_id": img["doc_id"],
                     "media_ref": img["media_ref"],
-                    "payload": img["payload"],
+                    "payload": out_payloads,
                     "width": width,
                     "height": height,
+                    "src_width": pd.array(src_w, dtype="Int32"),
+                    "src_height": pd.array(src_h, dtype="Int32"),
                 }
             )
 
     return media.mapInPandas(
-        run, schema="doc_id string, media_ref string, payload binary, width int, height int"
+        run,
+        schema=(
+            "doc_id string, media_ref string, payload binary, "
+            "width int, height int, src_width int, src_height int"
+        ),
     )
 
 

@@ -340,3 +340,36 @@ def test_ivf_sample_deterministic(spark, emb):
     a = sorted(map(tuple, ivf_topk(emb, queries, k=5, nlist=8, nprobe=3).collect()))
     b = sorted(map(tuple, ivf_topk(emb.repartition(7), queries, k=5, nlist=8, nprobe=3).collect()))
     assert a == b
+
+
+def test_resize_images_real_nn_kernel(spark):
+    """The resize stage performs a REAL nearest-neighbor resample over the
+    decoded raster (fake codec, real math): the output payload equals the
+    independently-computed NN gather, and only image rows pass through."""
+    from delphi_crawler_spark.datagen import docs_df
+    from delphi_crawler_spark.operators.multimodal import (
+        fake_decode_raster,
+        resize_images,
+        synth_media,
+    )
+
+    docs = docs_df(spark, n=150)
+    media = synth_media(spark, docs).persist()
+    out = resize_images(media, width=32, height=24)
+    rows = out.collect()
+    n_images = media.filter(F.col("kind") == "image").count()
+    assert len(rows) == n_images > 0
+    src = {
+        (r.doc_id, r.media_ref): (bytes(r.payload), r.meta)
+        for r in media.filter(F.col("kind") == "image").collect()
+    }
+    media.unpersist()
+    for r in rows:
+        assert len(bytes(r.payload)) == 32 * 24
+        payload, meta = src[(r.doc_id, r.media_ref)]
+        raster = fake_decode_raster(payload, meta.width, meta.height)
+        yi = (np.arange(24) * raster.shape[0] // 24).clip(0, raster.shape[0] - 1)
+        xi = (np.arange(32) * raster.shape[1] // 32).clip(0, raster.shape[1] - 1)
+        expect = raster[yi][:, xi].tobytes()
+        assert bytes(r.payload) == expect
+        assert (r.src_width, r.src_height) == (meta.width, meta.height)
