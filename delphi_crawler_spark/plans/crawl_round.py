@@ -93,6 +93,8 @@ class CrawlConfig:
     bloom_growth: int = 4  # capacity headroom factor at (re)build
     n_docs: int | None = None  # size of the synthetic fetch corpus
     use_bloom: bool = True
+    compact_every: int = 0  # run table maintenance every K rounds (0 = off)
+    compact_target_bytes: int = 128 << 20
 
 
 class CrawlEngine:
@@ -337,6 +339,67 @@ class CrawlEngine:
         release()
         return n_new, max_seq + n_new, bloom_meta
 
+    # ---------------------------------------------------------- maintenance
+    def maintain(
+        self, target_bytes: int | None = None, keep_manifests: int = 3
+    ) -> dict:
+        """Table maintenance between rounds — the 10^10-scale housekeeping a
+        per-round-part store needs (Iceberg ``rewrite_data_files`` +
+        ``expire_snapshots``): without it, K rounds mean K-part manifests
+        (small-files read overhead) and unbounded manifest/blob/orphan disk.
+
+        Resume-safe ordering:
+        1. restore frontier/fetched to the last checkpoint (discard any
+           in-flight parts a killed round left — run_round would anyway);
+        2. ``compact`` each table, protecting the next (possibly in-flight)
+           round's replaceable schedule/metrics parts;
+        3. ``amend_checkpoint`` so ``*_snap`` names the post-compaction
+           manifests (compaction deletes nothing, so a kill before this
+           amend still resumes from the old manifest);
+        4. ``expire`` old manifests + orphan parts, protecting the amended
+           checkpoint's manifests; drop bloom blobs the checkpoint no
+           longer references.
+        """
+        tb = target_bytes or self.cfg.compact_target_bytes
+        last = self.store.last_checkpoint()
+        snap_keys = {FRONTIER: "frontier_snap", FETCHED: "fetched_snap"}
+        if last is not None:
+            for tbl, key in snap_keys.items():
+                snap = last.get(key)
+                if snap and self.store.current_snapshot(tbl) != snap:
+                    self.store.restore(tbl, snap)
+        protect_rounds = frozenset(
+            {last["round"] + 1} if last is not None else set()
+        )
+        stats: dict = {}
+        for tbl in (FRONTIER, FETCHED, SCHEDULE, METRICS):
+            if not self.store.exists(tbl):
+                continue
+            new_mani = self.store.compact(
+                tbl, target_bytes=tb, protect_rounds=protect_rounds
+            )
+            stats[tbl] = {"compacted": new_mani is not None}
+            if new_mani and last is not None and tbl in snap_keys:
+                self.store.amend_checkpoint(
+                    last["round"], {snap_keys[tbl]: new_mani}
+                )
+        last = self.store.last_checkpoint()  # re-read amended snaps
+        for tbl in (FRONTIER, FETCHED, SCHEDULE, METRICS):
+            if not self.store.exists(tbl):
+                continue
+            protect = set()
+            if last is not None and last.get(snap_keys.get(tbl, "")):
+                protect.add(last[snap_keys[tbl]])
+            stats[tbl] = {
+                **stats.get(tbl, {}),
+                **self.store.expire(tbl, keep_manifests, protect),
+            }
+        if last is not None and last.get("bloom"):
+            stats["blobs_removed"] = self.store.expire_blobs(
+                {last["bloom"]["blob"]}
+            )
+        return stats
+
     # ------------------------------------------------------------ run loop
     def run(self, n_rounds: int, docs: DataFrame | None = None, stop=None) -> list[dict]:
         """Round loop with cooperative graceful stop (reference /stop,
@@ -348,6 +411,8 @@ class CrawlEngine:
             if stop is not None and stop.is_set():
                 break
             out.append(self.run_round(rnd, docs=docs))
+            if self.cfg.compact_every and (rnd + 1) % self.cfg.compact_every == 0:
+                self.maintain()
         return out
 
     # ------------------------------------------------------------ accessors

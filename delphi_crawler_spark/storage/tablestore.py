@@ -30,7 +30,15 @@ jar), built the way Iceberg itself is built:
   use it for keyed mutation of dimension-sized tables, use append/
   replace_round for fact/log tables;
 - manifests are retained, so time-travel/rollback for resume is free
-  (``restore`` re-points ``_current`` to an older manifest).
+  (``restore`` re-points ``_current`` to an older manifest);
+- **maintenance** mirrors Iceberg's: ``compact`` bin-packs small parts into
+  ~``target_bytes`` parts (``rewrite_data_files`` binpack — a part that
+  reaches target size is never rewritten again, so total rewrite cost per
+  byte is bounded), and ``expire`` deletes manifests older than the retained
+  window plus any part directory no retained manifest references
+  (``expire_snapshots`` + orphan-file removal). Without these a 10^10-row
+  frontier accrues one part per round — the small-files problem — and
+  unreferenced parts/manifests leak disk forever.
 
 The API is deliberately shaped so a production deployment swaps the bodies
 for Iceberg calls (``append`` -> fast-append commit, ``replace_round`` ->
@@ -128,6 +136,20 @@ class TableStore:
         writer.parquet(os.path.join(self._tdir(table), part))
         return part
 
+    def _dir_bytes(self, table: str, part: str) -> int:
+        total = 0
+        for dirpath, _dirs, files in os.walk(os.path.join(self._tdir(table), part)):
+            for f in files:
+                total += os.path.getsize(os.path.join(dirpath, f))
+        return total
+
+    def _part_entry(self, table: str, part: str, round_no: int | None) -> dict:
+        return {
+            "path": part,
+            "round": round_no,
+            "bytes": self._dir_bytes(table, part),
+        }
+
     def _commit(self, table: str, parts: list[dict]) -> str:
         """Write a manifest naming ``parts`` and atomically point ``_current``
         at it — the single commit point of every write path."""
@@ -183,7 +205,7 @@ class TableStore:
         atomically. ``partition_by`` is the Iceberg ``PARTITIONED BY``
         analogue; ``sort_within_partitions`` keeps files range-clustered."""
         part = self._write_part(table, df, partition_by, sort_within_partitions)
-        return self._commit(table, [{"path": part, "round": None}])
+        return self._commit(table, [self._part_entry(table, part, None)])
 
     def append(
         self,
@@ -196,7 +218,7 @@ class TableStore:
         existing data (Iceberg fast-append). O(len(df)) write volume."""
         part = self._write_part(table, df, partition_by)
         old = self.parts(table) if self.exists(table) else []
-        return self._commit(table, old + [{"path": part, "round": round_no}])
+        return self._commit(table, old + [self._part_entry(table, part, round_no)])
 
     def replace_round(self, table: str, df: DataFrame, round_no: int) -> str:
         """Idempotent per-round write: drop any parts a killed run left
@@ -205,7 +227,7 @@ class TableStore:
         part = self._write_part(table, df)
         old = self.parts(table) if self.exists(table) else []
         kept = [p for p in old if p.get("round") != round_no]
-        return self._commit(table, kept + [{"path": part, "round": round_no}])
+        return self._commit(table, kept + [self._part_entry(table, part, round_no)])
 
     def merge_upsert(
         self,
@@ -237,6 +259,107 @@ class TableStore:
         merged = merge_frames(target, source, keys, update_cols, insert)
         return self.write_snapshot(table, merged, partition_by=partition_by)
 
+    # ---------------------------------------------------------- maintenance
+    def compact(
+        self,
+        table: str,
+        target_bytes: int = 128 << 20,
+        protect_rounds: frozenset[int] | set[int] = frozenset(),
+    ) -> str | None:
+        """Bin-pack small parts into ~``target_bytes`` parts (Iceberg
+        ``rewrite_data_files`` binpack). Parts already >= target and parts
+        whose round tag is in ``protect_rounds`` (rounds that may still be
+        re-run/pruned by ``replace_round``/``read_parts``) are untouched.
+        A merged part gets ``round=None``. Returns the new manifest id, or
+        None if nothing needed merging.
+
+        Amortization: a part produced at target size is never rewritten
+        again, so every byte is rewritten O(target_bytes / part_bytes)
+        times over the table's lifetime — bounded, unlike read-everything
+        compaction. Run it every K rounds to keep the part count O(1)."""
+        parts = self.parts(table)
+        small = [
+            p for p in parts
+            if p.get("round") not in protect_rounds
+            and p.get("bytes", self._dir_bytes(table, p["path"])) < target_bytes
+        ]
+        if len(small) < 2:
+            return None
+        groups: list[list[dict]] = []
+        cur: list[dict] = []
+        cur_b = 0
+        for p in small:
+            b = p.get("bytes") or self._dir_bytes(table, p["path"])
+            if cur and cur_b + b > target_bytes:
+                groups.append(cur)
+                cur, cur_b = [], 0
+            cur.append(p)
+            cur_b += b
+        groups.append(cur)
+        merged_away: list[str] = []
+        new_entries: list[dict] = []
+        for g in groups:
+            if len(g) < 2:
+                continue
+            df = self.spark.read.parquet(
+                *[os.path.join(self._tdir(table), p["path"]) for p in g]
+            )
+            newp = self._write_part(table, df)
+            new_entries.append(self._part_entry(table, newp, None))
+            merged_away.extend(p["path"] for p in g)
+        if not new_entries:
+            return None
+        kept = [p for p in parts if p["path"] not in merged_away]
+        return self._commit(table, kept + new_entries)
+
+    def expire(
+        self,
+        table: str,
+        keep_manifests: int = 3,
+        protect_manifests: frozenset[str] | set[str] = frozenset(),
+    ) -> dict:
+        """Iceberg ``expire_snapshots`` + orphan-file removal: retain the
+        newest ``keep_manifests`` manifests, the current one, and any in
+        ``protect_manifests`` (pass every manifest a checkpoint still needs
+        for ``restore``); delete older manifest files and every part
+        directory no retained manifest references. Time-travel to expired
+        manifests is gone afterwards — by design."""
+        tdir = self._tdir(table)
+        cur = self._current_snap(table)
+        manis = sorted(f for f in os.listdir(tdir) if f.startswith("mani-"))
+        retained = set(manis[-keep_manifests:]) | set(protect_manifests)
+        if cur:
+            retained.add(cur)
+        referenced = {
+            p["path"] for m in retained if m in manis
+            for p in self._read_manifest(table, m)
+        }
+        dropped_manis, dropped_parts = 0, 0
+        for m in manis:
+            if m not in retained:
+                os.remove(os.path.join(tdir, m))
+                dropped_manis += 1
+        for entry in os.listdir(tdir):
+            if entry.startswith("part-") and entry not in referenced:
+                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+                dropped_parts += 1
+        return {"manifests_removed": dropped_manis, "parts_removed": dropped_parts}
+
+    def expire_blobs(self, keep: set[str] | frozenset[str]) -> int:
+        """Delete sidecar blobs not in ``keep`` (store-relative paths). The
+        engine passes the blobs its latest checkpoint references — e.g. one
+        bloom blob per round accrues otherwise."""
+        d = os.path.join(self.root, "blobs")
+        if not os.path.isdir(d):
+            return 0
+        keep_names = {os.path.basename(k) for k in keep}
+        removed = 0
+        for f in os.listdir(d):
+            if f not in keep_names and not f.startswith(".tmp-"):
+                os.remove(os.path.join(d, f))
+                removed += 1
+        return removed
+
     # ----------------------------------------------------------- blob store
     def save_blob(self, name: str, data: bytes) -> str:
         """Persist an immutable sidecar blob (bloom bitsets, centroids);
@@ -266,6 +389,21 @@ class TableStore:
         with open(tmp, "w") as f:
             json.dump(rec, f)
         os.replace(tmp, os.path.join(self._tdir("checkpoints"), f"round-{round_no:06d}.json"))
+
+    def amend_checkpoint(self, round_no: int, updates: dict) -> None:
+        """Atomically rewrite round ``round_no``'s checkpoint with updated
+        keys — used by maintenance to re-point ``*_snap`` at post-compaction
+        manifests BEFORE ``expire`` may delete the pre-compaction ones (the
+        compaction commit itself never deletes data, so a kill between
+        compact and amend resumes fine from the old manifest)."""
+        path = os.path.join(self._tdir("checkpoints"), f"round-{round_no:06d}.json")
+        with open(path) as f:
+            rec = json.load(f)
+        rec.update(updates)
+        tmp = os.path.join(self._tdir("checkpoints"), f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, path)
 
     def last_checkpoint(self) -> dict | None:
         d = self._tdir("checkpoints")

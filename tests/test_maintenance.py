@@ -1,0 +1,227 @@
+"""Table-maintenance gates: compaction bin-packs small parts without
+changing table contents, expiry removes only unreferenced manifests/parts/
+blobs, and engine-level maintain() is semantically invisible — same
+schedule, seen set, and resume behavior as a never-maintained store.
+
+At 10^10-URL scale these are load-bearing: one part per round means a
+K-round crawl reads K small parquet directories per scan (file-listing +
+task overhead), and every round leaks a manifest + a bloom blob. Mirrors
+Iceberg ``rewrite_data_files`` (binpack) + ``expire_snapshots``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delphi_crawler_spark.datagen import (
+    docs_df,
+    politeness_df,
+    robots_df,
+    seed_urls_df,
+)
+from delphi_crawler_spark.plans.crawl_round import (
+    FETCHED,
+    FRONTIER,
+    CrawlConfig,
+    CrawlEngine,
+)
+from delphi_crawler_spark.storage.tablestore import TableStore
+
+N_SEEDS = 1500
+N_DOCS = 300
+N_ROUNDS = 3
+ROUND_MS = 3000
+
+
+# --------------------------------------------------------------- store level
+def test_compact_binpacks_small_parts(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "t"))
+    for i in range(5):
+        store.append("tbl", spark.range(i * 10, i * 10 + 10), round_no=i)
+    before = sorted(map(tuple, store.read("tbl").collect()))
+    assert len(store.parts("tbl")) == 5
+
+    mani = store.compact("tbl", target_bytes=1 << 30)
+    assert mani is not None
+    parts = store.parts("tbl")
+    assert len(parts) == 1 and parts[0]["round"] is None
+    assert sorted(map(tuple, store.read("tbl").collect())) == before
+    # idempotent: nothing left to merge
+    assert store.compact("tbl", target_bytes=1 << 30) is None
+
+
+def test_compact_respects_protected_rounds_and_target(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "t"))
+    for i in range(4):
+        store.append("tbl", spark.range(i * 10, i * 10 + 10), round_no=i)
+    before = sorted(map(tuple, store.read("tbl").collect()))
+    store.compact("tbl", target_bytes=1 << 30, protect_rounds=frozenset({3}))
+    rounds = sorted(
+        (p["round"] for p in store.parts("tbl")), key=lambda r: (r is None, r)
+    )
+    # round 3's part survives untouched (still replaceable by replace_round)
+    assert rounds == [3, None]
+    assert sorted(map(tuple, store.read("tbl").collect())) == before
+
+    # a part at/above target_bytes is never rewritten: with target=1 byte
+    # every part is "large" and compaction is a no-op
+    store2 = TableStore(spark, str(tmp_path / "t2"))
+    for i in range(3):
+        store2.append("tbl", spark.range(i * 10, i * 10 + 10), round_no=i)
+    assert store2.compact("tbl", target_bytes=1) is None
+    assert len(store2.parts("tbl")) == 3
+
+
+def test_expire_removes_only_unreferenced(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "t"))
+    for i in range(4):
+        store.append("tbl", spark.range(i * 10, i * 10 + 10), round_no=i)
+    protected = store.current_snapshot("tbl")
+    # replace round 1 -> its original part becomes unreferenced by current,
+    # but the protected manifest still references it
+    store.replace_round("tbl", spark.range(100, 110), round_no=1)
+    before = sorted(map(tuple, store.read("tbl").collect()))
+
+    stats = store.expire("tbl", keep_manifests=1, protect_manifests={protected})
+    assert stats["manifests_removed"] >= 1
+    # protected manifest's parts all survive: restore to it still reads
+    assert sorted(map(tuple, store.read("tbl").collect())) == before
+    store.restore("tbl", protected)
+    assert store.read("tbl").count() == 40
+
+    # without protection: the orphaned replace-round part gets removed
+    store2 = TableStore(spark, str(tmp_path / "u"))
+    store2.append("tbl", spark.range(10), round_no=0)
+    first_part = store2.parts("tbl")[0]["path"]
+    store2.replace_round("tbl", spark.range(5), round_no=0)
+    store2.expire("tbl", keep_manifests=1)
+    tdir = os.path.join(str(tmp_path / "u"), "tbl")
+    assert not os.path.isdir(os.path.join(tdir, first_part))
+    assert store2.read("tbl").count() == 5
+
+
+def test_expire_blobs_keeps_referenced(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "t"))
+    keep = store.save_blob("bloom", b"live")
+    store.save_blob("bloom", b"dead1")
+    store.save_blob("bloom", b"dead2")
+    assert store.expire_blobs({keep}) == 2
+    assert store.load_blob(keep) == b"live"
+
+
+# -------------------------------------------------------------- engine level
+def _engine(spark, root, **cfg) -> CrawlEngine:
+    return CrawlEngine(
+        spark,
+        str(root),
+        politeness=politeness_df(spark),
+        robots=robots_df(spark),
+        config=CrawlConfig(round_ms=ROUND_MS, n_docs=N_DOCS, **cfg),
+    )
+
+
+def _run(eng, spark, n_rounds=N_ROUNDS):
+    eng.bootstrap(seed_urls_df(spark, n=N_SEEDS))
+    docs = docs_df(spark, n=N_DOCS)
+    eng.run(n_rounds, docs=docs)  # honors cfg.compact_every
+    return eng
+
+
+def test_maintain_is_semantically_invisible(spark, tmp_path):
+    """A crawl that compacts+expires after every round emits the exact same
+    schedule and seen set as one that never does, and its store stays O(1)
+    parts / manifests / blobs instead of O(rounds)."""
+    plain = _run(_engine(spark, tmp_path / "plain"), spark)
+    kept = _run(_engine(spark, tmp_path / "kept", compact_every=1), spark)
+
+    assert kept.schedule_rows() == plain.schedule_rows()
+    assert kept.seen_set() == plain.seen_set()
+
+    # bounded metadata: frontier compacted to far fewer parts than rounds+1,
+    # and only the retained manifest window remains on disk
+    assert len(kept.store.parts(FRONTIER)) <= 2
+    tdir = os.path.join(str(tmp_path / "kept"), FRONTIER)
+    manis = [f for f in os.listdir(tdir) if f.startswith("mani-")]
+    assert len(manis) <= 4  # keep_manifests=3 + current
+    blob_dir = os.path.join(str(tmp_path / "kept"), "blobs")
+    assert len(os.listdir(blob_dir)) == 1  # only the live bloom blob
+    # no orphan part dirs: everything on disk is referenced by some
+    # RETAINED manifest (retained manifests must stay restorable)
+    import json
+
+    referenced = set()
+    for m in manis:
+        with open(os.path.join(tdir, m)) as f:
+            referenced |= {p["path"] for p in json.load(f)["parts"]}
+    on_disk = {f for f in os.listdir(tdir) if f.startswith("part-")}
+    assert on_disk <= referenced
+
+
+def test_kill_after_maintain_resumes_exactly(spark, tmp_path):
+    """The risky ordering: maintain() rewrites the frontier manifest and
+    amends the checkpoint; a round killed right after must still resume to
+    byte-equality with a clean run (the amended snap is the restore point)."""
+    root = tmp_path / "kill"
+    eng = _engine(spark, root)
+    eng.bootstrap(seed_urls_df(spark, n=N_SEEDS))
+    docs = docs_df(spark, n=N_DOCS)
+    eng.run_round(0, docs=docs)
+    eng.maintain()
+
+    real_checkpoint = eng.store.checkpoint
+    def boom(round_no, payload):
+        raise RuntimeError("killed before checkpoint")
+    eng.store.checkpoint = boom
+    with pytest.raises(RuntimeError):
+        eng.run_round(1, docs=docs)
+    eng.store.checkpoint = real_checkpoint
+
+    eng2 = _engine(spark, root)
+    for rnd in range(1, N_ROUNDS):
+        eng2.run_round(rnd, docs=docs)
+    eng2.maintain()
+
+    clean = _run(_engine(spark, tmp_path / "clean"), spark)
+    assert eng2.schedule_rows() == clean.schedule_rows()
+    assert eng2.seen_set() == clean.seen_set()
+    cols = ["url", "priority", "seq", "state", "round"]
+    assert sorted(map(tuple, eng2.frontier_view().select(cols).collect())) == sorted(
+        map(tuple, clean.frontier_view().select(cols).collect())
+    )
+
+
+def test_maintain_on_dirty_store_discards_inflight(spark, tmp_path):
+    """maintain() on a store a killed round left dirty (uncheckpointed
+    frontier/fetched appends) restores to the checkpoint first, so the
+    compacted table equals the committed state and the round re-runs
+    without duplicates."""
+    root = tmp_path / "dirty"
+    eng = _engine(spark, root)
+    eng.bootstrap(seed_urls_df(spark, n=N_SEEDS))
+    docs = docs_df(spark, n=N_DOCS)
+    eng.run_round(0, docs=docs)
+
+    real_checkpoint = eng.store.checkpoint
+    def boom(round_no, payload):
+        raise RuntimeError("killed before checkpoint")
+    eng.store.checkpoint = boom
+    with pytest.raises(RuntimeError):
+        eng.run_round(1, docs=docs)
+    eng.store.checkpoint = real_checkpoint
+
+    eng.maintain()  # must roll back the in-flight round-1 appends
+    committed = eng.store.last_checkpoint()
+    assert committed["round"] == 0
+    # the in-flight round-1 frontier/fetched parts were rolled back: the
+    # amended snaps ARE current, and no part carries a round-1 tag
+    assert all(p.get("round") != 1 for p in eng.store.parts(FRONTIER))
+    assert all(p.get("round") != 1 for p in eng.store.parts(FETCHED))
+    for rnd in range(1, N_ROUNDS):
+        eng.run_round(rnd, docs=docs)
+
+    clean = _run(_engine(spark, tmp_path / "clean2"), spark)
+    assert eng.schedule_rows() == clean.schedule_rows()
+    assert eng.seen_set() == clean.seen_set()
