@@ -989,6 +989,36 @@ def q_mm_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep pipeline — the operators above chained
+    the way a real 100 TB corpus build runs them: exact dedup (hash-agg on
+    content digest) → quality signals (pure JVM) → language ID (Arrow UDF)
+    → keep english docs with >= 10 tokens → token budgets. One narrow
+    DAG: the only shuffle is the dedup hash-agg; quality/lang/token stages
+    are per-row projections that pipeline behind it."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.textfns import (
+        bpe_ish_token_count_col,
+        lang_id,
+        quality_features,
+    )
+    from delphi_crawler_spark.operators.dedup_fuzzy import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    deduped = exact_dedup(docs, "text", "doc_id")
+    scored = quality_features(deduped)
+    kept = scored.withColumn("lang_pred", lang_id(F.col("text"))).filter(
+        (F.col("lang_pred") == "en") & (F.col("n_tokens") >= 10)
+    )
+    return kept.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        F.col("n_tokens").cast(BIG).alias("n_tokens"),
+        bpe_ish_token_count_col(F.col("text")).cast(BIG).alias("bpe_tokens"),
+        "quality_score",
+        "lang_pred",
+    )
+
+
 # =====================================================================
 # Contract surface
 # =====================================================================
@@ -1045,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_rolling": q_text_fingerprint_rolling,
         "mm_media_features": q_mm_media_features,
         "mm_frame_sampling": q_mm_frame_sampling,
+        "pipeline_training_prep": q_pipeline_training_prep,
     }
 
 
@@ -1399,6 +1430,50 @@ SELECT d.doc_id::BIGINT AS doc_id,
        CASE WHEN regexp_matches(d.text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
             ELSE coalesce(b.lang, 'und') END AS lang_pred
 FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+"""
+
+    o["pipeline_training_prep"] = """
+WITH dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+    FROM documents) t
+  WHERE rn = 1),
+base AS (
+  SELECT doc_id, text, length(text) AS n_chars_m,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             w -> w IN ('the','a','of','and','to','in','is'))) AS stop_hits
+  FROM dedup),
+r AS (
+  SELECT doc_id, text, n_tokens,
+         round(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio,
+         round(CAST(n_chars_m AS DOUBLE) / greatest(n_tokens, 1), 6) AS mean_token_len
+  FROM base),
+toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM dedup),
+m(lang, tok, pri) AS (VALUES
+  ('en','the',0),('en','and',0),('en','of',0),('en','to',0),('en','is',0),('en','in',0),('en','that',0),('en','it',0),
+  ('es','el',1),('es','la',1),('es','de',1),('es','que',1),('es','y',1),('es','los',1),('es','en',1),('es','un',1),
+  ('fr','le',2),('fr','la',2),('fr','de',2),('fr','et',2),('fr','les',2),('fr','des',2),('fr','un',2),('fr','une',2),
+  ('de','der',3),('de','die',3),('de','und',3),('de','das',3),('de','ist',3),('de','ein',3),('de','nicht',3),('de','mit',3)),
+votes AS (SELECT t.doc_id, m.lang, m.pri, count(*) AS hits
+          FROM toks t JOIN m ON t.tok = m.tok GROUP BY 1, 2, 3),
+best AS (SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, pri ASC) AS rn
+         FROM votes WHERE hits > 0),
+langd AS (
+  SELECT r.*, CASE WHEN regexp_matches(r.text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                   ELSE coalesce(b.lang, 'und') END AS lang_pred
+  FROM r LEFT JOIN best b ON r.doc_id = b.doc_id AND b.rn = 1)
+SELECT doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]+'))::BIGINT AS bpe_tokens,
+       least(n_tokens / 50.0, 1.0) * 0.4
+         + least(stopword_ratio * 5.0, 1.0) * 0.3
+         + (CASE WHEN mean_token_len >= 3 AND mean_token_len <= 10 THEN 1.0 ELSE 0.0 END) * 0.3 AS quality_score,
+       lang_pred
+FROM langd
+WHERE lang_pred = 'en' AND n_tokens >= 10
 """
 
     o["text_fingerprint_bow"] = """
