@@ -770,7 +770,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast(BIG).alias("doc_id"), "text"
     )
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    signed = simhash_signatures(docs)
+    # persist: both sides of the bucket self-join read the signatures; an
+    # unpersisted frame would run the Arrow UDF twice (once per branch)
+    signed = simhash_signatures(docs).persist()
     return simhash_near_dup_pairs(signed, "doc_id", max_hamming=8).select(
         "id_a", "id_b", F.col("hamming").cast(BIG).alias("hamming")
     )

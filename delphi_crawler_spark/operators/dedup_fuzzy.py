@@ -356,6 +356,14 @@ def simhash_near_dup_pairs(
     Plan shape: ONE exploded (block, chunk) self-equi-join — a single
     shuffle on the bucket key — then exact hamming verify via
     ``bit_count(a XOR b)`` (JVM). No cross join at any scale.
+
+    Dedup without a shuffle: a qualifying pair matches in SEVERAL blocks
+    (once per intact chunk), so naive emission needs a dropDuplicates —
+    a full extra exchange over the candidate set. Instead each join row
+    keeps the pair only when its bucket block is the FIRST matching block,
+    computed from ``sh_a XOR sh_b`` with pure bit math (chunk i matches iff
+    the XOR's chunk-i bits are all zero). Exactly-once emission, zero
+    post-join shuffle, all codegen.
     """
     if blocks is None:
         blocks = min(max_hamming + 1, 64)
@@ -390,18 +398,20 @@ def simhash_near_dup_pairs(
     r = keyed.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "bi", "ck"
     )
-    pairs = (
-        l.join(r, ["bi", "ck"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .drop("bi", "ck")
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    # verify BEFORE the distinct: the hamming test is cheap codegen on the
-    # join output, so failing candidates never enter the dedup shuffle
+    pairs = l.join(r, ["bi", "ck"]).filter(F.col("id_a") < F.col("id_b"))
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    # first matching block of the pair, from the XOR alone: smallest i whose
+    # chunk bits are all zero (at least one exists — we joined on a match)
+    first_match = F.lit(blocks)
+    for i, (o, w) in reversed(list(enumerate(bounds))):
+        chunk_matches = (
+            F.shiftrightunsigned(xor, o).bitwiseAND(F.lit((1 << w) - 1)) == 0
+        )
+        first_match = F.when(chunk_matches, F.lit(i)).otherwise(first_match)
+    hamming = F.bit_count(xor)
     return (
         pairs.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
+        .filter((F.col("hamming") <= max_hamming) & (F.col("bi") == first_match))
         .select("id_a", "id_b", "hamming")
     )
 
