@@ -278,7 +278,10 @@ def minhash_dedup(
     exact Jaccard verify -> keep the smallest id per duplicate cluster
     (union-find collapsed to min-id via iterative smallest-neighbor, one
     round — sufficient for pairwise-threshold clusters at verify level)."""
-    signed = minhash_signatures(docs, text_col, num_hashes, shingle_n)
+    # persist: the banded bucket self-join reads the signatures on both
+    # sides, and the final anti-join re-reads the chain — without a cache
+    # the Arrow signature UDF would run 2-3x
+    signed = minhash_signatures(docs, text_col, num_hashes, shingle_n).persist()
     cands = minhash_lsh_candidates(signed, id_col, bands, num_hashes // bands)
     dups = jaccard_verify(cands, docs, id_col, text_col, shingle_n, threshold)
     # min representative per connected component (1-hop: pairs -> min id)
