@@ -95,6 +95,12 @@ class CrawlConfig:
     use_bloom: bool = True
     compact_every: int = 0  # run table maintenance every K rounds (0 = off)
     compact_target_bytes: int = 128 << 20
+    # frontier appends are dir-partitioned on pmod(xxhash64(host), N) — the
+    # Iceberg `PARTITIONED BY (bucket(N, host))` analogue from the design
+    # goal: a host's URLs land in one bucket per part, so per-host
+    # maintenance scans prune to 1/N of the data and hot-host parts stay
+    # isolated from the long tail. 0 disables.
+    host_buckets: int = 16
 
 
 class CrawlEngine:
@@ -114,6 +120,18 @@ class CrawlEngine:
         self.politeness = politeness
         self.robots = robots
         self.cfg = config or CrawlConfig()
+
+    def _bucketed(self, df: DataFrame) -> tuple[DataFrame, list[str] | None]:
+        """Attach the host-bucket partition column when configured."""
+        if not self.cfg.host_buckets:
+            return df, None
+        return (
+            df.withColumn(
+                "host_bucket",
+                F.pmod(F.xxhash64("host"), F.lit(self.cfg.host_buckets)).cast("int"),
+            ),
+            ["host_bucket"],
+        )
 
     # ------------------------------------------------------------- bloom io
     def _save_bloom(self, bloom: BloomBits, items: int, capacity: int) -> dict:
@@ -151,7 +169,8 @@ class CrawlEngine:
             "priority", "discovery_ts", "seq",
             F.lit(-1).alias("round"),
         )
-        snap = self.store.write_snapshot(FRONTIER, frontier)
+        frontier, part_by = self._bucketed(frontier)
+        snap = self.store.write_snapshot(FRONTIER, frontier, partition_by=part_by)
         # one bootstrap-time pass over the written part: max seq (the global
         # monotonic sequence continues from here) + item count (bloom sizing)
         agg = self.store.read(FRONTIER).agg(
@@ -318,7 +337,10 @@ class CrawlEngine:
                 "priority", "discovery_ts", "seq",
                 F.lit(round_no).alias("round"),
             )
-            self.store.append(FRONTIER, new_rows, round_no=round_no)
+            new_rows, part_by = self._bucketed(new_rows)
+            self.store.append(
+                FRONTIER, new_rows, partition_by=part_by, round_no=round_no
+            )
             if bloom is not None:
                 # incremental maintenance: segment over ONLY the appended
                 # part (scanned back from the manifest), OR-merged in
@@ -375,8 +397,16 @@ class CrawlEngine:
         for tbl in (FRONTIER, FETCHED, SCHEDULE, METRICS):
             if not self.store.exists(tbl):
                 continue
+            # frontier compaction keeps the host-bucket dir layout so every
+            # part stays prunable on the same key
+            part_by = (
+                ["host_bucket"]
+                if tbl == FRONTIER and self.cfg.host_buckets
+                else None
+            )
             new_mani = self.store.compact(
-                tbl, target_bytes=tb, protect_rounds=protect_rounds
+                tbl, target_bytes=tb, protect_rounds=protect_rounds,
+                partition_by=part_by,
             )
             stats[tbl] = {"compacted": new_mani is not None}
             if new_mani and last is not None and tbl in snap_keys:

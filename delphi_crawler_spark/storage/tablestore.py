@@ -175,11 +175,24 @@ class TableStore:
             raise FileNotFoundError(f"table {table!r} has no committed manifest")
         return self._read_manifest(table, mani)
 
+    def _read_paths(self, table: str, paths: list[str]) -> DataFrame:
+        # parts may be dir-partitioned (key=value subdirs). Spark's multi-
+        # path partition discovery refuses sibling partitioned roots
+        # (CONFLICTING_DIRECTORY_STRUCTURES), so each immutable part is its
+        # own self-consistent scan and the table view is their union — the
+        # manifest-of-parts read plan. Predicate pushdown and partition
+        # pruning apply per branch; compaction keeps the branch count O(1).
+        frames = [self.spark.read.parquet(p) for p in paths]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
     def read(self, table: str) -> DataFrame:
         paths = [
             os.path.join(self._tdir(table), p["path"]) for p in self.parts(table)
         ]
-        return self.spark.read.parquet(*paths)
+        return self._read_paths(table, paths)
 
     def read_parts(self, table: str, round_no: int) -> DataFrame:
         """Scan only the parts tagged with ``round_no`` — manifest-level
@@ -192,7 +205,7 @@ class TableStore:
         ]
         if not paths:
             return self.read(table).limit(0)
-        return self.spark.read.parquet(*paths)
+        return self._read_paths(table, paths)
 
     def write_snapshot(
         self,
@@ -265,6 +278,7 @@ class TableStore:
         table: str,
         target_bytes: int = 128 << 20,
         protect_rounds: frozenset[int] | set[int] = frozenset(),
+        partition_by: list[str] | None = None,
     ) -> str | None:
         """Bin-pack small parts into ~``target_bytes`` parts (Iceberg
         ``rewrite_data_files`` binpack). Parts already >= target and parts
@@ -301,10 +315,10 @@ class TableStore:
         for g in groups:
             if len(g) < 2:
                 continue
-            df = self.spark.read.parquet(
-                *[os.path.join(self._tdir(table), p["path"]) for p in g]
+            df = self._read_paths(
+                table, [os.path.join(self._tdir(table), p["path"]) for p in g]
             )
-            newp = self._write_part(table, df)
+            newp = self._write_part(table, df, partition_by=partition_by)
             new_entries.append(self._part_entry(table, newp, None))
             merged_away.extend(p["path"] for p in g)
         if not new_entries:

@@ -160,6 +160,40 @@ def test_maintain_is_semantically_invisible(spark, tmp_path):
     assert on_disk <= referenced
 
 
+def test_host_bucket_partitioning(spark, tmp_path):
+    """Frontier parts are dir-partitioned on pmod(xxhash64(host), N) — the
+    Iceberg bucket(N, host) analogue: per-host scans prune at the partition
+    level (PartitionFilters in the plan, subset of files read), and the
+    layout survives compaction."""
+    eng = _run(_engine(spark, tmp_path / "hb", compact_every=1), spark)
+    tdir = os.path.join(str(tmp_path / "hb"), FRONTIER)
+    for p in eng.store.parts(FRONTIER):
+        subdirs = os.listdir(os.path.join(tdir, p["path"]))
+        assert any(s.startswith("host_bucket=") for s in subdirs), p
+
+    scan = eng.store.read(FRONTIER).filter(F.col("host_bucket") == 3)
+    # the bucket predicate lands in PartitionFilters (dir-level pruning),
+    # not just PushedFilters — the scan never opens other buckets' files
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert plan.split("PartitionFilters")[1].split("]")[0].count("host_bucket") >= 1
+    # bucket scan returns exactly the rows whose host hashes there, and
+    # covers a strict, non-empty subset of the table
+    total = eng.store.read(FRONTIER).count()
+    got = scan.count()
+    assert 0 < got < total
+    # the bucket column is consistent with its definition
+    bad = (
+        eng.store.read(FRONTIER)
+        .filter(
+            F.col("host_bucket")
+            != F.pmod(F.xxhash64("host"), F.lit(16)).cast("int")
+        )
+        .count()
+    )
+    assert bad == 0
+
+
 def test_kill_after_maintain_resumes_exactly(spark, tmp_path):
     """The risky ordering: maintain() rewrites the frontier manifest and
     amends the checkpoint; a round killed right after must still resume to
