@@ -190,15 +190,25 @@ def main() -> None:
     for name, fn in BENCH_QUERIES.items():
         if only and name not in only:
             continue
-        # best-of-N: the sandbox VM has bursty neighbor load (observed 4-5x
-        # swings on identical plans); repeated runs make best-of the least-
-        # contaminated steady-state estimate
-        reps = 3 if name == "crawl_schedule" else 2
-        rep_times = []
-        for _ in range(reps):
+        # best-of with convergence: the sandbox VM has bursty neighbor load
+        # (observed 4-13x swings on identical plans, spikes lasting minutes),
+        # so a fixed rep count can have every rep contaminated. Repeat while
+        # the latest rep still improves the best by >8% (the run is still
+        # descending toward steady state), up to a cap — best-of the reps is
+        # the least-contaminated steady-state estimate, and rep_times in the
+        # JSON exposes how noisy the window was.
+        min_reps, max_reps = (3, 7) if name == "crawl_schedule" else (2, 4)
+        rep_times: list[float] = []
+        while True:
             t0 = time.time()
             force(fn(spark, SF_DIR))
             rep_times.append(round(time.time() - t0, 3))
+            if len(rep_times) < min_reps:
+                continue
+            if len(rep_times) >= max_reps:
+                break
+            if rep_times[-1] > min(rep_times[:-1]) * 0.92:
+                break  # converged: last rep didn't materially improve best
         times[name] = min(rep_times)
         all_reps[name] = rep_times
         print(f"[bench] {name}: {times[name]}s (reps {rep_times})", file=sys.stderr, flush=True)
