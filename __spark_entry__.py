@@ -330,6 +330,44 @@ def q_j1_seen_anti_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seen_anti_join(cand, seen, bloom).select("url")
 
 
+def q_j1b_seen_anti_join_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/J1 variant: the seen anti-join behind a **cuckoo** prefilter —
+    the deletable twin of the Bloom bitsets (Fan et al., CoNEXT'14). The
+    query exercises the one capability Bloom lacks: a recrawl-invalidation
+    batch (parts with p_size > 45) is *deleted* from the filter, so those
+    URLs are admitted again. Exactness still comes from the left_anti
+    confirm; the filter only routes rows around the shuffle (reference
+    semantics ArtifactExistsQuery.scala:35-44)."""
+    _ensure_pkg(spark)
+    import numpy as np
+
+    from delphi_crawler_spark.operators.cuckoo import build_cuckoo, seen_anti_join_cuckoo
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cand = (
+        li.select(F.concat(F.lit("k"), F.col("l_partkey")).alias("url"))
+        .distinct()
+        .withColumn("url_hash64", F.xxhash64("url"))
+    )
+    seen = (
+        part.filter(F.col("p_size") > 30)
+        .select(F.concat(F.lit("k"), F.col("p_partkey")).alias("url"))
+        .withColumn("url_hash64", F.xxhash64("url"))
+    )
+    cf = build_cuckoo(seen, expected_items=max(64, seen.count()))
+    # recrawl invalidation: unsee the stalest slice (p_size > 45)
+    recrawl = (
+        part.filter(F.col("p_size") > 45)
+        .select(F.concat(F.lit("k"), F.col("p_partkey")).alias("url"))
+        .withColumn("url_hash64", F.xxhash64("url"))
+    )
+    keys = np.array([r.url_hash64 for r in recrawl.select("url_hash64").collect()], dtype=np.int64)
+    cf.delete_many(keys.view(np.uint64))
+    seen_after = seen.join(recrawl.select("url"), "url", "left_anti")
+    return seen_anti_join_cuckoo(cand, seen_after, cf).select("url")
+
+
 def q_j3_semi_anti_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: batched store semi-join splitting probes into (mapped, unmapped)
     (reference ElasticEdgeSearchActor.scala:39-77) — left_semi ∪ left_anti
@@ -1044,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_global_limit": q_p2_global_limit,
         "p6_priority_topk": q_p6_priority_topk,
         "j1_seen_anti_join_bloom": q_j1_seen_anti_join_bloom,
+        "j1b_seen_anti_join_cuckoo": q_j1b_seen_anti_join_cuckoo,
         "j3_semi_anti_split": q_j3_semi_anti_split,
         "j4_first_match_join": q_j4_first_match_join,
         "j5_version_resolution": q_j5_version_resolution,
@@ -1179,6 +1218,12 @@ WHERE rnk <= 3
     o["j1_seen_anti_join_bloom"] = """
 SELECT DISTINCT 'k' || l_partkey AS url FROM lineitem
 WHERE 'k' || l_partkey NOT IN (SELECT 'k' || p_partkey FROM part WHERE p_size > 30)
+"""
+
+    o["j1b_seen_anti_join_cuckoo"] = """
+SELECT DISTINCT 'k' || l_partkey AS url FROM lineitem
+WHERE 'k' || l_partkey NOT IN
+      (SELECT 'k' || p_partkey FROM part WHERE p_size > 30 AND p_size <= 45)
 """
 
     o["j3_semi_anti_split"] = """

@@ -1,0 +1,311 @@
+"""Cuckoo-filter URL-seen membership — the deletable alternative to the
+Bloom bitsets in ``operators/seen.py``.
+
+The north rule names "a partitioned Bloom/cuckoo filter realized as
+broadcast bitsets merged with treeAggregate"; the reference's seen-set is an
+exact in-memory HashSet (MavenDiscoveryProcess.scala:57,71-75) with a remote
+existence confirm (ArtifactExistsQuery.scala:35-44). The Bloom realization
+covers the insert-only steady state; this module adds the cuckoo filter for
+the one capability Bloom structurally lacks: **deletion** — recrawl
+invalidation ("unsee" a URL so the scheduler admits it again) without
+rebuilding the whole membership structure.
+
+Design (all numpy-vectorized, no per-row Python):
+
+- **Partial-key bucketized cuckoo filter** [Fan et al., CoNEXT'14]: 16-bit
+  fingerprints in ``n_buckets x 4`` slot tables, power-of-two bucket count,
+  alternate bucket ``b2 = b1 XOR H(fp)`` — computable from (bucket, fp)
+  alone, which is what makes segments MERGEABLE (below).
+- **Vectorized two-choice insertion + exact stash.** Keys are placed in
+  bulk: one numpy pass packs each batch into its primary buckets (stable
+  argsort → per-bucket free-slot assignment), a second pass tries the
+  alternate buckets, and the remainder lands in a small sorted stash instead
+  of running per-key eviction chains (an intentionally vectorization-
+  friendly variant; the classic kick loop is per-row Python by nature).
+  Sized at ~60% load the stash stays tiny; membership semantics are
+  unaffected — a stashed key is still found exactly.
+- **treeAggregate merge, Bloom-parity architecture.** Per-partition filters
+  of identical geometry are built batch-wise with ``mapInPandas`` (one
+  binary row per partition crosses into the RDD layer), then OR-equivalent
+  merged with ``treeReduce``: occupied (bucket, fp) entries of one filter
+  re-place into the other — legal precisely because the alternate bucket is
+  derivable from the slot position and fingerprint.
+- Like the Bloom, the filter is only a **prefilter**: anti-join correctness
+  comes from the exact ``left_anti`` confirm on the URL string, so a
+  fingerprint collision can never drop a distinct URL (property-tested).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+SLOTS = 4
+_FP_MIX = np.uint64(0x9E3779B1)  # golden-ratio odd multiplier for H(fp)
+
+
+def _geometry(expected_items: int, load: float = 0.6) -> int:
+    """Power-of-two bucket count targeting ``load`` occupancy at capacity."""
+    need = max(1, int(np.ceil(expected_items / (SLOTS * load))))
+    return 1 << int(need - 1).bit_length()
+
+
+@dataclass
+class CuckooFilter:
+    """Bucketized partial-key cuckoo filter (16-bit fingerprints, 4 slots)."""
+
+    n_buckets: int  # power of two
+    buckets: np.ndarray  # uint16[n_buckets, SLOTS]; 0 = empty slot
+    stash: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, dtype=np.uint64)
+    )  # sorted (bucket << 16 | fp) canonical keys that overflowed
+
+    @staticmethod
+    def sized(expected_items: int, load: float = 0.6) -> "CuckooFilter":
+        nb = _geometry(expected_items, load)
+        return CuckooFilter(nb, np.zeros((nb, SLOTS), dtype=np.uint16))
+
+    # ---------------------------------------------------------- key slicing
+
+    def _fp_bucket(self, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        v = vals.astype(np.uint64, copy=False)
+        fp = ((v >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)  # 0 is the empty marker
+        b1 = (v & np.uint64(self.n_buckets - 1)).astype(np.int64)
+        return fp, b1
+
+    def _alt(self, b: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        h = (fp.astype(np.uint64) * _FP_MIX) & np.uint64(self.n_buckets - 1)
+        return (b.astype(np.uint64) ^ h).astype(np.int64)
+
+    def _canonical(self, b1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        b2 = self._alt(b1, fp)
+        bmin = np.minimum(b1, b2).astype(np.uint64)
+        return (bmin << np.uint64(16)) | fp.astype(np.uint64)
+
+    # ------------------------------------------------------------ placement
+
+    def _place(self, b: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        """Bulk-place fingerprints into their buckets' free slots; returns a
+        placed mask. One stable argsort groups the batch by bucket; each
+        bucket admits up to its free-slot count, and the j-th admitted key
+        takes the bucket's j-th free slot (argsort of the occupancy mask
+        lists free slots first). Pure numpy — no Python loop over keys."""
+        n = len(b)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        order = np.argsort(b, kind="stable")
+        bs, fs = b[order], fp[order]
+        uniq, start, cnt = np.unique(bs, return_index=True, return_counts=True)
+        rows = self.buckets[uniq]  # (U, SLOTS)
+        occ_mask = rows != 0
+        free = SLOTS - occ_mask.sum(axis=1)
+        take = np.minimum(cnt, free)
+        seg_id = np.repeat(np.arange(len(uniq)), cnt)
+        idx_in_seg = np.arange(n) - np.repeat(start, cnt)
+        sel = idx_in_seg < np.repeat(take, cnt)
+        # j-th free slot of each bucket: free slots sort first (False < True)
+        free_slots = np.argsort(occ_mask, axis=1, kind="stable")
+        slot = free_slots[seg_id[sel], idx_in_seg[sel]]
+        self.buckets[bs[sel], slot] = fs[sel]
+        placed = np.zeros(n, dtype=bool)
+        placed[order] = sel
+        return placed
+
+    def add_many(self, vals: np.ndarray) -> None:
+        fp, b1 = self._fp_bucket(vals)
+        placed = self._place(b1, fp)
+        rem = ~placed
+        if rem.any():
+            fp_r, b1_r = fp[rem], b1[rem]
+            placed2 = self._place(self._alt(b1_r, fp_r), fp_r)
+            if not placed2.all():
+                over = ~placed2
+                keys = self._canonical(b1_r[over], fp_r[over])
+                self.stash = np.unique(np.concatenate([self.stash, keys]))
+
+    def _entries(self) -> tuple[np.ndarray, np.ndarray]:
+        """All occupied (bucket, fp) pairs, including stashed ones."""
+        b, s = np.nonzero(self.buckets)
+        fp = self.buckets[b, s]
+        if len(self.stash):
+            sb = (self.stash >> np.uint64(16)).astype(np.int64)
+            sf = (self.stash & np.uint64(0xFFFF)).astype(np.uint16)
+            b = np.concatenate([b.astype(np.int64), sb])
+            fp = np.concatenate([fp, sf])
+        return b.astype(np.int64), fp
+
+    def _place_entries(self, b: np.ndarray, fp: np.ndarray) -> None:
+        """Insert pre-sliced (bucket, fp) entries (the merge path — the
+        alternate bucket is derivable, so no original key is needed)."""
+        placed = self._place(b, fp)
+        rem = ~placed
+        if rem.any():
+            b_r, fp_r = b[rem], fp[rem]
+            placed2 = self._place(self._alt(b_r, fp_r), fp_r)
+            if not placed2.all():
+                over = ~placed2
+                keys = self._canonical(b_r[over], fp_r[over])
+                self.stash = np.unique(np.concatenate([self.stash, keys]))
+
+    def merge(self, other: "CuckooFilter") -> "CuckooFilter":
+        assert self.n_buckets == other.n_buckets
+        out = CuckooFilter(self.n_buckets, self.buckets.copy(), self.stash.copy())
+        ob, ofp = other._entries()
+        if len(ob):
+            out._place_entries(ob, ofp)
+        return out
+
+    # ----------------------------------------------------------- membership
+
+    def might_contain_many(self, vals: np.ndarray) -> np.ndarray:
+        if len(vals) == 0:
+            return np.zeros(0, dtype=bool)
+        fp, b1 = self._fp_bucket(vals)
+        b2 = self._alt(b1, fp)
+        hit = (self.buckets[b1] == fp[:, None]).any(axis=1) | (
+            self.buckets[b2] == fp[:, None]
+        ).any(axis=1)
+        if len(self.stash):
+            keys = self._canonical(b1, fp)
+            pos = np.searchsorted(self.stash, keys)
+            pos = np.minimum(pos, len(self.stash) - 1)
+            hit |= self.stash[pos] == keys
+        return hit
+
+    # ------------------------------------------------------------- deletion
+
+    def delete_many(self, vals: np.ndarray) -> int:
+        """Remove ONE stored occurrence per input key (the capability Bloom
+        lacks). Intra-batch slot contention (two keys matching the same
+        physical slot) is resolved by unique-slot rounds — a few vectorized
+        passes, never a per-key loop. Returns the number of removals."""
+        fp, b1 = self._fp_bucket(vals)
+        b2 = self._alt(b1, fp)
+        removed = 0
+        pending = np.ones(len(vals), dtype=bool)
+        for _ in range(SLOTS * 2):
+            idx = np.nonzero(pending)[0]
+            if len(idx) == 0:
+                break
+            progressed = False
+            for b in (b1, b2):
+                idx = np.nonzero(pending)[0]
+                if len(idx) == 0:
+                    break
+                rows = self.buckets[b[idx]]  # (n, SLOTS)
+                m = rows == fp[idx, None]
+                has = m.any(axis=1)
+                if not has.any():
+                    continue
+                slot = m.argmax(axis=1)
+                cand = idx[has]
+                flat = b[cand] * SLOTS + slot[has]
+                _, first = np.unique(flat, return_index=True)
+                winners = cand[first]
+                self.buckets[b[winners], slot[has][first]] = 0
+                pending[winners] = False
+                removed += len(winners)
+                progressed = True
+            if not progressed:
+                break
+        # leftovers may live in the stash
+        idx = np.nonzero(pending)[0]
+        if len(idx) and len(self.stash):
+            keys = np.unique(self._canonical(b1[idx], fp[idx]))
+            keep = ~np.isin(self.stash, keys)
+            removed += int((~keep).sum())
+            self.stash = self.stash[keep]
+        return removed
+
+
+def build_cuckoo(
+    df: DataFrame,
+    col: str = "url_hash64",
+    expected_items: int | None = None,
+    load: float = 0.6,
+    tree_depth: int = 2,
+) -> CuckooFilter:
+    """Build the seen-set cuckoo filter from a DataFrame of 64-bit keys —
+    the same partitioned-build + treeAggregate-merge architecture as
+    ``seen.build_bloom`` (one tiny binary row per partition crosses into the
+    RDD reduce; key data never leaves the Arrow batches)."""
+    if expected_items is None:
+        expected_items = df.count()
+    nb = _geometry(max(64, expected_items), load)
+
+    def build_partition(batches):
+        cf = CuckooFilter(nb, np.zeros((nb, SLOTS), dtype=np.uint16))
+        any_rows = False
+        for pdf in batches:
+            vals = pdf.iloc[:, 0].to_numpy(dtype="int64")
+            if len(vals):
+                cf.add_many(vals.view(np.uint64))
+                any_rows = True
+        if any_rows:
+            yield pd.DataFrame(
+                {"buckets": [cf.buckets.tobytes()], "stash": [cf.stash.tobytes()]}
+            )
+
+    parts = df.select(F.col(col)).mapInPandas(
+        build_partition, schema="buckets binary, stash binary"
+    )
+    zero = df.sparkSession.createDataFrame(
+        [(bytearray(nb * SLOTS * 2), bytearray(0))],
+        schema="buckets binary, stash binary",
+    )
+    rdd = parts.unionByName(zero).rdd.map(
+        lambda r: CuckooFilter(
+            nb,
+            np.frombuffer(r.buckets, dtype=np.uint16).reshape(nb, SLOTS).copy(),
+            np.frombuffer(r.stash, dtype=np.uint64).copy(),
+        )
+    )
+    return rdd.treeReduce(lambda a, b: a.merge(b), depth=tree_depth)
+
+
+def might_contain_col(spark: SparkSession, cf: CuckooFilter, key_col: str):
+    """Vectorized membership Column (Arrow-batched pandas UDF over one
+    broadcast of the slot table — mirrors ``seen.might_contain_col``)."""
+    bc = spark.sparkContext.broadcast((cf.n_buckets, cf.buckets, cf.stash))
+
+    @F.pandas_udf(BooleanType())
+    def _might_contain(vals: pd.Series) -> pd.Series:
+        nb, buckets, stash = bc.value
+        f = CuckooFilter(nb, buckets, stash)
+        arr = vals.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+        return pd.Series(f.might_contain_many(arr))
+
+    return _might_contain(F.col(key_col))
+
+
+def seen_anti_join_cuckoo(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    cf: CuckooFilter | None = None,
+    url_col: str = "url",
+    hash64_col: str = "url_hash64",
+) -> DataFrame:
+    """Two-tier seen anti-join with the cuckoo prefilter: filter-negative
+    rows are definitely new and skip the shuffle; positives get the exact
+    ``left_anti`` confirm on the URL string. Identical result to the plain
+    anti-join by construction (property-tested), same shape as
+    ``seen.seen_anti_join``."""
+    if seen is None:
+        return candidates
+    seen_keys = seen.select(url_col)
+    if cf is None:
+        return candidates.join(seen_keys, url_col, "left_anti")
+    spark = candidates.sparkSession
+    flagged = candidates.withColumn(
+        "__maybe_seen", might_contain_col(spark, cf, hash64_col)
+    )
+    definite_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    maybe = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    confirmed_new = maybe.join(seen_keys, url_col, "left_anti")
+    return definite_new.unionByName(confirmed_new)

@@ -360,3 +360,70 @@ def test_tablestore_parts_semantics(spark, tmp_path):
     # restore: time-travel back to the first manifest
     st.restore("t", snap1)
     assert sorted(r.k for r in st.read("t").collect()) == [1, 2]
+
+
+# ------------------------------------------------------------- cuckoo seen
+def test_cuckoo_core_semantics():
+    """No false negatives, bounded FPR, exact delete of inserted keys."""
+    from delphi_crawler_spark.operators.cuckoo import CuckooFilter
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(-(2**63), 2**63 - 1, size=20_000, dtype=np.int64).view(np.uint64)
+    vals = np.unique(vals)
+    cf = CuckooFilter.sized(len(vals))
+    cf.add_many(vals)
+    assert cf.might_contain_many(vals).all()
+    other = rng.integers(-(2**63), 2**63 - 1, size=20_000, dtype=np.int64).view(np.uint64)
+    other = np.setdiff1d(other, vals)
+    assert cf.might_contain_many(other).mean() < 0.01
+    # delete the first half: removed count exact, kept half still all present
+    drop, keep = vals[: len(vals) // 2], vals[len(vals) // 2 :]
+    assert cf.delete_many(drop) == len(drop)
+    assert cf.might_contain_many(keep).all()
+    # deleted keys are (almost) all gone — residual hits are fp collisions
+    assert cf.might_contain_many(drop).mean() < 0.01
+
+
+def test_cuckoo_merge_equivalence():
+    """treeReduce merge law: merge(A,B) contains exactly A's and B's entries."""
+    from delphi_crawler_spark.operators.cuckoo import CuckooFilter
+
+    rng = np.random.default_rng(11)
+    a_keys = rng.integers(0, 2**63 - 1, size=5_000, dtype=np.int64).view(np.uint64)
+    b_keys = rng.integers(0, 2**63 - 1, size=5_000, dtype=np.int64).view(np.uint64)
+    a = CuckooFilter.sized(12_000)
+    b = CuckooFilter.sized(12_000)
+    a.add_many(a_keys)
+    b.add_many(b_keys)
+    m = a.merge(b)
+    assert m.might_contain_many(a_keys).all()
+    assert m.might_contain_many(b_keys).all()
+
+
+def test_seen_anti_join_cuckoo_property(spark):
+    """Cuckoo prefilter must never change the anti-join result; after a
+    recrawl-invalidation delete the anti-join admits the unseen rows again."""
+    from delphi_crawler_spark.operators.cuckoo import build_cuckoo, seen_anti_join_cuckoo
+
+    pdf = gen_seed_urls(n=4000)
+    df = with_url_keys(
+        spark.createDataFrame(pdf).withColumn("url", canonicalize_url("url"))
+    )
+    cand = first_occurrence_dedup(df, key="url")
+    seen = cand.filter(F.col("seq") % 3 == 0).select("url", "url_hash64")
+    cf = build_cuckoo(seen, expected_items=2000)
+    exact = set(r.url for r in cand.join(seen.select("url"), "url", "left_anti").collect())
+    got = set(r.url for r in seen_anti_join_cuckoo(cand, seen, cf).select("url").collect())
+    assert exact == got
+
+    # recrawl invalidation: unsee every 2nd seen URL; those URLs are admitted
+    recrawl = seen.filter(F.col("url_hash64") % 2 == 0)
+    keys = np.array([r.url_hash64 for r in recrawl.collect()], dtype=np.int64)
+    cf.delete_many(keys.view(np.uint64))
+    seen_after = seen.join(recrawl.select("url"), "url", "left_anti")
+    exact2 = set(r.url for r in cand.join(seen_after.select("url"), "url", "left_anti").collect())
+    got2 = set(
+        r.url for r in seen_anti_join_cuckoo(cand, seen_after, cf).select("url").collect()
+    )
+    assert exact2 == got2
+    assert exact < exact2  # strictly more admitted after invalidation
