@@ -1059,6 +1059,62 @@ def q_pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus segment dedup (CCNet/RefinedWeb-style repeated-span
+    removal): 8-token segments, corpus-wide document frequency, repeated
+    segments dropped everywhere except their first-occurrence document.
+    One hash-agg + one equi-join on the segment text — linear shuffle."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.corpus import dup_segment_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dup_segment_stats(docs, "doc_id", "text", seg_tokens=8)
+    return out.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        F.col("n_segments").cast(BIG).alias("n_segments"),
+        F.col("n_dup_segments").cast(BIG).alias("n_dup_segments"),
+        "clean_text",
+    )
+
+
+def q_corpus_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signals (Rae et al. 2021 §A1.1
+    style): duplicate-word fraction, top-word fraction, top-bigram fraction,
+    and the keep verdict — all hash-aggs keyed by (doc, term)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.corpus import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_signals(docs, "doc_id", "text")
+    return out.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        F.col("n_tokens").cast(BIG).alias("n_tokens"),
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        "keep",
+    )
+
+
+def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget stratified sampling: per language, admit documents in
+    md5(doc_id) order until 3000 tokens are reached (budget-crossing doc
+    kept). The cumsum window is partitioned by stratum — no global sort."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.corpus import stratified_token_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_token_sample(
+        docs, budget_tokens=3000, stratum_col="lang", id_col="doc_id"
+    )
+    return out.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        "lang",
+        F.col("n_tokens").cast(BIG).alias("n_tokens"),
+        F.col("cum_tokens").cast(BIG).alias("cum_tokens"),
+    )
+
+
 # =====================================================================
 # Contract surface
 # =====================================================================
@@ -1117,6 +1173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_features": q_mm_media_features,
         "mm_frame_sampling": q_mm_frame_sampling,
         "pipeline_training_prep": q_pipeline_training_prep,
+        "corpus_segment_dedup": q_corpus_segment_dedup,
+        "corpus_repetition_signals": q_corpus_repetition_signals,
+        "corpus_stratified_sample": q_corpus_stratified_sample,
     }
 
 
@@ -1477,6 +1536,79 @@ SELECT d.doc_id::BIGINT AS doc_id,
        CASE WHEN regexp_matches(d.text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
             ELSE coalesce(b.lang, 'und') END AS lang_pred
 FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+"""
+
+    o["corpus_segment_dedup"] = """
+WITH arr AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+z AS (SELECT doc_id, unnest(list_zip(toks, range(1, len(toks)+1))) AS zz FROM arr),
+toks AS (SELECT doc_id, zz[1] AS tok, CAST(zz[2] AS BIGINT) - 1 AS pos FROM z),
+segs AS (
+  SELECT doc_id, pos//8 AS seg_id, string_agg(tok, ' ' ORDER BY pos) AS seg_text
+  FROM toks GROUP BY doc_id, pos//8
+),
+freq AS (
+  SELECT seg_text, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+  FROM segs GROUP BY seg_text
+)
+SELECT s.doc_id::BIGINT AS doc_id,
+       count(*)::BIGINT AS n_segments,
+       sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_segments,
+       coalesce(string_agg(
+           CASE WHEN f.n_docs = 1 OR f.first_doc = s.doc_id THEN s.seg_text END,
+           ' ' ORDER BY s.seg_id), '') AS clean_text
+FROM segs s JOIN freq f USING (seg_text)
+GROUP BY s.doc_id
+"""
+
+    o["corpus_repetition_signals"] = """
+WITH arr AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_word_frac
+  FROM arr
+),
+z AS (SELECT doc_id, unnest(list_zip(toks, range(1, len(toks)+1))) AS zz FROM arr),
+toks AS (SELECT doc_id, zz[1] AS tok, CAST(zz[2] AS BIGINT) - 1 AS pos FROM z),
+topw AS (
+  SELECT doc_id, max(c) AS top_word_n
+  FROM (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok) t
+  GROUP BY doc_id
+),
+bigr AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+  FROM toks QUALIFY bg IS NOT NULL
+),
+topb AS (
+  SELECT doc_id, max(c) AS top_bigram_n
+  FROM (SELECT doc_id, bg, count(*) AS c FROM bigr GROUP BY doc_id, bg) t
+  GROUP BY doc_id
+)
+SELECT b.doc_id::BIGINT AS doc_id, b.n_tokens,
+       round(b.dup_word_frac, 6) AS dup_word_frac,
+       round(CAST(w.top_word_n AS DOUBLE) / b.n_tokens, 6) AS top_word_frac,
+       round(coalesce(tb.top_bigram_n, 0) * 2.0 / b.n_tokens, 6) AS top_bigram_frac,
+       (b.dup_word_frac <= 0.7
+        AND CAST(w.top_word_n AS DOUBLE) / b.n_tokens <= 0.3
+        AND coalesce(tb.top_bigram_n, 0) * 2.0 / b.n_tokens <= 0.18) AS keep
+FROM base b
+JOIN topw w USING (doc_id)
+LEFT JOIN topb tb USING (doc_id)
+"""
+
+    o["corpus_stratified_sample"] = """
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(text,' '))::BIGINT AS n_tokens,
+         md5(doc_id::VARCHAR) AS shuffle_key
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY shuffle_key, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM t
+)
+SELECT doc_id::BIGINT AS doc_id, lang, n_tokens, cum_tokens::BIGINT AS cum_tokens
+FROM c WHERE cum_tokens - n_tokens < 3000
 """
 
     o["pipeline_training_prep"] = """

@@ -1,0 +1,234 @@
+"""Corpus-level training-data preparation operators: cross-document segment
+dedup, within-document repetition signals, and token-budget stratified
+sampling.
+
+These extend the per-document text family (``functions/textfns.py``) and the
+pairwise dedup family (``operators/dedup_fuzzy.py``) with the corpus-shaped
+passes a large-scale pretraining pipeline runs between crawl and training:
+
+- **Cross-corpus segment dedup** (the distributed analogue of CCNet/
+  RefinedWeb "remove duplicated spans across documents"): split each
+  document into fixed ``seg_tokens``-token segments, count each distinct
+  segment's document frequency corpus-wide, and either report per-document
+  duplication stats or rebuild the text with every repeated segment removed
+  except its first occurrence (min ``doc_id`` wins — deterministic).
+
+  Scale shape: segmentation is pure JVM array math (``sequence`` +
+  ``slice`` + ``array_join`` — no explode before the segment grain), the
+  frequency pass is ONE partial-aggregating hash-agg keyed on the segment
+  text, and the flag pass is an equi-join on the same key, so the shuffle
+  is linear in corpus token count. We deliberately group on the segment
+  STRING, not a 64-bit hash of it: at 10^10+ segments a 64-bit key has
+  birthday collisions that would silently merge distinct segments, and the
+  segment is itself short (~8 tokens), so the shuffle-width saving of
+  hashing is not worth the correctness caveat.
+
+- **Repetition signals** (the duplicate-text quality heuristics of
+  Rae et al. 2021 "Scaling Language Models" §A1.1, public knowledge):
+  duplicate-word fraction, top-word fraction, and top-bigram fraction per
+  document, plus the keep/drop verdict at the published-style thresholds.
+  Distinct-count and totals come from per-(doc, term) hash-aggs —
+  partial-aggregated, keyed by document, never a window over the corpus.
+
+- **Token-budget stratified sampling**: admit documents per stratum (e.g.
+  language) in a deterministic pseudo-random order until each stratum's
+  token budget fills — the "mix N billion tokens per language" step of a
+  corpus build. Order is ``md5(doc_id)`` (portable across engines), the
+  running total is a per-stratum window cumsum, and a document is admitted
+  iff the budget was not already full before it (so the budget-crossing
+  document is kept — "fill to at least B tokens", matching greedy packing).
+
+Reference parity: the reference engine has no corpus-level text pass (its
+documents are Maven artifacts); these operators are the training-data
+extension mandated by the brief, built on the same declarative-plan rules
+as the rest of the engine (no per-row Python, no unkeyed windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def segment_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """Explode documents into fixed-width token segments
+    ``(id, seg_id, seg_text)``. Segmentation happens inside the row (JVM
+    ``sequence``/``slice``/``array_join``) so the explode emits exactly one
+    row per segment — no token-grain intermediate ever exists."""
+    toks = _tokens(text_col)
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+        ),
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(segs).alias("seg_id", "seg_text")
+    )
+
+
+def dup_segment_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """Per-document cross-corpus duplication stats and the de-duplicated
+    text: ``n_segments``, ``n_dup_segments`` (segments occurring in ≥ 2
+    distinct documents), and ``clean_text`` — the document with every
+    corpus-repeated segment dropped unless this document is the segment's
+    first occurrence (min id). One hash-agg + one equi-join + one
+    per-document regroup; every stage partial-aggregates map-side."""
+    segs = segment_docs(docs, id_col, text_col, seg_tokens)
+    freq = segs.groupBy("seg_text").agg(
+        F.count_distinct(id_col).alias("__n_docs"),
+        F.min(id_col).alias("__first_doc"),
+    )
+    flagged = segs.join(freq, "seg_text")
+    keep = (F.col("__n_docs") == 1) | (F.col("__first_doc") == F.col(id_col))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("__n_docs") > 1, 1).otherwise(0)).alias(
+                "n_dup_segments"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                keep,
+                                F.struct(
+                                    F.col("seg_id"), F.col("seg_text")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("seg_text"),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_word_frac: float = 0.7,
+    max_top_word_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Within-document repetition quality signals per document:
+
+    - ``dup_word_frac``   = 1 − distinct_tokens / n_tokens
+    - ``top_word_frac``   = occurrences of the most frequent token / n_tokens
+    - ``top_bigram_frac`` = tokens covered by the most frequent bigram
+                            (2 × its count) / n_tokens
+    - ``keep``            = all three under their thresholds (defaults in the
+                            spirit of Rae et al. 2021 Table A1).
+
+    The token and bigram frequency passes are hash-aggs keyed by
+    ``(doc, term)`` then ``doc`` — linear, partial-aggregated, skew-free
+    (a document's terms spread over the term dimension)."""
+    toks = _tokens(text_col)
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("n_tokens"),
+        (
+            1.0
+            - F.size(F.array_distinct(toks)) / F.size(toks)
+        ).alias("dup_word_frac"),
+    )
+    words = base.select(id_col, "n_tokens", F.explode("__toks").alias("__w"))
+    top_word = (
+        words.groupBy(id_col, "__w")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("__top_word_n"))
+    )
+    bigrams = base.select(
+        id_col,
+        "n_tokens",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("__bg"),
+    )
+    top_bigram = (
+        bigrams.groupBy(id_col, "__bg")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("__top_bigram_n"))
+    )
+    out = (
+        base.drop("__toks")
+        .join(top_word, id_col)
+        .join(top_bigram, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_word_frac",
+            (F.col("__top_word_n") / F.col("n_tokens")).alias("top_word_frac"),
+            (
+                F.coalesce(F.col("__top_bigram_n"), F.lit(0))
+                * 2.0
+                / F.col("n_tokens")
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("top_word_frac") <= max_top_word_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac),
+    )
+
+
+def stratified_token_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic token-budget sampling per stratum: order each stratum
+    by ``md5(id)`` (an engine-portable pseudo-random shuffle — no ``rand()``
+    so reruns and resumes agree), take documents until the stratum's running
+    token total reaches ``budget_tokens``; the budget-crossing document is
+    admitted (greedy fill-to-at-least-B).
+
+    The window is PARTITIONED by stratum — the cumsum sort is per-stratum,
+    never global. Caveat for few-strata corpora: one stratum = one sort
+    task; at that shape, switch the cumsum to the two-phase per-partition
+    offset pattern used for frontier seq assignment
+    (``operators/ordering.py``)."""
+    n_tokens = F.size(_tokens(text_col))
+    shuffle_key = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(shuffle_key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("n_tokens", n_tokens)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
+    )

@@ -373,3 +373,95 @@ def test_resize_images_real_nn_kernel(spark):
         expect = raster[yi][:, xi].tobytes()
         assert bytes(r.payload) == expect
         assert (r.src_width, r.src_height) == (meta.width, meta.height)
+
+
+# ------------------------------------------------------ corpus-level passes
+def test_dup_segment_stats_semantics(spark):
+    """Repeated segments survive only in their first-occurrence doc; unique
+    segments are untouched; stats count exactly the corpus-repeated ones."""
+    from delphi_crawler_spark.operators.corpus import dup_segment_stats
+
+    seg_a = "a b c d"          # shared by docs 1 and 2
+    seg_b = "e f g h"          # only doc 1
+    seg_c = "p q r s"          # only doc 2
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [f"{seg_a} {seg_b}", f"{seg_a} {seg_c}"],
+        }
+    )
+    out = {
+        r.doc_id: r
+        for r in dup_segment_stats(
+            spark.createDataFrame(pdf), seg_tokens=4
+        ).collect()
+    }
+    assert (out[1].n_segments, out[1].n_dup_segments) == (2, 1)
+    assert (out[2].n_segments, out[2].n_dup_segments) == (2, 1)
+    assert out[1].clean_text == f"{seg_a} {seg_b}"  # first occurrence keeps it
+    assert out[2].clean_text == seg_c               # later occurrence loses it
+
+
+def test_repetition_signals_crafted(spark):
+    """Hand-computable fractions and the keep verdict on crafted docs."""
+    from delphi_crawler_spark.operators.corpus import repetition_signals
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "x x x x y z",          # 6 tokens, top word x=4, bigram 'x x'=3
+                " ".join(f"t{i}" for i in range(20)),  # all distinct, long
+            ],
+        }
+    )
+    out = {r.doc_id: r for r in repetition_signals(spark.createDataFrame(pdf)).collect()}
+    r1, r2 = out[1], out[2]
+    assert r1.n_tokens == 6
+    assert abs(r1.dup_word_frac - 0.5) < 1e-9          # 3 distinct of 6
+    assert abs(r1.top_word_frac - 4 / 6) < 1e-9
+    assert abs(r1.top_bigram_frac - 6 / 6) < 1e-9      # 3 * 2 / 6
+    assert not r1.keep
+    assert r2.dup_word_frac == 0.0 and r2.keep
+
+
+def test_stratified_token_sample_budget_and_determinism(spark):
+    """Each stratum stops at the budget-crossing doc; result is identical
+    across shuffle-partition settings (deterministic order key)."""
+    from delphi_crawler_spark.operators.corpus import stratified_token_sample
+
+    rng = np.random.default_rng(5)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "lang": np.repeat(["en", "de", "fr", "ja"], n // 4),
+            "text": [" ".join(["w"] * int(k)) for k in rng.integers(5, 40, n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    budget = 300
+    out = stratified_token_sample(df, budget_tokens=budget, stratum_col="lang")
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        total = sum(r.n_tokens for r in rs)
+        assert total >= budget  # filled to at least the budget
+        # dropping the largest cum row leaves us under budget (minimal fill)
+        assert total - max(r.cum_tokens for r in rs if r.cum_tokens == max(
+            x.cum_tokens for x in rs)) < budget or total - min(
+            r.n_tokens for r in rs) < budget
+    ids = sorted(r.doc_id for r in rows)
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        ids2 = sorted(
+            r.doc_id
+            for r in stratified_token_sample(
+                df.repartition(7), budget_tokens=budget, stratum_col="lang"
+            ).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert ids == ids2
