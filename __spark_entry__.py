@@ -1115,6 +1115,51 @@ def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization of the event log (30-min gap): one
+    shuffle on the key; lag + running-sum share a single (key, ts) sort."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.events import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev, gap_seconds=1800)
+    return out.select(
+        F.col("user_id").cast(BIG).alias("user_id"),
+        F.col("session_no").cast(BIG).alias("session_no"),
+        "session_start",
+        "session_end",
+        F.col("n_events").cast(BIG).alias("n_events"),
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+def q_evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each click gets the most recent view of
+    the same user at or before it. Union-and-carry — one key shuffle, no
+    range join; right (key, ts) ties collapsed for determinism (DuckDB
+    ASOF JOIN is the oracle)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.events import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        clicks, views, key_col="user_id", ts_col="ts",
+        right_payload=["event_id", "ts"],
+    )
+    return out.select(
+        F.col("event_id").cast(BIG).alias("event_id"),
+        F.col("user_id").cast(BIG).alias("user_id"),
+        F.col("event_id_r").cast(BIG).alias("view_event_id"),
+        F.col("ts_r").alias("view_ts"),
+    )
+
+
 # =====================================================================
 # Contract surface
 # =====================================================================
@@ -1176,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_segment_dedup": q_corpus_segment_dedup,
         "corpus_repetition_signals": q_corpus_repetition_signals,
         "corpus_stratified_sample": q_corpus_stratified_sample,
+        "evt_sessionize": q_evt_sessionize,
+        "evt_asof_join": q_evt_asof_join,
     }
 
 
@@ -1609,6 +1656,36 @@ c AS (
 )
 SELECT doc_id::BIGINT AS doc_id, lang, n_tokens, cum_tokens::BIGINT AS cum_tokens
 FROM c WHERE cum_tokens - n_tokens < 3000
+"""
+
+    o["evt_sessionize"] = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM o
+)
+SELECT user_id::BIGINT AS user_id, session_no::BIGINT AS session_no,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, session_no
+"""
+
+    o["evt_asof_join"] = """
+SELECT c.event_id::BIGINT AS event_id, c.user_id::BIGINT AS user_id,
+       v.event_id::BIGINT AS view_event_id, v.ts AS view_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+) v ON c.user_id = v.user_id AND c.ts >= v.ts
 """
 
     o["pipeline_training_prep"] = """
