@@ -1160,6 +1160,34 @@ def q_evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p7_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 at host granularity: restart-with-backoff policy derived from
+    per-(host, round) fetch metrics — trailing failed-round streak →
+    min(90, 30·2^(streak-1)) s backoff, retired past 20 straight failures
+    (reference IndexProcessing.scala:36-41 RestartSource parameters).
+    Events stand in as fetch outcomes: user ≡ host, minute ≡ round,
+    non-error ≡ success. One partial-aggregating hash-agg, no window."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.politeness import host_backoff_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    rounds = ev.groupBy(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")) / 60_000_000
+        ).alias("round"),
+    ).agg(
+        F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0)).alias("n_ok")
+    )
+    out = host_backoff_schedule(rounds, host_col="user_id")
+    return out.select(
+        F.col("user_id").cast(BIG).alias("user_id"),
+        F.col("fail_streak").cast(BIG).alias("fail_streak"),
+        "backoff_s",
+        "retired",
+    )
+
+
 # =====================================================================
 # Contract surface
 # =====================================================================
@@ -1223,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "evt_sessionize": q_evt_sessionize,
         "evt_asof_join": q_evt_asof_join,
+        "p7_host_backoff": q_p7_host_backoff,
     }
 
 
@@ -1686,6 +1715,27 @@ ASOF LEFT JOIN (
   SELECT user_id, ts, max(event_id) AS event_id
   FROM events WHERE event_type = 'view' GROUP BY user_id, ts
 ) v ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+    o["p7_host_backoff"] = """
+WITH r AS (
+  SELECT user_id, floor(epoch(ts) / 60)::BIGINT AS rnd,
+         sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS n_ok
+  FROM events GROUP BY 1, 2
+),
+a AS (
+  SELECT user_id, max(rnd) AS last_r, min(rnd) AS first_r,
+         max(CASE WHEN n_ok > 0 THEN rnd END) AS last_ok
+  FROM r GROUP BY 1
+),
+s AS (
+  SELECT user_id, last_r - coalesce(last_ok, first_r - 1) AS streak FROM a
+)
+SELECT user_id::BIGINT AS user_id, streak::BIGINT AS fail_streak,
+       CASE WHEN streak <= 0 THEN 0.0
+            ELSE round(least(90.0, 30 * pow(2.0, streak - 1)), 3) END AS backoff_s,
+       streak > 20 AS retired
+FROM s
 """
 
     o["pipeline_training_prep"] = """

@@ -113,3 +113,52 @@ def global_limit(df: DataFrame, n: int) -> DataFrame:
     if n and n > 0:
         return emission_order(df).limit(n)
     return df
+
+
+def host_backoff_schedule(
+    metrics: DataFrame,
+    host_col: str = "host",
+    round_col: str = "round",
+    ok_col: str = "n_ok",
+    min_backoff_s: int = 30,
+    max_backoff_s: int = 90,
+    max_restarts: int = 20,
+    jitter_factor: float = 0.0,
+) -> DataFrame:
+    """Host-level restart-with-backoff (S2 parity at host granularity):
+    from per-(host, round) fetch metrics, derive each host's trailing
+    failed-round streak and the exponential backoff the next round must
+    respect — ``RestartSource.withBackoff(30s, 90s, 0.2, maxRestarts=20)``
+    (reference IndexProcessing.scala:36-41) re-expressed as a crawl-frontier
+    policy: a host that keeps failing waits ``min(max, min·2^(streak-1))``
+    seconds and is retired after ``max_restarts`` consecutive failed rounds.
+
+    One partial-aggregating hash-agg on host — the streak needs only
+    (latest round, latest succeeding round, earliest round), all plain
+    min/max aggregates; no window, no per-row state. Optional deterministic
+    jitter (the reference's randomFactor, made replayable): a [0, factor)
+    fraction of the backoff derived from md5(host) — portable column math,
+    identical run-to-run and engine-to-engine."""
+    agg = metrics.groupBy(host_col).agg(
+        F.max(round_col).alias("__last"),
+        F.min(round_col).alias("__first"),
+        F.max(F.when(F.col(ok_col) > 0, F.col(round_col))).alias("__last_ok"),
+    )
+    streak = F.col("__last") - F.coalesce(F.col("__last_ok"), F.col("__first") - 1)
+    base = F.least(
+        F.lit(max_backoff_s).cast("double"),
+        min_backoff_s * F.pow(F.lit(2.0), streak - 1),
+    )
+    jitter = (
+        F.conv(F.substring(F.md5(F.col(host_col).cast("string")), 1, 4), 16, 10).cast("long")
+        / F.lit(65536.0)
+        * jitter_factor
+        * base
+    )
+    backoff = F.when(streak <= 0, F.lit(0.0)).otherwise(F.round(base + jitter, 3))
+    return agg.select(
+        host_col,
+        streak.cast("long").alias("fail_streak"),
+        backoff.alias("backoff_s"),
+        (streak > max_restarts).alias("retired"),
+    )

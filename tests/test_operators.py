@@ -496,3 +496,31 @@ def test_asof_join_matches_pandas_reference(spark):
     for _, row in ref.iterrows():
         expect = None if pd.isna(row.rid) else int(row.rid)
         assert got[int(row.event_id)] == expect
+
+
+def test_host_backoff_schedule(spark):
+    """Streak/backoff/retire semantics: exp growth capped at max, streak 0
+    when the latest round succeeded, never-succeeded hosts count from their
+    first round, retirement past max_restarts; jitter is deterministic."""
+    from delphi_crawler_spark.operators.politeness import host_backoff_schedule
+
+    rows = []
+    # host A: rounds 0-4, succeeded last round -> streak 0
+    rows += [("a", r, 1) for r in range(5)]
+    # host B: ok at round 1, failing rounds 2-4 -> streak 3, backoff 90 (cap)
+    rows += [("b", 1, 2), ("b", 2, 0), ("b", 3, 0), ("b", 4, 0)]
+    # host C: never ok over rounds 10-11 -> streak 2, backoff 60
+    rows += [("c", 10, 0), ("c", 11, 0)]
+    # host D: 25 straight failing rounds -> retired
+    rows += [("d", r, 0) for r in range(25)]
+    m = spark.createDataFrame(rows, "host string, round long, n_ok long")
+    out = {r.host: r for r in host_backoff_schedule(m).collect()}
+    assert (out["a"].fail_streak, out["a"].backoff_s, out["a"].retired) == (0, 0.0, False)
+    assert (out["b"].fail_streak, out["b"].backoff_s) == (3, 90.0)
+    assert (out["c"].fail_streak, out["c"].backoff_s) == (2, 60.0)
+    assert out["d"].fail_streak == 25 and out["d"].retired
+    # deterministic jitter: same inputs -> same backoff, within [base, base*(1+f))
+    j1 = {r.host: r.backoff_s for r in host_backoff_schedule(m, jitter_factor=0.2).collect()}
+    j2 = {r.host: r.backoff_s for r in host_backoff_schedule(m, jitter_factor=0.2).collect()}
+    assert j1 == j2
+    assert 90.0 <= j1["b"] < 90.0 * 1.2 and j1["a"] == 0.0

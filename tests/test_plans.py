@@ -73,3 +73,30 @@ def test_span_stats_whole_stage_codegen(spark):
     plan = _plan(E.q_a4_span_stats(spark, SF))
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_sessionize_single_exchange(spark):
+    """lag + running-sum + session aggregate all ride ONE key shuffle: the
+    two windows share (key, ts) sort order and the groupBy key set is a
+    refinement of the window partitioning."""
+    plan = _plan(E.q_evt_sessionize(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_asof_join_no_range_join(spark):
+    """The as-of join must be union-and-carry: no broadcast nested loop, no
+    cartesian product, and the carry window shuffles on the key."""
+    plan = _plan(E.q_evt_asof_join(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_corpus_segment_dedup_no_token_grain_explode(spark):
+    """Segmentation happens in-row: exactly one Generate (the segment
+    posexplode) per scan branch, never a token-level explode."""
+    plan = _plan(E.q_corpus_segment_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    # two scan branches (segments + frequency) — at most one Generate each
+    assert plan.count("Generate posexplode") <= 2
