@@ -1188,6 +1188,44 @@ def q_p7_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROBOTS_BODY_SQL = """
+CASE CAST(n_nationkey % 4 AS INT)
+ WHEN 0 THEN 'User-agent: other-bot' || chr(10) || 'Disallow: /' || chr(10) || chr(10)
+          || 'User-agent: *' || chr(10) || 'Disallow: /p' || n_nationkey || chr(10)
+          || 'Allow: /p' || n_nationkey || '/ok'
+ WHEN 1 THEN 'User-agent: Spark-Crawler' || chr(10) || 'User-agent: extra' || chr(10)
+          || 'Disallow: /x' || n_nationkey || chr(10) || 'Allow: /x' || n_nationkey || '/y'
+          || chr(10) || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /'
+ WHEN 2 THEN 'User-agent: someone-else' || chr(10) || 'Disallow: /'
+ ELSE 'Disallow: /orphan' || chr(10) || '# note' || chr(10) || 'User-agent: *'
+          || chr(10) || 'Disallow:' || chr(10) || 'Allow: /ok' || n_nationkey
+END
+"""
+
+
+def q_f6b_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 front half: raw robots.txt text → rule rows, RFC 9309 group
+    semantics (best-matching UA group only — exact agent beats '*', case-
+    insensitive directives, comments stripped, empty Disallow dropped,
+    orphan rules before any group ignored). Bodies are synthesized
+    deterministically from nation (4 templates covering each case); the
+    DuckDB oracle builds the same bodies and re-derives the parse with the
+    same window-carry logic."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.robots import parse_robots_txt
+
+    bodies = _t(spark, sf_dir, "nation").selectExpr(
+        "lower(n_name) || '.com' AS host", _ROBOTS_BODY_SQL + " AS body"
+    )
+    out = parse_robots_txt(bodies, agent="spark-crawler")
+    return out.select(
+        "host",
+        "rule",
+        "path_prefix",
+        F.col("order").cast(BIG).alias("rule_order"),
+    )
+
+
 # =====================================================================
 # Contract surface
 # =====================================================================
@@ -1252,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_sessionize": q_evt_sessionize,
         "evt_asof_join": q_evt_asof_join,
         "p7_host_backoff": q_p7_host_backoff,
+        "f6b_robots_parse": q_f6b_robots_parse,
     }
 
 
@@ -1737,6 +1776,67 @@ SELECT user_id::BIGINT AS user_id, streak::BIGINT AS fail_streak,
        streak > 20 AS retired
 FROM s
 """
+
+    o["f6b_robots_parse"] = (
+        """
+WITH bodies AS (
+  SELECT lower(n_name) || '.com' AS host, """
+        + _ROBOTS_BODY_SQL
+        + """ AS body FROM nation
+),
+l0 AS (SELECT host, string_split(body, chr(10)) AS ls FROM bodies),
+z AS (SELECT host, unnest(list_zip(ls, range(1, len(ls)+1))) AS zz FROM l0),
+lines AS (
+  SELECT host, CAST(zz[2] AS BIGINT) AS line_no,
+         trim(regexp_replace(zz[1], '#.*$', '')) AS line
+  FROM z WHERE trim(regexp_replace(zz[1], '#.*$', '')) <> ''
+),
+parsed AS (
+  SELECT host, line_no,
+         lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS directive,
+         trim(regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(.*)$', 1)) AS value
+  FROM lines
+  WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+        IN ('user-agent', 'allow', 'disallow')
+),
+g AS (
+  SELECT *, CASE WHEN directive = 'user-agent'
+                  AND coalesce(lag(directive) OVER (PARTITION BY host ORDER BY line_no), '')
+                      <> 'user-agent'
+             THEN 1 ELSE 0 END AS starts
+  FROM parsed
+),
+g2 AS (
+  SELECT *, sum(starts) OVER (PARTITION BY host ORDER BY line_no
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS group_id
+  FROM g
+),
+g3 AS (SELECT * FROM g2 WHERE group_id > 0),
+ua AS (
+  SELECT host, group_id,
+         max(CASE WHEN lower(value) = 'spark-crawler' THEN 2
+                  WHEN value = '*' THEN 1 ELSE 0 END) AS score
+  FROM g3 WHERE directive = 'user-agent' GROUP BY 1, 2
+),
+best AS (
+  SELECT host, group_id FROM (
+    SELECT host, group_id, score,
+           row_number() OVER (PARTITION BY host ORDER BY score DESC, group_id ASC) AS rn
+    FROM ua
+  ) t WHERE rn = 1 AND score > 0
+),
+rules AS (
+  SELECT g3.host, directive, value, line_no
+  FROM g3 JOIN best USING (host, group_id)
+  WHERE directive IN ('allow', 'disallow')
+    AND NOT (directive = 'disallow' AND value = '')
+)
+SELECT host, directive AS rule,
+       CASE WHEN value = '' THEN '/' ELSE value END AS path_prefix,
+       (row_number() OVER (PARTITION BY host ORDER BY line_no) - 1)::BIGINT AS rule_order
+FROM rules
+"""
+    )
 
     o["pipeline_training_prep"] = """
 WITH dedup AS (

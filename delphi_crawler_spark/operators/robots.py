@@ -19,7 +19,7 @@ groups by host so each host's prefix list is scanned with numpy
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
@@ -84,3 +84,84 @@ def robots_filter(
         F.col(url_col), r"^[a-z][a-z0-9+.\-]*://[^/]*", ""
     )
     return candidates.filter(_allowed(F.col(host_col), path))
+
+
+def parse_robots_txt(
+    bodies: DataFrame,
+    agent: str = "spark-crawler",
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Parse raw robots.txt bodies into the (host, rule, path_prefix, order)
+    rows ``compile_rules`` consumes — the missing front half of F6 (fetching
+    gives you TEXT, not rule rows).
+
+    De-facto-standard group semantics (REP, RFC 9309): lines split into
+    groups led by one or more consecutive ``User-agent`` lines; ONLY the
+    best-matching group's rules apply — an exact agent match beats ``*``,
+    no match means no rules. Comments (#) are stripped, directives are
+    case-insensitive, an empty ``Disallow:`` imposes nothing (dropped),
+    rule order within the group is line order.
+
+    All column math: one posexplode to line grain, regexp directive parse,
+    then two carries over the same (host, line) window — a running count of
+    group starts (a UA line whose predecessor is not a UA line) assigns
+    ``group_id``, and the winning group is a plain per-host hash-agg max of
+    (match_score, -group_id). One shuffle on host; robots bodies are tiny,
+    so the line grain stays narrow."""
+    lines = bodies.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("line_no", "raw"),
+    ).withColumn(
+        "line", F.trim(F.regexp_replace("raw", "#.*$", ""))
+    ).filter(F.col("line") != "")
+    parsed = lines.select(
+        "host",
+        "line_no",
+        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("directive"),
+        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1)).alias("value"),
+    ).filter(F.col("directive").isin("user-agent", "allow", "disallow"))
+
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = (F.col("directive") == "user-agent").cast("int")
+    prev_ua = F.lag(is_ua, 1, 0).over(w)
+    starts = ((is_ua == 1) & (prev_ua == 0)).cast("int")
+    grouped = parsed.withColumn(
+        "group_id",
+        F.sum(starts).over(
+            Window.partitionBy("host").orderBy("line_no")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).filter(F.col("group_id") > 0)  # rules before any UA line have no group
+
+    ua = grouped.filter(F.col("directive") == "user-agent").withColumn(
+        "score",
+        F.when(F.lower(F.col("value")) == agent.lower(), 2)
+        .when(F.col("value") == "*", 1)
+        .otherwise(0),
+    )
+    # winning group per host: best score, earliest group on ties, score > 0
+    best = (
+        ua.groupBy("host")
+        .agg(F.max(F.struct(F.col("score"), (-F.col("group_id")).alias("ng"))).alias("b"))
+        .select(
+            "host",
+            F.col("b.score").alias("best_score"),
+            (-F.col("b.ng")).alias("best_group"),
+        )
+        .filter(F.col("best_score") > 0)
+    )
+    rules = (
+        grouped.filter(F.col("directive").isin("allow", "disallow"))
+        .join(F.broadcast(best), "host")
+        .filter(F.col("group_id") == F.col("best_group"))
+        .filter(~((F.col("directive") == "disallow") & (F.col("value") == "")))
+        .withColumn("path_prefix", F.when(F.col("value") == "", "/").otherwise(F.col("value")))
+    )
+    w_order = Window.partitionBy("host").orderBy("line_no")
+    return rules.select(
+        "host",
+        F.col("directive").alias("rule"),
+        "path_prefix",
+        (F.row_number().over(w_order) - 1).alias("order"),
+    )

@@ -524,3 +524,41 @@ def test_host_backoff_schedule(spark):
     j2 = {r.host: r.backoff_s for r in host_backoff_schedule(m, jitter_factor=0.2).collect()}
     assert j1 == j2
     assert 90.0 <= j1["b"] < 90.0 * 1.2 and j1["a"] == 0.0
+
+
+def test_parse_robots_txt_group_semantics(spark):
+    """RFC 9309 group selection: exact agent beats '*', non-matching groups
+    yield nothing, orphan rules and empty Disallow are dropped; parsed rules
+    feed compile_rules/robots_filter unchanged."""
+    from delphi_crawler_spark.operators.robots import parse_robots_txt
+
+    body_a = (
+        "# comment\nUser-agent: other-bot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+    )
+    body_b = (
+        "User-agent: Spark-Crawler\nUser-agent: extra\nDisallow: /x\nAllow: /x/y\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    body_c = "User-agent: someone-else\nDisallow: /\n"
+    body_d = "Disallow: /orphan\nUser-agent: *\nDisallow:\nAllow: /ok\n"
+    df = spark.createDataFrame(
+        [("a.com", body_a), ("b.com", body_b), ("c.com", body_c), ("d.com", body_d)],
+        "host string, body string",
+    )
+    rules = parse_robots_txt(df, agent="spark-crawler")
+    got = sorted((r.host, r.rule, r.path_prefix, r.order) for r in rules.collect())
+    assert got == [
+        ("a.com", "allow", "/private/ok", 1),
+        ("a.com", "disallow", "/private", 0),
+        ("b.com", "allow", "/x/y", 1),
+        ("b.com", "disallow", "/x", 0),
+        ("d.com", "allow", "/ok", 0),
+    ]
+    # end-to-end: parsed rules drive the existing broadcast filter
+    compiled = compile_rules(rules.toPandas())
+    assert not allowed_py(compiled, "a.com", "/private/secret")
+    assert allowed_py(compiled, "a.com", "/private/ok/page")
+    assert allowed_py(compiled, "c.com", "/anything")  # no matching group
+    assert not allowed_py(compiled, "b.com", "/x/z")
+    assert allowed_py(compiled, "b.com", "/x/y/deep")
