@@ -136,3 +136,37 @@ def windowed_event_metrics(
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
+
+
+def session_metrics(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-time SESSION windows via Spark's native ``session_window`` —
+    the Structured Streaming twin of ``operators/events.sessionize``:
+    dynamic-length windows that merge while consecutive events arrive within
+    ``gap``, with watermarked state eviction so a perpetual stream holds
+    only open sessions. Boundary note: ``session_window`` closes at
+    ``last_ts + gap`` exclusive (an event exactly ``gap`` later starts a new
+    session) while the batch operator's lag-rule keeps it (strictly-greater
+    breaks); identical for any data without exact-boundary gaps — the
+    parity test pins that equivalence."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(ts_col, gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_close"),
+            "n_events",
+            "total_value",
+        )
+    )

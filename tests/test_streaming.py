@@ -137,3 +137,53 @@ def test_sources_scan_parse_preflight(spark, tmp_path):
     preflight(spark, [p])
     with pytest.raises(Exception):
         preflight(spark, [str(tmp_path / "missing.parquet")])
+
+
+def test_session_windows_streaming_equals_batch_and_sessionize(spark, tmp_path):
+    """Native session_window as a real stream equals its batch run, and both
+    agree with the oracle-checked batch sessionize on session membership."""
+    import numpy as np
+    import pandas as pd
+
+    from delphi_crawler_spark.operators.events import sessionize
+    from delphi_crawler_spark.streaming.frontier_stream import session_metrics
+
+    src = str(tmp_path / "events")
+    rng = np.random.default_rng(11)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 40, n),
+            # millisecond jitter keeps gaps off the exact 30-min boundary,
+            # where session_window (exclusive) and sessionize (inclusive)
+            # legitimately differ
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 6 * 3600 * 1000, n), unit="ms"),
+            "value": rng.random(n) * 10,
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+    batch = session_metrics(spark.read.parquet(src))
+
+    stream_in = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, value double"
+    ).parquet(src)
+    q = (
+        session_metrics(stream_in)
+        .writeStream.format("memory")
+        .queryName("sess_metrics")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_metrics")
+    cols = ["user_id", "session_start", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+    # cross-operator: same sessions as the lag-rule batch operator
+    sess = sessionize(spark.read.parquet(src), gap_seconds=1800)
+    a = _rows(sess, ["user_id", "session_start", "n_events"])
+    b = _rows(batch, ["user_id", "session_start", "n_events"])
+    assert a == b
