@@ -1226,6 +1226,80 @@ def q_f6b_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_r1_fetch_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl change classification: previous snapshot vs current fetch →
+    new/changed/unchanged/gone via one full-outer equi-join on url (content
+    granularity extension of reference S6 upsert-or-create,
+    ElasticStoreQueries.scala:63-75)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.recrawl import classify_fetch
+
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    prev = part.select(
+        F.concat(F.lit("k"), F.col("p_partkey")).alias("url"),
+        F.md5(F.col("p_name")).alias("digest"),
+    )
+    curr = part.filter(F.col("p_partkey") % 10 != 0).select(
+        F.concat(F.lit("k"), F.col("p_partkey")).alias("url"),
+        F.md5(
+            F.concat(F.col("p_name"), F.when(F.col("p_size") > 40, "x").otherwise(""))
+        ).alias("digest"),
+    ).unionByName(
+        supp.select(
+            F.concat(F.lit("n"), F.col("s_suppkey")).alias("url"),
+            F.md5(F.col("s_name")).alias("digest"),
+        )
+    )
+    return classify_fetch(prev, curr)
+
+
+def q_r2_revisit_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive revisit policy: per-host change ratio → next interval by
+    linear interpolation between 1 h (volatile) and 7 d (static); hosts
+    with no re-fetch evidence get the max. One hash-agg."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.recrawl import revisit_intervals
+
+    classified = q_r1_fetch_classify(spark, sf_dir).withColumn(
+        "host",
+        F.concat(F.lit("h"), F.substring("url", 2, 100).cast(BIG) % 20),
+    )
+    out = revisit_intervals(classified)
+    return out.select(
+        "host",
+        F.col("n_changed").cast(BIG).alias("n_changed"),
+        F.col("n_unchanged").cast(BIG).alias("n_unchanged"),
+        F.col("revisit_interval_s").cast(BIG).alias("revisit_interval_s"),
+    )
+
+
+def q_p8_inlink_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlink-count priority refresh (Cho/Garcia-Molina/Page '98 crawl
+    ordering): distinct-source in-degree per target lifts priority by
+    floor(log2(1+indeg)) capped at 9; partial-aggregating count-distinct
+    keyed by target, equi-join back to the frontier."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.recrawl import inlink_priority_refresh
+
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    frontier = part.select(
+        F.concat(F.lit("k"), F.col("p_partkey")).alias("url"),
+        (F.col("p_size") % 5).cast("int").alias("priority"),
+    )
+    links = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("k"), F.col("l_partkey")).alias("dst"),
+    )
+    out = inlink_priority_refresh(frontier, links)
+    return out.select(
+        "url",
+        F.col("priority").cast(BIG).alias("priority"),
+        F.col("indegree").cast(BIG).alias("indegree"),
+    )
+
+
 # =====================================================================
 # Contract surface
 # =====================================================================
@@ -1291,6 +1365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_asof_join": q_evt_asof_join,
         "p7_host_backoff": q_p7_host_backoff,
         "f6b_robots_parse": q_f6b_robots_parse,
+        "r1_fetch_classify": q_r1_fetch_classify,
+        "r2_revisit_intervals": q_r2_revisit_intervals,
+        "p8_inlink_priority": q_p8_inlink_priority,
     }
 
 
@@ -1837,6 +1914,73 @@ SELECT host, directive AS rule,
 FROM rules
 """
     )
+
+    o["r1_fetch_classify"] = """
+WITH prev AS (
+  SELECT 'k' || p_partkey AS url, md5(p_name) AS digest FROM part
+),
+curr AS (
+  SELECT 'k' || p_partkey AS url,
+         md5(p_name || CASE WHEN p_size > 40 THEN 'x' ELSE '' END) AS digest
+  FROM part WHERE p_partkey % 10 <> 0
+  UNION ALL
+  SELECT 'n' || s_suppkey AS url, md5(s_name) AS digest FROM supplier
+)
+SELECT coalesce(p.url, c.url) AS url,
+       CASE WHEN p.url IS NULL THEN 'new'
+            WHEN c.url IS NULL THEN 'gone'
+            WHEN p.digest = c.digest THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       coalesce(c.digest, p.digest) AS digest
+FROM prev p FULL OUTER JOIN curr c ON p.url = c.url
+"""
+
+    o["r2_revisit_intervals"] = """
+WITH prev AS (
+  SELECT 'k' || p_partkey AS url, md5(p_name) AS digest FROM part
+),
+curr AS (
+  SELECT 'k' || p_partkey AS url,
+         md5(p_name || CASE WHEN p_size > 40 THEN 'x' ELSE '' END) AS digest
+  FROM part WHERE p_partkey % 10 <> 0
+  UNION ALL
+  SELECT 'n' || s_suppkey AS url, md5(s_name) AS digest FROM supplier
+),
+cls AS (
+  SELECT coalesce(p.url, c.url) AS url,
+         CASE WHEN p.url IS NULL THEN 'new'
+              WHEN c.url IS NULL THEN 'gone'
+              WHEN p.digest = c.digest THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM prev p FULL OUTER JOIN curr c ON p.url = c.url
+),
+hosted AS (
+  SELECT 'h' || (substr(url, 2)::BIGINT % 20) AS host, status FROM cls
+),
+agg AS (
+  SELECT host,
+         sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS n_changed,
+         sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged
+  FROM hosted GROUP BY host
+)
+SELECT host, n_changed::BIGINT AS n_changed, n_unchanged::BIGINT AS n_unchanged,
+       CASE WHEN n_changed + n_unchanged = 0 THEN 604800
+            ELSE CAST(round(3600 + (604800 - 3600) *
+                 (1.0 - CAST(n_changed AS DOUBLE) / (n_changed + n_unchanged)), 0) AS BIGINT)
+       END AS revisit_interval_s
+FROM agg
+"""
+
+    o["p8_inlink_priority"] = """
+WITH indeg AS (
+  SELECT 'k' || l_partkey AS url, count(DISTINCT 'o' || l_orderkey) AS ind
+  FROM lineitem GROUP BY 1
+)
+SELECT 'k' || p_partkey AS url,
+       least(9, (p_size % 5) + CAST(floor(log2(1 + coalesce(i.ind, 0))) AS BIGINT))::BIGINT AS priority,
+       coalesce(i.ind, 0)::BIGINT AS indegree
+FROM part p LEFT JOIN indeg i ON 'k' || p_partkey = i.url
+"""
 
     o["pipeline_training_prep"] = """
 WITH dedup AS (

@@ -1,0 +1,122 @@
+"""Recrawl policy operators: fetch-change classification, adaptive revisit
+intervals, and inlink-degree priority refresh.
+
+A perpetual crawl is mostly RE-crawl: deciding what changed, how often each
+host is worth revisiting, and which frontier entries deserve priority. The
+reference's store layer already distinguishes exists-vs-new per identifier
+(ElasticStoreQueries.scala:63-75 upsert-or-create, S6); these operators
+extend that to content granularity and close the loop back into the
+scheduler (P6 priorities, P1 budgets):
+
+- ``classify_fetch``: full-outer join of the previous snapshot's (url,
+  digest) against the current fetch — ``new`` / ``changed`` / ``unchanged``
+  / ``gone``. One equi-join on url; digests compare as opaque strings, so
+  the operator is agnostic to the hash in use (md5 content digest in the
+  exact-dedup family).
+
+- ``revisit_intervals``: per host, the observed change ratio among
+  re-fetched URLs sets the next revisit interval by linear interpolation —
+  ``min_s + (max_s - min_s) · (1 - change_ratio)`` — volatile hosts
+  approach ``min_s``, static hosts ``max_s``. Hosts with no re-fetch
+  evidence get ``max_s`` (nothing observed changing). One hash-agg.
+
+- ``inlink_priority_refresh``: discovered-link in-degree (distinct
+  sources per target) lifts frontier priority by ``log2(1 + indegree)``,
+  capped at ``max_priority`` — the backlink-count prioritization of
+  classic crawl ordering studies (Cho/Garcia-Molina/Page '98, public
+  knowledge). In-degree is a partial-aggregating count-distinct keyed by
+  target; the join back to the frontier is an equi-join on url.
+
+All pure column math; every aggregation partial-aggregates map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def classify_fetch(
+    prev: DataFrame,
+    curr: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Classify every URL across two crawl snapshots:
+    ``new`` (current only), ``gone`` (previous only), ``changed`` /
+    ``unchanged`` (both, by digest equality). Returns (url, status,
+    digest) with the current digest where one exists."""
+    p = prev.select(
+        F.col(url_col).alias("url"), F.col(digest_col).alias("__prev_digest")
+    )
+    c = curr.select(
+        F.col(url_col).alias("url"), F.col(digest_col).alias("__curr_digest")
+    )
+    joined = p.join(c, "url", "full_outer")
+    status = (
+        F.when(F.col("__prev_digest").isNull(), "new")
+        .when(F.col("__curr_digest").isNull(), "gone")
+        .when(F.col("__prev_digest") == F.col("__curr_digest"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(
+        "url",
+        status.alias("status"),
+        F.coalesce("__curr_digest", "__prev_digest").alias("digest"),
+    )
+
+
+def revisit_intervals(
+    classified: DataFrame,
+    host_col: str = "host",
+    status_col: str = "status",
+    min_s: int = 3600,
+    max_s: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """Per-host adaptive revisit interval from observed change ratios:
+    ``ratio = changed / (changed + unchanged)`` over re-fetched URLs;
+    ``interval_s = round(min_s + (max_s - min_s) * (1 - ratio))``; hosts
+    with no re-fetch evidence (ratio undefined) get ``max_s``."""
+    agg = classified.groupBy(host_col).agg(
+        F.sum(F.when(F.col(status_col) == "changed", 1).otherwise(0)).alias("__ch"),
+        F.sum(F.when(F.col(status_col) == "unchanged", 1).otherwise(0)).alias("__un"),
+    )
+    refetched = F.col("__ch") + F.col("__un")
+    ratio = F.when(refetched > 0, F.col("__ch") / refetched)
+    interval = F.when(
+        ratio.isNull(), F.lit(float(max_s))
+    ).otherwise(F.round(min_s + (max_s - min_s) * (1.0 - ratio), 0))
+    return agg.select(
+        host_col,
+        F.col("__ch").cast("long").alias("n_changed"),
+        F.col("__un").cast("long").alias("n_unchanged"),
+        interval.cast("long").alias("revisit_interval_s"),
+    )
+
+
+def inlink_priority_refresh(
+    frontier: DataFrame,
+    links: DataFrame,
+    url_col: str = "url",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    priority_col: str = "priority",
+    max_priority: int = 9,
+) -> DataFrame:
+    """Backlink-count priority: in-degree (distinct sources) per target
+    lifts the frontier entry's priority by ``floor(log2(1 + indegree))``,
+    capped. Frontier rows nobody links to keep their base priority."""
+    indeg = links.groupBy(F.col(dst_col).alias(url_col)).agg(
+        F.count_distinct(src_col).alias("__indeg")
+    )
+    boosted = F.least(
+        F.lit(max_priority),
+        F.col(priority_col)
+        + F.floor(F.log2(1 + F.coalesce(F.col("__indeg"), F.lit(0)))),
+    )
+    return (
+        frontier.join(indeg, url_col, "left")
+        .withColumn(priority_col, boosted.cast("int"))
+        .withColumn("indegree", F.coalesce("__indeg", F.lit(0)).cast("long"))
+        .drop("__indeg")
+    )

@@ -562,3 +562,48 @@ def test_parse_robots_txt_group_semantics(spark):
     assert allowed_py(compiled, "c.com", "/anything")  # no matching group
     assert not allowed_py(compiled, "b.com", "/x/z")
     assert allowed_py(compiled, "b.com", "/x/y/deep")
+
+
+# ------------------------------------------------------------- recrawl policy
+def test_recrawl_classify_and_intervals(spark):
+    from delphi_crawler_spark.operators.recrawl import classify_fetch, revisit_intervals
+
+    prev = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "d2"), ("u3", "d3")], "url string, digest string"
+    )
+    curr = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "dX"), ("u4", "d4")], "url string, digest string"
+    )
+    cls = {r.url: (r.status, r.digest) for r in classify_fetch(prev, curr).collect()}
+    assert cls == {
+        "u1": ("unchanged", "d1"),
+        "u2": ("changed", "dX"),
+        "u3": ("gone", "d3"),
+        "u4": ("new", "d4"),
+    }
+    hosted = classify_fetch(prev, curr).withColumn(
+        "host", F.when(F.col("url") == "u4", "h2").otherwise("h1")
+    )
+    iv = {r.host: r for r in revisit_intervals(hosted, min_s=100, max_s=1100).collect()}
+    # h1: 1 changed, 1 unchanged -> ratio 0.5 -> 100 + 1000*0.5 = 600
+    assert (iv["h1"].n_changed, iv["h1"].n_unchanged, iv["h1"].revisit_interval_s) == (1, 1, 600)
+    # h2: only 'new' -> no evidence -> max
+    assert iv["h2"].revisit_interval_s == 1100
+
+
+def test_inlink_priority_refresh(spark):
+    from delphi_crawler_spark.operators.recrawl import inlink_priority_refresh
+
+    frontier = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 8)], "url string, priority int"
+    )
+    links = spark.createDataFrame(
+        [("s1", "a"), ("s2", "a"), ("s3", "a"), ("s1", "a"),  # a: indeg 3 -> +2
+         ("s1", "c"), ("s2", "c"), ("s3", "c"), ("s4", "c"),
+         ("s5", "c"), ("s6", "c"), ("s7", "c")],              # c: indeg 7 -> +3, capped
+        "src string, dst string",
+    )
+    out = {r.url: r for r in inlink_priority_refresh(frontier, links).collect()}
+    assert (out["a"].priority, out["a"].indegree) == (3, 3)
+    assert (out["b"].priority, out["b"].indegree) == (1, 0)   # no links: unchanged
+    assert (out["c"].priority, out["c"].indegree) == (9, 7)   # capped at 9
