@@ -1300,6 +1300,53 @@ def q_p8_inlink_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: verified Jaccard pairs → connected components
+    (large-star/small-star, Kiveris et al. 2014) → transitive cluster ids,
+    sizes, and the canonical survivor per cluster. Closes the dedup loop:
+    pairwise verification alone under-merges when A~B~C but A≁C. Pairs here
+    are the all-pairs correctness baseline (as dedup_ngram_jaccard); the
+    scale path feeds LSH candidates to the same operator
+    (tests/test_graph.py pins CC == union-find on random graphs)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.dedup_fuzzy import jaccard_verify
+    from delphi_crawler_spark.operators.graph import neardup_clusters
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    dups = jaccard_verify(pairs, docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    out = neardup_clusters(docs.select("doc_id"), dups.select("id_a", "id_b"))
+    return out.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        F.col("cluster_id").cast(BIG).alias("cluster_id"),
+        F.col("cluster_size").cast(BIG).alias("cluster_size"),
+        F.col("is_canonical").cast(BIG).alias("is_canonical"),
+    )
+
+
+def q_p9_host_linkrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph link rank (PageRank, Brin & Page '98) as crawl priority:
+    weighted host→host edge list (lineitem stands in: supplier-host links
+    part-host, edge weight = link count), 5 damped power-method steps with
+    uniform dangling redistribution. The h100-h102 sink hosts exercise the
+    dangling-mass path. Rank feeds P6 priority ordering the way in-degree
+    feeds p8_inlink_priority, but transitively."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.graph import link_rank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("h"), (F.col("l_suppkey") % 100).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 103).cast("string")).alias("dst"),
+    )
+    out = link_rank(edges, damping=0.85, iters=5)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
 # =====================================================================
 # Contract surface
 # =====================================================================
@@ -1368,6 +1415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r1_fetch_classify": q_r1_fetch_classify,
         "r2_revisit_intervals": q_r2_revisit_intervals,
         "p8_inlink_priority": q_p8_inlink_priority,
+        "dedup_cluster_cc": q_dedup_cluster_cc,
+        "p9_host_linkrank": q_p9_host_linkrank,
     }
 
 
@@ -1404,6 +1453,44 @@ SELECT doc_id, list_distinct(
   END) AS grams
 FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents) t
 """
+
+
+def _linkrank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled damped power-method PageRank in plain SQL (recursive CTEs
+    cannot aggregate in the recursive term, so each fixed iteration is its
+    own CTE r{k}; generated here, not hand-maintained). Must mirror
+    operators/graph.py:link_rank exactly: share = w/out_w, dangling mass
+    redistributed uniformly, start vector 1/N."""
+    parts = [
+        "WITH e0 AS (SELECT 'h' || (l_suppkey % 100) AS s, "
+        "'h' || (l_partkey % 103) AS d, count(*)::DOUBLE AS w "
+        "FROM lineitem GROUP BY 1, 2)",
+        "outw AS (SELECT s, sum(w) AS ow FROM e0 GROUP BY s)",
+        "e AS (SELECT e0.s, e0.d, e0.w / outw.ow AS share FROM e0 JOIN outw USING (s))",
+        "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "no_ AS (SELECT nodes.node, (src.s IS NOT NULL) AS has_out FROM nodes "
+        "LEFT JOIN (SELECT DISTINCT s FROM e) src ON src.s = nodes.node)",
+        "r0 AS (SELECT node, has_out, 1.0 / nn.n AS pr FROM no_ CROSS JOIN nn)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"d{k} AS (SELECT coalesce(sum(pr), 0) AS dang FROM r{k} WHERE NOT has_out)"
+        )
+        parts.append(
+            f"c{k} AS (SELECT e.d AS node, sum(r.pr * e.share) AS c "
+            f"FROM r{k} r JOIN e ON e.s = r.node GROUP BY e.d)"
+        )
+        parts.append(
+            f"r{k + 1} AS (SELECT no_.node, no_.has_out, "
+            f"(1 - {damping}) / nn.n + {damping} * (coalesce(c{k}.c, 0) + d{k}.dang / nn.n) AS pr "
+            f"FROM no_ CROSS JOIN nn CROSS JOIN d{k} "
+            f"LEFT JOIN c{k} ON c{k}.node = no_.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f'\nSELECT node, round(pr, 6) AS "rank" FROM r{iters}'
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2045,6 +2132,37 @@ SELECT doc_id::BIGINT AS doc_id, 'm://' || doc_id AS media_ref,
        unnest(generate_series(0, (doc_id % 50) * 500 + 1000 - 1, 700))::BIGINT AS frame_ts
 FROM documents WHERE doc_id % 3 = 2
 """
+
+    # Transitive closure of the verified near-dup pair graph (recursive
+    # CTE; component = min reachable id — same fixed point the
+    # large-star/small-star Spark operator converges to), then singleton
+    # fill-in, sizes, and the canonical flag.
+    o["dedup_cluster_cc"] = (
+        "WITH RECURSIVE g AS (" + _GRAMS_SQL + "), "
+        """
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1), 6) AS jaccard
+      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+ed AS (SELECT id_a AS u, id_b AS v FROM p WHERE jaccard >= 0.5
+       UNION SELECT id_b, id_a FROM p WHERE jaccard >= 0.5),
+vs AS (SELECT DISTINCT u AS n FROM ed),
+reach(node, label) AS (
+  SELECT n, n FROM vs
+  UNION
+  SELECT ed.v, r.label FROM reach r JOIN ed ON ed.u = r.node),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+lab AS (SELECT d.doc_id::BIGINT AS doc_id,
+               coalesce(c.component, d.doc_id)::BIGINT AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       (l.doc_id = l.cluster_id)::BIGINT AS is_canonical
+FROM lab l JOIN sz s USING (cluster_id)
+"""
+    )
+
+    o["p9_host_linkrank"] = _linkrank_oracle_sql(iters=5, damping=0.85)
 
     # ------------------------------------------------------------------
     # Expected-parquet oracles (VERDICT r1 task 4): these queries' values

@@ -1,0 +1,254 @@
+"""Graph operators: connected components and link-rank (PageRank).
+
+Two iterative graph primitives a web-scale corpus pipeline needs that the
+DataFrame API lacks:
+
+- **Connected components** close the near-dup loop. The dedup family
+  (``dedup_fuzzy``) emits verified duplicate *pairs*; turning pairs into
+  dedup decisions needs the transitive closure — if A~B and B~C, all three
+  are one cluster even when A~C was never emitted. ``minhash_dedup``'s
+  1-hop min-id collapse is exact only when clusters are cliques;
+  ``connected_components`` is exact for any pair set. The implementation
+  is the alternating large-star/small-star algorithm (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC 2014): each
+  iteration is two keyed aggregations + equi-joins (no cartesian
+  products), the edge set only shrinks toward a star per component, and
+  convergence is O(log^2 n) rounds — at 10^10 nodes that is ~15 rounds of
+  hash-partitioned shuffles, each O(|E|). Per-iteration results are
+  persisted and lineage is truncated (``localCheckpoint``; on a real
+  cluster point ``spark.sparkContext.setCheckpointDir`` at durable storage
+  and flip ``reliable_checkpoint=True``) so the plan does not grow with
+  the iteration count.
+
+- **Link rank** (PageRank, Brin & Page 1998) gives the crawl scheduler a
+  principled priority: hosts/URLs that many other hosts point at get
+  fetched (and refreshed — see ``recrawl.inlink_priority_refresh`` for the
+  cheap in-degree variant) first. Fixed-iteration damped power method over
+  a weighted edge list: ranks live in a (node, rank) DataFrame, each
+  iteration is one shuffle join on the source key plus one keyed sum —
+  contributions partially aggregate map-side, and the edge list is
+  pre-partitioned by source so only the (small) rank table moves.
+  Dangling-node mass is redistributed uniformly each iteration so total
+  rank stays 1 and results match the textbook formulation.
+
+The reference engine schedules identifier batches FIFO
+(IndexProcessing.scala:76-99) and has no graph analytics; these extend the
+priority family (SURVEY.md §2.3 P6, §2.10) the way a production crawler
+(and any training-data curation pipeline doing cluster-level dedup)
+needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "neardup_clusters", "link_rank"]
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """(count, order-independent hash-sum) of an edge set — cheap stable
+    identity for the convergence check, one aggregate action."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) sum: order-independent and cannot overflow under
+        # ANSI mode (126-bit headroom over the 64-bit hash values)
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: m = min(N(u) ∪ {u}); connect every strictly-larger
+    neighbor to m. Keyed agg + same-key join — one shuffle on u."""
+    nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+    )
+    return (
+        nbrs.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges larger→smaller, then for each node u connect u and all
+    its (smaller) neighbors to m = min(N(u) ∪ {u})."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = (
+        oriented.groupBy("u")
+        .agg(F.min("v").alias("m"))  # all v < u here, so min(N(u) ∪ {u}) = min(v)
+    )
+    out = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("u"), F.col("m").alias("v")))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Connected components of the undirected graph given as an edge list.
+
+    Returns (node, component) for every node that appears in ``edges``,
+    where ``component`` is the smallest node id in its component (node ids
+    must be orderable; bigint in practice). Singleton nodes never seen in
+    an edge are absent — callers left-join and ``coalesce`` to the node's
+    own id (see ``neardup_clusters``).
+
+    Alternating large-star/small-star with a fingerprint convergence test;
+    terminates when the edge set is a fixed point (a star forest), at most
+    ``max_iter`` rounds (a guard — O(log^2 n) suffices in theory and
+    single digits in practice for near-dup graphs).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    fp = _fingerprint(e)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(e))
+        if reliable_checkpoint:
+            nxt = nxt.checkpoint(eager=True)
+        else:
+            nxt = nxt.localCheckpoint(eager=True)
+        nfp = _fingerprint(nxt)
+        e.unpersist()
+        e = nxt
+        if nfp == fp:
+            break
+        fp = nfp
+    # e is now a star forest: (child, root). Roots appear only on the right.
+    roots = e.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    comps = e.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
+        roots
+    )
+    out = comps.distinct()
+    e.unpersist()
+    return out
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster documents by verified near-dup pairs: transitive closure of
+    the pair graph, singletons as their own cluster, canonical = smallest
+    id per cluster (the survivor a dedup pass would keep).
+
+    Returns docs' columns plus ``cluster_id``, ``cluster_size``,
+    ``is_canonical``. Exactly one canonical row per cluster.
+    """
+    comps = connected_components(pairs, src=id_a, dst=id_b, max_iter=max_iter)
+    labeled = (
+        docs.join(comps.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("component")
+    )
+    sizes = labeled.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labeled.join(sizes, "cluster_id").withColumn(
+        "is_canonical", F.col(id_col) == F.col("cluster_id")
+    )
+
+
+def link_rank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iters: int = 5,
+) -> DataFrame:
+    """Weighted PageRank over an edge list; returns (node, rank).
+
+    Fixed ``iters`` damped power-method steps from the uniform vector.
+    rank_{t+1}(n) = (1-d)/N + d * (Σ_{(s→n)} rank_t(s) * w/out_w(s)
+    + dangling_t/N) — dangling mass (nodes with no out-edges) is spread
+    uniformly so Σ rank = 1 every step. Deterministic given the edge list.
+
+    Scale shape: the weighted edge list is aggregated once, repartitioned
+    by source and persisted; each iteration shuffles only the narrow
+    (node, rank) table into that layout, contributions partially aggregate
+    map-side in the keyed sum, and ranks are localCheckpoint-ed so the
+    plan stays O(1) across iterations. No cartesian products, no
+    collect() of anything graph-sized — the dangling term is a scalar
+    aggregate.
+    """
+    spark = edges.sparkSession
+    ew = edges.select(
+        F.col(src).alias("s"),
+        F.col(dst).alias("d"),
+        (F.col(weight) if weight else F.lit(1.0)).cast("double").alias("w"),
+    )
+    ew = ew.groupBy("s", "d").agg(F.sum("w").alias("w"))
+    outw = ew.groupBy("s").agg(F.sum("w").alias("ow"))
+    ew = (
+        ew.join(outw, "s")
+        .select("s", "d", (F.col("w") / F.col("ow")).alias("share"))
+        .repartition("s")
+        .persist()
+    )
+    nodes = (
+        ew.select(F.col("s").alias("node"))
+        .union(ew.select(F.col("d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    has_out = ew.select(F.col("s").alias("node")).distinct().withColumn(
+        "_has_out", F.lit(True)
+    )
+    nodes_o = nodes.join(has_out, "node", "left").select(
+        "node", F.coalesce("_has_out", F.lit(False)).alias("has_out")
+    ).persist()
+    ranks = nodes_o.select("node", "has_out", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        dangling = ranks.where(~F.col("has_out")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0))
+        ).collect()[0][0]
+        contribs = (
+            ranks.join(ew, ranks["node"] == ew["s"])
+            .select(F.col("d").alias("node"), (F.col("rank") * F.col("share")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes_o.join(contribs, "node", "left")
+            .select(
+                "node",
+                "has_out",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ew.unpersist()
+    nodes.unpersist()
+    nodes_o.unpersist()
+    return ranks.select("node", "rank")

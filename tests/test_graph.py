@@ -1,0 +1,143 @@
+"""Graph operators: connected components vs a union-find oracle, link-rank
+invariants, determinism across parallelism, and plan audits.
+
+CC correctness cannot lean on a SQL oracle alone (the driver's recursive-CTE
+check covers one fixture); here random graphs of several shapes (sparse,
+chains, stars, dense blobs) are checked against an independent union-find.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from delphi_crawler_spark.operators.graph import (
+    connected_components,
+    link_rank,
+    neardup_clusters,
+)
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # collapse to min id per component
+    comp = {}
+    for x in range(n_nodes):
+        r = find(x)
+        comp.setdefault(r, []).append(x)
+    return {x: min(members) for r, members in comp.items() for x in members}
+
+
+def _cc_spark(spark, edges):
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    out = connected_components(df)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 60, 40), (2, 200, 150), (3, 50, 120)])
+def test_cc_matches_union_find_random(spark, seed, n, m):
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(u, v) for u, v in edges if u != v]
+    got = _cc_spark(spark, edges)
+    want = _union_find(n, edges)
+    touched = {u for e in edges for u in e}
+    assert got == {x: want[x] for x in touched}
+
+
+def test_cc_long_chain_converges(spark):
+    """A 300-node path is the worst case for naive label propagation
+    (O(diameter) rounds); large-star/small-star must still converge within
+    the max_iter guard and label every node with the chain head."""
+    edges = [(i, i + 1) for i in range(300)]
+    got = _cc_spark(spark, edges)
+    assert got == {i: 0 for i in range(301)}
+
+
+def test_cc_transitive_not_just_pairwise(spark):
+    # A~B, B~C but never A~C: all three must share a cluster.
+    got = _cc_spark(spark, [(10, 20), (20, 30), (40, 50)])
+    assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+
+def test_cc_deterministic_across_parallelism(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(100), rng.randrange(100)) for _ in range(80)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df3 = spark.createDataFrame(edges, "src: long, dst: long").repartition(3)
+    df11 = spark.createDataFrame(edges, "src: long, dst: long").repartition(11)
+    a = sorted(map(tuple, connected_components(df3).collect()))
+    b = sorted(map(tuple, connected_components(df11).collect()))
+    assert a == b
+
+
+def test_neardup_clusters_singletons_and_canonical(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id: long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a: long, id_b: long")
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in neardup_clusters(docs, pairs).collect()
+    }
+    assert rows == {
+        0: (0, 3, True),
+        1: (0, 3, False),
+        2: (0, 3, False),
+        3: (3, 1, True),
+        4: (4, 1, True),
+        5: (5, 1, True),
+    }
+    assert sum(1 for _, _, can in rows.values() if can) == 4
+
+
+def _rank_fixture(spark):
+    # two hubs, a chain, and a dangling sink (node 9 has no out-edges)
+    edges = [
+        (1, 2), (3, 2), (4, 2), (5, 2),  # 2 is a hub
+        (2, 6), (6, 7), (7, 9), (8, 9),  # 9 dangles
+        (1, 6),
+    ]
+    return spark.createDataFrame(edges, "src: long, dst: long")
+
+
+def test_link_rank_sums_to_one_and_ranks_hub(spark):
+    ranks = {r["node"]: r["rank"] for r in link_rank(_rank_fixture(spark)).collect()}
+    # dangling redistribution keeps total mass at 1
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # the hub out-ranks every leaf that points at it
+    assert ranks[2] > ranks[1]
+    assert ranks[2] > ranks[3]
+    # the dangling sink still accumulates rank from its in-links
+    assert ranks[9] > (1 - 0.85) / len(ranks)
+
+
+def test_link_rank_deterministic_across_parallelism(spark):
+    e = _rank_fixture(spark)
+    a = sorted(map(tuple, link_rank(e.repartition(2)).collect()))
+    b = sorted(map(tuple, link_rank(e.repartition(13)).collect()))
+    assert [(n, round(r, 12)) for n, r in a] == [(n, round(r, 12)) for n, r in b]
+
+
+def test_graph_plans_no_cartesian(spark):
+    """Every join in both operators is an equi-join: no cartesian products
+    or broadcast nested loops on any iteration's plan."""
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(200) if i != (i * 7) % 50],
+        "src: long, dst: long",
+    )
+    for out in (connected_components(edges), link_rank(edges, iters=2)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
