@@ -134,6 +134,31 @@ def bloom_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full scale-path near-dup pipeline ending in transitive clusters:
+    MinHash signatures → banded LSH candidates → exact Jaccard verify →
+    large-star/small-star connected components → canonical survivor per
+    cluster. This is the shape a 100 TB corpus dedup runs (never
+    all-pairs); the CC tail adds O(log² n) keyed-equi-join rounds on the
+    (tiny relative to the corpus) verified-pair set."""
+    from delphi_crawler_spark.operators.dedup_fuzzy import (
+        jaccard_verify,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from delphi_crawler_spark.operators.graph import neardup_clusters
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    signed = minhash_signatures(docs, "text", 64, 3).persist()
+    cands = minhash_lsh_candidates(signed, "doc_id", 16, 4)
+    dups = jaccard_verify(cands, docs, "doc_id", "text", 3, 0.5)
+    return neardup_clusters(docs.select("doc_id"), dups.select("id_a", "id_b"))
+
+
 BENCH_QUERIES = {
     "crawl_schedule": crawl_schedule,
     "bloom_incremental_update": bloom_incremental_update,
@@ -145,6 +170,8 @@ BENCH_QUERIES = {
     "minhash_lsh_dedup": E.q_dedup_minhash_lsh,
     "simhash_neardup": E.q_dedup_simhash,
     "ivf_topk": E.q_sim_ivf_topk,
+    "neardup_cluster_cc": neardup_cluster_cc,
+    "host_linkrank": E.q_p9_host_linkrank,
     "text_quality_scores": E.q_text_quality_scores,
     "tumbling_window": E.q_stream_tumbling_window,
     "media_features": E.q_mm_media_features,

@@ -69,12 +69,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("_mn"))
         .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
     )
+    # no distinct here: duplicates cannot change any min and the following
+    # small-star pass dedupes; dropping it saves one shuffle per iteration
     return (
         nbrs.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
