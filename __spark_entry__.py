@@ -1347,6 +1347,89 @@ def q_p9_host_linkrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 6).alias("rank"))
 
 
+_HTML_HEAD = (
+    '<html><head><style type="text/css">body {margin: 0}</style>'
+    "<script>var x = 1 < 2;</script></head>"
+    '<body class="main"><h1 id="t'
+)
+_HTML_MID = '">Title &amp; more</h1><p>'
+_HTML_TAIL = "</p><br/>&#169; footer</body></html>"
+
+
+def q_text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip: script/style subtrees, tags, and entities
+    removed by a JVM regexp_replace chain (RE2-compatible subset, so the
+    DuckDB oracle replicates it byte-for-byte). The HTML wrapper is
+    synthesized deterministically around documents.text."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.scrub import html_strip_col
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_HEAD),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.col("text"),
+        F.lit(_HTML_TAIL),
+    )
+    return docs.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        html_strip_col(html).alias("clean_text"),
+    )
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails → <EMAIL>, IPv4 → <IP>, phone runs → <PHONE>,
+    with per-kind counts; replacement order pinned (emails, then IPs, then
+    phones — dotted quads would otherwise be eaten by the phone class).
+    PII is synthesized deterministically into documents.text."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.scrub import pii_scrub
+
+    d = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        d.cast("string"),
+        F.lit("@mail.example.com or call +1 (555) 01"),
+        F.lpad((d % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(((d * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (d % 256).cast("string"),
+        F.lit("."),
+        ((d * 3) % 256).cast("string"),
+        F.lit(".7 now"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), pii_text.alias("text")
+    )
+    return pii_scrub(docs).select(
+        "doc_id", "text_scrubbed", "n_emails", "n_ips", "n_phones"
+    )
+
+
+def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >= 3 word
+    8-grams with the benchmark slice (doc_id % 37 == 0 stands in for an
+    eval set). Benchmark shingles collapse to DISTINCT and broadcast;
+    corpus side is one explode → broadcast join → map-side partial
+    hash-agg (plan audited in tests/test_scrub.py)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.scrub import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    return decontaminate(docs, bench, shingle_n=8, min_hits=3).select(
+        "doc_id",
+        F.col("n_shingles").cast(BIG).alias("n_shingles"),
+        F.col("n_hits").cast(BIG).alias("n_hits"),
+        "contaminated",
+    )
+
+
 # =====================================================================
 # Contract surface
 # =====================================================================
@@ -1417,6 +1500,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_inlink_priority": q_p8_inlink_priority,
         "dedup_cluster_cc": q_dedup_cluster_cc,
         "p9_host_linkrank": q_p9_host_linkrank,
+        "text_html_strip": q_text_html_strip,
+        "text_pii_scrub": q_text_pii_scrub,
+        "decontam_ngram_overlap": q_decontam_ngram_overlap,
     }
 
 
@@ -2163,6 +2249,56 @@ FROM lab l JOIN sz s USING (cluster_id)
     )
 
     o["p9_host_linkrank"] = _linkrank_oracle_sql(iters=5, damping=0.85)
+
+    # Same regexp chain as operators/scrub.py:html_strip_col — the patterns
+    # are in the Java-regex ∩ RE2 subset, so byte-identical outputs.
+    o["text_html_strip"] = f"""
+WITH h AS (SELECT doc_id, '{_HTML_HEAD}' || doc_id || '{_HTML_MID}' || text || '{_HTML_TAIL}' AS html
+           FROM documents)
+SELECT doc_id::BIGINT AS doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<[^>]*>', ' ', 'g'),
+            '&[a-zA-Z]{{1,10}};|&#[0-9]{{1,7}};', ' ', 'g'),
+            '\\s+', ' ', 'g')) AS clean_text
+FROM h
+"""
+
+    _email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _phone_re = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+    _ipv4_re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    o["text_pii_scrub"] = f"""
+WITH p AS (SELECT doc_id,
+        text || ' Contact user' || doc_id || '@mail.example.com or call +1 (555) 01'
+             || lpad((doc_id % 100)::VARCHAR, 2, '0') || '-'
+             || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0')
+             || ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256) || '.7 now' AS t
+      FROM documents),
+s1 AS (SELECT doc_id, len(regexp_extract_all(t, '{_email_re}'))::BIGINT AS n_emails,
+              regexp_replace(t, '{_email_re}', '<EMAIL>', 'g') AS t1 FROM p),
+s2 AS (SELECT doc_id, n_emails, len(regexp_extract_all(t1, '{_ipv4_re}'))::BIGINT AS n_ips,
+              regexp_replace(t1, '{_ipv4_re}', '<IP>', 'g') AS t2 FROM s1),
+s3 AS (SELECT doc_id, n_emails, n_ips,
+              len(regexp_extract_all(t2, '{_phone_re}'))::BIGINT AS n_phones,
+              regexp_replace(t2, '{_phone_re}', '<PHONE>', 'g') AS t3 FROM s2)
+SELECT doc_id::BIGINT AS doc_id, t3 AS text_scrubbed, n_emails, n_ips, n_phones FROM s3
+"""
+
+    o["decontam_ngram_overlap"] = """
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+sh AS (SELECT doc_id, list_distinct(
+         CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+              ELSE [array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)]
+         END) AS grams FROM w),
+bg AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 37 = 0),
+dg AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+agg AS (SELECT dg.doc_id, count(*) AS n_shingles, count(bg.g) AS n_hits
+        FROM dg LEFT JOIN bg ON bg.g = dg.g GROUP BY dg.doc_id)
+SELECT doc_id::BIGINT AS doc_id, n_shingles::BIGINT AS n_shingles,
+       n_hits::BIGINT AS n_hits, (n_hits >= 3)::BIGINT AS contaminated
+FROM agg
+"""
 
     # ------------------------------------------------------------------
     # Expected-parquet oracles (VERDICT r1 task 4): these queries' values

@@ -1,0 +1,140 @@
+"""Corpus scrubbing: HTML boilerplate stripping, PII redaction, and
+benchmark decontamination.
+
+Three passes every production pretraining pipeline runs between the crawl
+and the tokenizer, absent from both the reference (whose documents are
+Maven POMs/JARs, not web pages — IndexProcessing.scala parses identifiers
+only) and Spark's built-ins:
+
+- **HTML strip**: drop script/style subtrees, tags, and entities to get
+  the visible text. Pure JVM ``regexp_replace`` chain (codegen'd, no
+  Python): at 100 TB this runs at scan speed as a narrow projection. The
+  patterns stay in the RE2-compatible subset (no backreferences or
+  lookaround) so SQL engines replicate them byte-for-byte.
+
+- **PII scrub**: redact emails, phone numbers, and IPv4 addresses with
+  typed placeholder tokens, and count each kind (the counts feed quality
+  filtering — a doc that is mostly PII is usually a directory page, not
+  prose). Same JVM regexp chain; ordering matters (emails before phones:
+  a phone regex must not eat the digits of user1234@host) and is pinned
+  by tests and the oracle.
+
+- **Decontamination**: flag documents whose shingles overlap a benchmark
+  (eval-set) corpus — the n-gram-collision rule used for public-eval
+  hygiene (e.g. GPT-3 appendix C; 13-gram standard, parameterizable).
+  Scale shape: the benchmark side collapses to DISTINCT shingle hashes —
+  tiny relative to the corpus (evals are MBs, the corpus is TBs) — so the
+  corpus-side semi-join broadcasts; per-doc overlap counts partially
+  aggregate map-side on (doc, gram-hit). Never a cross join; the corpus
+  side is one explode → join → hash-agg pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+__all__ = ["html_strip_col", "pii_scrub", "decontaminate"]
+
+# RE2-compatible (and Java-regex-compatible) patterns only — shared with
+# the DuckDB oracles, so keep to the common subset: no lookaround, no
+# backreferences, no possessive quantifiers.
+_SCRIPT_RE = r"(?is)<(script|style)[^>]*>.*?</\1>"  # Java-only (backref) — see html_strip_col
+_TAG_RE = r"(?s)<[^>]*>"
+_ENTITY_RE = r"&[a-zA-Z]{1,10};|&#[0-9]{1,7};"
+_WS_RE = r"\s+"
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def html_strip_col(text: Column | str) -> Column:
+    """Visible text of an HTML fragment: script/style subtrees removed,
+    tags removed, entities collapsed to a space, whitespace normalized.
+
+    Script/style removal avoids the backreference form (RE2 engines lack
+    backreferences) by handling the two tag names explicitly — the chain
+    is identical in Java regex and RE2, so SQL oracles match exactly."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, _TAG_RE, " ")
+    c = F.regexp_replace(c, _ENTITY_RE, " ")
+    c = F.regexp_replace(c, _WS_RE, " ")
+    return F.trim(c)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """Redact emails → <EMAIL>, IPv4s → <IP>, phone-like digit runs →
+    <PHONE>; add per-kind match counts. Order is load-bearing: emails
+    first (their local part can look like a phone run), then IPs (dotted
+    digits would otherwise match the phone pattern), then phones."""
+    c = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(c, F.lit(_EMAIL_RE), 0))
+    c1 = F.regexp_replace(c, _EMAIL_RE, "<EMAIL>")
+    n_ip = F.size(F.regexp_extract_all(c1, F.lit(_IPV4_RE), 0))
+    c2 = F.regexp_replace(c1, _IPV4_RE, "<IP>")
+    n_phone = F.size(F.regexp_extract_all(c2, F.lit(_PHONE_RE), 0))
+    c3 = F.regexp_replace(c2, _PHONE_RE, "<PHONE>")
+    return df.withColumns(
+        {
+            out_col: c3,
+            "n_emails": n_email.cast("bigint"),
+            "n_ips": n_ip.cast("bigint"),
+            "n_phones": n_phone.cast("bigint"),
+        }
+    )
+
+
+def _shingles(text: Column, n: int) -> Column:
+    """Distinct lowercase word n-grams as strings (JVM higher-order fns);
+    shorter-than-n docs yield their whole text as the single shingle —
+    same convention as dedup_fuzzy's gram sets."""
+    ws = F.split(F.lower(F.trim(text)), r"\s+")
+    k = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - F.lit(n)),
+        lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+    )
+    return F.array_distinct(
+        F.when(k < n, F.array(F.array_join(ws, " "))).otherwise(grams)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-corpus-doc count of shingles that also occur anywhere in the
+    benchmark corpus; docs with ``>= min_hits`` are contaminated.
+
+    Returns (id_col, n_shingles, n_hits, contaminated). The benchmark side
+    reduces to DISTINCT shingles before the join (eval sets are small) and
+    is broadcast; corpus shingles explode once and partially aggregate
+    map-side after the semi-hit join.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(_shingles(F.col(text_col), shingle_n)).alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = corpus.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_n)).alias("g")
+    )
+    hits = (
+        doc_grams.join(broadcast(bench_grams), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+    )
+    return hits.withColumn("contaminated", (F.col("n_hits") >= min_hits).cast("bigint"))
