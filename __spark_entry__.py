@@ -1430,6 +1430,38 @@ def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f6c_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parse (sitemaps.org protocol): explode <url> blocks →
+    per-tag JVM regexp extraction, XML entities decoded, optional tags →
+    NULL. Bodies synthesized deterministically (two <url> entries per doc,
+    one entity-escaped loc, one whitespace-padded loc without optional
+    tags). Completes discovery next to robots (f6b) and links."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.robots import parse_sitemap_xml
+
+    d = F.col("doc_id")
+    body = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>https://s'),
+        (d % 20).cast("string"),
+        F.lit(".example.com/p"),
+        d.cast("string"),
+        F.lit("?a=1&amp;b=2</loc><lastmod>2026-0"),
+        ((d % 9) + 1).cast("string"),
+        F.lit("-11</lastmod><priority>0."),
+        (d % 10).cast("string"),
+        F.lit("</priority></url><url><loc> https://s"),
+        (d % 20).cast("string"),
+        F.lit(".example.com/alt/"),
+        d.cast("string"),
+        F.lit(" </loc><changefreq>daily</changefreq></url></urlset>"),
+    )
+    bodies = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("s"), (d % 20).cast("string")).alias("host"),
+        body.alias("body"),
+    )
+    return parse_sitemap_xml(bodies)
+
+
 # =====================================================================
 # Contract surface
 # =====================================================================
@@ -1503,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_html_strip": q_text_html_strip,
         "text_pii_scrub": q_text_pii_scrub,
         "decontam_ngram_overlap": q_decontam_ngram_overlap,
+        "f6c_sitemap_parse": q_f6c_sitemap_parse,
     }
 
 
@@ -2283,6 +2316,27 @@ s3 AS (SELECT doc_id, n_emails, n_ips,
               len(regexp_extract_all(t2, '{_phone_re}'))::BIGINT AS n_phones,
               regexp_replace(t2, '{_phone_re}', '<PHONE>', 'g') AS t3 FROM s2)
 SELECT doc_id::BIGINT AS doc_id, t3 AS text_scrubbed, n_emails, n_ips, n_phones FROM s3
+"""
+
+    o["f6c_sitemap_parse"] = """
+WITH b AS (SELECT 's' || (doc_id % 20) AS host,
+        '<?xml version="1.0"?><urlset><url><loc>https://s' || (doc_id % 20)
+        || '.example.com/p' || doc_id || '?a=1&amp;b=2</loc><lastmod>2026-0'
+        || ((doc_id % 9) + 1) || '-11</lastmod><priority>0.' || (doc_id % 10)
+        || '</priority></url><url><loc> https://s' || (doc_id % 20)
+        || '.example.com/alt/' || doc_id
+        || ' </loc><changefreq>daily</changefreq></url></urlset>' AS body
+      FROM documents),
+blk AS (SELECT host, unnest(regexp_extract_all(body, '(?s)<url>.*?</url>')) AS blk FROM b)
+SELECT host,
+       replace(replace(replace(replace(replace(
+           regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&') AS loc,
+       nullif(regexp_extract(blk, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '') AS lastmod,
+       nullif(regexp_extract(blk, '(?s)<changefreq>\\s*(.*?)\\s*</changefreq>', 1), '') AS changefreq,
+       nullif(regexp_extract(blk, '(?s)<priority>\\s*(.*?)\\s*</priority>', 1), '')::DOUBLE AS priority
+FROM blk
+WHERE regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) <> ''
 """
 
     o["decontam_ngram_overlap"] = """

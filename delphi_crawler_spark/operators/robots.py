@@ -165,3 +165,89 @@ def parse_robots_txt(
         "path_prefix",
         (F.row_number().over(w_order) - 1).alias("order"),
     )
+
+
+# ------------------------------------------------------------------ sitemaps
+
+
+def _xml_unescape(c: Column) -> Column:
+    """Decode the five predefined XML entities (sitemap locs legally
+    escape '&' as '&amp;'); '&amp;' last so it cannot re-introduce
+    entities. JVM-only, RE2-compatible (plain literals)."""
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        c = F.regexp_replace(c, ent, ch)
+    return c
+
+
+def parse_sitemap_xml(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Parse sitemap XML bodies (sitemaps.org protocol) into one row per
+    ``<url>`` entry: (host, loc, lastmod, changefreq, priority). The other
+    half of crawl discovery next to robots/links: sitemaps enumerate URLs
+    the link graph alone never reaches, with freshness hints the recrawl
+    policy (operators/recrawl.py) consumes directly.
+
+    Regexp block-extraction, not an XML library: sitemap XML is flat and
+    machine-generated, the hot path stays a JVM codegen projection
+    (explode of ``<url>...</url>`` blocks → per-tag regexp_extract), and
+    real-world sitemaps with broken namespaces/doctype noise parse fine.
+    Missing optional tags → NULL; entity-escaped locs are decoded."""
+    blocks = bodies.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(F.col(body_col), F.lit(r"(?s)<url>.*?</url>"), 0)
+        ).alias("blk"),
+    )
+
+    def tag(name: str) -> Column:
+        return F.regexp_extract("blk", rf"(?s)<{name}>\s*(.*?)\s*</{name}>", 1)
+
+    return blocks.select(
+        "host",
+        _xml_unescape(tag("loc")).alias("loc"),
+        F.nullif(tag("lastmod"), F.lit("")).alias("lastmod"),
+        F.nullif(tag("changefreq"), F.lit("")).alias("changefreq"),
+        F.nullif(tag("priority"), F.lit("")).cast("double").alias("priority"),
+    ).filter(F.col("loc") != "")
+
+
+def sitemap_index_locs(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """One row per ``<sitemap><loc>`` entry of a sitemap *index* — the
+    recursion frontier for nested sitemaps (fetch these, parse again)."""
+    blocks = bodies.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(F.col(body_col), F.lit(r"(?s)<sitemap>.*?</sitemap>"), 0)
+        ).alias("blk"),
+    )
+    loc = F.regexp_extract("blk", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    return blocks.select("host", _xml_unescape(loc).alias("loc")).filter(
+        F.col("loc") != ""
+    )
+
+
+def sitemap_urls_from_robots(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Extract ``Sitemap:`` directive URLs from raw robots.txt bodies.
+    Per RFC 9309 §2.4 the directive is group-independent, so this is a
+    plain line scan (no group resolution): one row per (host, sitemap_url),
+    line order preserved."""
+    lines = bodies.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("line_no", "raw"),
+    ).withColumn("line", F.trim(F.regexp_replace("raw", "#.*$", "")))
+    url = F.trim(F.regexp_extract("line", r"(?i)^sitemap\s*:\s*(.*)$", 1))
+    return (
+        lines.select("host", "line_no", url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")
+    )

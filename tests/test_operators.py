@@ -607,3 +607,48 @@ def test_inlink_priority_refresh(spark):
     assert (out["a"].priority, out["a"].indegree) == (3, 3)
     assert (out["b"].priority, out["b"].indegree) == (1, 0)   # no links: unchanged
     assert (out["c"].priority, out["c"].indegree) == (9, 7)   # capped at 9
+
+
+def test_parse_sitemap_xml_entities_nulls_and_index(spark):
+    from delphi_crawler_spark.operators.robots import (
+        parse_sitemap_xml,
+        sitemap_index_locs,
+        sitemap_urls_from_robots,
+    )
+    from pyspark.sql import functions as F
+
+    xml = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://h.example/a?x=1&amp;y=2</loc><lastmod>2026-01-05</lastmod>"
+        "<priority>0.8</priority></url>"
+        "<url><loc>\n  https://h.example/b \n</loc><changefreq>daily</changefreq></url>"
+        "<url><loc></loc></url></urlset>"
+    )
+    df = spark.createDataFrame([("h.example", xml)], "host: string, body: string")
+    rows = sorted(parse_sitemap_xml(df).collect(), key=lambda r: r["loc"])
+    assert len(rows) == 2  # the empty-loc entry is dropped
+    assert rows[0]["loc"] == "https://h.example/a?x=1&y=2"  # entity decoded
+    assert rows[0]["lastmod"] == "2026-01-05" and rows[0]["priority"] == 0.8
+    assert rows[0]["changefreq"] is None
+    assert rows[1]["loc"] == "https://h.example/b"  # whitespace-padded loc trimmed
+    assert rows[1]["lastmod"] is None and rows[1]["priority"] is None
+
+    idx = (
+        "<sitemapindex><sitemap><loc>https://h.example/sm1.xml</loc></sitemap>"
+        "<sitemap><loc>https://h.example/sm2.xml.gz</loc></sitemap></sitemapindex>"
+    )
+    dfi = spark.createDataFrame([("h.example", idx)], "host: string, body: string")
+    locs = sorted(r["loc"] for r in sitemap_index_locs(dfi).collect())
+    assert locs == ["https://h.example/sm1.xml", "https://h.example/sm2.xml.gz"]
+    # a plain urlset has no index entries, and vice versa
+    assert sitemap_index_locs(df).count() == 0
+    assert parse_sitemap_xml(dfi).count() == 0
+
+    robots = (
+        "User-agent: *\nDisallow: /private\n"
+        "Sitemap: https://h.example/sm.xml  # comment\n"
+        "sitemap:https://h.example/sm2.xml\n"
+    )
+    dfr = spark.createDataFrame([("h.example", robots)], "host: string, body: string")
+    sm = [r["sitemap_url"] for r in sitemap_urls_from_robots(dfr).orderBy("line_no").collect()]
+    assert sm == ["https://h.example/sm.xml", "https://h.example/sm2.xml"]
