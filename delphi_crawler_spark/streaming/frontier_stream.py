@@ -170,3 +170,22 @@ def session_metrics(
             "total_value",
         )
     )
+
+
+def frontier_dedup_stream(
+    urls: DataFrame,
+    watermark: str = "1 hour",
+    key: str = "url",
+    ts_col: str = "discovery_ts",
+) -> DataFrame:
+    """Streaming first-occurrence URL dedup with BOUNDED state — the
+    Structured Streaming twin of F1/F2 for a perpetual discovery stream:
+    ``dropDuplicatesWithinWatermark`` keeps one state row per key and
+    evicts it once the event-time watermark passes, so state is
+    O(keys-per-horizon), never O(all URLs ever seen). Re-discoveries
+    separated by more than the horizon re-emit by design — the durable
+    forever-seen set stays the bloom + frontier table in the batch round
+    loop (operators/seen.py); this stage exists to keep intra-horizon
+    duplicate floods (the common case: a URL re-linked thousands of times
+    within minutes) from ever reaching it."""
+    return urls.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])

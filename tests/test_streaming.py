@@ -187,3 +187,49 @@ def test_session_windows_streaming_equals_batch_and_sessionize(spark, tmp_path):
     a = _rows(sess, ["user_id", "session_start", "n_events"])
     b = _rows(batch, ["user_id", "session_start", "n_events"])
     assert a == b
+
+
+def test_frontier_dedup_stream_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark emits each url once across
+    micro-batches within the horizon, and matches batch dropDuplicates on
+    the same input."""
+    import pandas as pd
+
+    from delphi_crawler_spark.streaming.frontier_stream import frontier_dedup_stream
+
+    drop = str(tmp_path / "ddrop")
+    os.makedirs(drop)
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    b1 = pd.DataFrame(
+        {"url": [f"https://h{i % 40}.example/p{i % 200}" for i in range(600)],
+         "discovery_ts": [base + pd.Timedelta(seconds=i) for i in range(600)]}
+    )
+    b2 = pd.DataFrame(
+        {"url": [f"https://h{i % 40}.example/p{i % 250}" for i in range(600)],
+         "discovery_ts": [base + pd.Timedelta(seconds=600 + i) for i in range(600)]}
+    )
+    b1.to_parquet(f"{drop}/b1.parquet", coerce_timestamps="us")
+    b2.to_parquet(f"{drop}/b2.parquet", coerce_timestamps="us")
+
+    src = (
+        spark.readStream.schema("url string, discovery_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = (
+        frontier_dedup_stream(src)
+        .writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["url"] for r in spark.sql("select url from dedup_mem").collect())
+
+    allb = pd.concat([b1, b2], ignore_index=True)
+    exp = sorted(
+        spark.createDataFrame(allb).dropDuplicates(["url"]).select("url").toPandas()["url"]
+    )
+    assert got == exp
+    assert len(got) < len(allb)  # the input really contained duplicates
