@@ -141,3 +141,37 @@ def test_graph_plans_no_cartesian(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_link_rank_matches_independent_numpy(spark):
+    """Spec-level cross-check: damped power method with uniform dangling
+    redistribution implemented independently in numpy (dense matrix),
+    compared to the operator on a random weighted digraph."""
+    import numpy as np
+
+    rng = random.Random(11)
+    n = 30
+    edges = []
+    for _ in range(120):
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            edges.append((u, v, float(rng.randrange(1, 5))))
+    df = spark.createDataFrame(edges, "src: long, dst: long, w: double")
+    got = {r["node"]: r["rank"] for r in link_rank(df, weight="w", iters=7).collect()}
+
+    nodes = sorted({u for u, v, _ in edges} | {v for _, v, _ in edges})
+    idx = {x: i for i, x in enumerate(nodes)}
+    m = len(nodes)
+    W = np.zeros((m, m))
+    for u, v, w in edges:
+        W[idx[u], idx[v]] += w
+    outw = W.sum(axis=1)
+    has_out = outw > 0
+    P = np.divide(W, outw[:, None], out=np.zeros_like(W), where=has_out[:, None])
+    d, r = 0.85, np.full(m, 1.0 / m)
+    for _ in range(7):
+        dangling = r[~has_out].sum()
+        r = (1 - d) / m + d * (r @ P + dangling / m)
+    for x in nodes:
+        assert abs(got[x] - r[idx[x]]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
