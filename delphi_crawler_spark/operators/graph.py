@@ -124,6 +124,7 @@ def connected_components(
         .persist()
     )
     fp = _fingerprint(e)
+    converged = False
     for _ in range(max_iter):
         nxt = _small_star(_large_star(e))
         if reliable_checkpoint:
@@ -134,8 +135,16 @@ def connected_components(
         e.unpersist()
         e = nxt
         if nfp == fp:
+            converged = True
             break
         fp = nfp
+    if not converged:
+        # the star-forest extraction below is only valid at the fixed
+        # point — wrong components must be loud, never silent
+        e.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
     # e is now a star forest: (child, root). Roots appear only on the right.
     roots = e.select(F.col("v").alias("node")).distinct().select(
         "node", F.col("node").alias("component")

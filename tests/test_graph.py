@@ -175,3 +175,9 @@ def test_link_rank_matches_independent_numpy(spark):
     for x in nodes:
         assert abs(got[x] - r[idx[x]]) < 1e-9
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_cc_raises_loudly_if_not_converged(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(20)], "src: long, dst: long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
