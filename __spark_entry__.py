@@ -1462,6 +1462,28 @@ def q_f6c_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_sitemap_xml(bodies)
 
 
+def q_corpus_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))+1,
+    tiebreak tfidf desc then term asc): tf/df share one (doc, term)
+    hash-agg grain — df is a plain keyed count, never a count-distinct
+    shuffle — and the vocabulary join is a hash join on term."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.corpus import tfidf_topk_terms
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    out = tfidf_topk_terms(docs, "doc_id", "text", k=5)
+    return out.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast(BIG).alias("tf"),
+        F.col("df").cast(BIG).alias("df"),
+        F.round("tfidf", 6).alias("tfidf"),
+        F.col("rank").cast(BIG).alias("rank"),
+    )
+
+
 # =====================================================================
 # Contract surface
 # =====================================================================
@@ -1536,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "decontam_ngram_overlap": q_decontam_ngram_overlap,
         "f6c_sitemap_parse": q_f6c_sitemap_parse,
+        "corpus_tfidf_topk": q_corpus_tfidf_topk,
     }
 
 
@@ -2337,6 +2360,21 @@ SELECT host,
        nullif(regexp_extract(blk, '(?s)<priority>\\s*(.*?)\\s*</priority>', 1), '')::DOUBLE AS priority
 FROM blk
 WHERE regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) <> ''
+"""
+
+    o["corpus_tfidf_topk"] = """
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+             tf.tf * (ln((n.n_docs + 1) / (dfx.df + 1.0)) + 1.0) AS tfidf
+      FROM tf JOIN dfx USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk FROM s)
+SELECT doc_id::BIGINT AS doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df,
+       round(tfidf, 6) AS tfidf, rnk::BIGINT AS "rank"
+FROM r WHERE rnk <= 5
 """
 
     o["decontam_ngram_overlap"] = """

@@ -232,3 +232,44 @@ def stratified_token_sample(
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
     )
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (Sparck Jones 1972 weighting, sklearn-style smoothing:
+    ``idf = ln((N+1)/(df+1)) + 1``) — the standard keyword/topic signal a
+    corpus pipeline derives for routing, sampling strata, and search.
+
+    Returns (id_col, term, tf, df, tfidf, rank), rank 1..k per doc,
+    deterministic tiebreak (tfidf desc, term asc).
+
+    Scale shape: tokenization is an in-row JVM explode; tf is one
+    partial-aggregating hash-agg on (doc, term); df reuses the SAME
+    (doc, term) grain (distinct-by-construction, so df is a plain count
+    keyed by term — no count-distinct shuffle); the df table joins back on
+    term (vocabulary-sized, hash join — NOT broadcast: at web scale the
+    vocabulary is billions of terms); the top-k window is keyed by doc.
+    N (corpus size) is the one scalar aggregate."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(df_tbl, "term").withColumn(
+        "tfidf",
+        F.col("tf")
+        * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )

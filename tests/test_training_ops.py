@@ -465,3 +465,40 @@ def test_stratified_token_sample_budget_and_determinism(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert ids == ids2
+
+
+def test_tfidf_topk_matches_independent_python(spark):
+    """Cross-check tfidf_topk_terms against a hand-rolled tf/df/idf
+    computation, including the deterministic tiebreak."""
+    import math
+    from collections import Counter
+
+    from delphi_crawler_spark.operators.corpus import tfidf_topk_terms
+
+    texts = {
+        1: "apple banana apple cherry",
+        2: "banana cherry cherry date",
+        3: "apple date date date elder",
+        4: "fig fig fig fig",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id: long, text: string")
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["tfidf"])
+        for r in tfidf_topk_terms(docs, k=3).collect()
+    }
+
+    n = len(texts)
+    tfs = {d: Counter(t.split()) for d, t in texts.items()}
+    dfs = Counter(term for c in tfs.values() for term in c)
+    for d, c in tfs.items():
+        scored = sorted(
+            (
+                (term, tf, dfs[term], tf * (math.log((n + 1) / (dfs[term] + 1)) + 1))
+                for term, tf in c.items()
+            ),
+            key=lambda x: (-x[3], x[0]),
+        )[:3]
+        for rank, (term, tf, df, tfidf) in enumerate(scored, 1):
+            gterm, gtf, gdf, gtfidf = got[(d, rank)]
+            assert (gterm, gtf, gdf) == (term, tf, df)
+            assert abs(gtfidf - tfidf) < 1e-9
