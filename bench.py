@@ -173,6 +173,8 @@ BENCH_QUERIES = {
     "neardup_cluster_cc": neardup_cluster_cc,
     "host_linkrank": E.q_p9_host_linkrank,
     "text_quality_scores": E.q_text_quality_scores,
+    "decontam_ngram_overlap": E.q_decontam_ngram_overlap,
+    "corpus_tfidf_topk": E.q_corpus_tfidf_topk,
     "tumbling_window": E.q_stream_tumbling_window,
     "media_features": E.q_mm_media_features,
 }
