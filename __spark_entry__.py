@@ -1356,6 +1356,25 @@ _HTML_MID = '">Title &amp; more</h1><p>'
 _HTML_TAIL = "</p><br/>&#169; footer</body></html>"
 
 
+def q_p10_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg '99) over the same weighted host
+    graph as p9: 5 mutual-reinforcement steps, L2-normalized each
+    half-step. Splits the crawl-priority signal PageRank conflates:
+    directory-like hub hosts vs content authority hosts."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("h"), (F.col("l_suppkey") % 100).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 103).cast("string")).alias("dst"),
+    )
+    out = hits(edges, iters=5)
+    return out.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    )
+
+
 def q_text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate strip: script/style subtrees, tags, and entities
     removed by a JVM regexp_replace chain (RE2-compatible subset, so the
@@ -1559,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_ngram_overlap": q_decontam_ngram_overlap,
         "f6c_sitemap_parse": q_f6c_sitemap_parse,
         "corpus_tfidf_topk": q_corpus_tfidf_topk,
+        "p10_host_hits": q_p10_host_hits,
     }
 
 
@@ -1632,6 +1652,46 @@ def _linkrank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
     return (
         ",\n".join(parts)
         + f'\nSELECT node, round(pr, 6) AS "rank" FROM r{iters}'
+    )
+
+
+def _hits_oracle_sql(iters: int = 5) -> str:
+    """Unrolled HITS (Kleinberg '99) in plain SQL, mirroring
+    operators/graph.py:hits exactly: uniform 1/sqrt(N) start, per-half-step
+    L2 normalization with the same zero-norm guard."""
+    parts = [
+        "WITH e AS (SELECT 'h' || (l_suppkey % 100) AS s, "
+        "'h' || (l_partkey % 103) AS d, count(*)::DOUBLE AS w "
+        "FROM lineitem GROUP BY 1, 2)",
+        "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "h0 AS (SELECT node, 1.0 / sqrt(nn.n) AS hub FROM nodes CROSS JOIN nn)",
+    ]
+    # L2 norms are window functions over a single-reference inline subquery
+    # (a norm CTE referencing its input twice would make DuckDB's CTE
+    # inlining expand the 5-iteration chain exponentially)
+    for k in range(1, iters + 1):
+        parts.append(
+            f"a{k} AS (SELECT node, a / (CASE WHEN nrm IS NULL OR nrm = 0 THEN 1 ELSE nrm END) AS authority "
+            f"FROM (SELECT node, a, sqrt(sum(a * a) OVER ()) AS nrm "
+            f"      FROM (SELECT nodes.node, coalesce(ar.a, 0) AS a FROM nodes "
+            f"            LEFT JOIN (SELECT e.d AS node, sum(h.hub * e.w) AS a "
+            f"                       FROM h{k - 1} h JOIN e ON e.s = h.node GROUP BY e.d) ar "
+            f"            ON ar.node = nodes.node) f) t)"
+        )
+        parts.append(
+            f"h{k} AS (SELECT node, h / (CASE WHEN nrm IS NULL OR nrm = 0 THEN 1 ELSE nrm END) AS hub "
+            f"FROM (SELECT node, h, sqrt(sum(h * h) OVER ()) AS nrm "
+            f"      FROM (SELECT nodes.node, coalesce(hr.h, 0) AS h FROM nodes "
+            f"            LEFT JOIN (SELECT e.s AS node, sum(a.authority * e.w) AS h "
+            f"                       FROM a{k} a JOIN e ON e.d = a.node GROUP BY e.s) hr "
+            f"            ON hr.node = nodes.node) f) t)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT h{iters}.node, round(h{iters}.hub, 6) AS hub, "
+        f"round(a{iters}.authority, 6) AS authority "
+        f"FROM h{iters} JOIN a{iters} ON a{iters}.node = h{iters}.node"
     )
 
 
@@ -2305,6 +2365,7 @@ FROM lab l JOIN sz s USING (cluster_id)
     )
 
     o["p9_host_linkrank"] = _linkrank_oracle_sql(iters=5, damping=0.85)
+    o["p10_host_hits"] = _hits_oracle_sql(iters=5)
 
     # Same regexp chain as operators/scrub.py:html_strip_col — the patterns
     # are in the Java-regex ∩ RE2 subset, so byte-identical outputs.

@@ -181,3 +181,45 @@ def test_cc_raises_loudly_if_not_converged(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(20)], "src: long, dst: long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_hits_matches_independent_numpy(spark):
+    """Spec-level cross-check of HITS: uniform start, L2 normalization per
+    half-step, reimplemented independently in dense numpy."""
+    import numpy as np
+
+    from delphi_crawler_spark.operators.graph import hits
+
+    rng = random.Random(23)
+    n = 25
+    edges = []
+    for _ in range(100):
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            edges.append((u, v))
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(df, iters=6).collect()}
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {x: i for i, x in enumerate(nodes)}
+    m = len(nodes)
+    W = np.zeros((m, m))
+    for u, v in edges:
+        W[idx[u], idx[v]] += 1.0
+    h = np.full(m, 1.0 / m ** 0.5)
+    for _ in range(6):
+        a = W.T @ h
+        a = a / (np.linalg.norm(a) or 1.0)
+        h = W @ a
+        h = h / (np.linalg.norm(h) or 1.0)
+    for x in nodes:
+        gh, ga = got[x]
+        assert abs(gh - h[idx[x]]) < 1e-9
+        assert abs(ga - a[idx[x]]) < 1e-9
+    # a pure source has authority 0; a pure sink has hub 0
+    srcs = {u for u, _ in edges} - {v for _, v in edges}
+    sinks = {v for _, v in edges} - {u for u, _ in edges}
+    for x in srcs:
+        assert got[x][1] == 0.0
+    for x in sinks:
+        assert got[x][0] == 0.0
