@@ -1191,12 +1191,16 @@ def q_p7_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROBOTS_BODY_SQL = """
 CASE CAST(n_nationkey % 4 AS INT)
  WHEN 0 THEN 'User-agent: other-bot' || chr(10) || 'Disallow: /' || chr(10) || chr(10)
+          || 'User-agent: spark' || chr(10) || 'Disallow: /pre' || n_nationkey || chr(10) || chr(10)
           || 'User-agent: *' || chr(10) || 'Disallow: /p' || n_nationkey || chr(10)
           || 'Allow: /p' || n_nationkey || '/ok'
  WHEN 1 THEN 'User-agent: Spark-Crawler' || chr(10) || 'User-agent: extra' || chr(10)
           || 'Disallow: /x' || n_nationkey || chr(10) || 'Allow: /x' || n_nationkey || '/y'
           || chr(10) || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /'
- WHEN 2 THEN 'User-agent: someone-else' || chr(10) || 'Disallow: /'
+ WHEN 2 THEN 'User-agent: Spark-Crawler' || chr(10) || 'Disallow: /a' || n_nationkey
+          || chr(10) || chr(10) || 'User-agent: spark-crawler' || chr(10)
+          || 'Disallow: /b' || n_nationkey || chr(10) || chr(10)
+          || 'User-agent: someone-else' || chr(10) || 'Disallow: /'
  ELSE 'Disallow: /orphan' || chr(10) || '# note' || chr(10) || 'User-agent: *'
           || chr(10) || 'Disallow:' || chr(10) || 'Allow: /ok' || n_nationkey
 END
@@ -1205,10 +1209,12 @@ END
 
 def q_f6b_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 front half: raw robots.txt text → rule rows, RFC 9309 group
-    semantics (best-matching UA group only — exact agent beats '*', case-
-    insensitive directives, comments stripped, empty Disallow dropped,
+    semantics (exact agent-token match beats product-token prefix match
+    beats '*'; ALL groups at the winning specificity combine per §2.2.1;
+    case-insensitive directives, comments stripped, empty Disallow dropped,
     orphan rules before any group ignored). Bodies are synthesized
-    deterministically from nation (4 templates covering each case); the
+    deterministically from nation (4 templates: prefix-beats-star,
+    multi-UA group, two exact groups combined, orphan+empty-disallow); the
     DuckDB oracle builds the same bodies and re-derives the parse with the
     same window-carry logic."""
     _ensure_pkg(spark)
@@ -2180,20 +2186,20 @@ g2 AS (
 g3 AS (SELECT * FROM g2 WHERE group_id > 0),
 ua AS (
   SELECT host, group_id,
-         max(CASE WHEN lower(value) = 'spark-crawler' THEN 2
+         max(CASE WHEN lower(value) = 'spark-crawler' THEN 3
+                  WHEN value <> '*' AND value <> ''
+                       AND starts_with('spark-crawler', lower(value)) THEN 2
                   WHEN value = '*' THEN 1 ELSE 0 END) AS score
   FROM g3 WHERE directive = 'user-agent' GROUP BY 1, 2
 ),
-best AS (
-  SELECT host, group_id FROM (
-    SELECT host, group_id, score,
-           row_number() OVER (PARTITION BY host ORDER BY score DESC, group_id ASC) AS rn
-    FROM ua
-  ) t WHERE rn = 1 AND score > 0
+best AS (SELECT host, max(score) AS best_score FROM ua GROUP BY 1),
+winners AS (
+  SELECT ua.host, ua.group_id FROM ua JOIN best USING (host)
+  WHERE ua.score = best.best_score AND best.best_score > 0
 ),
 rules AS (
   SELECT g3.host, directive, value, line_no
-  FROM g3 JOIN best USING (host, group_id)
+  FROM g3 JOIN winners USING (host, group_id)
   WHERE directive IN ('allow', 'disallow')
     AND NOT (directive = 'disallow' AND value = '')
 )

@@ -63,7 +63,9 @@ class CuckooFilter:
     buckets: np.ndarray  # uint16[n_buckets, SLOTS]; 0 = empty slot
     stash: np.ndarray = field(
         default_factory=lambda: np.zeros(0, dtype=np.uint64)
-    )  # sorted (bucket << 16 | fp) canonical keys that overflowed
+    )  # sorted MULTISET of (bucket << 16 | fp) canonical keys that
+    # overflowed — duplicates are kept so two distinct keys that collide on
+    # (bucket, fp) occupy two entries and deleting one never unsees the other
 
     @staticmethod
     def sized(expected_items: int, load: float = 0.6) -> "CuckooFilter":
@@ -127,7 +129,7 @@ class CuckooFilter:
             if not placed2.all():
                 over = ~placed2
                 keys = self._canonical(b1_r[over], fp_r[over])
-                self.stash = np.unique(np.concatenate([self.stash, keys]))
+                self.stash = np.sort(np.concatenate([self.stash, keys]))
 
     def _entries(self) -> tuple[np.ndarray, np.ndarray]:
         """All occupied (bucket, fp) pairs, including stashed ones."""
@@ -151,7 +153,7 @@ class CuckooFilter:
             if not placed2.all():
                 over = ~placed2
                 keys = self._canonical(b_r[over], fp_r[over])
-                self.stash = np.unique(np.concatenate([self.stash, keys]))
+                self.stash = np.sort(np.concatenate([self.stash, keys]))
 
     def merge(self, other: "CuckooFilter") -> "CuckooFilter":
         assert self.n_buckets == other.n_buckets
@@ -184,7 +186,17 @@ class CuckooFilter:
         """Remove ONE stored occurrence per input key (the capability Bloom
         lacks). Intra-batch slot contention (two keys matching the same
         physical slot) is resolved by unique-slot rounds — a few vectorized
-        passes, never a per-key loop. Returns the number of removals."""
+        passes, never a per-key loop. Returns the number of removals.
+
+        Standard cuckoo-delete caveat (Fan et al. §3.3): only delete keys
+        that were previously inserted. Under that discipline the per-
+        (bucket, fp) occurrence count always covers every still-inserted
+        key — the multiset stash (duplicates kept, one removed per delete)
+        is what preserves this for overflow entries — so the filter stays
+        free of false negatives and ``seen_anti_join_cuckoo`` remains
+        identical to the plain anti-join. Deleting a never-inserted key
+        voids that guarantee (it may strip a colliding occurrence owned by
+        a different key)."""
         fp, b1 = self._fp_bucket(vals)
         b2 = self._alt(b1, fp)
         removed = 0
@@ -214,13 +226,22 @@ class CuckooFilter:
                 progressed = True
             if not progressed:
                 break
-        # leftovers may live in the stash
+        # leftovers may live in the stash: remove exactly ONE occurrence per
+        # pending input key (the stash is a multiset — a surviving duplicate
+        # is a different original key that happens to share (bucket, fp))
         idx = np.nonzero(pending)[0]
         if len(idx) and len(self.stash):
-            keys = np.unique(self._canonical(b1[idx], fp[idx]))
-            keep = ~np.isin(self.stash, keys)
-            removed += int((~keep).sum())
-            self.stash = self.stash[keep]
+            req_keys, req_cnt = np.unique(
+                self._canonical(b1[idx], fp[idx]), return_counts=True
+            )
+            stash_keys, stash_cnt = np.unique(self.stash, return_counts=True)
+            pos = np.searchsorted(stash_keys, req_keys)
+            pos_c = np.minimum(pos, len(stash_keys) - 1)
+            present = stash_keys[pos_c] == req_keys
+            take = np.minimum(req_cnt[present], stash_cnt[pos_c[present]])
+            removed += int(take.sum())
+            stash_cnt[pos_c[present]] -= take
+            self.stash = np.repeat(stash_keys, stash_cnt)
         return removed
 
 

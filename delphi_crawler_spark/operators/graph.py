@@ -40,7 +40,7 @@ needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "neardup_clusters", "link_rank", "hits"]
@@ -207,7 +207,6 @@ def link_rank(
     collect() of anything graph-sized — the dangling term is a scalar
     aggregate.
     """
-    spark = edges.sparkSession
     ew = edges.select(
         F.col(src).alias("s"),
         F.col(dst).alias("d"),
@@ -278,12 +277,16 @@ def hits(
     (a hub host links out to many good authorities; an authority is
     linked from many good hubs). Deterministic given the edge list.
 
+    ``iters`` must be >= 1 (a 0-step HITS has no defined authority vector).
+
     Same scale shape as ``link_rank``: the weighted edge list aggregates
     once, is repartitioned by join key and persisted; each half-step is
     one shuffle join + one keyed partial-aggregating sum; the L2 norms
     are scalar aggregates; scores are localCheckpoint-ed so the plan
     stays O(1) across iterations. No cartesian products anywhere.
     """
+    if iters < 1:
+        raise ValueError(f"hits() requires iters >= 1, got {iters}")
     ew = edges.select(
         F.col(src).alias("s"),
         F.col(dst).alias("d"),

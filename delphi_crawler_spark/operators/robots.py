@@ -96,19 +96,23 @@ def parse_robots_txt(
     rows ``compile_rules`` consumes — the missing front half of F6 (fetching
     gives you TEXT, not rule rows).
 
-    De-facto-standard group semantics (REP, RFC 9309): lines split into
-    groups led by one or more consecutive ``User-agent`` lines; ONLY the
-    best-matching group's rules apply — an exact agent match beats ``*``,
-    no match means no rules. Comments (#) are stripped, directives are
-    case-insensitive, an empty ``Disallow:`` imposes nothing (dropped),
-    rule order within the group is line order.
+    Group semantics (REP, RFC 9309 §2.2.1): lines split into groups led by
+    one or more consecutive ``User-agent`` lines; the crawler obeys the
+    most-specific matching groups — an exact agent-token match beats a
+    product-token prefix match (UA line ``spark`` matches agent
+    ``spark-crawler``), which beats ``*``; per RFC 9309, when MULTIPLE
+    groups match at the winning specificity their rules are COMBINED into
+    one effective group. No match means no rules. Comments (#) are
+    stripped, directives are case-insensitive, an empty ``Disallow:``
+    imposes nothing (dropped), rule order is line order across the
+    combined groups.
 
     All column math: one posexplode to line grain, regexp directive parse,
     then two carries over the same (host, line) window — a running count of
     group starts (a UA line whose predecessor is not a UA line) assigns
-    ``group_id``, and the winning group is a plain per-host hash-agg max of
-    (match_score, -group_id). One shuffle on host; robots bodies are tiny,
-    so the line grain stays narrow."""
+    ``group_id``; the winning score is a per-host hash-agg max and every
+    group at that score contributes rules. One shuffle on host; robots
+    bodies are tiny, so the line grain stays narrow."""
     lines = bodies.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(body_col), "\n")).alias("line_no", "raw"),
@@ -134,27 +138,30 @@ def parse_robots_txt(
         ),
     ).filter(F.col("group_id") > 0)  # rules before any UA line have no group
 
+    lv = F.lower(F.col("value"))
     ua = grouped.filter(F.col("directive") == "user-agent").withColumn(
         "score",
-        F.when(F.lower(F.col("value")) == agent.lower(), 2)
+        F.when(lv == agent.lower(), 3)
+        .when(
+            (F.col("value") != "*")
+            & (F.col("value") != "")
+            & F.lit(agent.lower()).startswith(lv),
+            2,
+        )
         .when(F.col("value") == "*", 1)
         .otherwise(0),
     )
-    # winning group per host: best score, earliest group on ties, score > 0
-    best = (
-        ua.groupBy("host")
-        .agg(F.max(F.struct(F.col("score"), (-F.col("group_id")).alias("ng"))).alias("b"))
-        .select(
-            "host",
-            F.col("b.score").alias("best_score"),
-            (-F.col("b.ng")).alias("best_group"),
-        )
-        .filter(F.col("best_score") > 0)
+    group_scores = ua.groupBy("host", "group_id").agg(F.max("score").alias("gscore"))
+    best = group_scores.groupBy("host").agg(F.max("gscore").alias("best_score"))
+    # RFC 9309: ALL groups matching at the winning specificity combine
+    winners = (
+        group_scores.join(F.broadcast(best), "host")
+        .filter((F.col("gscore") == F.col("best_score")) & (F.col("best_score") > 0))
+        .select("host", "group_id")
     )
     rules = (
         grouped.filter(F.col("directive").isin("allow", "disallow"))
-        .join(F.broadcast(best), "host")
-        .filter(F.col("group_id") == F.col("best_group"))
+        .join(F.broadcast(winners), ["host", "group_id"])
         .filter(~((F.col("directive") == "disallow") & (F.col("value") == "")))
         .withColumn("path_prefix", F.when(F.col("value") == "", "/").otherwise(F.col("value")))
     )

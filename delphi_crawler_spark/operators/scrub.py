@@ -40,7 +40,6 @@ __all__ = ["html_strip_col", "pii_scrub", "decontaminate"]
 # RE2-compatible (and Java-regex-compatible) patterns only — shared with
 # the DuckDB oracles, so keep to the common subset: no lookaround, no
 # backreferences, no possessive quantifiers.
-_SCRIPT_RE = r"(?is)<(script|style)[^>]*>.*?</\1>"  # Java-only (backref) — see html_strip_col
 _TAG_RE = r"(?s)<[^>]*>"
 _ENTITY_RE = r"&[a-zA-Z]{1,10};|&#[0-9]{1,7};"
 _WS_RE = r"\s+"

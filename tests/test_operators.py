@@ -384,6 +384,24 @@ def test_cuckoo_core_semantics():
     assert cf.might_contain_many(drop).mean() < 0.01
 
 
+def test_cuckoo_stash_multiset():
+    """Two distinct keys sharing (bucket, fp) must occupy two stash entries:
+    deleting one may not unsee the other (the multiset-stash guarantee)."""
+    from delphi_crawler_spark.operators.cuckoo import SLOTS, CuckooFilter
+
+    # n_buckets=1: every key lands in bucket 0 (alt == primary); same top-16
+    # bits -> same fingerprint, so all six values collide on (bucket, fp)
+    cf = CuckooFilter(1, np.zeros((1, SLOTS), dtype=np.uint16))
+    vals = (np.uint64(5) << np.uint64(48)) | np.arange(6, dtype=np.uint64)
+    cf.add_many(vals)
+    assert len(cf.stash) == 2  # 4 slots + 2 stashed occurrences, not 1
+    assert cf.might_contain_many(vals).all()
+    # delete five of the six: 4 slot occurrences + 1 stash occurrence
+    assert cf.delete_many(vals[:5]) == 5
+    assert len(cf.stash) == 1
+    assert cf.might_contain_many(vals[5:]).all()  # survivor still seen
+
+
 def test_cuckoo_merge_equivalence():
     """treeReduce merge law: merge(A,B) contains exactly A's and B's entries."""
     from delphi_crawler_spark.operators.cuckoo import CuckooFilter
@@ -527,9 +545,10 @@ def test_host_backoff_schedule(spark):
 
 
 def test_parse_robots_txt_group_semantics(spark):
-    """RFC 9309 group selection: exact agent beats '*', non-matching groups
-    yield nothing, orphan rules and empty Disallow are dropped; parsed rules
-    feed compile_rules/robots_filter unchanged."""
+    """RFC 9309 group selection: exact agent beats product-token prefix
+    beats '*'; equal-specificity groups COMBINE (§2.2.1); non-matching
+    groups yield nothing, orphan rules and empty Disallow are dropped;
+    parsed rules feed compile_rules/robots_filter unchanged."""
     from delphi_crawler_spark.operators.robots import parse_robots_txt
 
     body_a = (
@@ -542,8 +561,24 @@ def test_parse_robots_txt_group_semantics(spark):
     )
     body_c = "User-agent: someone-else\nDisallow: /\n"
     body_d = "Disallow: /orphan\nUser-agent: *\nDisallow:\nAllow: /ok\n"
+    # two exact-matching groups -> rules combine (RFC 9309 §2.2.1)
+    body_e = (
+        "User-agent: Spark-Crawler\nDisallow: /one\n\n"
+        "User-agent: spark-crawler\nDisallow: /two\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    # product-token prefix match ('spark' matches agent 'spark-crawler')
+    # outranks '*' but loses to an exact match elsewhere
+    body_f = "User-agent: spark\nDisallow: /pre\n\nUser-agent: *\nDisallow: /\n"
     df = spark.createDataFrame(
-        [("a.com", body_a), ("b.com", body_b), ("c.com", body_c), ("d.com", body_d)],
+        [
+            ("a.com", body_a),
+            ("b.com", body_b),
+            ("c.com", body_c),
+            ("d.com", body_d),
+            ("e.com", body_e),
+            ("f.com", body_f),
+        ],
         "host string, body string",
     )
     rules = parse_robots_txt(df, agent="spark-crawler")
@@ -554,6 +589,9 @@ def test_parse_robots_txt_group_semantics(spark):
         ("b.com", "allow", "/x/y", 1),
         ("b.com", "disallow", "/x", 0),
         ("d.com", "allow", "/ok", 0),
+        ("e.com", "disallow", "/one", 0),
+        ("e.com", "disallow", "/two", 1),
+        ("f.com", "disallow", "/pre", 0),
     ]
     # end-to-end: parsed rules drive the existing broadcast filter
     compiled = compile_rules(rules.toPandas())
