@@ -1099,7 +1099,9 @@ def q_corpus_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget stratified sampling: per language, admit documents in
     md5(doc_id) order until 3000 tokens are reached (budget-crossing doc
-    kept). The cumsum window is partitioned by stratum — no global sort."""
+    kept). The per-stratum cumsum is two-phase per-partition offsets over a
+    range partitioning — no window, so one giant stratum never serializes
+    into a single sort task."""
     _ensure_pkg(spark)
     from delphi_crawler_spark.operators.corpus import stratified_token_sample
 

@@ -46,8 +46,10 @@ as the rest of the engine (no per-row Python, no unkeyed windows).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def _tokens(text_col: str | Column) -> Column:
@@ -208,6 +210,7 @@ def stratified_token_sample(
     stratum_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic token-budget sampling per stratum: order each stratum
     by ``md5(id)`` (an engine-portable pseudo-random shuffle — no ``rand()``
@@ -215,23 +218,85 @@ def stratified_token_sample(
     token total reaches ``budget_tokens``; the budget-crossing document is
     admitted (greedy fill-to-at-least-B).
 
-    The window is PARTITIONED by stratum — the cumsum sort is per-stratum,
-    never global. Caveat for few-strata corpora: one stratum = one sort
-    task; at that shape, switch the cumsum to the two-phase per-partition
-    offset pattern used for frontier seq assignment
-    (``operators/ordering.py``)."""
-    n_tokens = F.size(_tokens(text_col))
-    shuffle_key = F.md5(F.col(id_col).cast("string"))
-    w = (
-        Window.partitionBy(stratum_col)
-        .orderBy(shuffle_key, F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Scale shape — two-phase per-partition offsets (the ``ordering.py``
+    frontier-seq pattern), NOT a per-stratum window: a window cumsum
+    serializes each stratum into one sort task, which is the scale killer
+    for the common few-strata (per-language) corpus. Instead the rows are
+    range-partitioned on the total key (stratum, md5, id) — so every
+    stratum spreads over many partitions while staying order-consistent —
+    then (1) one narrow counting pass yields per-(partition, stratum) token
+    totals, (2) the driver prefix-sums them into offsets (a few KB: strata
+    × partitions), and (3) a map-side pass adds the offset to the
+    partition-local running sum. The cumsum depends only on the global
+    order of the total key, so output is byte-identical at any parallelism
+    (parallelism-invariance is pytest-pinned).
+
+    The partitioned intermediate is persisted so both passes see identical
+    partitions; ``out._release_stratified()`` unpersists it once the result
+    is materialized."""
+    spark = docs.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    base = docs.withColumn("n_tokens", F.size(_tokens(text_col))).withColumn(
+        "__shuffle_key", F.md5(F.col(id_col).cast("string"))
     )
-    return (
-        docs.withColumn("n_tokens", n_tokens)
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
+    sort_cols = [F.col(stratum_col), F.col("__shuffle_key"), F.col(id_col)]
+    d = (
+        base.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .persist()
     )
+
+    def _totals(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        sums: dict[str, int] = {}
+        for pdf in batches:
+            g = pdf.groupby(pdf[stratum_col].astype(str))["n_tokens"].sum()
+            for k, v in g.items():
+                sums[k] = sums.get(k, 0) + int(v)
+        if sums:
+            yield pd.DataFrame(
+                {"pid": pid, "stratum": list(sums), "tok": list(sums.values())}
+            )
+
+    totals = d.mapInPandas(_totals, schema="pid int, stratum string, tok long").collect()
+    offsets: dict[tuple[int, str], int] = {}
+    acc: dict[str, int] = {}
+    for r in sorted(totals, key=lambda r: (r.stratum, r.pid)):
+        offsets[(r.pid, r.stratum)] = acc.get(r.stratum, 0)
+        acc[r.stratum] = acc.get(r.stratum, 0) + r.tok
+    bc = spark.sparkContext.broadcast(offsets)
+
+    out_schema = StructType(
+        list(d.schema.fields) + [StructField("cum_tokens", LongType())]
+    )
+
+    def _cumsum(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        consumed: dict[str, int] = {}  # tokens already emitted per stratum
+        for pdf in batches:
+            pdf = pdf.copy()
+            key = pdf[stratum_col].astype(str)
+            local = (
+                pdf.groupby(key, sort=False)["n_tokens"].cumsum().astype("int64")
+            )
+            od = {
+                s: bc.value.get((pid, s), 0) + consumed.get(s, 0)
+                for s in key.unique()
+            }
+            pdf["cum_tokens"] = local + key.map(od).astype("int64")
+            for s, v in pdf.groupby(key, sort=False)["n_tokens"].sum().items():
+                consumed[s] = consumed.get(s, 0) + int(v)
+            yield pdf[pdf["cum_tokens"] - pdf["n_tokens"] < budget_tokens]
+
+    out = d.mapInPandas(_cumsum, schema=out_schema).select(
+        *docs.columns, "n_tokens", "cum_tokens"
+    )
+    out._release_stratified = lambda: d.unpersist()  # type: ignore[attr-defined]
+    return out
 
 
 def tfidf_topk_terms(

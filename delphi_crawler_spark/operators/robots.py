@@ -9,19 +9,20 @@ filter candidates with a vectorized ``allowed(host, path)``.
 Semantics (de-facto robots standard): the **longest matching path prefix**
 wins; on equal length, ``allow`` wins; a host with no rules is allowed.
 
-Scale: the rules table is a small dim — collected once to the driver,
-compiled into per-host sorted prefix lists, and broadcast (one copy per
-executor).  Matching is a pandas UDF over Arrow batches; per batch it
-groups by host so each host's prefix list is scanned with numpy
-``str.startswith`` vectorization rather than per-row Python dict walks.
+Scale: the rules stay a DataFrame end-to-end — aggregated executor-side
+into one pre-sorted rule array per host and broadcast-JOINED to the
+candidates (Spark's broadcast exchange is the north rule's "broadcast
+trie"); matching is a JVM higher-order filter over the pre-sorted array,
+so the gate is pure whole-stage codegen with no driver materialization
+and no Python. ``compile_rules``/``allowed_py`` remain as the independent
+reference implementation the tests check the gate against.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
 
 
 def compile_rules(rules_pdf: pd.DataFrame) -> dict[str, list[tuple[str, bool]]]:
@@ -53,37 +54,55 @@ def robots_filter(
     rules: DataFrame | None,
     url_col: str = "url",
     host_col: str = "host",
+    broadcast_rules: bool = True,
 ) -> DataFrame:
-    """Drop disallowed candidate URLs. ``rules`` is the small
-    (host, rule, path_prefix, order) dim table."""
+    """Drop disallowed candidate URLs. ``rules`` is the
+    (host, rule, path_prefix, order) dim table.
+
+    Scale shape: the rules NEVER materialize on the driver. They aggregate
+    executor-side into one pre-sorted rule array per host
+    (``array_sort(collect_list(...))`` keyed so the first matching entry is
+    the winning rule: longest prefix, allow-on-ties, line order), join to
+    candidates on host — a BroadcastHashJoin by default (the north rule's
+    "broadcast trie", realized as Spark's broadcast exchange of the
+    per-host arrays); at 10^7–10^8 rule hosts flip ``broadcast_rules=False``
+    for a shuffled hash join — and the longest-prefix pick is a JVM
+    higher-order ``filter`` + ``element_at`` over the pre-sorted array.
+    Zero Python, zero ``collect``/``toPandas``, whole-stage codegen
+    (plan-audited in tests/test_plans.py)."""
     if rules is None:
         return candidates
-    spark: SparkSession = candidates.sparkSession
-    compiled = compile_rules(rules.toPandas())
-    bc = spark.sparkContext.broadcast(compiled)
-
-    @F.pandas_udf(BooleanType())
-    def _allowed(hosts: pd.Series, paths: pd.Series) -> pd.Series:
-        comp = bc.value
-        out = pd.Series(True, index=hosts.index)
-        for host, idx in hosts.groupby(hosts).groups.items():
-            rules_h = comp.get(host)
-            if not rules_h:
-                continue
-            sub = paths.loc[idx]
-            verdict = pd.Series(True, index=sub.index)
-            undecided = pd.Series(True, index=sub.index)
-            for prefix, is_allow in rules_h:
-                hit = undecided & sub.str.startswith(prefix, na=False)
-                verdict.loc[hit] = is_allow
-                undecided &= ~hit
-            out.loc[idx] = verdict
-        return out
-
+    rule_arr = rules.groupBy(F.col("host").alias("__rhost")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.length("path_prefix")).alias("neg_len"),
+                    F.when(F.col("rule") == "allow", 0).otherwise(1).alias("deny_rank"),
+                    F.col("order").alias("order"),
+                    F.col("path_prefix").alias("path_prefix"),
+                    (F.col("rule") == "allow").alias("is_allow"),
+                )
+            )
+        ).alias("__rules")
+    )
+    if broadcast_rules:
+        rule_arr = F.broadcast(rule_arr)
     path = F.regexp_replace(
         F.col(url_col), r"^[a-z][a-z0-9+.\-]*://[^/]*", ""
     )
-    return candidates.filter(_allowed(F.col(host_col), path))
+    joined = candidates.join(
+        rule_arr, F.col(host_col) == F.col("__rhost"), "left"
+    ).withColumn("__path", path)
+    matched = F.filter(
+        F.col("__rules"),
+        lambda r: F.startswith(F.col("__path"), r["path_prefix"]),
+    )
+    verdict = (
+        F.col("__rules").isNull()
+        | (F.size(matched) == 0)
+        | F.element_at(matched, 1)["is_allow"]
+    )
+    return joined.filter(verdict).drop("__rhost", "__rules", "__path")
 
 
 def parse_robots_txt(

@@ -61,11 +61,14 @@ def test_minhash_lsh_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_robots_broadcast_not_join(spark):
-    """The robots gate is a broadcast-structure filter — no join node for
-    the rules at all."""
+def test_robots_gate_jvm_broadcast_join(spark):
+    """The robots gate keeps the rules DataFrame-resident: a broadcast hash
+    join on host (no driver collect of the rules table) and a pure-JVM
+    longest-prefix pick — zero Python eval, no cartesian."""
     plan = _plan(E.q_f6_robots_gate(spark, SF))
-    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+    assert "EvalPython" not in plan  # no pandas/Arrow UDF on the gate path
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_span_stats_whole_stage_codegen(spark):
@@ -91,6 +94,15 @@ def test_asof_join_no_range_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(user_id" in plan
+
+
+def test_stratified_sample_no_window_sort(spark):
+    """The per-stratum cumsum must be two-phase offsets over a range
+    partitioning — never a window, which would serialize each stratum into
+    one sort task (mirrors test_politeness_single_host_shuffle)."""
+    plan = _plan(E.q_corpus_stratified_sample(spark, SF))
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan
 
 
 def test_corpus_segment_dedup_no_token_grain_explode(spark):

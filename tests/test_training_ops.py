@@ -465,6 +465,16 @@ def test_stratified_token_sample_budget_and_determinism(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert ids == ids2
+    # two-phase offsets: byte-identical at 1 and 7 range partitions (the
+    # cumsum depends only on the global order key, never on boundaries)
+    for np_ in (1, 7):
+        got = sorted(
+            (r.doc_id, r.cum_tokens)
+            for r in stratified_token_sample(
+                df, budget_tokens=budget, stratum_col="lang", num_partitions=np_
+            ).collect()
+        )
+        assert got == sorted((r.doc_id, r.cum_tokens) for r in rows)
 
 
 def test_tfidf_topk_matches_independent_python(spark):
