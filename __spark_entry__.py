@@ -495,11 +495,17 @@ def q_a4_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     docs2 = docs.select(F.col("doc_id").cast(BIG).alias("doc_id"), spans.alias("spans"))
+    from delphi_crawler_spark.operators.links import SPAN_INT_FEATURES
+
     s = span_stats(docs2)
     return s.select(
         "doc_id",
-        *[F.col(c).cast(BIG).alias(c) for c in
-          ["n_spans", "n_text", "n_link", "n_media", "total_text_len", "n_media_refs"]],
+        *[F.col(c).cast(BIG).alias(c) for c in SPAN_INT_FEATURES],
+        "mean_text_len",
+        "link_density",
+        "media_density",
+        "first_kind",
+        "last_kind",
     )
 
 
@@ -1823,19 +1829,51 @@ FROM per_lib GROUP BY src_doc
 """
 
     o["a4_span_stats"] = """
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+f AS (
+  SELECT doc_id, ws, len(ws) AS n_spans,
+         len(list_filter(ws, x -> length(x) % 3 = 0)) AS n_text,
+         len(list_filter(ws, x -> length(x) % 3 = 1)) AS n_link,
+         len(list_filter(ws, x -> length(x) % 3 = 2)) AS n_media,
+         coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS total_text_len
+  FROM t)
 SELECT doc_id::BIGINT AS doc_id,
-       len(ws)::BIGINT AS n_spans,
-       len(list_filter(ws, x -> length(x) % 3 = 0))::BIGINT AS n_text,
-       len(list_filter(ws, x -> length(x) % 3 = 1))::BIGINT AS n_link,
-       len(list_filter(ws, x -> length(x) % 3 = 2))::BIGINT AS n_media,
-       coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT AS total_text_len,
-       len(list_filter(ws, x -> length(x) % 3 = 2))::BIGINT AS n_media_refs
-FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents) t
+       n_spans::BIGINT AS n_spans,
+       n_text::BIGINT AS n_text,
+       n_link::BIGINT AS n_link,
+       n_media::BIGINT AS n_media,
+       n_media::BIGINT AS n_media_refs,
+       len(list_filter(ws, x -> length(x) = 0))::BIGINT AS n_empty_text,
+       coalesce(list_sum(list_transform(range(1, n_spans),
+         i -> CASE WHEN length(ws[i]) % 3 <> length(ws[i+1]) % 3 THEN 1 ELSE 0 END)), 0)::BIGINT
+         AS n_kind_switches,
+       len(list_distinct(list_transform(ws, x -> length(x) % 3)))::BIGINT AS n_distinct_kinds,
+       total_text_len::BIGINT AS total_text_len,
+       coalesce(list_sum(list_transform(list_filter(ws, x -> length(x) % 3 = 0),
+         x -> length(x))), 0)::BIGINT AS text_len_text,
+       coalesce(list_sum(list_transform(list_filter(ws, x -> length(x) % 3 = 1),
+         x -> length(x))), 0)::BIGINT AS text_len_link,
+       coalesce(list_sum(list_transform(list_filter(ws, x -> length(x) % 3 = 2),
+         x -> length(x))), 0)::BIGINT AS text_len_media,
+       coalesce(list_min(list_transform(ws, x -> length(x))), 0)::BIGINT AS min_text_len,
+       coalesce(list_max(list_transform(ws, x -> length(x))), 0)::BIGINT AS max_text_len,
+       0::BIGINT AS min_offset,
+       greatest(n_spans - 1, 0)::BIGINT AS max_offset,
+       CASE WHEN n_spans > 0 THEN round(total_text_len / n_spans, 6) ELSE 0.0 END AS mean_text_len,
+       CASE WHEN n_spans > 0 THEN round(n_link / n_spans, 6) ELSE 0.0 END AS link_density,
+       CASE WHEN n_spans > 0 THEN round(n_media / n_spans, 6) ELSE 0.0 END AS media_density,
+       CASE WHEN n_spans = 0 THEN ''
+            WHEN length(ws[1]) % 3 = 0 THEN 'text'
+            WHEN length(ws[1]) % 3 = 1 THEN 'link' ELSE 'media' END AS first_kind,
+       CASE WHEN n_spans = 0 THEN ''
+            WHEN length(ws[n_spans]) % 3 = 0 THEN 'text'
+            WHEN length(ws[n_spans]) % 3 = 1 THEN 'link' ELSE 'media' END AS last_kind
+FROM f
 """
 
     o["a2_feature_map"] = """
 WITH s AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
-f AS (SELECT doc_id,
+f AS (SELECT doc_id, ws,
         len(ws) AS n_spans,
         len(list_filter(ws, x -> length(x) % 3 = 0)) AS n_text,
         len(list_filter(ws, x -> length(x) % 3 = 1)) AS n_link,
@@ -1843,8 +1881,23 @@ f AS (SELECT doc_id,
         coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS total_text_len
       FROM s)
 SELECT doc_id::BIGINT AS doc_id,
-       'n_link=' || n_link || ',n_media=' || n_media || ',n_media_refs=' || n_media ||
-       ',n_spans=' || n_spans || ',n_text=' || n_text || ',total_text_len=' || total_text_len
+       'max_offset=' || greatest(n_spans - 1, 0)
+       || ',max_text_len=' || coalesce(list_max(list_transform(ws, x -> length(x))), 0)
+       || ',min_offset=0'
+       || ',min_text_len=' || coalesce(list_min(list_transform(ws, x -> length(x))), 0)
+       || ',n_distinct_kinds=' || len(list_distinct(list_transform(ws, x -> length(x) % 3)))
+       || ',n_empty_text=' || len(list_filter(ws, x -> length(x) = 0))
+       || ',n_kind_switches=' || coalesce(list_sum(list_transform(range(1, n_spans),
+            i -> CASE WHEN length(ws[i]) % 3 <> length(ws[i+1]) % 3 THEN 1 ELSE 0 END)), 0)
+       || ',n_link=' || n_link || ',n_media=' || n_media || ',n_media_refs=' || n_media
+       || ',n_spans=' || n_spans || ',n_text=' || n_text
+       || ',text_len_link=' || coalesce(list_sum(list_transform(
+            list_filter(ws, x -> length(x) % 3 = 1), x -> length(x))), 0)
+       || ',text_len_media=' || coalesce(list_sum(list_transform(
+            list_filter(ws, x -> length(x) % 3 = 2), x -> length(x))), 0)
+       || ',text_len_text=' || coalesce(list_sum(list_transform(
+            list_filter(ws, x -> length(x) % 3 = 0), x -> length(x))), 0)
+       || ',total_text_len=' || total_text_len
        AS features_str
 FROM f
 """

@@ -109,6 +109,27 @@ class ProcessScheduler:
 
         return __version__
 
+    def status(self) -> dict:
+        """Introspection surface (the /version + queue-state analogue of the
+        reference control server, Server.scala:31-56): engine version,
+        stop flag, queue depth, per-state process counts, and the names of
+        what is queued/running — everything an operator polls to decide
+        whether a /stop has drained."""
+        with self._lock:
+            by_state: dict[str, int] = {}
+            for h in self._all:
+                by_state[h.status] = by_state.get(h.status, 0) + 1
+            return {
+                "version": self.version(),
+                "stopping": self._stopping,
+                "max_running": self._max,
+                "queued": [h.name for h, _ in self._queue],
+                "running": sorted(h.name for h in self._running),
+                "counts": by_state,
+                "peak_concurrent": self.peak_concurrent,
+                "drained": not self._queue and not self._running,
+            }
+
     # ------------------------------------------------------------ internals
     def _maybe_start_locked(self) -> None:
         while self._queue and len(self._running) < self._max and not self._stopping:

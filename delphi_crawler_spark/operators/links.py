@@ -53,40 +53,116 @@ def canonical_links(docs: DataFrame) -> DataFrame:
     return with_url_keys(links)
 
 
-def span_stats(docs: DataFrame) -> DataFrame:
-    """Per-doc feature map over spans (reference parity: A2/A4 — Hermes
-    feature counting, HermesAnalyzer.scala:42-51). Pure higher-order array
-    functions, no explode, no Python:
+# every integer feature span_stats emits, in one place so feature_map, the
+# schema registry, and the oracles stay aligned (the reference declares its
+# ≈250-field feature space up-front, ElasticFeatureListMapping.scala:33-426;
+# ours is the span-derivable subset, computed — not just declared)
+SPAN_INT_FEATURES = [
+    "n_spans",
+    "n_text",
+    "n_link",
+    "n_media",
+    "n_media_refs",
+    "n_empty_text",
+    "n_kind_switches",
+    "n_distinct_kinds",
+    "total_text_len",
+    "text_len_text",
+    "text_len_link",
+    "text_len_media",
+    "min_text_len",
+    "max_text_len",
+    "min_offset",
+    "max_offset",
+]
+SPAN_OTHER_FEATURES = [
+    "mean_text_len",
+    "link_density",
+    "media_density",
+    "first_kind",
+    "last_kind",
+]
 
-    n_spans, per-kind counts, total text length, n_media_refs.
+
+def span_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc feature computation over spans (reference parity: A2/A4 —
+    Hermes feature counting, HermesAnalyzer.scala:42-51; the declared field
+    breadth of ElasticFeatureListMapping.scala:33-426 scaled to what spans
+    support). Pure higher-order array functions — no explode, no shuffle,
+    no Python; the whole projection is one whole-stage-codegen stage
+    (plan-audited).
+
+    Emits ``SPAN_INT_FEATURES`` (counts, per-kind text lengths, offset
+    bounds, interleaving switches) + ``SPAN_OTHER_FEATURES`` (densities,
+    mean length, first/last kind). Ratios are rounded to 6 decimals so the
+    DuckDB oracles compare exactly.
     """
     spans = F.col("spans")
+    kinds = F.transform(spans, lambda s: s["kind"])
+    lens = F.transform(spans, lambda s: F.coalesce(F.length(s["text"]), F.lit(0)))
+    offs = F.transform(spans, lambda s: s["offset"])
+    n = F.size(spans)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    switches = F.aggregate(
+        F.zip_with(
+            F.slice(kinds, 1, pair_len),
+            F.slice(kinds, 2, pair_len),
+            lambda a, b: (a != b).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
 
     def count_kind(kind: str):
         return F.size(F.filter(spans, lambda s: s["kind"] == F.lit(kind)))
 
+    def text_len_kind(kind: str):
+        return F.aggregate(
+            F.filter(spans, lambda s: s["kind"] == F.lit(kind)),
+            F.lit(0),
+            lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
+        )
+
+    total_len = F.aggregate(
+        spans, F.lit(0), lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0))
+    )
     return docs.select(
         "doc_id",
-        F.size(spans).alias("n_spans"),
+        n.alias("n_spans"),
         count_kind("text").alias("n_text"),
         count_kind("link").alias("n_link"),
         count_kind("media").alias("n_media"),
-        F.aggregate(
-            spans, F.lit(0), lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0))
-        ).alias("total_text_len"),
         F.size(F.filter(spans, lambda s: s["media_ref"].isNotNull())).alias("n_media_refs"),
+        F.size(
+            F.filter(spans, lambda s: F.coalesce(F.length(s["text"]), F.lit(0)) == 0)
+        ).alias("n_empty_text"),
+        switches.alias("n_kind_switches"),
+        F.size(F.array_distinct(kinds)).alias("n_distinct_kinds"),
+        total_len.alias("total_text_len"),
+        text_len_kind("text").alias("text_len_text"),
+        text_len_kind("link").alias("text_len_link"),
+        text_len_kind("media").alias("text_len_media"),
+        F.coalesce(F.array_min(lens), F.lit(0)).alias("min_text_len"),
+        F.coalesce(F.array_max(lens), F.lit(0)).alias("max_text_len"),
+        F.coalesce(F.array_min(offs), F.lit(0)).alias("min_offset"),
+        F.coalesce(F.array_max(offs), F.lit(0)).alias("max_offset"),
+        F.when(n > 0, F.round(total_len / n, 6)).otherwise(F.lit(0.0)).alias("mean_text_len"),
+        F.when(n > 0, F.round(count_kind("link") / n, 6)).otherwise(F.lit(0.0)).alias("link_density"),
+        F.when(n > 0, F.round(count_kind("media") / n, 6)).otherwise(F.lit(0.0)).alias("media_density"),
+        F.coalesce(F.element_at(kinds, 1), F.lit("")).alias("first_kind"),
+        F.coalesce(F.element_at(kinds, -1), F.lit("")).alias("last_kind"),
     )
 
 
 def feature_map(docs: DataFrame) -> DataFrame:
-    """Same features as ``span_stats`` but shaped as the reference's
+    """The integer features of ``span_stats`` shaped as the reference's
     ``Map[String,Int]`` feature map (HermesActor.scala:49) —
     ``map_from_entries`` keeps it one JVM expression."""
     stats = span_stats(docs)
     entries = F.array(
         *[
-            F.struct(F.lit(c).alias("key"), F.col(c).alias("value"))
-            for c in ["n_spans", "n_text", "n_link", "n_media", "total_text_len", "n_media_refs"]
+            F.struct(F.lit(c).alias("key"), F.col(c).cast("int").alias("value"))
+            for c in SPAN_INT_FEATURES
         ]
     )
     return stats.select("doc_id", F.map_from_entries(entries).alias("features"))

@@ -15,7 +15,9 @@ Decode / feature-extract / resize / frame-sample run as Arrow-batched
 image/audio libraries are NOT in this container, so the default decoder is
 a **deterministic fake** (clearly marked) that derives pseudo-features from
 the payload bytes — the Spark plumbing (schema, batch shape, partitioning)
-is real and tested; swapping in PIL/torchaudio is a one-line injection.
+is real and tested. ``select_raster_decoder``/``select_feature_decoder``
+detect pillow at runtime and route through the real decoders when present,
+keeping the deterministic fake as the tested fallback.
 
 Scale notes: payloads dominate bytes — keep them OUT of shuffles. All
 transforms here are narrow (mapInPandas); anything keyed joins on doc_id
@@ -71,6 +73,68 @@ def fake_decode(payload: bytes, kind: str) -> np.ndarray:
     """
     digest = hashlib.sha256(payload).digest()
     return (np.frombuffer(digest[:16], dtype=np.uint8).astype(np.float32) / 255.0)
+
+
+def _try_import(name: str):
+    import importlib
+
+    try:
+        return importlib.import_module(name)
+    except ImportError:
+        return None
+
+
+def pil_decode_raster(
+    payload: bytes, width: int | None, height: int | None
+) -> np.ndarray:
+    """REAL raster decoder via pillow (used when ``select_raster_decoder``
+    finds the library at runtime): decode bytes → grayscale uint8 array.
+    Undecodable payloads fall back to the deterministic fake instead of
+    throwing (the engine's status-column discipline: UDFs never raise)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    try:
+        img = Image.open(BytesIO(payload or b"")).convert("L")
+        return np.asarray(img, dtype=np.uint8)
+    except Exception:
+        return fake_decode_raster(payload, width, height)
+
+
+def pil_decode_features(payload: bytes, kind: str) -> np.ndarray:
+    """REAL image feature decoder via pillow: 16-bin normalized grayscale
+    histogram (deterministic, embedding-shaped like the fake). Non-image
+    kinds and undecodable payloads fall back to the fake."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    if kind != "image":
+        return fake_decode(payload, kind)
+    try:
+        img = Image.open(BytesIO(payload or b"")).convert("L")
+        hist, _ = np.histogram(np.asarray(img, dtype=np.uint8), bins=16, range=(0, 256))
+        total = max(int(hist.sum()), 1)
+        return (hist / total).astype(np.float32)
+    except Exception:
+        return fake_decode(payload, kind)
+
+
+def select_raster_decoder() -> Callable[[bytes, int | None, int | None], np.ndarray]:
+    """Route image decode through pillow when importable, else the
+    deterministic fake — the engine runs identically in codec-less
+    containers (the tested fallback). Selection is unit-tested."""
+    if _try_import("PIL.Image") is not None:
+        return pil_decode_raster
+    return fake_decode_raster
+
+
+def select_feature_decoder() -> Callable[[bytes, str], np.ndarray]:
+    """Feature-decoder twin of ``select_raster_decoder``."""
+    if _try_import("PIL.Image") is not None:
+        return pil_decode_features
+    return fake_decode
 
 
 def extract_media_features(

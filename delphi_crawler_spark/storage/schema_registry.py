@@ -22,18 +22,35 @@ import json
 
 from delphi_crawler_spark.storage.tablestore import TableStore
 
-SCHEMA_VERSION = 2  # bumped when the declared feature space changes
+SCHEMA_VERSION = 3  # bumped when the declared feature space changes
 
 # The engine's declared feature space: every analytics column any operator
 # emits, with its Spark DDL type (the reference's fixed typed field list).
+# The span-derived block mirrors operators/links.py SPAN_INT_FEATURES +
+# SPAN_OTHER_FEATURES exactly — declared AND computed (asserted in tests).
 FEATURE_FIELDS: dict[str, str] = {
     # span-derived document features (operators/links.py A4/A2)
     "n_spans": "int",
-    "n_text_spans": "int",
-    "n_link_spans": "int",
-    "n_media_spans": "int",
-    "total_text_len": "bigint",
+    "n_text": "int",
+    "n_link": "int",
+    "n_media": "int",
+    "n_media_refs": "int",
+    "n_empty_text": "int",
+    "n_kind_switches": "int",
+    "n_distinct_kinds": "int",
+    "total_text_len": "int",
+    "text_len_text": "int",
+    "text_len_link": "int",
+    "text_len_media": "int",
+    "min_text_len": "int",
+    "max_text_len": "int",
+    "min_offset": "int",
     "max_offset": "int",
+    "mean_text_len": "double",
+    "link_density": "double",
+    "media_density": "double",
+    "first_kind": "string",
+    "last_kind": "string",
     # text quality (functions/textfns.py)
     "n_chars_m": "bigint",
     "n_tokens": "bigint",

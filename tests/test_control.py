@@ -45,6 +45,11 @@ def test_stop_drains_running_and_rejects_queued():
     gate = threading.Event()
     handles = [sched.submit(f"p{i}", lambda: gate.wait(10)) for i in range(6)]
     time.sleep(0.2)
+    # /version + queue introspection before the stop: 2 running, 4 queued
+    st = sched.status()
+    assert st["version"] == sched.version() and not st["stopping"]
+    assert st["running"] == ["p0", "p1"] and st["queued"] == [f"p{i}" for i in range(2, 6)]
+    assert st["counts"] == {"running": 2, "queued": 4} and not st["drained"]
     sched.stop()
     # queued remainder rejected immediately
     rejected = [h for h in handles if h.status == "rejected"]
@@ -53,10 +58,16 @@ def test_stop_drains_running_and_rejects_queued():
     late = sched.submit("late", lambda: 1)
     assert late.status == "rejected"
     # running ones drain cleanly
+    # stop is visible through the introspection surface
+    st = sched.status()
+    assert st["stopping"] and st["queued"] == []
+    # running ones drain cleanly
     gate.set()
     assert sched.drain(timeout=10)
     assert sched.running_count() == 0
     assert sched.version()
+    st = sched.status()
+    assert st["drained"] and st["counts"] == {"finished": 2, "rejected": 5}
 
 
 def test_failed_process_releases_slot():

@@ -196,10 +196,19 @@ def test_canonical_links_and_feature_map(spark):
     stats = span_stats(docs).collect()
     for r in stats:
         assert r.n_spans == r.n_text + r.n_link + r.n_media
+        assert r.total_text_len == r.text_len_text + r.text_len_link + r.text_len_media
+        assert 0 <= r.n_kind_switches <= max(r.n_spans - 1, 0)
+        assert 1 <= r.n_distinct_kinds <= 3
+        assert r.min_text_len <= r.max_text_len
+        assert r.first_kind in ("text", "link", "media")
+        assert abs(r.link_density - round(r.n_link / r.n_spans, 6)) < 1e-9
+    from delphi_crawler_spark.operators.links import SPAN_INT_FEATURES
+    from delphi_crawler_spark.storage.schema_registry import check_fields_declared
+
     fm = feature_map(docs).first()
-    assert set(fm.features.keys()) == {
-        "n_spans", "n_text", "n_link", "n_media", "total_text_len", "n_media_refs"
-    }
+    assert set(fm.features.keys()) == set(SPAN_INT_FEATURES)
+    # every emitted span feature is declared in the schema registry
+    assert check_fields_declared(SPAN_INT_FEATURES) == []
 
 
 # ------------------------------------------------------------- ordered joins

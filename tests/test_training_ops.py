@@ -342,6 +342,27 @@ def test_ivf_sample_deterministic(spark, emb):
     assert a == b
 
 
+def test_decoder_runtime_selection(monkeypatch):
+    """select_*_decoder routes through pillow when importable and falls back
+    to the deterministic fake otherwise (this container has no pillow)."""
+    import sys
+    import types
+
+    from delphi_crawler_spark.operators import multimodal as mm
+
+    # container truth: no PIL -> the deterministic fakes are selected
+    assert mm.select_raster_decoder() is mm.fake_decode_raster
+    assert mm.select_feature_decoder() is mm.fake_decode
+    # inject a stub PIL package -> the real pillow-backed decoders route in
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+    assert mm.select_raster_decoder() is mm.pil_decode_raster
+    assert mm.select_feature_decoder() is mm.pil_decode_features
+
+
 def test_resize_images_real_nn_kernel(spark):
     """The resize stage performs a REAL nearest-neighbor resample over the
     decoded raster (fake codec, real math): the output payload equals the
