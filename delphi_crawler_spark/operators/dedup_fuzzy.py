@@ -56,13 +56,17 @@ _GRAM_MIX = np.array(
     dtype=np.uint64,
 )
 
-# Memory ceilings for the per-batch dense intermediates: the (num_hashes x
+# Block sizes for the per-batch dense intermediates: the (num_hashes x
 # grams) minhash matrix and the (tokens x 64) simhash bit matrix are blocked
-# to these many grams/tokens at a time so realistic web documents (10^3-10^5
-# tokens each, tens of thousands of docs per Arrow batch) never materialize
-# multi-GB arrays in a python worker.
-_GRAM_BLOCK = 1 << 19   # 512k grams x 64 hashes x 8B = 256 MB per block
-_TOKEN_BLOCK = 1 << 20  # 1M tokens x 64 bits x 4B = 256 MB per block
+# to these many grams/tokens at a time. The blocks are sized for CACHE
+# RESIDENCY, not just memory safety: the r02 scaling probe showed the
+# original 256 MB blocks streaming through DRAM cost ~10x single-thread
+# throughput AND collapsed multi-worker scaling (8 workers contending for
+# memory bandwidth). At 16k grams the minhash block is 8 MB (L2/L3-resident,
+# measured 10.5x faster); at 2k tokens the simhash bit block is 1 MB
+# (measured 25x with the reduceat kernel below). Sweep data in BENCH.md.
+_GRAM_BLOCK = 1 << 14   # 16k grams x 64 hashes x 8B = 8 MB per block
+_TOKEN_BLOCK = 1 << 11  # 2k tokens x 64 bits x 8B = 1 MB per block
 
 
 def _gram_mix(n: int) -> np.ndarray:
@@ -328,14 +332,24 @@ def simhash_signatures(
         rows, th, n_rows = _token_hash_frame(texts)
         out = np.zeros(n_rows, dtype=np.uint64)
         if len(rows):
-            votes = np.zeros((n_rows, 64), dtype=np.int64)
-            # blocked over tokens: the dense (tokens x 64) bit matrix stays
-            # ~_TOKEN_BLOCK rows; vote accumulation is block-order-free.
+            # bit votes per row: +1 for a set bit, -1 for clear. Since
+            # sum(2*bits - 1) = 2*sum(bits) - n_tokens, accumulate plain
+            # bit SUMS with a contiguous segment reduce (np.add.reduceat —
+            # tokens arrive row-ordered) and fold the token count in once
+            # at the end; unpackbits replaces the 64-shift broadcast. This
+            # kernel is ~25x the naive scatter-add (np.add.at) version it
+            # replaced and is exact-equal by construction (pytest-pinned).
+            sums = np.zeros((n_rows, 64), dtype=np.int64)
             for lo in range(0, len(rows), token_block):
+                r = rows[lo: lo + token_block]
                 t = th[lo: lo + token_block]
-                bits = ((t[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-                np.add.at(votes, rows[lo: lo + token_block], 2 * bits - 1)
-            pos = votes > 0
+                bits = np.unpackbits(
+                    t.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                ).astype(np.int64).reshape(len(t), 64)
+                starts = np.flatnonzero(np.diff(r, prepend=r[0] - 1))
+                sums[r[starts]] += np.add.reduceat(bits, starts, axis=0)
+            counts = np.bincount(rows, minlength=n_rows)
+            pos = (2 * sums - counts[:, None]) > 0
             powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
             out = (pos * powers[None, :]).sum(axis=1, dtype=np.uint64)
         return pd.Series(out.view(np.int64))

@@ -63,6 +63,10 @@ def main() -> None:
     elif job == "minhash":
         from delphi_crawler_spark.operators.dedup_fuzzy import minhash_signatures
 
+        # pre-materialized (persist + count BEFORE the timer): the probe
+        # measures the Arrow-UDF operator, not the synthetic input
+        # generation + repartition shuffle (which the r02 probe mistakenly
+        # timed too — see BENCH.md "MinHash scaling probe, resolved")
         docs = spark.range(n).select(
             F.col("id").alias("doc_id"),
             F.concat_ws(
@@ -72,7 +76,8 @@ def main() -> None:
                     for i in range(60)
                 ]),
             ).alias("text"),
-        ).repartition(cores * 2)
+        ).repartition(cores * 2).persist()
+        docs.count()
 
         def make():
             return minhash_signatures(docs, "text")
