@@ -198,6 +198,44 @@ def test_round_write_volume_independent_of_round(spark, tmp_path):
         assert eng.store.read_parts("fetched", rnd).count() == stats["emitted"]
 
 
+def test_write_volume_flat_over_many_rounds(spark, tmp_path):
+    """The O(round) claim at a larger k, with compaction in the loop and
+    FRESH docs per round (so discovery keeps appending): per-round frontier
+    parts hold exactly that round's links at every k, no data file is ever
+    rewritten between maintenance runs, and the part + manifest counts stay
+    bounded by compact_every instead of growing one-per-round."""
+    import os
+
+    n_rounds, compact_every = 8, 3
+    root = tmp_path / "store_soak"
+    eng = CrawlEngine(
+        spark, str(root),
+        politeness=politeness_df(spark), robots=robots_df(spark),
+        config=CrawlConfig(round_ms=ROUND_MS, n_docs=N_DOCS),
+    )
+    eng.bootstrap(seed_urls_df(spark, n=N_SEEDS))
+    stats = []
+    for rnd in range(n_rounds):
+        docs = docs_df(spark, n=N_DOCS, seed=500 + rnd)
+        stats.append(eng.run_round(rnd, docs=docs))
+        # every round's parts hold exactly that round's rows — O(round)
+        assert eng.store.read_parts("frontier", rnd).count() == stats[-1]["new_links"]
+        assert eng.store.read_parts("fetched", rnd).count() == stats[-1]["emitted"]
+        if (rnd + 1) % compact_every == 0:
+            eng.maintain()
+        n_parts = len(eng.store.parts("frontier"))
+        n_manifests = len(
+            [f for f in os.listdir(eng.store._tdir("frontier")) if f.startswith("mani-")]
+        )
+        # bounded: at most compact_every uncompacted round parts on top of
+        # the compacted base; manifests bounded by the retention window
+        assert n_parts <= compact_every + 2, f"round {rnd}: {n_parts} parts"
+        assert n_manifests <= compact_every + 4, f"round {rnd}: {n_manifests} manifests"
+    # rounds kept doing real work the whole way (fresh docs -> new links)
+    assert all(s["new_links"] > 0 for s in stats)
+    assert all(s["emitted"] > 0 for s in stats)
+
+
 def test_bloom_is_maintained_incrementally(spark, tmp_path):
     """Scale invariant (round-1 scale-killer #3): the bloom's item count
     tracks the frontier exactly via OR-merged per-round segments — no
