@@ -1517,6 +1517,108 @@ def q_corpus_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup shape): deterministic spherical k-means
+    cells + within-cell cosine pruning, first-occurrence-wins verdict.
+    Pair space is cluster-local — never corpus-quadratic. Oracle:
+    expected-parquet from an independent per-row numpy replication
+    (tools/gen_expected.py) — k-means state is not SQL-expressible."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.semantic import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, n_clusters=8, threshold=0.35)
+    return out.select(
+        F.col("vec_id").cast(BIG).alias("vec_id"),
+        F.col("cluster_id").cast(BIG).alias("cluster_id"),
+        F.col("n_dup_lower").cast(BIG).alias("n_dup_lower"),
+        "max_cos_lower",
+        F.col("keep").cast(BIG).alias("keep"),
+    )
+
+
+def q_hh_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (keys with frequency >= n/k) via bounded-memory
+    two-pass: per-partition Misra-Gries candidate superset -> broadcast
+    left-semi exact verify. The key stream is deterministically skewed
+    (two 'hot' keys at ~1/6 of rows each, ~1000 cold keys) so the sketch
+    path is exercised on real skew. Oracle: the full-shuffle GROUP BY ...
+    HAVING cnt*k >= n, which the two-pass answer must equal exactly."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.heavy import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("hot"), (F.col("event_id") % 2).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("cold"), (F.col("event_id") % 997).cast("string"))
+        )
+        .alias("key")
+    )
+    return heavy_hitters(keyed, "key", k=10).select(
+        "key", F.col("cnt").cast(BIG).alias("cnt")
+    )
+
+
+def q_corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: per-doc mean log-likelihood ratio of
+    tokens under the target (lang='en') vs raw unigram distributions,
+    add-one smoothing over the raw vocabulary. One token explode feeds both
+    frequency tables; the term join is a vocabulary-sized hash join
+    (deliberately not broadcast)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.corpus import importance_weights
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text", "lang"
+    )
+    out = importance_weights(docs, F.col("lang") == "en", "doc_id", "text")
+    return out.select(
+        "doc_id", F.col("n_tokens").cast(BIG).alias("n_tokens"), "avg_logratio"
+    )
+
+
+def q_trap_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection by URL pattern mining: collapse paths to
+    templates (hex runs -> H, digit runs -> N, pinned order), then flag
+    (host, pattern) cells that are absolutely large AND dominate their
+    host's frontier. The synthesized frontier gives each host a calendar
+    trap (~60% of its URLs under /cal/N/view) next to a long tail of
+    per-source pages."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.traps import trap_patterns
+
+    d = F.col("doc_id")
+    frontier = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (d % 7).cast("string")).alias("host"),
+        F.when(
+            d % 5 < 3,
+            F.concat(F.lit("/cal/2024/"), d.cast("string"), F.lit("/view")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/page/"),
+                F.col("source"),
+                F.lit("/"),
+                (d % 13).cast("string"),
+            )
+        )
+        .alias("path"),
+    )
+    out = trap_patterns(frontier, "host", "path", min_pattern_urls=20, max_share=0.3)
+    return out.select(
+        "host",
+        "pattern",
+        F.col("n_urls").cast(BIG).alias("n_urls"),
+        F.col("host_urls").cast(BIG).alias("host_urls"),
+        "share",
+        F.col("is_trap").cast(BIG).alias("is_trap"),
+    )
+
+
 # =====================================================================
 # Contract surface
 # =====================================================================
@@ -1593,6 +1695,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6c_sitemap_parse": q_f6c_sitemap_parse,
         "corpus_tfidf_topk": q_corpus_tfidf_topk,
         "p10_host_hits": q_p10_host_hits,
+        "dedup_semantic": q_dedup_semantic,
+        "hh_heavy_hitters": q_hh_heavy_hitters,
+        "corpus_importance_weights": q_corpus_importance_weights,
+        "trap_patterns": q_trap_patterns,
     }
 
 
@@ -2514,6 +2620,56 @@ SELECT doc_id::BIGINT AS doc_id, n_shingles::BIGINT AS n_shingles,
 FROM agg
 """
 
+    o["hh_heavy_hitters"] = """
+WITH keyed AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 'hot' || (event_id % 2)
+              ELSE 'cold' || (event_id % 997) END AS key
+  FROM events),
+n AS (SELECT count(*) AS n FROM keyed)
+SELECT key, count(*)::BIGINT AS cnt
+FROM keyed CROSS JOIN n
+GROUP BY key, n.n
+HAVING count(*) * 10 >= n.n
+"""
+
+    o["corpus_importance_weights"] = """
+WITH tok AS (
+  SELECT doc_id, (lang = 'en') AS is_target,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+tok2 AS (SELECT * FROM tok WHERE term <> ''),
+raw AS (SELECT term, count(*) AS rc,
+               sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc
+        FROM tok2 GROUP BY term),
+tot AS (SELECT sum(rc)::DOUBLE AS r_tot, sum(tc)::DOUBLE AS t_tot,
+               count(*)::DOUBLE AS vocab FROM raw),
+w AS (SELECT term, ln((tc + 1.0) / (t_tot + vocab)) - ln((rc + 1.0) / (r_tot + vocab)) AS lr
+      FROM raw CROSS JOIN tot)
+SELECT t.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_tokens,
+       round(sum(w.lr) / count(*), 6) AS avg_logratio
+FROM tok2 t JOIN w ON w.term = t.term
+GROUP BY t.doc_id
+"""
+
+    o["trap_patterns"] = """
+WITH fr AS (
+  SELECT 'h' || (doc_id % 7) AS host,
+         CASE WHEN doc_id % 5 < 3 THEN '/cal/2024/' || doc_id || '/view'
+              ELSE '/page/' || source || '/' || (doc_id % 13) END AS path
+  FROM documents),
+pat AS (SELECT host,
+               regexp_replace(regexp_replace(path, '[0-9a-f]{8,}', 'H', 'g'),
+                              '[0-9]+', 'N', 'g') AS pattern
+        FROM fr),
+pp AS (SELECT host, pattern, count(*) AS n_urls FROM pat GROUP BY 1, 2),
+ph AS (SELECT host, sum(n_urls) AS host_urls FROM pp GROUP BY 1)
+SELECT pp.host, pp.pattern, n_urls::BIGINT AS n_urls,
+       host_urls::BIGINT AS host_urls,
+       round(n_urls / host_urls::DOUBLE, 6) AS share,
+       (n_urls >= 20 AND round(n_urls / host_urls::DOUBLE, 6) >= 0.3)::BIGINT AS is_trap
+FROM pp JOIN ph ON ph.host = pp.host
+"""
+
     # ------------------------------------------------------------------
     # Expected-parquet oracles (VERDICT r1 task 4): these queries' values
     # are not DuckDB-expressible (Spark murmur3/xxhash64, seeded sketches,
@@ -2531,6 +2687,7 @@ FROM agg
         "dedup_minhash_lsh",
         "dedup_embedding_lsh",
         "sim_ivf_topk",
+        "dedup_semantic",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
 

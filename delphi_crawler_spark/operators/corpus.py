@@ -299,6 +299,62 @@ def stratified_token_sample(
     return out
 
 
+def importance_weights(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document importance weight for target-distribution resampling —
+    the DSIR shape (Xie et al. 2023 "Data Selection for Language Models via
+    Importance Resampling", public): score each raw document by the
+    log-likelihood ratio of its tokens under a *target* corpus's unigram
+    distribution vs the raw corpus's, then select high-weight documents.
+    ``target`` is a boolean Column marking the target subset (e.g. curated
+    or high-quality docs).
+
+    Weight = (1/n_tokens) · Σ_tokens [ log p_target(w) − log p_raw(w) ]
+    with add-one smoothing over the raw vocabulary:
+    p(w) = (count(w)+1) / (total_tokens + |V|).
+
+    DSIR hashes n-grams into a fixed-width bucket vector because a single
+    machine cannot hold an open vocabulary; here the vocabulary lives in a
+    distributed hash-agg, so the weights are computed over exact unigrams —
+    same estimator, no hash collisions (the hashing trick remains available
+    by keying on ``hash(term) % B`` instead of ``term``).
+
+    Scale shape: one token explode feeds BOTH frequency tables (target
+    counts = filtered partial hash-agg on term; raw counts = the same grain)
+    — the term join is vocabulary-sized (hash join, deliberately NOT
+    broadcast); totals |V|, T, R are three scalar aggregates; the per-doc
+    regroup is a partial-aggregating hash-agg keyed by doc. Never wider than
+    corpus token count.
+
+    Returns (id_col, n_tokens, avg_logratio) — avg_logratio rounded to 6
+    (engine-wide reproducibility convention)."""
+    tok = docs.select(
+        F.col(id_col),
+        target.alias("__is_target"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    raw = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("tc"),
+    )
+    totals = raw.agg(
+        F.sum("rc").alias("R"), F.sum("tc").alias("T"), F.count(F.lit(1)).alias("V")
+    ).collect()[0]
+    r_tot, t_tot, vocab = float(totals["R"]), float(totals["T"]), float(totals["V"])
+    lr = F.log((F.col("tc") + 1.0) / F.lit(t_tot + vocab)) - F.log(
+        (F.col("rc") + 1.0) / F.lit(r_tot + vocab)
+    )
+    scored = tok.join(raw.withColumn("__lr", lr).select("term", "__lr"), "term")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("__lr") / F.count(F.lit(1)), 6).alias("avg_logratio"),
+    )
+
+
 def tfidf_topk_terms(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -107,6 +107,31 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
 
+def train_centroids(
+    emb: DataFrame,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic spherical k-means centroids from a hash-ordered sample:
+    TakeOrdered on ``xxhash64(id)`` picks the same rows at any partition
+    count / scan order (a bare ``limit()`` grabs whichever partitions answer
+    first, so centroids — and every downstream assignment — would differ run
+    to run). Shared coarse quantizer for ``ivf_topk`` and
+    ``operators/semantic.py``."""
+    sample = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_size)
+        .toPandas()
+    )
+    mat = np.stack(sample[vec_col].map(np.asarray).to_list()).astype(np.float64)
+    return _kmeans(mat, n_clusters, iters=iters, seed=seed)
+
+
 def _kmeans(mat: np.ndarray, nlist: int, iters: int, seed: int) -> np.ndarray:
     """Spherical k-means (unit-norm points + centroids): the coarse
     quantizer must share the query metric (cosine), else list boundaries
@@ -146,18 +171,9 @@ def ivf_topk(
     is an equi-join on ``list_id`` touching ~nprobe/nlist of the corpus.
     """
     spark = corpus.sparkSession
-    # deterministic training sample: TakeOrdered on a hash of the id — the
-    # same rows at any partition count / scan order (a bare limit() grabs
-    # whichever partitions answer first, so centroids — and therefore list
-    # assignments — would differ run to run)
-    sample = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(sample_size)
-        .toPandas()
+    centroids = train_centroids(
+        corpus, nlist, id_col, vec_col, sample_size, iters=5, seed=seed
     )
-    mat = np.stack(sample[vec_col].map(np.asarray).to_list()).astype(np.float64)
-    centroids = _kmeans(mat, nlist, iters=5, seed=seed)
     bc = spark.sparkContext.broadcast(centroids)
 
     @F.pandas_udf(IntegerType())

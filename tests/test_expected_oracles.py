@@ -33,11 +33,23 @@ CASES = {
         E.q_dedup_embedding_lsh, "embeddings", G.gen_dedup_embedding_lsh,
     ),
     "sim_ivf_topk": (E.q_sim_ivf_topk, "embeddings", G.gen_sim_ivf_topk),
+    "dedup_semantic": (E.q_dedup_semantic, "embeddings", G.gen_dedup_semantic),
 }
 
 
 def _rows(pdf: pd.DataFrame) -> list[tuple]:
-    return sorted(map(tuple, pdf[sorted(pdf.columns)].itertuples(index=False)))
+    def cell(v):
+        # NULL-safe: Spark nulls arrive as NaN; NaN != NaN would fail the
+        # equality assert even when both sides are null
+        if isinstance(v, float) and pd.isna(v):
+            return None
+        return v
+
+    rows = [
+        tuple(cell(v) for v in t)
+        for t in pdf[sorted(pdf.columns)].itertuples(index=False)
+    ]
+    return sorted(rows, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
 @pytest.mark.parametrize("name", sorted(CASES))

@@ -445,6 +445,71 @@ def gen_sim_ivf_topk(
     )
 
 
+def gen_dedup_semantic(
+    emb: pd.DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.35,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Independent replication of operators/semantic.py:semantic_dedup —
+    per-row loops instead of the Spark joins; same algorithm parameters
+    (hash-ordered sample, seeded spherical k-means, 5 iterations)."""
+    ids = emb["vec_id"].astype("int64").to_numpy()
+    vecs = emb["embedding"].to_list()
+    m = np.stack([np.asarray(v) for v in vecs]).astype(np.float64)
+
+    def normalize(x):
+        return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+    order = sorted(range(len(ids)), key=lambda i: (xxh64_long(int(ids[i])), int(ids[i])))
+    mat = normalize(m[order[:sample_size]])
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
+    for _ in range(5):
+        assign = (mat @ centroids.T).argmax(1)
+        for c in range(len(centroids)):
+            pts = mat[assign == c]
+            if len(pts):
+                centroids[c] = pts.mean(0)
+        centroids = normalize(centroids)
+
+    cluster = (normalize(m) @ centroids.T).argmax(1).astype(np.int64)
+    by_id = sorted(range(len(ids)), key=lambda i: int(ids[i]))
+    rows = []
+    for pos, i in enumerate(by_id):
+        best = None
+        n_dup = 0
+        for j in by_id[:pos]:
+            if cluster[j] != cluster[i]:
+                continue
+            cos = round_half_up6(fold_cosine(vecs[j], vecs[i]))
+            if cos >= threshold:
+                n_dup += 1
+                best = cos if best is None else max(best, cos)
+        rows.append(
+            {
+                "vec_id": int(ids[i]),
+                "cluster_id": int(cluster[i]),
+                "n_dup_lower": n_dup,
+                "max_cos_lower": best,
+                "keep": 0 if n_dup else 1,
+            }
+        )
+    out = pd.DataFrame(
+        rows, columns=["vec_id", "cluster_id", "n_dup_lower", "max_cos_lower", "keep"]
+    )
+    return out.astype(
+        {
+            "vec_id": "int64",
+            "cluster_id": "int64",
+            "n_dup_lower": "int64",
+            "max_cos_lower": "float64",
+            "keep": "int64",
+        }
+    )
+
+
 # ==================================================================== driver
 GENERATORS = {
     "c3_hash_keys": ("documents", gen_c3_hash_keys),
@@ -453,6 +518,7 @@ GENERATORS = {
     "dedup_minhash_lsh": ("documents", gen_dedup_minhash_lsh),
     "dedup_embedding_lsh": ("embeddings", gen_dedup_embedding_lsh),
     "sim_ivf_topk": ("embeddings", gen_sim_ivf_topk),
+    "dedup_semantic": ("embeddings", gen_dedup_semantic),
 }
 
 
