@@ -177,6 +177,8 @@ BENCH_QUERIES = {
     "corpus_tfidf_topk": E.q_corpus_tfidf_topk,
     "tumbling_window": E.q_stream_tumbling_window,
     "media_features": E.q_mm_media_features,
+    "semantic_dedup": E.q_dedup_semantic,
+    "heavy_hitters": E.q_hh_heavy_hitters,
 }
 
 
