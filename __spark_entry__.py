@@ -1619,6 +1619,100 @@ def q_trap_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicated-substring stats (Lee et al. 2022 ExactSubstr
+    reformulated as k-token rolling windows): per doc, how many of its
+    8-token windows occur >= 2 times corpus-wide. Window emission is pure
+    JVM higher-order fns; (doc,window) and window-total aggs share one
+    shuffle grain."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.substrings import duplicate_window_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    out = duplicate_window_stats(docs, "doc_id", "text", k=8)
+    return out.select(
+        "doc_id",
+        F.col("n_windows").cast(BIG).alias("n_windows"),
+        F.col("n_dup_windows").cast(BIG).alias("n_dup_windows"),
+        "dup_frac",
+    )
+
+
+def q_r3_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl change detection: full-outer digest join of two synthesized
+    fetch snapshots -> added/removed/changed/unchanged per URL. prev drops
+    doc_id%11==3 (those become 'added'), curr drops doc_id%13==5
+    ('removed') and perturbs the digest for doc_id%7==0 ('changed')."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.snapshot import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    url = F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    prev = docs.where(F.col("doc_id") % 11 != 3).select(
+        url.alias("url"), F.md5(F.col("text")).alias("digest")
+    )
+    curr = docs.where(F.col("doc_id") % 13 != 5).select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.md5(F.concat(F.col("text"), F.lit("!")))
+        )
+        .otherwise(F.md5(F.col("text")))
+        .alias("digest"),
+    )
+    out = snapshot_diff(prev, curr, "url", "digest")
+    return out.select(
+        "key",
+        "status",
+        F.coalesce("prev_digest", F.lit("-")).alias("prev_digest"),
+        F.coalesce("curr_digest", F.lit("-")).alias("curr_digest"),
+    )
+
+
+def q_corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (term -> df, tf, sorted posting list) with a
+    min_df=2 cutoff. df is a plain count over the already-distinct
+    (term, doc) grain — never a count-distinct shuffle; postings are
+    CSV-joined sorted ids (deterministic, engine-portable)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.invindex import inverted_index
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    out = inverted_index(docs, "doc_id", "text", min_df=2)
+    return out.select(
+        "term",
+        F.col("df").cast(BIG).alias("df"),
+        F.col("tf").cast(BIG).alias("tf"),
+        "postings_csv",
+    )
+
+
+def q_corpus_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host uniform downsampling (cap k docs per host) by
+    deterministic md5(host:id) rank — the reproducible stand-in for a
+    random per-source cap in a training mixture. One hash-partitioned
+    window; skew note + two-phase fix documented in operators/sampling."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.sampling import group_uniform_sample
+
+    d = F.col("doc_id")
+    frontier = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (d % 5).cast("string")).alias("host"),
+        d.cast(BIG).alias("doc_id"),
+    )
+    out = group_uniform_sample(frontier, "host", "doc_id", k=30)
+    return out.select(
+        "host",
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        F.col("sample_rank").cast(BIG).alias("sample_rank"),
+    )
+
+
 # =====================================================================
 # Contract surface
 # =====================================================================
@@ -1699,6 +1793,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hh_heavy_hitters": q_hh_heavy_hitters,
         "corpus_importance_weights": q_corpus_importance_weights,
         "trap_patterns": q_trap_patterns,
+        "dedup_substring_windows": q_dedup_substring_windows,
+        "r3_snapshot_diff": q_r3_snapshot_diff,
+        "corpus_inverted_index": q_corpus_inverted_index,
+        "corpus_group_sample": q_corpus_group_sample,
     }
 
 
@@ -2668,6 +2766,65 @@ SELECT pp.host, pp.pattern, n_urls::BIGINT AS n_urls,
        round(n_urls / host_urls::DOUBLE, 6) AS share,
        (n_urls >= 20 AND round(n_urls / host_urls::DOUBLE, 6) >= 0.3)::BIGINT AS is_trap
 FROM pp JOIN ph ON ph.host = pp.host
+"""
+
+    o["dedup_substring_windows"] = """
+WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+w AS (SELECT doc_id,
+        CASE WHEN len(ws) >= 8
+             THEN [array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)]
+             ELSE []::VARCHAR[] END AS wins
+      FROM t),
+e AS (SELECT doc_id, unnest(wins) AS win FROM w),
+pdw AS (SELECT doc_id, win, count(*) AS occ FROM e GROUP BY 1, 2),
+tot AS (SELECT win, sum(occ) AS tot FROM pdw GROUP BY 1),
+sc AS (SELECT doc_id, sum(occ) AS n_windows,
+              sum(CASE WHEN tot >= 2 THEN occ ELSE 0 END) AS n_dup
+      FROM pdw JOIN tot USING (win) GROUP BY 1)
+SELECT t.doc_id::BIGINT AS doc_id,
+       coalesce(n_windows, 0)::BIGINT AS n_windows,
+       coalesce(n_dup, 0)::BIGINT AS n_dup_windows,
+       round(CASE WHEN coalesce(n_windows, 0) > 0
+                  THEN n_dup / n_windows::DOUBLE ELSE 0.0 END, 6) AS dup_frac
+FROM t LEFT JOIN sc USING (doc_id)
+"""
+
+    o["r3_snapshot_diff"] = """
+WITH prev AS (SELECT 'u' || doc_id AS url, md5(text) AS digest
+              FROM documents WHERE doc_id % 11 <> 3),
+curr AS (SELECT 'u' || doc_id AS url,
+                CASE WHEN doc_id % 7 = 0 THEN md5(text || '!') ELSE md5(text) END AS digest
+         FROM documents WHERE doc_id % 13 <> 5),
+j AS (SELECT coalesce(prev.url, curr.url) AS key,
+             prev.digest AS pd, curr.digest AS cd
+      FROM prev FULL OUTER JOIN curr ON prev.url = curr.url)
+SELECT key,
+       CASE WHEN pd IS NULL THEN 'added'
+            WHEN cd IS NULL THEN 'removed'
+            WHEN pd = cd THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       coalesce(pd, '-') AS prev_digest,
+       coalesce(cd, '-') AS curr_digest
+FROM j
+"""
+
+    o["corpus_inverted_index"] = """
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+             FROM documents),
+td AS (SELECT term, doc_id, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf,
+       array_to_string(list_sort(list(doc_id::VARCHAR)), ',') AS postings_csv
+FROM td GROUP BY term HAVING count(*) >= 2
+"""
+
+    o["corpus_group_sample"] = """
+WITH fr AS (SELECT 'h' || (doc_id % 5) AS host, doc_id FROM documents),
+r AS (SELECT host, doc_id,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY md5(host || ':' || doc_id) ASC, doc_id ASC) AS sample_rank
+      FROM fr)
+SELECT host, doc_id::BIGINT AS doc_id, sample_rank::BIGINT AS sample_rank
+FROM r WHERE sample_rank <= 30
 """
 
     # ------------------------------------------------------------------

@@ -1,0 +1,71 @@
+"""Inverted-index construction: term -> posting list over the corpus.
+
+The classic batch-indexing job (the original MapReduce paper's motivating
+example): tokenize every document, and for each term produce its document
+frequency, total term frequency, and the sorted list of documents that
+contain it. Downstream consumers: BM25/TF-IDF retrieval, decontamination
+lookup tables, and the corpus-level vocabulary statistics the importance
+weighting (``corpus.py:importance_weights``) starts from.
+
+Scale shape: one explode feeds a (term, doc) partial-aggregating hash-agg
+(within-doc repeats collapse map-side, so the shuffle carries distinct
+(term, doc) pairs with their counts), then a term-grained agg computes df
+(plain count over the already-distinct grain — never a count-distinct
+shuffle), tf, and the posting list via ``sort_array(collect_list(...))``.
+Posting lists for web-scale stopword terms would be bounded in practice
+(an ``is_stopword``-style df cutoff, or postings sharded by doc-id range);
+the ``min_df``/``max_postings`` knobs expose both bounds. Postings are
+emitted as a CSV string (deterministic ordering, engine-portable hashing)
+exactly as ``aggs.py:group_edges`` does for the A1 operator.
+
+Reference parity: the reference builds its retrieval index by delegating
+to ElasticSearch (ElasticActor.scala / ElasticFeatureListMapping.scala —
+the engine *ships* documents, ES inverts them); building the inversion
+inside the engine is the self-contained equivalent for the training-data
+tier (SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def inverted_index(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Build ``(term, df, tf, postings_csv)``.
+
+    - ``df`` — number of distinct documents containing the term;
+    - ``tf`` — total occurrences across the corpus;
+    - ``postings_csv`` — comma-joined doc ids sorted ascending as strings
+      (string order is the deterministic cross-engine order); when
+      ``max_postings`` is set, only the first that many ids are kept
+      (df/tf still count the full corpus).
+
+    Terms with ``df < min_df`` are dropped after the term-grain agg — the
+    filter cannot push below the agg (df is its output), but the agg
+    itself is the reducer, so nothing upstream widens.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    term_doc = (
+        docs.select(F.col(doc_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    postings = F.sort_array(F.collect_list(F.col("doc_id").cast("string")))
+    if max_postings is not None:
+        postings = F.slice(postings, 1, max_postings)
+    out = term_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf"),
+        F.concat_ws(",", postings).alias("postings_csv"),
+    )
+    if min_df > 1:
+        out = out.where(F.col("df") >= min_df)
+    return out

@@ -1,0 +1,50 @@
+"""Per-group uniform downsampling by deterministic hash rank.
+
+Web corpora are wildly host-skewed: a handful of domains contribute most
+documents, and training-data pipelines cap the contribution of any single
+source ("no more than k docs per host") to keep the mixture balanced.
+A random sample is not reproducible across runs and engines; the standard
+deterministic substitute is *hash ordering* — rank each group's members
+by a cryptographic hash of (group, id) and keep the first k. Because the
+hash is uniform, this IS a uniform k-sample of the group, yet every rerun
+(and the DuckDB oracle) selects the identical rows.
+
+Distinct from ``corpus.py:stratified_token_sample``, which fills a token
+*budget* per stratum in a caller-chosen priority order; this operator
+caps *row counts* per group uniformly-at-random-but-deterministically.
+
+Scale shape: one hash-partitioned window per group key (rank + filter);
+group cardinality is host-scale (10^7-10^8 keys), so partitions hold many
+small groups and the sort inside each is k-bounded per group. A hot group
+(one host with 10^8 rows) is exactly the skew case ``operators/salting``
+handles: pre-aggregate the top-k per salt cell, then re-rank the k*salt
+survivors — the two-phase shape is documented here and applied by callers
+when a group exceeds partition scale. No driver collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_uniform_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen by md5(group:id) order.
+
+    Adds ``sample_rank`` (1-based within the group). The hash key makes
+    the choice uniform; the id tiebreak makes it total even under md5
+    collisions. All input columns pass through.
+    """
+    hkey = F.md5(
+        F.concat_ws(":", F.col(group_col).cast("string"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(hkey.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

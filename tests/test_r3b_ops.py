@@ -1,0 +1,128 @@
+"""Round-3 batch-2 operator tests: duplicated-substring windows (ExactSubstr
+shape), snapshot diff (recrawl change detection), inverted index, and
+per-group deterministic uniform sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from delphi_crawler_spark.operators.invindex import inverted_index
+from delphi_crawler_spark.operators.sampling import group_uniform_sample
+from delphi_crawler_spark.operators.snapshot import diff_summary, snapshot_diff
+from delphi_crawler_spark.operators.substrings import duplicate_window_stats
+
+
+# ----------------------------------------------------- duplicate substrings
+
+
+def test_duplicate_windows_cross_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h"),   # exactly one 8-window
+            Row(doc_id=2, text="a b c d e f g h"),   # verbatim dup of doc 1
+            Row(doc_id=3, text="p q r s t u v w"),   # unique window
+            Row(doc_id=4, text="x y"),               # too short: no windows
+        ]
+    )
+    out = {r["doc_id"]: r for r in duplicate_window_stats(docs, k=8).collect()}
+    assert len(out) == 4
+    assert out[1]["n_windows"] == 1 and out[1]["n_dup_windows"] == 1
+    assert out[2]["n_dup_windows"] == 1 and out[2]["dup_frac"] == 1.0
+    assert out[3]["n_windows"] == 1 and out[3]["n_dup_windows"] == 0
+    assert out[4]["n_windows"] == 0 and out[4]["dup_frac"] == 0.0
+
+
+def test_duplicate_windows_within_doc_repeat_counts(spark):
+    # the same trigram twice INSIDE one doc is a duplicate per ExactSubstr
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c z a b c")])
+    out = duplicate_window_stats(docs, k=3).collect()[0]
+    # windows: abc bcz cza zab abc -> 'a b c' occurs twice
+    assert out["n_windows"] == 5
+    assert out["n_dup_windows"] == 2
+
+
+def test_duplicate_windows_plan_no_cartesian(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c d e f g h")])
+    plan = duplicate_window_stats(docs, k=8)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ------------------------------------------------------------ snapshot diff
+
+
+def test_snapshot_diff_all_statuses(spark):
+    prev = spark.createDataFrame(
+        [Row(url="a", digest="1"), Row(url="b", digest="2"), Row(url="c", digest="3")]
+    )
+    curr = spark.createDataFrame(
+        [Row(url="a", digest="1"), Row(url="b", digest="9"), Row(url="d", digest="4")]
+    )
+    out = {r["key"]: r["status"] for r in snapshot_diff(prev, curr).collect()}
+    assert out == {"a": "unchanged", "b": "changed", "c": "removed", "d": "added"}
+
+
+def test_snapshot_diff_summary_counts(spark):
+    prev = spark.createDataFrame([Row(url=f"u{i}", digest=str(i)) for i in range(10)])
+    curr = spark.createDataFrame(
+        [Row(url=f"u{i}", digest=str(i if i % 2 else -i)) for i in range(2, 12)]
+    )
+    s = {r["status"]: r["n"] for r in diff_summary(snapshot_diff(prev, curr)).collect()}
+    # u0,u1 removed; u10,u11 added; even of 2..9 changed (2,4,6,8); odd unchanged
+    assert s == {"removed": 2, "added": 2, "changed": 4, "unchanged": 4}
+
+
+# ----------------------------------------------------------- inverted index
+
+
+def test_inverted_index_postings(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="spark spark table"),
+            Row(doc_id=2, text="table row"),
+            Row(doc_id=30, text="row table spark"),
+        ]
+    )
+    out = {r["term"]: r for r in inverted_index(docs).collect()}
+    assert out["spark"]["df"] == 2 and out["spark"]["tf"] == 3
+    # string-sorted ids: '10' < '30'
+    assert out["spark"]["postings_csv"] == "10,30"
+    assert out["table"]["df"] == 3 and out["table"]["postings_csv"] == "10,2,30"
+    assert out["row"]["tf"] == 2
+
+
+def test_inverted_index_min_df_and_cap(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="common unique%d" % i) for i in range(5)]
+    )
+    out = inverted_index(docs, min_df=2, max_postings=3).collect()
+    assert len(out) == 1  # only 'common' survives min_df=2
+    r = out[0]
+    assert r["df"] == 5 and r["tf"] == 5
+    assert r["postings_csv"] == "0,1,2"  # capped at 3, df/tf still full
+
+
+# ------------------------------------------------------------ group sample
+
+
+def test_group_sample_cap_and_determinism(spark):
+    rows = [Row(host=f"h{i % 3}", doc_id=i) for i in range(100)]
+    df = spark.createDataFrame(rows)
+    a = group_uniform_sample(df, "host", "doc_id", k=5)
+    got = a.groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert all(r["n"] == 5 for r in got)
+    ranks = {(r["host"], r["sample_rank"]) for r in a.collect()}
+    assert all(1 <= rk <= 5 for _h, rk in ranks)
+    # deterministic: a different input ordering picks the identical rows
+    b = group_uniform_sample(
+        df.orderBy(F.col("doc_id").desc()), "host", "doc_id", k=5
+    )
+    assert {(r["host"], r["doc_id"]) for r in a.collect()} == {
+        (r["host"], r["doc_id"]) for r in b.collect()
+    }
+
+
+def test_group_sample_small_group_keeps_all(spark):
+    df = spark.createDataFrame([Row(host="h", doc_id=1), Row(host="h", doc_id=2)])
+    out = group_uniform_sample(df, "host", "doc_id", k=10).collect()
+    assert len(out) == 2
