@@ -179,6 +179,7 @@ BENCH_QUERIES = {
     "media_features": E.q_mm_media_features,
     "semantic_dedup": E.q_dedup_semantic,
     "heavy_hitters": E.q_hh_heavy_hitters,
+    "substring_dedup": E.q_dedup_substring_windows,
 }
 
 
