@@ -1713,6 +1713,21 @@ def q_corpus_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentile_disc with no global sort: value-grain
+    hash-agg -> two-phase per-partition offsets (ordering.py pattern) ->
+    searchsorted rank pick. Byte-identical at any parallelism; oracle is
+    the window-rank formulation (rank = max(1, ceil(q*n)))."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.quantiles import exact_quantiles
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    out = exact_quantiles(
+        ev, "value", [0.0, 0.25, 0.5, 0.75, 0.95, 0.99, 1.0], by="event_type"
+    )
+    return out.select("event_type", "q", "value", F.col("n").cast(BIG).alias("n"))
+
+
 # =====================================================================
 # Contract surface
 # =====================================================================
@@ -1797,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r3_snapshot_diff": q_r3_snapshot_diff,
         "corpus_inverted_index": q_corpus_inverted_index,
         "corpus_group_sample": q_corpus_group_sample,
+        "agg_exact_quantiles": q_agg_exact_quantiles,
     }
 
 
@@ -2815,6 +2831,21 @@ td AS (SELECT term, doc_id, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1,
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf,
        array_to_string(list_sort(list(doc_id::VARCHAR)), ',') AS postings_csv
 FROM td GROUP BY term HAVING count(*) >= 2
+"""
+
+    o["agg_exact_quantiles"] = """
+WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+r AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk
+      FROM v),
+qs(q) AS (VALUES (0.0::DOUBLE), (0.25::DOUBLE), (0.5::DOUBLE), (0.75::DOUBLE),
+                 (0.95::DOUBLE), (0.99::DOUBLE), (1.0::DOUBLE)),
+t AS (SELECT n.event_type, qs.q,
+             greatest(1, ceil(qs.q * n.n)::BIGINT) AS rank, n.n
+      FROM n CROSS JOIN qs)
+SELECT t.event_type, t.q, r.value AS value, t.n::BIGINT AS n
+FROM t JOIN r ON r.event_type = t.event_type AND r.rk = t.rank
 """
 
     o["corpus_group_sample"] = """
