@@ -126,3 +126,61 @@ def test_group_sample_small_group_keeps_all(spark):
     df = spark.createDataFrame([Row(host="h", doc_id=1), Row(host="h", doc_id=2)])
     out = group_uniform_sample(df, "host", "doc_id", k=10).collect()
     assert len(out) == 2
+
+
+# ------------------------------------------------- randomized cross-checks
+
+
+def test_duplicate_windows_random_vs_python(spark):
+    """Spark result equals a pure-Python per-corpus recomputation on random
+    corpora (3 seeds x 40 docs, vocab small enough to force collisions)."""
+    import random
+    from collections import Counter
+
+    for seed in (3, 17, 91):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(6)]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 14))))
+            for i in range(40)
+        ]
+        k = 4
+        # python oracle
+        wins_per_doc = {}
+        tot = Counter()
+        for i, t in docs:
+            toks = t.split()
+            ws = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+            wins_per_doc[i] = ws
+            tot.update(ws)
+        expect = {
+            i: (
+                len(ws),
+                sum(1 for w in ws if tot[w] >= 2),
+            )
+            for i, ws in wins_per_doc.items()
+        }
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+            for r in duplicate_window_stats(df, k=k).collect()
+        }
+        assert got == expect, f"seed {seed}"
+
+
+def test_snapshot_diff_partition_invariance(spark):
+    """The diff is a pure join — identical at any parallelism."""
+    prev = spark.createDataFrame(
+        [(f"u{i}", str(i % 7)) for i in range(200)], ["url", "digest"]
+    )
+    curr = spark.createDataFrame(
+        [(f"u{i}", str((i + i % 3) % 7)) for i in range(50, 250)], ["url", "digest"]
+    )
+    a = sorted(map(tuple, snapshot_diff(prev, curr).collect()))
+    b = sorted(
+        map(
+            tuple,
+            snapshot_diff(prev.repartition(17), curr.repartition(3)).collect(),
+        )
+    )
+    assert a == b and len(a) == 250
