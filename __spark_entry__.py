@@ -1713,6 +1713,26 @@ def q_corpus_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding (md5-mod, engine-portable) + balance
+    report: per shard, doc count, token weight, weight share vs corpus.
+    Pure-JVM assignment projection + one N-row hash-agg."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.sharding import shard_plan
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tokens"),
+    )
+    out = shard_plan(docs, "doc_id", "n_tokens", n_shards=16)
+    return out.select(
+        F.col("shard_id").cast(BIG).alias("shard_id"),
+        F.col("n_docs").cast(BIG).alias("n_docs"),
+        F.col("total_weight").cast(BIG).alias("total_weight"),
+        "weight_share",
+    )
+
+
 def q_agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group percentile_disc with no global sort: value-grain
     hash-agg -> two-phase per-partition offsets (ordering.py pattern) ->
@@ -1813,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_inverted_index": q_corpus_inverted_index,
         "corpus_group_sample": q_corpus_group_sample,
         "agg_exact_quantiles": q_agg_exact_quantiles,
+        "corpus_shard_plan": q_corpus_shard_plan,
     }
 
 
@@ -2831,6 +2852,21 @@ td AS (SELECT term, doc_id, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1,
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf,
        array_to_string(list_sort(list(doc_id::VARCHAR)), ',') AS postings_csv
 FROM td GROUP BY term HAVING count(*) >= 2
+"""
+
+    o["corpus_shard_plan"] = """
+WITH d AS (SELECT doc_id,
+                  len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+           FROM documents),
+a AS (SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16) AS shard_id,
+             n_tokens FROM d),
+p AS (SELECT shard_id, count(*) AS n_docs, sum(n_tokens) AS total_weight
+      FROM a GROUP BY 1),
+t AS (SELECT sum(total_weight)::DOUBLE AS corpus_weight FROM p)
+SELECT shard_id::BIGINT AS shard_id, n_docs::BIGINT AS n_docs,
+       total_weight::BIGINT AS total_weight,
+       round(total_weight / corpus_weight, 6) AS weight_share
+FROM p CROSS JOIN t
 """
 
     o["agg_exact_quantiles"] = """

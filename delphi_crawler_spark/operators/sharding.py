@@ -1,0 +1,69 @@
+"""Deterministic corpus sharding with balance telemetry.
+
+The last step of a training-data build writes the kept corpus into N
+output shards (files/buckets a trainer streams independently). Two
+requirements: the assignment must be *deterministic* (resumable runs and
+incremental rebuilds must route a document to the same shard forever —
+``rand()`` or ``spark_partition_id()`` would not), and the shards must be
+*balanced in token weight*, not just document count, or one data-loader
+starves. Hash assignment gives both: md5 is uniform, so by law of large
+numbers every shard's weight converges to total/N with relative error
+O(1/sqrt(docs_per_shard)) — the balance report makes that measurable
+instead of assumed.
+
+Scale shape: the assignment is one pure-JVM projection (md5 + conv —
+codegen'd, no Python, no shuffle); the balance report is one
+partial-aggregating hash-agg on shard_id (N rows) plus a scalar total.
+Writing then uses ``df.write.partitionBy(shard_col)`` (or
+``repartition(shard_col)`` first for one file per shard) — the plan
+stays a single exchange on a perfectly uniform key.
+
+Reference parity: the reference emits into a single ElasticSearch index
+(ElasticActor upserts) and has no shard-output notion; this closes the
+training-data tier's write path (SURVEY §2.10), downstream of
+``pipeline_training_prep``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shard_id(id_col: Column, n_shards: int) -> Column:
+    """Portable deterministic shard assignment: first 8 hex digits of
+    md5(id) as an integer, mod n_shards. Engine-portable (any SQL engine
+    with md5 + hex parse reproduces it bit-for-bit)."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+    return (h.cast("bigint") % n_shards).alias("shard_id")
+
+
+def shard_plan(
+    docs: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Per-shard balance report: ``(shard_id, n_docs, total_weight,
+    weight_share)`` where weight_share = shard weight / corpus weight
+    (rounded to 6; ideal = 1/n_shards). Empty shards (possible when
+    docs << shards) simply have no row — the consumer treats absence
+    as zero."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    assigned = docs.select(
+        shard_id(F.col(id_col), n_shards),
+        F.col(weight_col).cast("bigint").alias("w"),
+    )
+    per_shard = assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("w").alias("total_weight")
+    )
+    total = per_shard.agg(F.sum("total_weight").alias("corpus_weight"))
+    return per_shard.crossJoin(F.broadcast(total)).select(
+        "shard_id",
+        "n_docs",
+        "total_weight",
+        F.round(F.col("total_weight") / F.col("corpus_weight"), 6).alias(
+            "weight_share"
+        ),
+    )
