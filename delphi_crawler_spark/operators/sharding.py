@@ -58,7 +58,9 @@ def shard_plan(
     per_shard = assigned.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("w").alias("total_weight")
     )
-    total = per_shard.agg(F.sum("total_weight").alias("corpus_weight"))
+    # corpus total as a scalar aggregate over the assignment itself (map-side
+    # partial sums -> one-row exchange) so the shard-grain agg runs once
+    total = assigned.agg(F.sum("w").alias("corpus_weight"))
     return per_shard.crossJoin(F.broadcast(total)).select(
         "shard_id",
         "n_docs",

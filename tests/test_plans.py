@@ -112,3 +112,31 @@ def test_corpus_segment_dedup_no_token_grain_explode(spark):
     assert "CartesianProduct" not in plan
     # two scan branches (segments + frequency) — at most one Generate each
     assert plan.count("Generate posexplode") <= 2
+
+
+def test_exact_quantiles_no_window_no_global_sort(spark):
+    """Exact quantiles must be the two-phase shape: value-grain hash-agg +
+    range partitioning — never a window or a single-partition global sort."""
+    plan = _plan(E.q_agg_exact_quantiles(spark, SF))
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_inverted_index_partial_agg_no_count_distinct(spark):
+    """df must come from the already-distinct (term,doc) grain — the plan
+    has plain hash aggregates only, no distinct-expand."""
+    plan = _plan(E.q_corpus_inverted_index(spark, SF))
+    assert "Expand" not in plan  # count-distinct rewrites insert Expand
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_plan_single_agg_exchange(spark):
+    """Shard assignment is a pure projection; the only wide op is the
+    N-row balance agg (plus its broadcast scalar total)."""
+    plan = _plan(E.q_corpus_shard_plan(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # the scalar corpus total
+    # exactly one shuffle grain: shard_id partial+final agg
+    assert plan.count("Exchange hashpartitioning(shard_id") <= 1
