@@ -43,6 +43,7 @@ def duplicate_window_stats(
     doc_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Per-document duplicated-window report.
 
@@ -58,6 +59,14 @@ def duplicate_window_stats(
 
     Tokenization is lowercase whitespace splitting, matching the rest of
     the corpus operators so thresholds compose across them.
+
+    ``hash_keys=True`` is the 100 TB shuffle path: each window string is
+    collapsed to its ``xxhash64`` before the exchange, so the shuffle
+    carries 8-byte keys instead of k-token strings (~10x less shuffle
+    volume at k=8). Counts are then exact up to 64-bit hash collisions
+    (~n²/2⁶⁵ expected extra dup-pairs — negligible below ~10¹² distinct
+    windows); the default keeps string keys so external oracles can
+    replicate values bit-for-bit.
     """
     # Split once into a column, then build windows over it — referencing a
     # materialized column inside the lambda keeps the split from being
@@ -83,6 +92,13 @@ def duplicate_window_stats(
             F.explode_outer("wins").alias("win"),
         )
     )
+    if hash_keys:
+        # collapse the key BEFORE the shuffle; keep null (short-doc marker)
+        exploded = exploded.select(
+            "doc_id",
+            "n_windows",
+            F.when(F.col("win").isNotNull(), F.xxhash64("win")).alias("win"),
+        )
     # (doc, window) occurrence grain — duplicates inside one doc collapse
     # map-side here, so the shuffle carries distinct (doc, window) pairs.
     per_doc_win = exploded.groupBy("doc_id", "n_windows", "win").agg(

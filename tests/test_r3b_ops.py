@@ -184,3 +184,24 @@ def test_snapshot_diff_partition_invariance(spark):
         )
     )
     assert a == b and len(a) == 250
+
+
+def test_duplicate_windows_hash_keys_equivalent(spark):
+    """The xxhash64 shuffle path gives identical stats at test scale
+    (collisions need ~2^32 windows)."""
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(8)]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))))
+            for i in range(60)
+        ],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, duplicate_window_stats(docs, k=5).collect()))
+    b = sorted(
+        map(tuple, duplicate_window_stats(docs, k=5, hash_keys=True).collect())
+    )
+    assert a == b
