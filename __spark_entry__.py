@@ -1713,6 +1713,32 @@ def q_corpus_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_r4_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling (5 keyed self-joins
+    cover 32 hops); cycles flagged, never followed. The synthesized map
+    has chains of up to ~9 hops ending in terminals, plus deliberate
+    cycles (doc_id%97 back-edges, incl. a self-loop and a 2-cycle).
+    Oracle: DuckDB recursive CTE walking one hop at a time."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.redirects import resolve_redirects
+
+    d = F.col("doc_id")
+    redirects = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), d.cast("string")).alias("src"),
+        F.when(
+            d % 97 == 0, F.concat(F.lit("r"), (d - (d % 10)).cast("string"))
+        )
+        .when(d % 10 < 8, F.concat(F.lit("r"), (d + 1).cast("string")))
+        .otherwise(F.concat(F.lit("t"), d.cast("string")))
+        .alias("dst"),
+    )
+    out = resolve_redirects(redirects, "src", "dst", max_hops=32)
+    return out.select(
+        "src", "final", F.col("hops").cast(BIG).alias("hops"),
+        F.col("is_cycle").cast(BIG).alias("is_cycle"),
+    )
+
+
 def q_corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic output sharding (md5-mod, engine-portable) + balance
     report: per shard, doc count, token weight, weight share vs corpus.
@@ -1834,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_group_sample": q_corpus_group_sample,
         "agg_exact_quantiles": q_agg_exact_quantiles,
         "corpus_shard_plan": q_corpus_shard_plan,
+        "r4_redirect_resolve": q_r4_redirect_resolve,
     }
 
 
@@ -2852,6 +2879,27 @@ td AS (SELECT term, doc_id, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1,
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf,
        array_to_string(list_sort(list(doc_id::VARCHAR)), ',') AS postings_csv
 FROM td GROUP BY term HAVING count(*) >= 2
+"""
+
+    o["r4_redirect_resolve"] = """
+WITH RECURSIVE redirects AS (
+  SELECT 'r' || doc_id AS src,
+         CASE WHEN doc_id % 97 = 0 THEN 'r' || (doc_id - (doc_id % 10))
+              WHEN doc_id % 10 < 8 THEN 'r' || (doc_id + 1)
+              ELSE 't' || doc_id END AS dst
+  FROM documents),
+walk(src, cur, hops) AS (
+  SELECT src, dst, 1::BIGINT FROM redirects
+  UNION ALL
+  SELECT w.src, r.dst, w.hops + 1 FROM walk w JOIN redirects r ON r.src = w.cur
+  WHERE w.hops < 32),
+last AS (SELECT src, arg_max(cur, hops) AS cur, max(hops) AS hops
+         FROM walk GROUP BY src)
+SELECT l.src,
+       CASE WHEN s.src IS NOT NULL THEN '-' ELSE l.cur END AS final,
+       (CASE WHEN s.src IS NOT NULL THEN -1 ELSE l.hops END)::BIGINT AS hops,
+       (s.src IS NOT NULL)::BIGINT AS is_cycle
+FROM last l LEFT JOIN (SELECT DISTINCT src FROM redirects) s ON s.src = l.cur
 """
 
     o["corpus_shard_plan"] = """
