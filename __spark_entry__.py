@@ -1215,6 +1215,36 @@ END
 """
 
 
+_ROBOTS_DELAY_BODY_SQL = """
+CASE CAST(n_nationkey % 4 AS INT)
+ WHEN 0 THEN 'User-agent: spark' || chr(10) || 'Crawl-delay: 2' || chr(10)
+          || 'Disallow: /x' || chr(10) || 'Crawl-delay: 4' || chr(10) || chr(10)
+          || 'User-agent: *' || chr(10) || 'Crawl-delay: 9'
+ WHEN 1 THEN 'User-agent: *' || chr(10) || 'Allow: /' || chr(10) || 'Crawl-delay: 1.5'
+ WHEN 2 THEN 'User-agent: spark-crawler' || chr(10) || 'Disallow: /a' || chr(10)
+          || chr(10) || 'User-agent: bing' || chr(10) || 'Crawl-delay: 7'
+ ELSE 'User-agent: *' || chr(10) || 'Crawl-delay: fast' || chr(10) || 'Disallow: /tmp'
+END
+"""
+
+
+def q_f6d_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay extraction (Bing/Yandex de-facto extension) under the
+    same RFC 9309 combined-group semantics as the rule parse: first valid
+    numeric delay in line order within the winning groups. Templates cover
+    prefix-beats-star, star-only, winning-group-without-delay (no row),
+    and an invalid value (dropped)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.robots import crawl_delays
+
+    bodies = _t(spark, sf_dir, "nation").selectExpr(
+        "lower(n_name) || '.com' AS host", _ROBOTS_DELAY_BODY_SQL + " AS body"
+    )
+    return crawl_delays(bodies, agent="spark-crawler").select(
+        "host", "crawl_delay_s"
+    )
+
+
 def q_f6b_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 front half: raw robots.txt text → rule rows, RFC 9309 group
     semantics (exact agent-token match beats product-token prefix match
@@ -1861,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_exact_quantiles": q_agg_exact_quantiles,
         "corpus_shard_plan": q_corpus_shard_plan,
         "r4_redirect_resolve": q_r4_redirect_resolve,
+        "f6d_crawl_delay": q_f6d_crawl_delay,
     }
 
 
@@ -2880,6 +2911,60 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf,
        array_to_string(list_sort(list(doc_id::VARCHAR)), ',') AS postings_csv
 FROM td GROUP BY term HAVING count(*) >= 2
 """
+
+    o["f6d_crawl_delay"] = (
+        """
+WITH bodies AS (
+  SELECT lower(n_name) || '.com' AS host, """
+        + _ROBOTS_DELAY_BODY_SQL
+        + """ AS body FROM nation
+),
+l0 AS (SELECT host, string_split(body, chr(10)) AS ls FROM bodies),
+z AS (SELECT host, unnest(list_zip(ls, range(1, len(ls)+1))) AS zz FROM l0),
+lines AS (
+  SELECT host, CAST(zz[2] AS BIGINT) AS line_no,
+         trim(regexp_replace(zz[1], '#.*$', '')) AS line
+  FROM z WHERE trim(regexp_replace(zz[1], '#.*$', '')) <> ''
+),
+parsed AS (
+  SELECT host, line_no,
+         lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS directive,
+         trim(regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(.*)$', 1)) AS value
+  FROM lines
+  WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+        IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+),
+g AS (
+  SELECT *, CASE WHEN directive = 'user-agent'
+                  AND coalesce(lag(directive) OVER (PARTITION BY host ORDER BY line_no), '')
+                      <> 'user-agent'
+             THEN 1 ELSE 0 END AS starts
+  FROM parsed
+),
+g2 AS (
+  SELECT *, sum(starts) OVER (PARTITION BY host ORDER BY line_no
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS group_id
+  FROM g
+),
+g3 AS (SELECT * FROM g2 WHERE group_id > 0),
+ua AS (
+  SELECT host, group_id,
+         max(CASE WHEN lower(value) = 'spark-crawler' THEN 3
+                  WHEN value <> '*' AND value <> ''
+                       AND starts_with('spark-crawler', lower(value)) THEN 2
+                  WHEN value = '*' THEN 1 ELSE 0 END) AS score
+  FROM g3 WHERE directive = 'user-agent' GROUP BY 1, 2
+),
+best AS (SELECT host, max(score) AS best_score FROM ua GROUP BY 1),
+winners AS (SELECT ua.host, ua.group_id FROM ua JOIN best ON best.host = ua.host
+            WHERE ua.score = best.best_score AND best.best_score > 0),
+d AS (SELECT g3.host, g3.line_no, g3.value
+      FROM g3 JOIN winners ON winners.host = g3.host AND winners.group_id = g3.group_id
+      WHERE g3.directive = 'crawl-delay'
+        AND regexp_full_match(g3.value, '[0-9]+(\\.[0-9]+)?'))
+SELECT host, arg_min(value, line_no)::DOUBLE AS crawl_delay_s FROM d GROUP BY host
+"""
+    )
 
     o["r4_redirect_resolve"] = """
 WITH RECURSIVE redirects AS (

@@ -105,6 +105,67 @@ def robots_filter(
     return joined.filter(verdict).drop("__rhost", "__rules", "__path")
 
 
+def _grouped_directive_lines(
+    bodies: DataFrame, host_col: str, body_col: str
+) -> DataFrame:
+    """Shared REP front end: bodies → recognized directive lines
+    (user-agent / allow / disallow / crawl-delay) with RFC 9309 group ids
+    (a group starts at a UA line whose predecessor recognized line is not a
+    UA line). Used by both the rule parse and the crawl-delay extraction so
+    group boundaries agree."""
+    lines = bodies.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("line_no", "raw"),
+    ).withColumn(
+        "line", F.trim(F.regexp_replace("raw", "#.*$", ""))
+    ).filter(F.col("line") != "")
+    parsed = lines.select(
+        "host",
+        "line_no",
+        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("directive"),
+        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1)).alias("value"),
+    ).filter(
+        F.col("directive").isin("user-agent", "allow", "disallow", "crawl-delay")
+    )
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = (F.col("directive") == "user-agent").cast("int")
+    prev_ua = F.lag(is_ua, 1, 0).over(w)
+    starts = ((is_ua == 1) & (prev_ua == 0)).cast("int")
+    return parsed.withColumn(
+        "group_id",
+        F.sum(starts).over(
+            Window.partitionBy("host").orderBy("line_no")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).filter(F.col("group_id") > 0)  # rules before any UA line have no group
+
+
+def _winning_groups(grouped: DataFrame, agent: str) -> DataFrame:
+    """(host, group_id) of every group matching the agent at the winning
+    specificity: exact token (3) > product-token prefix (2) > ``*`` (1);
+    per RFC 9309 §2.2.1 ALL groups at the winning score combine."""
+    lv = F.lower(F.col("value"))
+    ua = grouped.filter(F.col("directive") == "user-agent").withColumn(
+        "score",
+        F.when(lv == agent.lower(), 3)
+        .when(
+            (F.col("value") != "*")
+            & (F.col("value") != "")
+            & F.lit(agent.lower()).startswith(lv),
+            2,
+        )
+        .when(F.col("value") == "*", 1)
+        .otherwise(0),
+    )
+    group_scores = ua.groupBy("host", "group_id").agg(F.max("score").alias("gscore"))
+    best = group_scores.groupBy("host").agg(F.max("gscore").alias("best_score"))
+    return (
+        group_scores.join(F.broadcast(best), "host")
+        .filter((F.col("gscore") == F.col("best_score")) & (F.col("best_score") > 0))
+        .select("host", "group_id")
+    )
+
+
 def parse_robots_txt(
     bodies: DataFrame,
     agent: str = "spark-crawler",
@@ -132,52 +193,8 @@ def parse_robots_txt(
     ``group_id``; the winning score is a per-host hash-agg max and every
     group at that score contributes rules. One shuffle on host; robots
     bodies are tiny, so the line grain stays narrow."""
-    lines = bodies.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(body_col), "\n")).alias("line_no", "raw"),
-    ).withColumn(
-        "line", F.trim(F.regexp_replace("raw", "#.*$", ""))
-    ).filter(F.col("line") != "")
-    parsed = lines.select(
-        "host",
-        "line_no",
-        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("directive"),
-        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1)).alias("value"),
-    ).filter(F.col("directive").isin("user-agent", "allow", "disallow"))
-
-    w = Window.partitionBy("host").orderBy("line_no")
-    is_ua = (F.col("directive") == "user-agent").cast("int")
-    prev_ua = F.lag(is_ua, 1, 0).over(w)
-    starts = ((is_ua == 1) & (prev_ua == 0)).cast("int")
-    grouped = parsed.withColumn(
-        "group_id",
-        F.sum(starts).over(
-            Window.partitionBy("host").orderBy("line_no")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    ).filter(F.col("group_id") > 0)  # rules before any UA line have no group
-
-    lv = F.lower(F.col("value"))
-    ua = grouped.filter(F.col("directive") == "user-agent").withColumn(
-        "score",
-        F.when(lv == agent.lower(), 3)
-        .when(
-            (F.col("value") != "*")
-            & (F.col("value") != "")
-            & F.lit(agent.lower()).startswith(lv),
-            2,
-        )
-        .when(F.col("value") == "*", 1)
-        .otherwise(0),
-    )
-    group_scores = ua.groupBy("host", "group_id").agg(F.max("score").alias("gscore"))
-    best = group_scores.groupBy("host").agg(F.max("gscore").alias("best_score"))
-    # RFC 9309: ALL groups matching at the winning specificity combine
-    winners = (
-        group_scores.join(F.broadcast(best), "host")
-        .filter((F.col("gscore") == F.col("best_score")) & (F.col("best_score") > 0))
-        .select("host", "group_id")
-    )
+    grouped = _grouped_directive_lines(bodies, host_col, body_col)
+    winners = _winning_groups(grouped, agent)
     rules = (
         grouped.filter(F.col("directive").isin("allow", "disallow"))
         .join(F.broadcast(winners), ["host", "group_id"])
@@ -190,6 +207,36 @@ def parse_robots_txt(
         F.col("directive").alias("rule"),
         "path_prefix",
         (F.row_number().over(w_order) - 1).alias("order"),
+    )
+
+
+def crawl_delays(
+    bodies: DataFrame,
+    agent: str = "spark-crawler",
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` extraction (the de-facto extension Bing/
+    Yandex honor; not in RFC 9309, so kept apart from the rule parse):
+    within the winning groups for ``agent`` (same combined-group semantics
+    as ``parse_robots_txt`` — the two share the group machinery so
+    boundaries agree), take the FIRST syntactically valid numeric delay in
+    line order. Returns ``(host, crawl_delay_s: double)``; hosts with no
+    valid directive in a winning group have no row. Feeds the politeness
+    model: token rate = 1/delay, bounded by the crawler's own budget."""
+    grouped = _grouped_directive_lines(bodies, host_col, body_col)
+    winners = _winning_groups(grouped, agent)
+    delays = (
+        grouped.filter(
+            (F.col("directive") == "crawl-delay")
+            & F.col("value").rlike(r"^[0-9]+(\.[0-9]+)?$")
+        )
+        .join(F.broadcast(winners), ["host", "group_id"])
+    )
+    return delays.groupBy("host").agg(
+        F.min_by(F.col("value"), F.col("line_no")).cast("double").alias(
+            "crawl_delay_s"
+        )
     )
 
 

@@ -699,3 +699,26 @@ def test_parse_sitemap_xml_entities_nulls_and_index(spark):
     dfr = spark.createDataFrame([("h.example", robots)], "host: string, body: string")
     sm = [r["sitemap_url"] for r in sitemap_urls_from_robots(dfr).orderBy("line_no").collect()]
     assert sm == ["https://h.example/sm.xml", "https://h.example/sm2.xml"]
+
+
+def test_crawl_delays_group_and_validity(spark):
+    """Crawl-delay: winning-group scoping, first-valid-in-line-order pick,
+    invalid values dropped, losing-group delays ignored."""
+    from pyspark.sql import Row
+
+    from delphi_crawler_spark.operators.robots import crawl_delays
+
+    df = spark.createDataFrame(
+        [
+            # prefix group (wins over *): two delays -> first in line order
+            Row(host="a", body="User-agent: spark\nCrawl-delay: 2\nDisallow: /x\nCrawl-delay: 4\n\nUser-agent: *\nCrawl-delay: 9"),
+            # star-only group, fractional delay
+            Row(host="b", body="User-agent: *\nAllow: /\nCrawl-delay: 1.5"),
+            # winning exact group has no delay; losing group's is ignored
+            Row(host="c", body="User-agent: spark-crawler\nDisallow: /a\n\nUser-agent: bing\nCrawl-delay: 7"),
+            # invalid value dropped
+            Row(host="d", body="User-agent: *\nCrawl-delay: fast\nDisallow: /tmp"),
+        ]
+    )
+    out = {r["host"]: r["crawl_delay_s"] for r in crawl_delays(df).collect()}
+    assert out == {"a": 2.0, "b": 1.5}
