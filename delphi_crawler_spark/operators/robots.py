@@ -240,6 +240,30 @@ def crawl_delays(
     )
 
 
+def politeness_from_delays(
+    delays: DataFrame,
+    default_rate: float = 5.0,
+    default_burst: int = 5,
+    min_rate: float = 0.01,
+) -> DataFrame:
+    """Turn ``crawl_delays`` output into the (host, rate_per_sec, max_burst)
+    dim table ``operators/politeness.assign_emission_slots`` consumes:
+    rate = min(1/delay, crawler's own budget ``default_rate``) — a site may
+    slow the crawler below its budget but never raise it above — floored at
+    ``min_rate`` so a pathological ``Crawl-delay: 86400`` cannot zero out a
+    host; burst stays the crawler's own. Hosts without a delay row keep the
+    defaults via the politeness join's coalesce."""
+    rate = F.least(
+        F.lit(default_rate),
+        F.greatest(F.lit(min_rate), F.lit(1.0) / F.col("crawl_delay_s")),
+    )
+    return delays.select(
+        "host",
+        F.round(rate, 6).alias("rate_per_sec"),
+        F.lit(default_burst).cast("int").alias("max_burst"),
+    )
+
+
 # ------------------------------------------------------------------ sitemaps
 
 

@@ -722,3 +722,41 @@ def test_crawl_delays_group_and_validity(spark):
     )
     out = {r["host"]: r["crawl_delay_s"] for r in crawl_delays(df).collect()}
     assert out == {"a": 2.0, "b": 1.5}
+
+
+def test_politeness_from_delays_end_to_end(spark):
+    """robots Crawl-delay feeds the token bucket: a 2s delay host emits at
+    0.5/s (slower than budget), a 0.1s delay host is capped AT the budget,
+    and an absent host keeps the default rate."""
+    from pyspark.sql import Row
+
+    from delphi_crawler_spark.operators.politeness import assign_emission_slots
+    from delphi_crawler_spark.operators.robots import (
+        crawl_delays,
+        politeness_from_delays,
+    )
+
+    bodies = spark.createDataFrame(
+        [
+            Row(host="slow", body="User-agent: *\nCrawl-delay: 2"),
+            Row(host="fast", body="User-agent: *\nCrawl-delay: 0.1"),
+        ]
+    )
+    pol = politeness_from_delays(crawl_delays(bodies), default_rate=5.0, default_burst=1)
+    rates = {r["host"]: r["rate_per_sec"] for r in pol.collect()}
+    assert rates == {"slow": 0.5, "fast": 5.0}
+
+    cand = spark.createDataFrame(
+        [
+            Row(host=h, priority=0, discovery_ts=float(i), seq=i + j * 10)
+            for j, h in enumerate(["slow", "fast", "none"])
+            for i in range(3)
+        ]
+    )
+    slotted = assign_emission_slots(cand, pol, default_rate=5.0, default_burst=1)
+    emit = {
+        (r["host"], r["host_rank"]): r["emit_ms"] for r in slotted.collect()
+    }
+    assert emit[("slow", 2)] == 2000 and emit[("slow", 3)] == 4000
+    assert emit[("fast", 2)] == 200
+    assert emit[("none", 2)] == 200  # default budget 5/s
