@@ -1,7 +1,8 @@
 """Two-cluster-size scaling evidence (north rule): run the SAME jobs at
 local[N] and local[4N] on the SAME input, report throughput at both plus
-scaling efficiency = speedup / 4. Writes BENCH_probes.md (raw
-probe data; the curated analysis lives in BENCH.md).
+scaling efficiency = speedup / 4. APPENDS a window section to
+BENCH_probes.md (raw probe data accumulates across rounds; the curated
+analysis lives in BENCH.md).
 
 The sandbox has no multi-executor cluster; per the task protocol,
 parallelism levels stand in for cluster sizes. Each level runs in a fresh
@@ -91,7 +92,11 @@ def main() -> None:
     m_lo, m_hi, m_eff = eff("minhash")
     s_lo, s_hi, s_eff = eff("spin")
 
-    table = f"""# BENCH — frontier throughput & scaling efficiency
+    table = f"""
+
+---
+
+# Scaling window: local[{levels[0]}] vs local[{levels[1]}] ({reps} reps, appended by tools/scaling_report.py)
 
 Protocol: no multi-executor cluster exists in this sandbox, so the
 north-rule two-cluster-size criterion (N vs 4N executors, efficiency ≥0.8)
@@ -131,7 +136,9 @@ Raw best-of JSON:
 {os.linesep.join(json.dumps(best[k]) for k in sorted(best))}
 ```
 """
-    with open(os.path.join(REPO, "BENCH_probes.md"), "w") as f:
+    # APPEND a dated window; BENCH_probes.md accumulates historical
+    # accepted windows that VERDICT reviews cite — never clobber them.
+    with open(os.path.join(REPO, "BENCH_probes.md"), "a") as f:
         f.write(table)
     print(table)
 
