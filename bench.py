@@ -159,6 +159,36 @@ def neardup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(docs.select("doc_id"), dups.select("id_a", "id_b"))
 
 
+def redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution at frontier volume: a 2M-source redirect
+    map with ~10-hop chains and deliberate cycles, resolved by pointer
+    doubling (5 keyed self-joins for the 32-hop cap)."""
+    from delphi_crawler_spark.operators.redirects import resolve_redirects
+
+    d = F.col("id")
+    edges = spark.range(FRONTIER_N).select(
+        F.concat(F.lit("r"), d.cast("string")).alias("src"),
+        F.when(d % 997 == 0, F.concat(F.lit("r"), (d - (d % 10)).cast("string")))
+        .when(d % 10 < 8, F.concat(F.lit("r"), (d + 1).cast("string")))
+        .otherwise(F.concat(F.lit("t"), d.cast("string")))
+        .alias("dst"),
+    )
+    return resolve_redirects(edges, max_hops=32)
+
+
+def exact_quantiles_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentile_disc over 2M skewed values, 64 groups —
+    the two-phase no-global-sort shape at volume."""
+    from delphi_crawler_spark.operators.quantiles import exact_quantiles
+
+    d = F.col("id")
+    vals = spark.range(FRONTIER_N).select(
+        F.concat(F.lit("h"), (d % 64).cast("string")).alias("host"),
+        ((d * 2654435761) % 1000003).cast("double").alias("v"),
+    )
+    return exact_quantiles(vals, "v", [0.5, 0.95, 0.99], by="host")
+
+
 BENCH_QUERIES = {
     "crawl_schedule": crawl_schedule,
     "bloom_incremental_update": bloom_incremental_update,
@@ -180,6 +210,8 @@ BENCH_QUERIES = {
     "semantic_dedup": E.q_dedup_semantic,
     "heavy_hitters": E.q_hh_heavy_hitters,
     "substring_dedup": E.q_dedup_substring_windows,
+    "redirect_resolve": redirect_resolve,
+    "exact_quantiles": exact_quantiles_2m,
 }
 
 
