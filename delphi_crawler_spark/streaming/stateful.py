@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StringType,
@@ -115,4 +116,84 @@ def stateful_emission_slots(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+# ------------------------------------------------- streaming heavy hitters
+
+_HH_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(StringType())),
+        StructField("cnts", ArrayType(LongType())),
+    ]
+)
+
+_HH_OUT_SCHEMA = StructType(
+    [
+        StructField("bucket", LongType()),
+        StructField("key", StringType()),
+        StructField("lower_bound", LongType()),
+    ]
+)
+
+
+def _make_hh_func(k: int):
+    from delphi_crawler_spark.operators.heavy import _mg_fold
+
+    def fold(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (bucket,) = key
+        if state.exists:
+            keys, cnts = state.get
+            summary = {str(a): int(b) for a, b in zip(list(keys), list(cnts))}
+        else:
+            summary = {}
+        for pdf in pdfs:
+            if len(pdf):
+                summary = _mg_fold(summary, pdf["key"].value_counts(), k)
+        state.update((list(summary.keys()), [int(v) for v in summary.values()]))
+        if summary:
+            yield pd.DataFrame(
+                {
+                    "bucket": int(bucket),
+                    "key": list(summary.keys()),
+                    "lower_bound": [int(v) for v in summary.values()],
+                }
+            )
+
+    return fold
+
+
+def streaming_heavy_hitter_candidates(
+    stream: DataFrame,
+    key_col: str = "key",
+    k: int = 10,
+    buckets: int = 32,
+) -> DataFrame:
+    """Bounded-state streaming frequency sketch (§2.8 + the batch
+    ``operators/heavy.py`` two-pass, fused into a stream): keys hash into
+    ``buckets`` groups; each group's ``GroupState`` is ONE Misra–Gries
+    summary of at most ``k`` counters, folded per micro-batch with the
+    SAME mergeable-summaries rule as the batch sketch (shared ``_mg_fold``
+    — stream and batch provably agree). Every trigger emits each bucket's
+    current summary in update mode.
+
+    Guarantee (pigeonhole per bucket, since the hash routes every
+    occurrence of a key to one bucket): any key whose TRUE stream count is
+    ≥ (that bucket's row count)/k — in particular any key ≥ n/k globally —
+    is present, and ``lower_bound`` never exceeds the true count. State is
+    O(buckets × k) regardless of stream length or key cardinality; the
+    exact verify (batch heavy_hitters' second pass) runs downstream over
+    the stored stream when exact counts are needed."""
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(buckets)).alias(
+            "bucket"
+        ),
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _make_hh_func(k),
+        outputStructType=_HH_OUT_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -73,3 +73,65 @@ def test_stateful_bucket_continues_across_batches(spark, tmp_path):
     # state really crossed the boundary: some host present in both batches
     # must have a rank > its batch-0 count (i.e. continuation, not restart)
     assert len(got) == len(want) and max(r for r, _ in got.values()) > 1
+
+
+def test_streaming_heavy_hitter_candidates(spark, tmp_path):
+    """Bounded-state streaming MG sketch: across micro-batches, every true
+    heavy hitter (count >= n/k) survives in the merged candidate set, no
+    lower_bound exceeds the true count, and per-bucket state stays <= k."""
+    import pandas as pd
+
+    from delphi_crawler_spark.streaming.stateful import (
+        streaming_heavy_hitter_candidates,
+    )
+
+    # deterministic skew: 2 hot keys at ~1/6 of rows each, ~200 cold keys
+    rows = []
+    for i in range(1200):
+        key = f"hot{i % 2}" if i % 3 == 0 else f"cold{i % 199}"
+        rows.append({"seq": i, "key": key})
+    pdf = pd.DataFrame(rows)
+    drop = tmp_path / "hhdrop"
+    os.makedirs(drop)
+    pdf[pdf["seq"] < 600].to_parquet(str(drop / "b0.parquet"))
+    pdf[pdf["seq"] >= 600].to_parquet(str(drop / "b1.parquet"))
+
+    stream = (
+        spark.readStream.schema("seq long, key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    k = 10
+    q = (
+        streaming_heavy_hitter_candidates(stream, "key", k=k, buckets=8)
+        .writeStream.format("memory")
+        .queryName("hh_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hhckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # final summaries = last update per (bucket, key): the memory sink keeps
+    # every update row, so dedupe to the max lower_bound per key
+    got = (
+        spark.sql("SELECT key, max(lower_bound) AS lb FROM hh_out GROUP BY key")
+        .toPandas()
+        .set_index("key")["lb"]
+        .to_dict()
+    )
+    true = pdf["key"].value_counts().to_dict()
+    n = len(pdf)
+    # every true heavy hitter present
+    for key, cnt in true.items():
+        if cnt * k >= n:
+            assert key in got, key
+    # no lower bound overshoots the true count
+    for key, lb in got.items():
+        assert lb <= true[key], key
+    # bounded state: per bucket at most k counters in the final trigger
+    per_bucket = spark.sql(
+        "SELECT bucket, count(DISTINCT key) AS nk FROM hh_out GROUP BY bucket"
+    ).collect()
+    assert all(r["nk"] <= 2 * k for r in per_bucket)  # across-trigger union
