@@ -21,6 +21,19 @@ ever sees per-(partition, group) count totals, never data.
 Reference parity: the reference exposes no quantile operator (its metrics
 are counts); this extends the A5/metrics family (SURVEY §2.7) with the
 telemetry op a web-scale crawl actually dashboards.
+
+Choosing a variant by group cardinality:
+
+- ``exact_quantiles`` — FEW, LARGE groups (event types, status codes,
+  languages: dozens to thousands). Each group's values spread across all
+  partitions, so no single task ever sorts a whole group; the driver
+  prefix-sum holds partitions × groups counters, which is why this
+  variant must NOT be pointed at 10^8 host-grain groups.
+- ``exact_quantiles_keyed`` — MANY, SMALL groups (per-host latency at
+  10^7-10^8 hosts). One hash-partitioned window per group: groups are
+  partition-local and each sorts only its own rows; nothing driver-side
+  at all. A single giant group here would serialize into one task —
+  exactly the case the two-phase variant exists for.
 """
 
 from __future__ import annotations
@@ -142,3 +155,40 @@ def exact_quantiles(
     )
     out._release_quantiles = lambda: d.unpersist()  # type: ignore[attr-defined]
     return out
+
+
+def exact_quantiles_keyed(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    by: str,
+) -> DataFrame:
+    """High-cardinality-group variant (see module docstring): same
+    ``percentile_disc`` semantics, computed with one hash-partitioned
+    window per group — zero driver state, scales with group COUNT instead
+    of group SIZE. Returns the same (group, q, value, n) schema."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(q < 0.0 or q > 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1]: {qs}")
+    from pyspark.sql import Window
+
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(by), F.col(value_col).cast("double").alias("v")
+    )
+    w = Window.partitionBy(by)
+    ranked = base.select(
+        by,
+        "v",
+        F.row_number().over(w.orderBy("v")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    qdf = ranked.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    picked = ranked.join(
+        F.broadcast(qdf),
+        F.col("rk")
+        == F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n"))).cast("int"),
+    )
+    return picked.select(by, "q", F.col("v").alias("value"), F.col("n").cast("bigint"))

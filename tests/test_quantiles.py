@@ -79,3 +79,20 @@ def test_exact_quantiles_rejects_bad_q(spark):
         exact_quantiles(df, "v", [])
     with pytest.raises(ValueError):
         exact_quantiles(df, "v", [1.5])
+
+
+def test_keyed_variant_matches_two_phase(spark):
+    """exact_quantiles_keyed (window path, many-small-groups trade-off)
+    returns the identical result to the two-phase variant."""
+    import random
+
+    from delphi_crawler_spark.operators.quantiles import exact_quantiles_keyed
+
+    rng = random.Random(23)
+    rows = [
+        Row(g=f"g{i % 11}", v=round(rng.uniform(0, 50), 2)) for i in range(800)
+    ]
+    df = spark.createDataFrame(rows)
+    a = sorted(map(tuple, exact_quantiles(df, "v", QS, by="g").collect()))
+    b = sorted(map(tuple, exact_quantiles_keyed(df, "v", QS, by="g").collect()))
+    assert a == b
