@@ -1769,6 +1769,21 @@ def q_r4_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_quantiles_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The high-cardinality-group quantile path (one hash-partitioned
+    window per group, zero driver state) — must produce the identical
+    percentile_disc answer as the two-phase variant, so it shares its
+    oracle."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.quantiles import exact_quantiles_keyed
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    out = exact_quantiles_keyed(
+        ev, "value", [0.0, 0.25, 0.5, 0.75, 0.95, 0.99, 1.0], by="event_type"
+    )
+    return out.select("event_type", "q", "value", F.col("n").cast(BIG).alias("n"))
+
+
 def q_corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic output sharding (md5-mod, engine-portable) + balance
     report: per shard, doc count, token weight, weight share vs corpus.
@@ -1892,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shard_plan": q_corpus_shard_plan,
         "r4_redirect_resolve": q_r4_redirect_resolve,
         "f6d_crawl_delay": q_f6d_crawl_delay,
+        "agg_quantiles_keyed": q_agg_quantiles_keyed,
     }
 
 
@@ -3016,6 +3032,8 @@ t AS (SELECT n.event_type, qs.q,
 SELECT t.event_type, t.q, r.value AS value, t.n::BIGINT AS n
 FROM t JOIN r ON r.event_type = t.event_type AND r.rk = t.rank
 """
+    # the keyed window variant must equal the two-phase answer exactly
+    o["agg_quantiles_keyed"] = o["agg_exact_quantiles"]
 
     o["corpus_group_sample"] = """
 WITH fr AS (SELECT 'h' || (doc_id % 5) AS host, doc_id FROM documents),
