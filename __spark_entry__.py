@@ -1769,6 +1769,28 @@ def q_r4_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c1b_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 extension: tracking-param stripping (utm_*, click ids) — the
+    highest-yield URL-dedup normalization on ad-driven frontiers. Pure JVM
+    higher-order filter over the split query string; empty query collapses
+    (no dangling '?')."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.canonicalize import strip_tracking_params
+
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://h"), (d % 7).cast("string"), F.lit(".com/p"), d.cast("string")
+    )
+    url = (
+        F.when(d % 4 == 0, F.concat(base, F.lit("?a=1&utm_source=s"), d.cast("string"), F.lit("&b=2")))
+        .when(d % 4 == 1, F.concat(base, F.lit("?gclid=g"), d.cast("string")))
+        .when(d % 4 == 2, F.concat(base, F.lit("?a="), d.cast("string")))
+        .otherwise(base)
+    )
+    docs = _t(spark, sf_dir, "documents").select(url.alias("url"))
+    return docs.select("url", strip_tracking_params(F.col("url")).alias("stripped"))
+
+
 def q_agg_quantiles_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The high-cardinality-group quantile path (one hash-partitioned
     window per group, zero driver state) — must produce the identical
@@ -1908,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r4_redirect_resolve": q_r4_redirect_resolve,
         "f6d_crawl_delay": q_f6d_crawl_delay,
         "agg_quantiles_keyed": q_agg_quantiles_keyed,
+        "c1b_strip_tracking": q_c1b_strip_tracking,
     }
 
 
@@ -3034,6 +3057,31 @@ FROM t JOIN r ON r.event_type = t.event_type AND r.rk = t.rank
 """
     # the keyed window variant must equal the two-phase answer exactly
     o["agg_quantiles_keyed"] = o["agg_exact_quantiles"]
+
+    o["c1b_strip_tracking"] = """
+WITH u AS (
+  SELECT CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'https://h' || (doc_id % 7) || '.com/p' || doc_id || '?a=1&utm_source=s' || doc_id || '&b=2'
+    WHEN 1 THEN 'https://h' || (doc_id % 7) || '.com/p' || doc_id || '?gclid=g' || doc_id
+    WHEN 2 THEN 'https://h' || (doc_id % 7) || '.com/p' || doc_id || '?a=' || doc_id
+    ELSE 'https://h' || (doc_id % 7) || '.com/p' || doc_id
+  END AS url FROM documents),
+s AS (
+  SELECT url,
+         regexp_extract(url, '^([^?]*)', 1) AS base,
+         list_filter(string_split(regexp_extract(url, '^[^?]*\\?(.*)$', 1), '&'),
+           x -> x <> ''
+                AND NOT (regexp_extract(x, '^([^=]*)', 1)
+                           IN ('gclid','fbclid','msclkid','mc_eid','igshid','ref_src')
+                         OR starts_with(regexp_extract(x, '^([^=]*)', 1), 'utm_'))
+         ) AS kept
+  FROM u)
+SELECT url,
+       CASE WHEN strpos(url, '?') = 0 THEN url
+            WHEN len(kept) > 0 THEN base || '?' || array_to_string(kept, '&')
+            ELSE base END AS stripped
+FROM s
+"""
 
     o["corpus_group_sample"] = """
 WITH fr AS (SELECT 'h' || (doc_id % 5) AS host, doc_id FROM documents),

@@ -215,3 +215,44 @@ def with_url_keys(df, url_col_name: str = "url"):
         .withColumn("url_hash", url_hash_col(u))
         .withColumn("url_hash64", url_hash64_col(u))
     )
+
+
+# ------------------------------------------------- tracking-param stripping
+
+#: query parameters that never change the resource: ad-click and analytics
+#: attribution tokens (public lists: utm_* from Google Analytics, the
+#: gclid/fbclid/msclkid click ids, mc_eid Mailchimp). Kept as an explicit
+#: tuple — crawl operators MUST be able to state exactly what they strip.
+TRACKING_PARAM_PREFIXES = ("utm_",)
+TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "mc_eid", "igshid", "ref_src")
+
+
+def strip_tracking_params(url: Column) -> Column:
+    """Remove tracking-only query parameters from an (already canonical)
+    URL — the single highest-yield URL-dedup normalization on real web
+    frontiers, where the same article arrives once per ad campaign.
+
+    Pure JVM column math (codegen, no Python): split off the query, filter
+    its ``&``-separated params through an array higher-order filter
+    (name match on the public tracking lists above), rejoin, drop the
+    ``?`` when nothing survives. Non-query URLs pass through unchanged;
+    param ORDER is preserved (canonicalize_url has already sorted it, so
+    stripping keeps the canonical order stable)."""
+    base = F.regexp_extract(url, r"^([^?]*)", 1)
+    query = F.regexp_extract(url, r"^[^?]*\?(.*)$", 1)
+    params = F.split(query, "&")
+    name_of = lambda p: F.regexp_extract(p, r"^([^=]*)", 1)  # noqa: E731
+    is_tracking = lambda p: (  # noqa: E731
+        F.array_contains(
+            F.array(*[F.lit(t) for t in TRACKING_PARAMS]), name_of(p)
+        )
+        | F.lit(False)
+        | F.reduce(
+            F.array(*[F.lit(pre) for pre in TRACKING_PARAM_PREFIXES]),
+            F.lit(False),
+            lambda acc, pre: acc | name_of(p).startswith(pre),
+        )
+    )
+    kept = F.filter(params, lambda p: (p != "") & ~is_tracking(p))
+    rebuilt = F.when(F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))).otherwise(base)
+    return F.when(url.contains("?"), rebuilt).otherwise(url)

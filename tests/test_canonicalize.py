@@ -112,3 +112,26 @@ def test_idempotent():
         c = canonicalize_url_py(u)
         assert c is not None
         assert canonicalize_url_py(c) == c
+
+
+def test_strip_tracking_params(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from delphi_crawler_spark.functions.canonicalize import strip_tracking_params
+
+    cases = {
+        "https://a.com/p?a=1&utm_source=x&b=2": "https://a.com/p?a=1&b=2",
+        "https://a.com/p?utm_campaign=x&gclid=1": "https://a.com/p",
+        "https://a.com/p?a=1": "https://a.com/p?a=1",
+        "https://a.com/p": "https://a.com/p",
+        "https://a.com/p?fbclid=1&z=9&msclkid=2": "https://a.com/p?z=9",
+        # param VALUES containing 'utm_' are not names — untouched
+        "https://a.com/p?q=utm_source": "https://a.com/p?q=utm_source",
+    }
+    df = spark.createDataFrame([Row(u=k) for k in cases])
+    got = {
+        r["u"]: r["s"]
+        for r in df.select("u", strip_tracking_params(F.col("u")).alias("s")).collect()
+    }
+    assert got == cases
