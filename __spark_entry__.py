@@ -1791,6 +1791,37 @@ def q_c1b_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("url", strip_tracking_params(F.col("url")).alias("stripped"))
 
 
+def q_text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization: NFC compose (Arrow pandas UDF — Spark SQL
+    has no ICU normalizer) + C0 control strip (tab/newline kept) + CRLF
+    fold. Input synthesizes decomposed accents (e + U+0301), a control
+    byte, and a CRLF onto real document prefixes; DuckDB oracle uses its
+    native nfc_normalize + the same regexp chain."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.textfns import clean_text_col
+
+    dirty = F.concat(
+        F.substring("text", 1, 20),
+        F.lit(" é"),
+        F.lit("\x01ok\r\n"),
+        F.lit("end"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), dirty.alias("dirty")
+    )
+    out = docs.select(
+        "doc_id",
+        F.length("dirty").alias("n_before"),
+        clean_text_col(F.col("dirty")).alias("cleaned"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_before").cast(BIG).alias("n_before"),
+        "cleaned",
+        F.length("cleaned").cast(BIG).alias("n_after"),
+    )
+
+
 def q_agg_quantiles_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The high-cardinality-group quantile path (one hash-partitioned
     window per group, zero driver state) — must produce the identical
@@ -1931,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6d_crawl_delay": q_f6d_crawl_delay,
         "agg_quantiles_keyed": q_agg_quantiles_keyed,
         "c1b_strip_tracking": q_c1b_strip_tracking,
+        "text_unicode_normalize": q_text_unicode_normalize,
     }
 
 
@@ -3057,6 +3089,24 @@ FROM t JOIN r ON r.event_type = t.event_type AND r.rk = t.rank
 """
     # the keyed window variant must equal the two-phase answer exactly
     o["agg_quantiles_keyed"] = o["agg_exact_quantiles"]
+
+    o["text_unicode_normalize"] = """
+WITH u AS (
+  SELECT doc_id,
+         substr(text, 1, 20) || ' e' || chr(769) || chr(1) || 'ok'
+           || chr(13) || chr(10) || 'end' AS dirty
+  FROM documents),
+c AS (
+  SELECT doc_id, length(dirty) AS n_before,
+         regexp_replace(
+           regexp_replace(nfc_normalize(dirty),
+                          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+           '\\r\\n?', chr(10), 'g') AS cleaned
+  FROM u)
+SELECT doc_id::BIGINT AS doc_id, n_before::BIGINT AS n_before,
+       cleaned, length(cleaned)::BIGINT AS n_after
+FROM c
+"""
 
     o["c1b_strip_tracking"] = """
 WITH u AS (

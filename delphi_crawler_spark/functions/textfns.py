@@ -152,3 +152,32 @@ def rolling_fingerprint_col(text: Column, window: int = 4, keep: int = 8) -> Col
     )
     kept = F.slice(F.array_sort(grams), 1, keep)
     return F.md5(F.array_join(F.transform(kept, lambda h: h.cast("string")), ","))
+
+
+# ------------------------------------------------- unicode normalization
+
+
+@F.pandas_udf(StringType())
+def nfc_normalize_pd(texts: pd.Series) -> pd.Series:
+    """Unicode NFC normalization, Arrow-batched (``Series.str.normalize`` —
+    pandas' C-loop, no per-row Python): composes decomposed sequences
+    (``e`` + U+0301 -> ``é``) so byte-level dedup/digesting sees one
+    representation per grapheme. NFC (not NFKC) deliberately: canonical
+    composition is lossless, compatibility folding is not — a corpus
+    pipeline must not silently rewrite ``²`` to ``2``."""
+    return texts.str.normalize("NFC")
+
+
+#: C0/C1 control characters except \t \n \r — standard corpus scrub set
+_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def clean_text_col(text: Column) -> Column:
+    """Normalization pipeline for raw fetched text: NFC-compose (Arrow
+    pandas UDF — Spark SQL has no ICU normalizer), then strip C0 control
+    characters (JVM regexp; \\t/\\n/\\r kept — they are document
+    structure), then collapse \\r\\n to \\n. Order pinned: composing
+    first means the control scrub sees final codepoints."""
+    composed = nfc_normalize_pd(text)
+    no_ctl = F.regexp_replace(composed, _CONTROL_RE, "")
+    return F.regexp_replace(no_ctl, r"\r\n?", "\n")

@@ -135,3 +135,24 @@ def test_strip_tracking_params(spark):
         for r in df.select("u", strip_tracking_params(F.col("u")).alias("s")).collect()
     }
     assert got == cases
+
+
+def test_clean_text_nfc_and_control_strip(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from delphi_crawler_spark.functions.textfns import clean_text_col
+
+    cases = {
+        "café": "café",          # NFC composes
+        "a\x01b\x00c": "abc",               # C0 stripped
+        "l1\r\nl2\rl3\nl4": "l1\nl2\nl3\nl4",  # CRLF/CR folded
+        "tab\there": "tab\there",           # \t kept (structure)
+        "édejà": "édejà",  # already-NFC unchanged
+    }
+    df = spark.createDataFrame([Row(t=k) for k in cases])
+    got = {
+        r["t"]: r["c"]
+        for r in df.select("t", clean_text_col(F.col("t")).alias("c")).collect()
+    }
+    assert got == cases
