@@ -1791,6 +1791,37 @@ def q_c1b_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("url", strip_tracking_params(F.col("url")).alias("stripped"))
 
 
+def q_a6_render_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved spans → flat LM-input text: text/link spans contribute
+    text, media spans a [MEDIA:ref] placeholder at their exact sequence
+    position (the span-sequence invariant survives rendering). Same span
+    synthesis as a4_span_stats; all JVM higher-order fns, no explode."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.links import render_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    kind = lambda w: (  # noqa: E731
+        F.when(F.length(w) % 3 == 0, F.lit("text"))
+        .when(F.length(w) % 3 == 1, F.lit("link"))
+        .otherwise(F.lit("media"))
+    )
+    spans = F.transform(
+        words,
+        lambda w, i: F.struct(
+            kind(w).alias("kind"),
+            w.alias("text"),
+            F.when(F.length(w) % 3 == 2, F.concat(F.lit("m://"), i)).alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    docs2 = docs.select(F.col("doc_id").cast(BIG).alias("doc_id"), spans.alias("spans"))
+    out = render_spans(docs2)
+    return out.select(
+        "doc_id", "rendered", F.length("rendered").cast(BIG).alias("n_chars")
+    )
+
+
 def q_text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus text normalization: NFC compose (Arrow pandas UDF — Spark SQL
     has no ICU normalizer) + C0 control strip (tab/newline kept) + CRLF
@@ -1963,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_quantiles_keyed": q_agg_quantiles_keyed,
         "c1b_strip_tracking": q_c1b_strip_tracking,
         "text_unicode_normalize": q_text_unicode_normalize,
+        "a6_render_spans": q_a6_render_spans,
     }
 
 
@@ -3089,6 +3121,19 @@ FROM t JOIN r ON r.event_type = t.event_type AND r.rk = t.rank
 """
     # the keyed window variant must equal the two-phase answer exactly
     o["agg_quantiles_keyed"] = o["agg_exact_quantiles"]
+
+    o["a6_render_spans"] = """
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+r AS (SELECT doc_id,
+             array_to_string(list_transform(list_zip(ws, range(1, len(ws) + 1)),
+               z -> CASE WHEN length(z[1]) % 3 = 2
+                         THEN '[MEDIA:m://' || (z[2] - 1) || ']'
+                         ELSE z[1] END), ' ') AS rendered
+      FROM t)
+SELECT doc_id::BIGINT AS doc_id, rendered,
+       length(rendered)::BIGINT AS n_chars
+FROM r
+"""
 
     o["text_unicode_normalize"] = """
 WITH u AS (

@@ -166,3 +166,32 @@ def feature_map(docs: DataFrame) -> DataFrame:
         ]
     )
     return stats.select("doc_id", F.map_from_entries(entries).alias("features"))
+
+
+def render_spans(
+    docs: DataFrame,
+    sep: str = " ",
+    media_prefix: str = "[MEDIA:",
+    media_suffix: str = "]",
+) -> DataFrame:
+    """Render interleaved spans into flat training text: text/link spans
+    contribute their text, media spans a typed placeholder carrying the
+    ref (``[MEDIA:m://...]``) — the standard interleaved-multimodal →
+    LM-input flattening, preserving the span-sequence invariant (the
+    placeholder sits exactly where the media sat).
+
+    Defensive ordering: spans are re-sorted by ``offset`` with an
+    ``array_sort`` comparator even though the invariant guarantees input
+    order — a renderer must not silently depend on upstream discipline.
+    All JVM higher-order functions: no explode, no shuffle, no Python."""
+    ordered = F.array_sort(
+        F.col("spans"), lambda a, b: (a["offset"] - b["offset"]).cast("int")
+    )
+    piece = lambda s: F.when(  # noqa: E731
+        s["kind"] == "media",
+        F.concat(
+            F.lit(media_prefix), F.coalesce(s["media_ref"], F.lit("")), F.lit(media_suffix)
+        ),
+    ).otherwise(F.coalesce(s["text"], F.lit("")))
+    rendered = F.concat_ws(sep, F.transform(ordered, piece))
+    return docs.select("doc_id", rendered.alias("rendered"))

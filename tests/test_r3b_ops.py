@@ -205,3 +205,23 @@ def test_duplicate_windows_hash_keys_equivalent(spark):
         map(tuple, duplicate_window_stats(docs, k=5, hash_keys=True).collect())
     )
     assert a == b
+
+
+def test_render_spans_order_and_placeholders(spark):
+    """Rendering preserves the span-sequence invariant: pieces appear in
+    offset order (even when the input array is shuffled), media spans
+    become placeholders carrying the ref."""
+    from delphi_crawler_spark.operators.links import render_spans
+
+    spans = [  # deliberately OUT of offset order in the array
+        {"kind": "media", "text": "", "media_ref": "m://7", "offset": 2},
+        {"kind": "text", "text": "hello", "media_ref": None, "offset": 0},
+        {"kind": "link", "text": "http://x", "media_ref": None, "offset": 1},
+        {"kind": "text", "text": "bye", "media_ref": None, "offset": 3},
+    ]
+    df = spark.createDataFrame(
+        [(1, spans)],
+        "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = render_spans(df).collect()[0]
+    assert out["rendered"] == "hello http://x [MEDIA:m://7] bye"
