@@ -69,3 +69,51 @@ def inverted_index(
     if min_df > 1:
         out = out.where(F.col("df") >= min_df)
     return out
+
+
+def inverted_index_delta(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Index one round's NEW documents as a mergeable delta:
+    ``(term, df, tf, postings)`` with postings as a sorted string array
+    (array form so merging never re-parses CSV). No min_df/caps here —
+    bounds apply to the merged view, not the increments."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    term_doc = (
+        docs.select(F.col(doc_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return term_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf"),
+        F.sort_array(F.collect_list(F.col("doc_id").cast("string"))).alias(
+            "postings"
+        ),
+    )
+
+
+def merge_index_deltas(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two index deltas whose DOCUMENT SETS ARE DISJOINT (true by
+    construction for per-round deltas: a document is indexed in exactly
+    the round that fetched it — the same disjointness the bloom segments
+    rely on). Under disjointness the merge is a plain mergeable-summary
+    fold: df/tf add, postings concatenate-and-sort. One term-keyed
+    hash-agg; associative and commutative, so rounds can fold in any
+    order and a store can binpack-compact delta segments exactly like
+    parts (storage/tablestore.py compaction).
+
+    The crucial scale property: merging NEVER touches document text —
+    cost is proportional to the vocabularies involved, not the corpus.
+    """
+    u = a.select("term", "df", "tf", "postings").unionByName(
+        b.select("term", "df", "tf", "postings")
+    )
+    return u.groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.sum("tf").alias("tf"),
+        F.sort_array(F.flatten(F.collect_list("postings"))).alias("postings"),
+    )

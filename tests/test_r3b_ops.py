@@ -225,3 +225,33 @@ def test_render_spans_order_and_placeholders(spark):
     )
     out = render_spans(df).collect()[0]
     assert out["rendered"] == "hello http://x [MEDIA:m://7] bye"
+
+
+def test_inverted_index_delta_merge_equals_rebuild(spark):
+    """Mergeable-summary property: index(A ∪ B) == merge(index(A), index(B))
+    for disjoint doc sets, in any merge order."""
+    from delphi_crawler_spark.operators.invindex import (
+        inverted_index_delta,
+        merge_index_deltas,
+    )
+
+    import random
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(9)]
+    mk = lambda ids: [  # noqa: E731
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in ids
+    ]
+    a = spark.createDataFrame(mk(range(0, 25)), ["doc_id", "text"])
+    b = spark.createDataFrame(mk(range(25, 60)), ["doc_id", "text"])
+
+    full = inverted_index_delta(a.unionByName(b))
+    merged = merge_index_deltas(inverted_index_delta(a), inverted_index_delta(b))
+    merged_rev = merge_index_deltas(
+        inverted_index_delta(b), inverted_index_delta(a)
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["term"], r["df"], r["tf"], tuple(r["postings"])) for r in df.collect()
+    )
+    assert key(full) == key(merged) == key(merged_rev)
