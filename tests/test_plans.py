@@ -140,3 +140,26 @@ def test_shard_plan_single_agg_exchange(spark):
     assert "BroadcastExchange" in plan  # the scalar corpus total
     # exactly one shuffle grain: shard_id partial+final agg
     assert plan.count("Exchange hashpartitioning(shard_id") <= 1
+
+
+def test_strip_tracking_pure_jvm(spark):
+    """c1b must stay pure JVM: no Python eval of any kind, no shuffle."""
+    plan = _plan(E.q_c1b_strip_tracking(spark, SF))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_render_spans_pure_jvm_no_explode(spark):
+    """a6 renders in-row: no Python, no shuffle, no Generate (explode)."""
+    plan = _plan(E.q_a6_render_spans(spark, SF))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
+def test_unicode_normalize_arrow_not_per_row(spark):
+    """The NFC pass is the one Arrow-vectorized UDF; never a row-at-a-time
+    BatchEvalPython."""
+    plan = _plan(E.q_text_unicode_normalize(spark, SF))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
