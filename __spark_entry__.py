@@ -1791,6 +1791,43 @@ def q_c1b_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("url", strip_tracking_params(F.col("url")).alias("stripped"))
 
 
+def q_pipeline_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition of the round-3 operators, chained the way a
+    corpus build runs them: unicode clean (Arrow NFC + control scrub) →
+    exact dedup on the cleaned digest (min-doc_id survivor) → duplicated-
+    substring scoring (drop docs that are mostly repeated 8-grams) →
+    token-count gate → deterministic shard assignment. Narrow stages
+    pipeline behind the dedup hash-agg; the window-stats pass shares its
+    shuffle grain as in dedup_substring_windows."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.textfns import clean_text_col
+    from delphi_crawler_spark.operators.sharding import shard_id
+    from delphi_crawler_spark.operators.substrings import duplicate_window_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        clean_text_col(F.col("text")).alias("text"),
+    )
+    survivors = (
+        docs.withColumn("digest", F.md5("text"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(docs, "doc_id")
+    )
+    stats = duplicate_window_stats(survivors, "doc_id", "text", k=8)
+    kept = (
+        survivors.join(stats, "doc_id")
+        .withColumn("n_tokens", F.size(F.split(F.lower(F.trim("text")), r"\s+")))
+        .where((F.col("dup_frac") < 0.9) & (F.col("n_tokens") >= 10))
+    )
+    return kept.select(
+        "doc_id",
+        F.col("n_tokens").cast(BIG).alias("n_tokens"),
+        "dup_frac",
+        shard_id(F.col("doc_id"), 16).cast(BIG).alias("shard_id"),
+    )
+
+
 def q_a6_render_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved spans → flat LM-input text: text/link spans contribute
     text, media spans a [MEDIA:ref] placeholder at their exact sequence
@@ -1995,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1b_strip_tracking": q_c1b_strip_tracking,
         "text_unicode_normalize": q_text_unicode_normalize,
         "a6_render_spans": q_a6_render_spans,
+        "pipeline_corpus_v2": q_pipeline_corpus_v2,
     }
 
 
@@ -3121,6 +3159,41 @@ FROM t JOIN r ON r.event_type = t.event_type AND r.rk = t.rank
 """
     # the keyed window variant must equal the two-phase answer exactly
     o["agg_quantiles_keyed"] = o["agg_exact_quantiles"]
+
+    o["pipeline_corpus_v2"] = """
+WITH cleaned AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(nfc_normalize(text),
+                          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+           '\\r\\n?', chr(10), 'g') AS text
+  FROM documents),
+surv AS (
+  SELECT arg_min(doc_id, doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(text) AS digest FROM cleaned) GROUP BY digest),
+s2 AS (SELECT c.doc_id, c.text FROM cleaned c JOIN surv USING (doc_id)),
+t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM s2),
+w AS (SELECT doc_id,
+        CASE WHEN len(ws) >= 8
+             THEN [array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)]
+             ELSE []::VARCHAR[] END AS wins,
+        len(ws) AS n_tokens
+      FROM t),
+e AS (SELECT doc_id, unnest(wins) AS win FROM w),
+pdw AS (SELECT doc_id, win, count(*) AS occ FROM e GROUP BY 1, 2),
+tot AS (SELECT win, sum(occ) AS tot FROM pdw GROUP BY 1),
+sc AS (SELECT doc_id, sum(occ) AS n_windows,
+              sum(CASE WHEN tot >= 2 THEN occ ELSE 0 END) AS n_dup
+      FROM pdw JOIN tot USING (win) GROUP BY 1),
+scored AS (
+  SELECT w.doc_id, w.n_tokens,
+         round(CASE WHEN coalesce(sc.n_windows, 0) > 0
+                    THEN sc.n_dup / sc.n_windows::DOUBLE ELSE 0.0 END, 6) AS dup_frac
+  FROM w LEFT JOIN sc USING (doc_id))
+SELECT doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS n_tokens, dup_frac,
+       (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16)::BIGINT AS shard_id
+FROM scored WHERE dup_frac < 0.9 AND n_tokens >= 10
+"""
 
     o["a6_render_spans"] = """
 WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
