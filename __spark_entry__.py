@@ -1791,6 +1791,27 @@ def q_c1b_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("url", strip_tracking_params(F.col("url")).alias("stripped"))
 
 
+def q_agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count telemetry: mergeable HLL segments (the
+    bloom-segment architecture applied to cardinality — per-partition
+    numpy registers, treeReduce max-merge, persistable per round). One
+    row: exact distinct texts, the p=12 HLL estimate, p. Oracle:
+    expected-parquet from an independent pure-python replication
+    (tools/gen_expected.py, its own XXH64 + bit_length ranks) — the
+    registers agree bit-for-bit so the rounded estimate matches."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.hll import build_hll_segment
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = docs.select(F.xxhash64("text").alias("url_hash64"))
+    seg = build_hll_segment(keys, p=12)
+    n_exact = docs.select("text").distinct().count()
+    return spark.createDataFrame(
+        [(int(n_exact), round(seg.estimate(), 6), 12)],
+        "n_exact long, hll_estimate double, p long",
+    )
+
+
 def q_pipeline_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition of the round-3 operators, chained the way a
     corpus build runs them: unicode clean (Arrow NFC + control scrub) →
@@ -2033,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unicode_normalize": q_text_unicode_normalize,
         "a6_render_spans": q_a6_render_spans,
         "pipeline_corpus_v2": q_pipeline_corpus_v2,
+        "agg_hll_distinct": q_agg_hll_distinct,
     }
 
 
@@ -3279,6 +3301,7 @@ FROM r WHERE sample_rank <= 30
         "dedup_embedding_lsh",
         "sim_ivf_topk",
         "dedup_semantic",
+        "agg_hll_distinct",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
 

@@ -1,0 +1,128 @@
+"""Incremental distinct-count telemetry: mergeable HyperLogLog segments.
+
+A long-running crawl wants "how many DISTINCT URLs (per host / total) has
+this crawl ever seen" as a per-round metric. Spark's built-in
+``approx_count_distinct`` answers that for one DataFrame, but its sketch
+lives and dies inside one query — it cannot be persisted, merged with last
+round's state, or maintained incrementally. This module gives HLL the same
+treatment the seen-set bloom gets (``operators/seen.py``): per-partition
+numpy register arrays built with ``mapInPandas``, ``treeReduce``-merged
+(element-wise max, the exact HLL merge), persistable as tiny binary
+segments, so each round folds in a segment built from only its appended
+rows — distinct-count telemetry at O(round) cost, never a rescan.
+
+Math (Flajolet et al. 2007, the public HyperLogLog paper, with the
+standard small-range linear-counting correction): m = 2^p registers, each
+holding the max leading-zero rank of the hashed values routed to it;
+E = alpha_m * m^2 / sum(2^-reg). Register max-merge is EXACT: merging
+segments of A and B gives bit-identical registers to building A ∪ B in
+one pass (property-tested), so estimate error never compounds across
+rounds. 64-bit hashes (xxhash64, JVM-side like the bloom keys) need no
+large-range correction.
+
+Standard error ~1.04/sqrt(m): p=14 (16 KiB of registers) gives ~0.8%.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+@dataclass
+class HLL:
+    """A max-mergeable HyperLogLog segment (2^p uint8 registers)."""
+
+    p: int
+    regs: np.ndarray  # uint8[2^p]
+
+    @staticmethod
+    def empty(p: int = 14) -> "HLL":
+        if not 4 <= p <= 18:
+            raise ValueError(f"p must be in [4, 18]: {p}")
+        return HLL(p, np.zeros(1 << p, dtype=np.uint8))
+
+    def add_many(self, hashed: np.ndarray) -> None:
+        """Fold 64-bit hashed keys in (numpy-vectorized, no per-row Python):
+        top p bits pick the register, the rank is 1 + leading zeros of the
+        remaining 64-p bits (capped at 64-p+1 when those bits are zero)."""
+        if len(hashed) == 0:
+            return
+        h = hashed.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)).astype(np.uint64)  # wraps mod 2^64
+        # leading zeros of `rest` within 64 bits; rest==0 -> full width
+        nbits = np.uint64(64)
+        lz = np.full(len(h), 64 - self.p, dtype=np.uint64)
+        nz = rest != 0
+        # floor(log2) via float conversion is unsafe at 64 bits; use
+        # bit_length through repeated shifts: log2 = 63 - clz. numpy lacks
+        # clz, so compute via frexp on the high 53 bits + exact fallback.
+        r = rest[nz]
+        # split: high 32 bits nonzero -> clz in [0,32); else shift left 32
+        hi = (r >> np.uint64(32)).astype(np.uint32)
+        use_hi = hi != 0
+        top32 = np.where(use_hi, hi, (r & np.uint64(0xFFFFFFFF)).astype(np.uint64).astype(np.uint32))
+        # clz32 exactly via float64 (32-bit values are exact in float64)
+        log2 = np.floor(np.log2(top32.astype(np.float64))).astype(np.uint64)
+        clz = np.where(use_hi, np.uint64(31) - log2, np.uint64(63) - log2)
+        lz[nz] = np.minimum(clz, nbits - np.uint64(self.p))
+        rank = (lz + np.uint64(1)).astype(np.uint8)
+        np.maximum.at(self.regs, idx, rank)
+
+    def merge(self, other: "HLL") -> "HLL":
+        assert self.p == other.p
+        return HLL(self.p, np.maximum(self.regs, other.regs))
+
+    def estimate(self) -> float:
+        m = float(len(self.regs))
+        e = _alpha(int(m)) * m * m / float(np.sum(np.exp2(-self.regs.astype(np.float64))))
+        if e <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.regs == 0))
+            if zeros:
+                return m * math.log(m / zeros)  # linear counting
+        return e
+
+
+def build_hll_segment(
+    df: DataFrame,
+    col: str = "url_hash64",
+    p: int = 14,
+    tree_depth: int = 2,
+) -> HLL:
+    """Build an HLL segment from a DataFrame of 64-bit hashed keys — the
+    same shape as ``seen.build_bloom_segment``: per-partition register
+    arrays (Arrow batches, numpy folds), one tiny binary row per
+    partition, ``treeReduce`` element-wise max. Persist ``regs.tobytes()``
+    per round; next round max-merges its own segment in O(round)."""
+    spark = df.sparkSession
+
+    def build_partition(batches):
+        seg = HLL.empty(p)
+        any_rows = False
+        for pdf in batches:
+            vals = pdf.iloc[:, 0].to_numpy(dtype="int64")
+            if len(vals):
+                seg.add_many(vals.view(np.uint64))
+                any_rows = True
+        if any_rows:
+            yield pd.DataFrame({"regs": [seg.regs.tobytes()]})
+
+    regs_df = df.select(F.col(col)).mapInPandas(build_partition, schema="regs binary")
+    zero = spark.createDataFrame([(bytearray(1 << p),)], schema="regs binary")
+    rdd = regs_df.unionByName(zero).rdd.map(
+        lambda r: np.frombuffer(r.regs, dtype=np.uint8)
+    )
+    merged = rdd.treeReduce(np.maximum, depth=tree_depth)
+    return HLL(p, merged.copy())

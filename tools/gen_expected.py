@@ -510,6 +510,36 @@ def gen_dedup_semantic(
     )
 
 
+def gen_agg_hll_distinct(docs: pd.DataFrame, p: int = 12) -> pd.DataFrame:
+    """Independent HLL replication: per-value python-int bit_length ranks
+    over the independent xxh64 (not Spark's JVM hash, not the numpy fold),
+    same register layout and estimator formula as operators/hll.py — the
+    registers must agree bit-for-bit, so the rounded estimate matches."""
+    import math
+
+    texts = docs["text"].astype(str).tolist()
+    n_exact = len(set(texts))
+    regs = [0] * (1 << p)
+    for t in texts:
+        h = xxh64_str(t)
+        idx = h >> (64 - p)
+        rest = (h << p) & ((1 << 64) - 1)
+        lz = 64 - rest.bit_length() if rest else 64
+        rank = min(lz, 64 - p) + 1
+        if rank > regs[idx]:
+            regs[idx] = rank
+    m = float(1 << p)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / math.fsum(2.0 ** -r for r in regs)
+    if e <= 2.5 * m:
+        zeros = regs.count(0)
+        if zeros:
+            e = m * math.log(m / zeros)
+    return pd.DataFrame(
+        {"n_exact": [n_exact], "hll_estimate": [round(e, 6)], "p": [p]}
+    ).astype({"n_exact": "int64", "hll_estimate": "float64", "p": "int64"})
+
+
 # ==================================================================== driver
 GENERATORS = {
     "c3_hash_keys": ("documents", gen_c3_hash_keys),
@@ -519,6 +549,7 @@ GENERATORS = {
     "dedup_embedding_lsh": ("embeddings", gen_dedup_embedding_lsh),
     "sim_ivf_topk": ("embeddings", gen_sim_ivf_topk),
     "dedup_semantic": ("embeddings", gen_dedup_semantic),
+    "agg_hll_distinct": ("documents", gen_agg_hll_distinct),
 }
 
 
