@@ -159,6 +159,26 @@ def neardup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(docs.select("doc_id"), dups.select("id_a", "id_b"))
 
 
+def hll_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round distinct-count telemetry cost: build one round's HLL
+    segment (FRONTIER_N/10 new keys, p=14) and max-merge it into the
+    steady segment — the cardinality analog of bloom_incremental_update."""
+    from delphi_crawler_spark.operators.hll import build_hll_segment
+
+    if "hll" not in _STEADY:
+        seen, _ = _steady_seen(spark)
+        _STEADY["hll"] = build_hll_segment(seen, p=14)
+    new_rows = (
+        spark.range(FRONTIER_N // 10)
+        .select(F.xxhash64(F.concat(F.lit("hnew"), F.col("id"))).alias("url_hash64"))
+    )
+    seg = build_hll_segment(new_rows, p=14)
+    merged = _STEADY["hll"].merge(seg)
+    return spark.createDataFrame(
+        [(round(merged.estimate(), 1), merged.p)], "estimate double, p long"
+    )
+
+
 def redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution at frontier volume: a 2M-source redirect
     map with ~10-hop chains and deliberate cycles, resolved by pointer
@@ -212,6 +232,7 @@ BENCH_QUERIES = {
     "substring_dedup": E.q_dedup_substring_windows,
     "redirect_resolve": redirect_resolve,
     "exact_quantiles": exact_quantiles_2m,
+    "hll_incremental_update": hll_incremental_update,
 }
 
 
