@@ -1791,6 +1791,29 @@ def q_c1b_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("url", strip_tracking_params(F.col("url")).alias("stripped"))
 
 
+def q_c2b_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain extraction (public-suffix longest match) over
+    synthesized hosts covering: multi-label suffixes (co.uk), private
+    registries where the subdomain is the site (github.io, blogspot.com),
+    plain TLDs, unknown TLDs (fallback = last two labels), and
+    single-label hosts (pass-through). Pure JVM; suffix set is a codegen
+    literal array."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.domains import registrable_domain
+
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 6 == 0, F.concat(F.lit("a.b.site"), d.cast("string"), F.lit(".co.uk")))
+        .when(d % 6 == 1, F.concat(F.lit("user"), d.cast("string"), F.lit(".github.io")))
+        .when(d % 6 == 2, F.concat(F.lit("www.Example"), (d % 9).cast("string"), F.lit(".com")))
+        .when(d % 6 == 3, F.concat(F.lit("deep.x.y.host"), d.cast("string"), F.lit(".org.au")))
+        .when(d % 6 == 4, F.concat(F.lit("node"), d.cast("string"), F.lit(".weirdtld")))
+        .otherwise(F.lit("localhost"))
+    )
+    docs = _t(spark, sf_dir, "documents").select(host.alias("host"))
+    return docs.select("host", registrable_domain(F.col("host")).alias("domain"))
+
+
 def q_agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental distinct-count telemetry: mergeable HLL segments (the
     bloom-segment architecture applied to cardinality — per-partition
@@ -2055,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_render_spans": q_a6_render_spans,
         "pipeline_corpus_v2": q_pipeline_corpus_v2,
         "agg_hll_distinct": q_agg_hll_distinct,
+        "c2b_registrable_domain": q_c2b_registrable_domain,
     }
 
 
@@ -3181,6 +3205,32 @@ FROM t JOIN r ON r.event_type = t.event_type AND r.rk = t.rank
 """
     # the keyed window variant must equal the two-phase answer exactly
     o["agg_quantiles_keyed"] = o["agg_exact_quantiles"]
+
+    o["c2b_registrable_domain"] = """
+WITH h AS (
+  SELECT CASE CAST(doc_id % 6 AS INT)
+    WHEN 0 THEN 'a.b.site' || doc_id || '.co.uk'
+    WHEN 1 THEN 'user' || doc_id || '.github.io'
+    WHEN 2 THEN 'www.Example' || (doc_id % 9) || '.com'
+    WHEN 3 THEN 'deep.x.y.host' || doc_id || '.org.au'
+    WHEN 4 THEN 'node' || doc_id || '.weirdtld'
+    ELSE 'localhost' END AS host
+  FROM documents),
+l AS (SELECT host, string_split(lower(host), '.') AS ls, len(string_split(lower(host), '.')) AS n FROM h)
+SELECT host,
+  CASE WHEN n > 3 AND array_to_string(ls[n-2:n], '.') IN
+         ('com','org','net','io','dev','edu','gov','info','biz','co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au','co.jp','or.jp','ne.jp','com.br','net.br','github.io','blogspot.com','herokuapp.com')
+       THEN array_to_string(ls[n-3:n], '.')
+       WHEN n > 2 AND array_to_string(ls[n-1:n], '.') IN
+         ('com','org','net','io','dev','edu','gov','info','biz','co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au','co.jp','or.jp','ne.jp','com.br','net.br','github.io','blogspot.com','herokuapp.com')
+       THEN array_to_string(ls[n-2:n], '.')
+       WHEN n > 1 AND ls[n] IN
+         ('com','org','net','io','dev','edu','gov','info','biz','co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au','co.jp','or.jp','ne.jp','com.br','net.br','github.io','blogspot.com','herokuapp.com')
+       THEN array_to_string(ls[n-1:n], '.')
+       WHEN n >= 2 THEN array_to_string(ls[n-1:n], '.')
+       ELSE lower(host) END AS domain
+FROM l
+"""
 
     o["pipeline_corpus_v2"] = """
 WITH cleaned AS (

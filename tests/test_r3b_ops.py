@@ -255,3 +255,25 @@ def test_inverted_index_delta_merge_equals_rebuild(spark):
         (r["term"], r["df"], r["tf"], tuple(r["postings"])) for r in df.collect()
     )
     assert key(full) == key(merged) == key(merged_rev)
+
+
+def test_registrable_domain_cases(spark):
+    from delphi_crawler_spark.operators.domains import registrable_domain
+
+    cases = {
+        "www.example.com": "example.com",
+        "a.b.example.co.uk": "example.co.uk",
+        "user.github.io": "user.github.io",      # private registry: one more label
+        "x.blog.blogspot.com": "blog.blogspot.com",
+        "UPPER.Example.COM": "example.com",      # case folded
+        "node.weirdtld": "node.weirdtld",        # unknown TLD fallback
+        "deep.a.b.weirdtld": "b.weirdtld",
+        "localhost": "localhost",                # single label pass-through
+        "example.com": "example.com",            # exactly suffix+1
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["host"])
+    got = {
+        r["host"]: r["d"]
+        for r in df.select("host", registrable_domain(F.col("host")).alias("d")).collect()
+    }
+    assert got == cases
