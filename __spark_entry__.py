@@ -3026,7 +3026,7 @@ tot AS (SELECT sum(rc)::DOUBLE AS r_tot, sum(tc)::DOUBLE AS t_tot,
 w AS (SELECT term, ln((tc + 1.0) / (t_tot + vocab)) - ln((rc + 1.0) / (r_tot + vocab)) AS lr
       FROM raw CROSS JOIN tot)
 SELECT t.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_tokens,
-       round(sum(w.lr) / count(*), 6) AS avg_logratio
+       round(sum(w.lr) / count(*), 6) + 0.0 AS avg_logratio
 FROM tok2 t JOIN w ON w.term = t.term
 GROUP BY t.doc_id
 """

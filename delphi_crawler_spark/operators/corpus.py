@@ -351,7 +351,12 @@ def importance_weights(
     scored = tok.join(raw.withColumn("__lr", lr).select("term", "__lr"), "term")
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.sum("__lr") / F.count(F.lit(1)), 6).alias("avg_logratio"),
+        # + 0.0 normalizes IEEE negative zero (round can emit -0.0, and
+        # -0.0 vs 0.0 breaks string-keyed row sorting in external
+        # comparators even though the values are equal)
+        (F.round(F.sum("__lr") / F.count(F.lit(1)), 6) + F.lit(0.0)).alias(
+            "avg_logratio"
+        ),
     )
 
 

@@ -30,6 +30,8 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0:
+            return 0.0  # fold -0.0: str-keyed row sort must not split zeros
         return float(v)
     if isinstance(v, bool):
         return bool(v)
