@@ -1112,8 +1112,11 @@ def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delphi_crawler_spark.operators.corpus import stratified_token_sample
 
     docs = _t(spark, sf_dir, "documents")
-    out = stratified_token_sample(
-        docs, budget_tokens=3000, stratum_col="lang", id_col="doc_id"
+    out = _materialize_release(
+        stratified_token_sample(
+            docs, budget_tokens=3000, stratum_col="lang", id_col="doc_id"
+        ),
+        "_release_stratified",
     )
     return out.select(
         F.col("doc_id").cast(BIG).alias("doc_id"),
@@ -1197,7 +1200,7 @@ def q_p7_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ROBOTS_BODY_SQL = """
-CASE CAST(n_nationkey % 4 AS INT)
+CASE CAST(n_nationkey % 5 AS INT)
  WHEN 0 THEN 'User-agent: other-bot' || chr(10) || 'Disallow: /' || chr(10) || chr(10)
           || 'User-agent: spark' || chr(10) || 'Disallow: /pre' || n_nationkey || chr(10) || chr(10)
           || 'User-agent: *' || chr(10) || 'Disallow: /p' || n_nationkey || chr(10)
@@ -1209,10 +1212,18 @@ CASE CAST(n_nationkey % 4 AS INT)
           || chr(10) || chr(10) || 'User-agent: spark-crawler' || chr(10)
           || 'Disallow: /b' || n_nationkey || chr(10) || chr(10)
           || 'User-agent: someone-else' || chr(10) || 'Disallow: /'
- ELSE 'Disallow: /orphan' || chr(10) || '# note' || chr(10) || 'User-agent: *'
+ WHEN 3 THEN 'Disallow: /orphan' || chr(10) || '# note' || chr(10) || 'User-agent: *'
           || chr(10) || 'Disallow:' || chr(10) || 'Allow: /ok' || n_nationkey
+ ELSE 'User-agent: *' || chr(10) || 'Crawl-delay: 5' || chr(10)
+          || 'User-agent: other-bot' || chr(10) || 'Disallow: /cd' || n_nationkey
+          || chr(10) || 'Allow: /cd' || n_nationkey || '/y'
 END
 """
+# The ELSE template pins RFC 9309 group boundaries against crawl-delay: the
+# Crawl-delay line terminates the first UA run, so '*' and 'other-bot' are
+# SEPARATE groups; the winning '*' group has no allow/disallow rows at all.
+# A parser that drops crawl-delay lines before grouping would merge the two
+# UA lines into one group and wrongly emit the other-bot rules for '*'.
 
 
 _ROBOTS_DELAY_BODY_SQL = """
@@ -1969,6 +1980,20 @@ def q_corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialize_release(out: DataFrame, release_attr: str) -> DataFrame:
+    """Collect a known-small operator result, fire its cache-release hook,
+    and hand back a local DataFrame. exact_quantiles / stratified_token_sample
+    persist a range-partitioned intermediate whose layout is load-bearing
+    (pid-keyed offsets), so the cache can only be dropped AFTER the result
+    rows exist — this is the entry-point-side fix for the multi-query cache
+    leak (the results here are quantile picks / budget samples: tiny)."""
+    rows = out.collect()
+    release = getattr(out, release_attr, None)
+    if release is not None:
+        release()
+    return out.sparkSession.createDataFrame(rows, schema=out.schema)
+
+
 def q_agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group percentile_disc with no global sort: value-grain
     hash-agg -> two-phase per-partition offsets (ordering.py pattern) ->
@@ -1981,7 +2006,8 @@ def q_agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = exact_quantiles(
         ev, "value", [0.0, 0.25, 0.5, 0.75, 0.95, 0.99, 1.0], by="event_type"
     )
-    return out.select("event_type", "q", "value", F.col("n").cast(BIG).alias("n"))
+    picked = _materialize_release(out, "_release_quantiles")
+    return picked.select("event_type", "q", "value", F.col("n").cast(BIG).alias("n"))
 
 
 # =====================================================================
@@ -2712,8 +2738,11 @@ parsed AS (
          lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS directive,
          trim(regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(.*)$', 1)) AS value
   FROM lines
+  -- crawl-delay must survive to the grouping stage: a crawl-delay line
+  -- between two user-agent lines TERMINATES the first UA run (RFC 9309),
+  -- so dropping it here would merge groups the impl keeps separate
   WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
-        IN ('user-agent', 'allow', 'disallow')
+        IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
 ),
 g AS (
   SELECT *, CASE WHEN directive = 'user-agent'

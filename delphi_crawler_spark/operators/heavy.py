@@ -73,10 +73,18 @@ def mg_candidates(df: DataFrame, key_col: str | Column, k: int) -> DataFrame:
 def heavy_hitters(df: DataFrame, key_col: str | Column, k: int) -> DataFrame:
     """Exact heavy hitters: every key whose frequency is ≥ n/k (i.e.
     ``cnt * k >= n``), with its exact count. Returns (key, cnt) —
-    identical to the full-shuffle ``GROUP BY … HAVING`` SQL, computed with
-    a candidate-sized shuffle."""
+    identical to the full-shuffle ``GROUP BY … HAVING`` SQL over the
+    NON-NULL keys, computed with a candidate-sized shuffle.
+
+    Null keys are excluded from both the candidate stream and ``n``:
+    pandas ``value_counts`` drops NaN inside the sketch, so counting nulls
+    in ``n`` (but never proposing NULL as a candidate) would silently skew
+    the threshold and could drop a genuinely-heavy NULL group. Filtering
+    nulls on both sides keeps the "identical to the SQL" guarantee exact —
+    the matching SQL is ``WHERE key IS NOT NULL GROUP BY key HAVING
+    count(*) * k >= (SELECT count(*) ... WHERE key IS NOT NULL)``."""
     key = (F.col(key_col) if isinstance(key_col, str) else key_col).cast("string")
-    keyed = df.select(key.alias("key"))
+    keyed = df.select(key.alias("key")).filter(F.col("key").isNotNull())
     n = keyed.count()
     cand = mg_candidates(keyed, "key", k)
     counts = (

@@ -44,7 +44,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 
 def exact_quantiles(
@@ -97,6 +97,19 @@ def exact_quantiles(
     for r in sorted(totals, key=lambda r: (r.g, r.pid)):
         offsets[(r.pid, r.g)] = group_n.get(r.g, 0)
         group_n[r.g] = group_n.get(r.g, 0) + r.cnt
+    if not group_n:  # empty input after the null filter
+        d.unpersist()
+        empty_schema = StructType(
+            ([d.schema[gcol]] if by else [])
+            + [
+                StructField("q", DoubleType()),
+                StructField("value", DoubleType()),
+                StructField("n", LongType()),
+            ]
+        )
+        out = spark.createDataFrame([], empty_schema)
+        out._release_quantiles = lambda: None  # type: ignore[attr-defined]
+        return out
     # target ranks per group: rank_q = max(1, ceil(q * n))
     targets = {
         g: [(q, max(1, math.ceil(q * n))) for q in qs] for g, n in group_n.items()
@@ -147,10 +160,13 @@ def exact_quantiles(
                 yield pd.DataFrame(rows, columns=[gcol, "q", "v"])
 
     out = d.mapInPandas(_pick, schema=out_schema)
-    n_map = F.create_map(
-        *[x for g, n in group_n.items() for x in (F.lit(g), F.lit(n))]
-    )
-    out = out.withColumn("n", n_map[F.col(gcol)].cast("bigint")).select(
+    # per-group n rides in on a broadcast join of the tiny (group, n) table:
+    # a literal create_map would put one plan node per group on the driver,
+    # bloating codegen at high-cardinality `by`
+    n_df = spark.createDataFrame(
+        [(g, int(n)) for g, n in group_n.items()], f"{gcol} string, n bigint"
+    ).withColumn(gcol, F.col(gcol).cast(d.schema[gcol].dataType))
+    out = out.join(F.broadcast(n_df), gcol).select(
         *( [gcol] if by else [] ), "q", F.col("v").alias("value"), "n"
     )
     out._release_quantiles = lambda: d.unpersist()  # type: ignore[attr-defined]

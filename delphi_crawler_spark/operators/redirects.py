@@ -58,7 +58,9 @@ def resolve_redirects(
         F.col(dst_col).alias("nxt"),
         F.lit(1).cast("bigint").alias("hops"),
     )
-    srcs = redirects.select(F.col(src_col).alias("skey")).distinct().persist()
+    # used exactly once (the terminal-detection join below), so caching it
+    # would only pin storage a multi-query run never releases
+    srcs = redirects.select(F.col(src_col).alias("skey")).distinct()
     for _ in range(max(1, math.ceil(math.log2(max_hops)))):
         b = m.select(
             F.col("x").alias("bx"),

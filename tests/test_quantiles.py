@@ -96,3 +96,22 @@ def test_keyed_variant_matches_two_phase(spark):
     a = sorted(map(tuple, exact_quantiles(df, "v", QS, by="g").collect()))
     b = sorted(map(tuple, exact_quantiles_keyed(df, "v", QS, by="g").collect()))
     assert a == b
+
+
+def test_exact_quantiles_empty_input(spark):
+    """All-null (or zero-row) input returns an empty frame with the public
+    schema instead of erroring (regression: F.create_map() with zero args)."""
+    df = spark.createDataFrame([Row(g="a", v=None)], "g string, v double")
+    out = exact_quantiles(df, "v", [0.5], by="g")
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["g", "q", "value", "n"]
+    ungrouped = exact_quantiles(df.limit(0), "v", [0.5])
+    assert ungrouped.collect() == []
+    assert [f.name for f in ungrouped.schema.fields] == ["q", "value", "n"]
+
+
+def test_exact_quantiles_releases_cache(spark):
+    df = spark.createDataFrame([Row(v=float(i)) for i in range(100)])
+    out = exact_quantiles(df, "v", [0.5])
+    assert out.collect()[0]["value"] == 49.0  # rank ceil(0.5*100)=50 -> 49.0
+    out._release_quantiles()  # must exist and not raise after materialization

@@ -183,3 +183,19 @@ def test_trap_patterns_flags_dominant_template(spark):
     assert not by[("h0", "/about/teamN")]["is_trap"]
     # h1's template dominates its host but is absolutely small -> not a trap
     assert not by[("h1", "/p/N")]["is_trap"]
+
+
+def test_heavy_hitters_null_keys_excluded(spark):
+    """Null keys are excluded from BOTH the candidate stream and n: a
+    null-heavy stream must not skew the threshold for real keys, and the
+    result equals the null-filtered full-shuffle SQL (operator contract)."""
+    from pyspark.sql import Row
+
+    rows = [Row(key="hot") for _ in range(40)]
+    rows += [Row(key=None) for _ in range(55)]          # majority null
+    rows += [Row(key=f"c{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "key string")
+    got = {(r["key"], r["cnt"]) for r in heavy_hitters(df, "key", k=2).collect()}
+    # non-null n = 45; threshold n/k = 22.5 -> only 'hot' (40) qualifies.
+    # counting nulls in n (100 -> threshold 50) would wrongly drop 'hot'.
+    assert got == {("hot", 40)}

@@ -529,7 +529,12 @@ def gen_agg_hll_distinct(docs: pd.DataFrame, p: int = 12) -> pd.DataFrame:
         if rank > regs[idx]:
             regs[idx] = rank
     m = float(1 << p)
-    alpha = 0.7213 / (1 + 1.079 / m)
+    # same alpha source as operators/hll.py:_alpha — tabulated constants for
+    # m in {16,32,64} (Flajolet 2007 Fig. 3), formula otherwise — so impl
+    # and oracle agree at every p, not just the p=12 exercised by default
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        int(m), 0.7213 / (1 + 1.079 / m)
+    )
     e = alpha * m * m / math.fsum(2.0 ** -r for r in regs)
     if e <= 2.5 * m:
         zeros = regs.count(0)
