@@ -339,9 +339,11 @@ def q_j1b_seen_anti_join_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     confirm; the filter only routes rows around the shuffle (reference
     semantics ArtifactExistsQuery.scala:35-44)."""
     _ensure_pkg(spark)
-    import numpy as np
-
-    from delphi_crawler_spark.operators.cuckoo import build_cuckoo, seen_anti_join_cuckoo
+    from delphi_crawler_spark.operators.cuckoo import (
+        build_cuckoo,
+        delete_cuckoo_df,
+        seen_anti_join_cuckoo,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
@@ -362,8 +364,9 @@ def q_j1b_seen_anti_join_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat(F.lit("k"), F.col("p_partkey")).alias("url"))
         .withColumn("url_hash64", F.xxhash64("url"))
     )
-    keys = np.array([r.url_hash64 for r in recrawl.select("url_hash64").collect()], dtype=np.int64)
-    cf.delete_many(keys.view(np.uint64))
+    # distributed delete: keys fold into same-geometry segments executor-side
+    # (mapInPandas + treeReduce) — no driver collect of the invalidation slice
+    delete_cuckoo_df(cf, recrawl, "url_hash64")
     seen_after = seen.join(recrawl.select("url"), "url", "left_anti")
     return seen_anti_join_cuckoo(cand, seen_after, cf).select("url")
 

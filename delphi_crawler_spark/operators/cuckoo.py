@@ -198,9 +198,15 @@ class CuckooFilter:
         voids that guarantee (it may strip a colliding occurrence owned by
         a different key)."""
         fp, b1 = self._fp_bucket(vals)
+        return self._delete_pairs(fp, b1)
+
+    def _delete_pairs(self, fp: np.ndarray, b1: np.ndarray) -> int:
+        """Core removal by (fingerprint, candidate-bucket) pairs. ``b1`` may
+        be either bucket of the pair — the other is derived via ``_alt`` —
+        so this serves both key-based deletes and segment subtraction."""
         b2 = self._alt(b1, fp)
         removed = 0
-        pending = np.ones(len(vals), dtype=bool)
+        pending = np.ones(len(fp), dtype=bool)
         for _ in range(SLOTS * 2):
             idx = np.nonzero(pending)[0]
             if len(idx) == 0:
@@ -244,6 +250,21 @@ class CuckooFilter:
             self.stash = np.repeat(stash_keys, stash_cnt)
         return removed
 
+    def subtract(self, deletions: "CuckooFilter") -> int:
+        """Remove every (bucket, fp) occurrence stored in ``deletions`` from
+        this filter — the merge dual. Because the alternate bucket is
+        derivable from (slot bucket, fp), an entry of the deletion filter
+        identifies the same unordered bucket pair as the original key did,
+        so subtracting entry-wise removes exactly one stored occurrence per
+        deleted key regardless of which bucket either filter placed it in.
+        Same discipline as ``delete_many``: only subtract keys that were
+        inserted. Returns the number of removals."""
+        assert self.n_buckets == deletions.n_buckets
+        b, fp = deletions._entries()
+        if len(b) == 0:
+            return 0
+        return self._delete_pairs(fp, b)
+
 
 def build_cuckoo(
     df: DataFrame,
@@ -259,6 +280,15 @@ def build_cuckoo(
     if expected_items is None:
         expected_items = df.count()
     nb = _geometry(max(64, expected_items), load)
+    return _fold_cuckoo_segments(df, col, nb, tree_depth)
+
+
+def _fold_cuckoo_segments(
+    df: DataFrame, col: str, nb: int, tree_depth: int
+) -> CuckooFilter:
+    """Fold a key column into ONE filter of geometry ``nb``: per-partition
+    filters via mapInPandas (fixed-size binary segments, never raw keys),
+    treeReduce entry-merge."""
 
     def build_partition(batches):
         cf = CuckooFilter(nb, np.zeros((nb, SLOTS), dtype=np.uint16))
@@ -288,6 +318,28 @@ def build_cuckoo(
         )
     )
     return rdd.treeReduce(lambda a, b: a.merge(b), depth=tree_depth)
+
+
+def delete_cuckoo_df(
+    cf: CuckooFilter,
+    df: DataFrame,
+    col: str = "url_hash64",
+    tree_depth: int = 2,
+) -> int:
+    """Distributed recrawl invalidation: delete every key in ``df[col]``
+    from ``cf`` WITHOUT collecting the keys to the driver. The to-delete
+    keys are folded into a deletion filter of the same geometry with the
+    exact build-path machinery (per-partition mapInPandas segments +
+    treeReduce), so only fixed-size ``n_buckets × SLOTS × 2``-byte segments
+    ever cross to the driver — a 10^9-key invalidation slice costs the same
+    driver memory as one bloom segment, where the old ``collect()`` path was
+    a driver-memory cliff. Returns the number of removed occurrences.
+
+    Discipline (as ``delete_many``): every key in ``df`` must have been
+    inserted, and ``df`` must carry each deletable occurrence at most once
+    (dedupe upstream — the canonical caller deletes a distinct URL slice)."""
+    dcf = _fold_cuckoo_segments(df, col, cf.n_buckets, tree_depth)
+    return cf.subtract(dcf)
 
 
 def might_contain_col(spark: SparkSession, cf: CuckooFilter, key_col: str):

@@ -456,6 +456,64 @@ def test_seen_anti_join_cuckoo_property(spark):
     assert exact < exact2  # strictly more admitted after invalidation
 
 
+def test_cuckoo_subtract_matches_delete_many():
+    """subtract(deletion filter) removes the same occurrence multiset as a
+    key-wise delete_many: same removal count, kept keys all present, deleted
+    keys gone up to fp-collision noise — including stash-overflow entries."""
+    from delphi_crawler_spark.operators.cuckoo import CuckooFilter
+
+    rng = np.random.default_rng(13)
+    vals = np.unique(
+        rng.integers(-(2**63), 2**63 - 1, size=30_000, dtype=np.int64).view(np.uint64)
+    )
+    drop, keep = vals[::2], vals[1::2]
+    a = CuckooFilter.sized(len(vals), load=0.9)  # high load -> stash in play
+    a.add_many(vals)
+    b = CuckooFilter(a.n_buckets, a.buckets.copy(), a.stash.copy())
+    dcf = CuckooFilter(a.n_buckets, np.zeros_like(a.buckets))
+    dcf.add_many(drop)
+    n_sub = a.subtract(dcf)
+    n_del = b.delete_many(drop)
+    assert n_sub == n_del == len(drop)
+    assert a.might_contain_many(keep).all()
+    assert a.might_contain_many(drop).mean() < 0.01
+
+
+def test_delete_cuckoo_df_partition_sized(spark):
+    """VERDICT r3 #3: recrawl invalidation of a partition-sized key set
+    streams through executor-built segments (no driver collect of keys) and
+    the two-tier anti-join stays exactly equal to the plain anti-join."""
+    from delphi_crawler_spark.operators.cuckoo import (
+        build_cuckoo,
+        delete_cuckoo_df,
+        seen_anti_join_cuckoo,
+    )
+
+    n = 50_000
+    cand = (
+        spark.range(n)
+        .repartition(16)  # multi-partition deletion slice
+        .selectExpr("concat('u', id) AS url")
+        .withColumn("url_hash64", F.xxhash64("url"))
+    )
+    seen = cand.filter(F.col("url_hash64") % 4 != 0)
+    cf = build_cuckoo(seen, expected_items=n)
+    recrawl = seen.filter(F.col("url_hash64") % 3 == 0)
+    n_recrawl = recrawl.count()
+    assert n_recrawl > 5_000
+    removed = delete_cuckoo_df(cf, recrawl, "url_hash64")
+    assert removed == n_recrawl
+    seen_after = seen.join(recrawl.select("url"), "url", "left_anti")
+    exact = {
+        r.url for r in cand.join(seen_after.select("url"), "url", "left_anti").collect()
+    }
+    got = {
+        r.url
+        for r in seen_anti_join_cuckoo(cand, seen_after, cf).select("url").collect()
+    }
+    assert exact == got
+
+
 # ------------------------------------------------------------ event operators
 def test_sessionize_crafted(spark):
     """Gap-rule semantics: strictly-greater-than-gap starts a new session."""
