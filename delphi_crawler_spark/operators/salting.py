@@ -38,16 +38,74 @@ def salted_repartition(
     )
 
 
-def plan_salt(df: DataFrame, host_col: str = "host", n_partitions: int = 32,
-              target_share: float | None = None) -> int:
-    """Choose a salt from the observed skew: big enough that the hottest
-    host's share spreads to ~one partition's worth of work."""
+def plan_salts(
+    df: DataFrame,
+    host_col: str = "host",
+    n_partitions: int = 32,
+    target_share: float | None = None,
+    max_hosts: int = 10_000,
+) -> dict[str, int]:
+    """Per-host salt counts from the FULL count distribution: every host
+    whose share exceeds ``target_share`` gets its own
+    ``ceil(share / target)`` salt, so multi-modal skew (several hot hosts at
+    different magnitudes) is fanned out proportionally — one global salt
+    sized for the hottest host would over-shard every other hot host's rows
+    (wasting partial-agg locality) or, sized low, under-shard the hottest.
+
+    Driver cost is bounded: only the (rare) above-target hosts come back
+    from the one hash-agg, capped at ``max_hosts`` hottest. Cold hosts are
+    absent — they keep salt 1."""
     total = df.count()
     if total == 0:
-        return 1
-    top = (
-        df.groupBy(host_col).count().orderBy(F.desc("count")).limit(1).collect()
-    )[0]["count"]
+        return {}
     target = target_share if target_share is not None else 1.0 / n_partitions
-    share = top / total
-    return max(1, int(-(-share // target)))  # ceil(share/target)
+    cutoff = total * target
+    hot = (
+        df.groupBy(host_col)
+        .count()
+        .filter(F.col("count") > F.lit(cutoff))
+        .orderBy(F.desc("count"))
+        .limit(max_hosts)
+        .collect()
+    )
+    return {
+        r[host_col]: max(1, int(-(-(r["count"] / total) // target))) for r in hot
+    }
+
+
+def plan_salt(df: DataFrame, host_col: str = "host", n_partitions: int = 32,
+              target_share: float | None = None) -> int:
+    """Single global salt for the static ``salted_repartition``: the max of
+    the per-host plan (i.e. sized for the hottest host)."""
+    salts = plan_salts(df, host_col, n_partitions, target_share, max_hosts=1)
+    return max(salts.values(), default=1)
+
+
+def salted_repartition_by_plan(
+    df: DataFrame,
+    n_partitions: int,
+    salts: dict[str, int],
+    host_col: str = "host",
+    salt_col_src: str = "url",
+) -> DataFrame:
+    """Plan-driven variant of ``salted_repartition``: each host fans out
+    over ITS OWN salt count (1 for hosts absent from the plan), so every
+    (host, salt) cell carries ~target_share of the rows regardless of how
+    many hot hosts there are or how unequal they are. The salt map joins in
+    as a broadcast of the hot hosts only (bounded by plan_salts' max_hosts)."""
+    spark = df.sparkSession
+    if not salts:
+        return df.repartition(n_partitions, F.col(host_col))
+    salt_df = spark.createDataFrame(
+        [(h, int(s)) for h, s in salts.items()], f"{host_col} string, __salt int"
+    )
+    return (
+        df.join(F.broadcast(salt_df), host_col, "left")
+        .withColumn("__salt", F.coalesce(F.col("__salt"), F.lit(1)))
+        .repartition(
+            n_partitions,
+            F.col(host_col),
+            F.pmod(F.xxhash64(F.col(salt_col_src)), F.col("__salt").cast("bigint")),
+        )
+        .drop("__salt")
+    )
