@@ -75,6 +75,7 @@ def semantic_dedup(
     sample_size: int = 10_000,
     iters: int = 5,
     seed: int = 42,
+    max_block_rows: int = 100_000,
 ) -> DataFrame:
     """Per-vector semantic-dup verdict: a vector is DROPPED iff some
     lower-id vector in the same k-means cell has cosine >= threshold
@@ -89,22 +90,68 @@ def semantic_dedup(
     The cosine is rounded to 6 places BEFORE the threshold compare (the
     family-wide convention — keeps the verdict reproducible in the
     independent numpy oracle, tools/gen_expected.py).
+
+    **Oversized-cell guard (triangle tiling).** The verdict is defined over
+    ALL within-cell pairs, so a skewed embedding space (one dominant cell of
+    m rows) cannot be re-clustered or salted away without changing the
+    answer. Instead, any cell larger than ``max_block_rows`` is split into
+    ``B = ceil(m / max_block_rows)`` deterministic hash-blocks and the
+    B(B+1)/2 block tiles become separate equi-join keys: every within-cell
+    pair lands in exactly one tile, but no single task ever materializes
+    more than ``max_block_rows²`` candidate pairs — the cell's quadratic
+    pair space spreads over B² tasks instead of collapsing into one. Rows of
+    an oversized cell are replicated ~(B+1)/2× on each side (the inherent
+    cost of tiling a triangle); cells at or under the cap keep B=1, which
+    reduces to the plain cluster-id self-join, bit-identically.
     """
+    spark = emb.sparkSession
     assigned = kmeans_assign(
         emb, n_clusters, id_col, vec_col, sample_size, iters, seed
     ).select(F.col(id_col), F.col(vec_col), "cluster_id")
-    left = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cluster_id"
+
+    # per-cell block counts: one k-row hash-agg (k ~ sqrt(n): driver-safe)
+    sizes = assigned.groupBy("cluster_id").count().collect()
+    nblocks = {
+        r["cluster_id"]: max(1, -(-int(r["count"]) // max_block_rows))
+        for r in sizes
+    }
+    nb_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(c), int(b)) for c, b in nblocks.items()],
+            "cluster_id int, __nb int",
+        )
     )
-    right = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cluster_id"
+    blocked = assigned.join(nb_df, "cluster_id").withColumn(
+        "__blk",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.col("__nb").cast("bigint"))
+        .cast("int"),
+    )
+    # role A covers tiles (blk, j), j >= blk; role B covers (i, blk), i <= blk
+    # -> every unordered block pair (i <= j) is one equi-join key, hit once
+    left = blocked.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        "cluster_id",
+        F.col("__blk").alias("ti"),
+        F.explode(F.sequence(F.col("__blk"), F.col("__nb") - 1)).alias("tj"),
+    )
+    right = blocked.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        "cluster_id",
+        F.explode(F.sequence(F.lit(0), F.col("__blk"))).alias("ti"),
+        F.col("__blk").alias("tj"),
     )
     pairs = (
-        left.join(right, "cluster_id")
-        .filter(F.col("id_a") < F.col("id_b"))
+        left.join(right, ["cluster_id", "ti", "tj"])
+        # diagonal tiles see both orderings of a pair: keep one. Off-diagonal
+        # tiles see exactly one ordering (roles fixed by block), keep both
+        # directions and canonicalize below — an id_a<id_b filter here would
+        # drop pairs whose lower id hashed into the higher block.
+        .filter((F.col("ti") != F.col("tj")) | (F.col("id_a") < F.col("id_b")))
         .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
-        .select("id_b", "cosine")
+        .select(F.greatest("id_a", "id_b").alias("id_b"), "cosine")
     )
     dup_stats = pairs.groupBy("id_b").agg(
         F.count(F.lit(1)).alias("n_dup_lower"),
