@@ -512,13 +512,10 @@ def q_a4_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_a2_feature_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: per-doc feature map shaped as the reference's ``Map[String,Int]``
-    (HermesActor.scala:49) via map_from_entries — serialized to a canonical
-    sorted string for the oracle compare (map column hashing is
-    representation-dependent)."""
-    from delphi_crawler_spark.operators.links import feature_map
-
+def _synth_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic interleaved-span synthesis from documents.text (kind =
+    word length mod 3, offset = word index) — the shared input model of the
+    A2/A4 family so their DuckDB oracles can re-derive the same spans."""
     docs = _t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), r"\s+")
     spans = F.transform(
@@ -533,13 +530,44 @@ def q_a2_feature_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             i.cast("int").alias("offset"),
         ),
     )
-    docs2 = docs.select(F.col("doc_id").cast(BIG).alias("doc_id"), spans.alias("spans"))
-    fm = feature_map(docs2)
+    return docs.select(F.col("doc_id").cast(BIG).alias("doc_id"), spans.alias("spans"))
+
+
+def q_a2_feature_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-doc feature map shaped as the reference's ``Map[String,Int]``
+    (HermesActor.scala:49) via map_from_entries — serialized to a canonical
+    sorted string for the oracle compare (map column hashing is
+    representation-dependent). Wide since schema v4: the map carries the
+    full declared integer feature space (SPAN_INT_FEATURES +
+    WIDE_INT_FEATURES — 65 keys), the breadth analogue of the reference's
+    ElasticFeatureListMapping.scala:33-426."""
+    from delphi_crawler_spark.operators.links import feature_map
+
+    fm = feature_map(_synth_spans_docs(spark, sf_dir), wide=True)
     entry_strs = F.transform(
         F.array_sort(F.map_entries("features")),
         lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
     )
     return fm.select("doc_id", F.array_join(entry_strs, ",").alias("features_str"))
+
+
+def q_a4b_span_stats_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 widened (schema v4): the per-kind × per-metric cross product —
+    51 per-kind + 7 global features per document, all higher-order array
+    functions in one codegen projection (reference breadth precedent:
+    ElasticFeatureListMapping.scala:33-426)."""
+    from delphi_crawler_spark.operators.links import (
+        WIDE_DOUBLE_FEATURES,
+        WIDE_INT_FEATURES,
+        span_stats_wide,
+    )
+
+    s = span_stats_wide(_synth_spans_docs(spark, sf_dir))
+    return s.select(
+        "doc_id",
+        *[F.col(c).cast(BIG).alias(c) for c in WIDE_INT_FEATURES],
+        *[F.col(c) for c in WIDE_DOUBLE_FEATURES],
+    )
 
 
 def q_c5_prop_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2064,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1b_seen_anti_join_cuckoo": q_j1b_seen_anti_join_cuckoo,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
+        "a4b_span_stats_wide": q_a4b_span_stats_wide,
         "s1_index_scan_parse": q_s1_index_scan_parse,
         "c1_canonicalize_url": q_c1_canonicalize_url,
         "f1_first_occurrence_dedup": q_f1_first_occurrence_dedup,
@@ -2225,6 +2254,87 @@ def _hits_oracle_sql(iters: int = 5) -> str:
         f"round(a{iters}.authority, 6) AS authority "
         f"FROM h{iters} JOIN a{iters} ON a{iters}.node = h{iters}.node"
     )
+
+
+def _span_sql_exprs() -> dict[str, str]:
+    """DuckDB expressions for EVERY declared span feature (base + v4 wide),
+    over a CTE ``f(doc_id, ws, n_spans, total_text_len)`` where ``ws`` is
+    the synthetic word/span list (kind = length mod 3, offset = index-1 in
+    1-based DuckDB terms). Generated, not hand-written, so the a2/a4b
+    oracles stay in lockstep with the operator's metric list."""
+    switches = (
+        "coalesce(list_sum(list_transform(range(1, n_spans), "
+        "i -> CASE WHEN length(ws[i]) % 3 <> length(ws[i+1]) % 3 THEN 1 ELSE 0 END)), 0)"
+    )
+    exprs: dict[str, str] = {
+        "n_spans": "n_spans",
+        "total_text_len": "total_text_len",
+        "n_empty_text": "len(list_filter(ws, x -> length(x) = 0))",
+        "n_kind_switches": switches,
+        "n_distinct_kinds": "len(list_distinct(list_transform(ws, x -> length(x) % 3)))",
+        "min_text_len": "coalesce(list_min(list_transform(ws, x -> length(x))), 0)",
+        "max_text_len": "coalesce(list_max(list_transform(ws, x -> length(x))), 0)",
+        "min_offset": "0",
+        "max_offset": "greatest(n_spans - 1, 0)",
+        # offsets are the word index by construction, hence sorted
+        "n_offset_inversions": "0",
+        "offsets_monotonic": "1",
+        "n_runs": f"CASE WHEN n_spans > 0 THEN {switches} + 1 ELSE 0 END",
+        "median_text_len": (
+            "CASE WHEN n_spans > 0 THEN list_sort(list_transform(ws, x -> length(x)))"
+            "[CAST(ceil(n_spans / 2.0) AS INT)] ELSE 0 END"
+        ),
+        "text_density": (
+            "CASE WHEN n_spans > 0 THEN round(len(list_filter(ws, "
+            "x -> length(x) % 3 = 0)) / n_spans, 6) ELSE 0.0 END"
+        ),
+    }
+    for kind, m in (("text", 0), ("link", 1), ("media", 2)):
+        P = f"list_filter(range(1, len(ws) + 1), i -> length(ws[i]) % 3 = {m})"
+        L = f"list_transform({P}, i -> length(ws[i]))"
+        T = f"list_transform({P}, i -> ws[i])"
+        C = f"len({P})"
+        exprs[f"n_{kind}"] = C
+        exprs[f"text_len_{kind}"] = f"coalesce(list_sum({L}), 0)"
+        exprs[f"{kind}_n_empty"] = f"len(list_filter({L}, x -> x = 0))"
+        exprs[f"{kind}_min_len"] = f"coalesce(list_min({L}), 0)"
+        exprs[f"{kind}_max_len"] = f"coalesce(list_max({L}), 0)"
+        exprs[f"{kind}_median_len"] = (
+            f"CASE WHEN {C} > 0 THEN list_sort({L})"
+            f"[CAST(ceil({C} / 2.0) AS INT)] ELSE 0 END"
+        )
+        exprs[f"{kind}_sum_len_sq"] = (
+            f"coalesce(list_sum(list_transform({L}, x -> x * x)), 0)"
+        )
+        exprs[f"{kind}_n_distinct"] = f"len(list_distinct({T}))"
+        exprs[f"{kind}_n_dup"] = f"{C} - len(list_distinct({T}))"
+        exprs[f"{kind}_min_off"] = f"CASE WHEN {C} > 0 THEN list_min({P}) - 1 ELSE -1 END"
+        exprs[f"{kind}_max_off"] = f"CASE WHEN {C} > 0 THEN list_max({P}) - 1 ELSE -1 END"
+        exprs[f"{kind}_off_span"] = (
+            f"CASE WHEN {C} > 0 THEN list_max({P}) - list_min({P}) ELSE 0 END"
+        )
+        exprs[f"{kind}_first_pos"] = f"coalesce(list_min({P}), 0)"
+        exprs[f"{kind}_last_pos"] = f"coalesce(list_max({P}), 0)"
+        exprs[f"{kind}_len_short"] = f"len(list_filter({L}, x -> x >= 1 AND x <= 4))"
+        exprs[f"{kind}_len_mid"] = f"len(list_filter({L}, x -> x >= 5 AND x <= 8))"
+        exprs[f"{kind}_len_long"] = f"len(list_filter({L}, x -> x >= 9))"
+        exprs[f"{kind}_mean_len"] = (
+            f"CASE WHEN {C} > 0 THEN round(coalesce(list_sum({L}), 0) / {C}, 6) "
+            "ELSE 0.0 END"
+        )
+        exprs[f"{kind}_share_len"] = (
+            f"CASE WHEN total_text_len > 0 THEN "
+            f"round(coalesce(list_sum({L}), 0) / total_text_len, 6) ELSE 0.0 END"
+        )
+    return exprs
+
+
+_SPAN_F_CTE = """
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+f AS (SELECT doc_id, ws, len(ws) AS n_spans,
+        coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS total_text_len
+      FROM t)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2389,36 +2499,33 @@ SELECT doc_id::BIGINT AS doc_id,
 FROM f
 """
 
-    o["a2_feature_map"] = """
-WITH s AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
-f AS (SELECT doc_id, ws,
-        len(ws) AS n_spans,
-        len(list_filter(ws, x -> length(x) % 3 = 0)) AS n_text,
-        len(list_filter(ws, x -> length(x) % 3 = 1)) AS n_link,
-        len(list_filter(ws, x -> length(x) % 3 = 2)) AS n_media,
-        coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS total_text_len
-      FROM s)
-SELECT doc_id::BIGINT AS doc_id,
-       'max_offset=' || greatest(n_spans - 1, 0)
-       || ',max_text_len=' || coalesce(list_max(list_transform(ws, x -> length(x))), 0)
-       || ',min_offset=0'
-       || ',min_text_len=' || coalesce(list_min(list_transform(ws, x -> length(x))), 0)
-       || ',n_distinct_kinds=' || len(list_distinct(list_transform(ws, x -> length(x) % 3)))
-       || ',n_empty_text=' || len(list_filter(ws, x -> length(x) = 0))
-       || ',n_kind_switches=' || coalesce(list_sum(list_transform(range(1, n_spans),
-            i -> CASE WHEN length(ws[i]) % 3 <> length(ws[i+1]) % 3 THEN 1 ELSE 0 END)), 0)
-       || ',n_link=' || n_link || ',n_media=' || n_media || ',n_media_refs=' || n_media
-       || ',n_spans=' || n_spans || ',n_text=' || n_text
-       || ',text_len_link=' || coalesce(list_sum(list_transform(
-            list_filter(ws, x -> length(x) % 3 = 1), x -> length(x))), 0)
-       || ',text_len_media=' || coalesce(list_sum(list_transform(
-            list_filter(ws, x -> length(x) % 3 = 2), x -> length(x))), 0)
-       || ',text_len_text=' || coalesce(list_sum(list_transform(
-            list_filter(ws, x -> length(x) % 3 = 0), x -> length(x))), 0)
-       || ',total_text_len=' || total_text_len
-       AS features_str
-FROM f
-"""
+    # a2 (wide map) + a4b: generated from _span_sql_exprs so the oracles
+    # track the operator's metric lists exactly
+    from delphi_crawler_spark.operators.links import (
+        SPAN_INT_FEATURES,
+        WIDE_DOUBLE_FEATURES,
+        WIDE_INT_FEATURES,
+    )
+
+    _exprs = _span_sql_exprs()
+    _exprs["n_media_refs"] = _exprs["n_media"]  # synthetic: 1 ref per media
+    _map_names = sorted(SPAN_INT_FEATURES + WIDE_INT_FEATURES)
+    # flat concat_ws (n-ary, one nesting level) — a 65-way binary || chain
+    # trips DuckDB's 128-deep binder recursion limit
+    _kvs = ",\n  ".join(f"concat('{name}=', ({_exprs[name]}))" for name in _map_names)
+    o["a2_feature_map"] = (
+        _SPAN_F_CTE
+        + f"SELECT doc_id::BIGINT AS doc_id, concat_ws(',',\n  {_kvs}) AS features_str FROM f"
+    )
+
+    _a4b_cols = [f"({_exprs[c]})::BIGINT AS {c}" for c in WIDE_INT_FEATURES]
+    _a4b_cols += [f"({_exprs[c]})::DOUBLE AS {c}" for c in WIDE_DOUBLE_FEATURES]
+    o["a4b_span_stats_wide"] = (
+        _SPAN_F_CTE
+        + "SELECT doc_id::BIGINT AS doc_id,\n  "
+        + ",\n  ".join(_a4b_cols)
+        + "\nFROM f"
+    )
 
     o["c5_prop_interpolation"] = """
 SELECT c_custkey::BIGINT AS c_custkey,

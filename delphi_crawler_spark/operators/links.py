@@ -84,7 +84,7 @@ SPAN_OTHER_FEATURES = [
 ]
 
 
-def span_stats(docs: DataFrame) -> DataFrame:
+def span_stats(docs: DataFrame, keep_spans: bool = False) -> DataFrame:
     """Per-doc feature computation over spans (reference parity: A2/A4 —
     Hermes feature counting, HermesAnalyzer.scala:42-51; the declared field
     breadth of ElasticFeatureListMapping.scala:33-426 scaled to what spans
@@ -151,18 +151,165 @@ def span_stats(docs: DataFrame) -> DataFrame:
         F.when(n > 0, F.round(count_kind("media") / n, 6)).otherwise(F.lit(0.0)).alias("media_density"),
         F.coalesce(F.element_at(kinds, 1), F.lit("")).alias("first_kind"),
         F.coalesce(F.element_at(kinds, -1), F.lit("")).alias("last_kind"),
+        *([spans.alias("spans")] if keep_spans else []),
     )
 
 
-def feature_map(docs: DataFrame) -> DataFrame:
+# --------------------------------------------------------------- wide space
+# The per-kind × per-metric cross product (reference precedent: ≈250 typed
+# fields in ElasticFeatureListMapping.scala:33-426; here every bytecode-
+# opcode-style count maps to a span-domain metric). Field name = {kind}_{m}.
+SPAN_KINDS = ["text", "link", "media"]
+WIDE_KIND_INT_METRICS = [
+    "n_empty", "min_len", "max_len", "median_len", "sum_len_sq",
+    "n_distinct", "n_dup", "min_off", "max_off", "off_span",
+    "first_pos", "last_pos", "len_short", "len_mid", "len_long",
+]
+WIDE_KIND_DOUBLE_METRICS = ["mean_len", "share_len"]
+WIDE_GLOBAL_INT_FEATURES = [
+    "n_offset_inversions", "offsets_monotonic", "n_runs", "median_text_len",
+]
+WIDE_GLOBAL_DOUBLE_FEATURES = ["text_density"]
+WIDE_INT_FEATURES = [
+    f"{k}_{m}" for k in SPAN_KINDS for m in WIDE_KIND_INT_METRICS
+] + WIDE_GLOBAL_INT_FEATURES
+WIDE_DOUBLE_FEATURES = [
+    f"{k}_{m}" for k in SPAN_KINDS for m in WIDE_KIND_DOUBLE_METRICS
+] + WIDE_GLOBAL_DOUBLE_FEATURES
+
+
+def span_stats_wide(docs: DataFrame) -> DataFrame:
+    """``span_stats`` widened with the per-kind × per-metric cross product —
+    the engine's answer to the reference's ~250-field declared feature space
+    (ElasticFeatureListMapping.scala:33-426). Still one whole-stage-codegen
+    projection of higher-order array functions: per kind the spans collapse
+    to one filtered struct array reused by every metric; no explode, no
+    shuffle, no Python.
+
+    Per kind: empty/length extrema, lower-median and sum-of-squares of text
+    lengths, distinct/duplicate text counts, offset extrema and span,
+    first/last position (1-based; 0 = kind absent; offsets -1 = absent),
+    length-bucket histogram (1-4 / 5-8 / 9+), mean length and share of total
+    text length. Globals: text-kind density, offset inversion count /
+    monotonicity, run count (kind switches + 1), global median length.
+    Ratios round to 6 decimals (oracle-compare convention)."""
+    spans = F.col("spans")
+    n = F.size(spans)
+    # two chained projections (Catalyst collapses them): base stats with the
+    # spans column retained, then the wide cross product over the same array
+    # — one codegen stage, no join, no shuffle
+    base = span_stats(docs.select("doc_id", "spans"), keep_spans=True)
+    indexed = F.transform(
+        spans,
+        lambda s, i: F.struct(
+            s["kind"].alias("k"),
+            F.coalesce(F.length(s["text"]), F.lit(0)).alias("l"),
+            F.coalesce(s["text"], F.lit("")).alias("t"),
+            s["offset"].alias("o"),
+            (i + 1).cast("int").alias("p"),
+        ),
+    )
+    cols: list = []
+    for kind in SPAN_KINDS:
+        ek = F.filter(indexed, lambda e: e["k"] == F.lit(kind))
+        lens = F.transform(ek, lambda e: e["l"])
+        texts = F.transform(ek, lambda e: e["t"])
+        offs = F.transform(ek, lambda e: e["o"])
+        ps = F.transform(ek, lambda e: e["p"])
+        cnt = F.size(ek)
+        sum_len = F.coalesce(
+            F.aggregate(lens, F.lit(0), lambda a, x: a + x), F.lit(0)
+        )
+        ndist = F.size(F.array_distinct(texts))
+        cols += [
+            F.size(F.filter(lens, lambda x: x == 0)).alias(f"{kind}_n_empty"),
+            F.coalesce(F.array_min(lens), F.lit(0)).alias(f"{kind}_min_len"),
+            F.coalesce(F.array_max(lens), F.lit(0)).alias(f"{kind}_max_len"),
+            F.when(
+                cnt > 0,
+                F.element_at(
+                    F.array_sort(lens), F.ceil(cnt / 2.0).cast("int")
+                ),
+            ).otherwise(F.lit(0)).alias(f"{kind}_median_len"),
+            F.aggregate(lens, F.lit(0), lambda a, x: a + x * x).alias(
+                f"{kind}_sum_len_sq"
+            ),
+            ndist.alias(f"{kind}_n_distinct"),
+            (cnt - ndist).alias(f"{kind}_n_dup"),
+            F.when(cnt > 0, F.array_min(offs)).otherwise(F.lit(-1)).alias(
+                f"{kind}_min_off"
+            ),
+            F.when(cnt > 0, F.array_max(offs)).otherwise(F.lit(-1)).alias(
+                f"{kind}_max_off"
+            ),
+            F.when(cnt > 0, F.array_max(offs) - F.array_min(offs))
+            .otherwise(F.lit(0))
+            .alias(f"{kind}_off_span"),
+            F.coalesce(F.array_min(ps), F.lit(0)).alias(f"{kind}_first_pos"),
+            F.coalesce(F.array_max(ps), F.lit(0)).alias(f"{kind}_last_pos"),
+            F.size(F.filter(lens, lambda x: (x >= 1) & (x <= 4))).alias(
+                f"{kind}_len_short"
+            ),
+            F.size(F.filter(lens, lambda x: (x >= 5) & (x <= 8))).alias(
+                f"{kind}_len_mid"
+            ),
+            F.size(F.filter(lens, lambda x: x >= 9)).alias(f"{kind}_len_long"),
+            F.when(cnt > 0, F.round(sum_len / cnt, 6))
+            .otherwise(F.lit(0.0))
+            .alias(f"{kind}_mean_len"),
+            F.when(
+                F.col("total_text_len") > 0,
+                F.round(sum_len / F.col("total_text_len"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"{kind}_share_len"),
+        ]
+    all_lens = F.transform(spans, lambda s: F.coalesce(F.length(s["text"]), F.lit(0)))
+    all_offs = F.transform(spans, lambda s: s["offset"])
+    pair_len = F.greatest(n - 1, F.lit(0))
+    inversions = F.aggregate(
+        F.zip_with(
+            F.slice(all_offs, 1, pair_len),
+            F.slice(all_offs, 2, pair_len),
+            lambda a, b: (b < a).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    cols += [
+        inversions.alias("n_offset_inversions"),
+        (inversions == 0).cast("int").alias("offsets_monotonic"),
+        F.when(n > 0, F.col("n_kind_switches") + 1).otherwise(F.lit(0)).alias(
+            "n_runs"
+        ),
+        F.when(
+            n > 0,
+            F.element_at(F.array_sort(all_lens), F.ceil(n / 2.0).cast("int")),
+        ).otherwise(F.lit(0)).alias("median_text_len"),
+        F.when(n > 0, F.round(F.col("n_text") / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("text_density"),
+    ]
+    base_names = ["doc_id"] + SPAN_INT_FEATURES + SPAN_OTHER_FEATURES
+    return base.select(*base_names, *cols)
+
+
+def feature_map(docs: DataFrame, wide: bool = False) -> DataFrame:
     """The integer features of ``span_stats`` shaped as the reference's
     ``Map[String,Int]`` feature map (HermesActor.scala:49) —
-    ``map_from_entries`` keeps it one JVM expression."""
-    stats = span_stats(docs)
+    ``map_from_entries`` keeps it one JVM expression. ``wide=True`` maps the
+    full declared integer feature space (``WIDE_INT_FEATURES`` too) — the
+    breadth analogue of the reference's full mapping list."""
+    if wide:
+        stats = span_stats_wide(docs)
+        names = SPAN_INT_FEATURES + WIDE_INT_FEATURES
+    else:
+        stats = span_stats(docs)
+        names = SPAN_INT_FEATURES
     entries = F.array(
         *[
             F.struct(F.lit(c).alias("key"), F.col(c).cast("int").alias("value"))
-            for c in SPAN_INT_FEATURES
+            for c in names
         ]
     )
     return stats.select("doc_id", F.map_from_entries(entries).alias("features"))

