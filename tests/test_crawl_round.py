@@ -206,7 +206,7 @@ def test_write_volume_flat_over_many_rounds(spark, tmp_path):
     bounded by compact_every instead of growing one-per-round."""
     import os
 
-    n_rounds, compact_every = 8, 3
+    n_rounds, compact_every = 12, 3
     root = tmp_path / "store_soak"
     eng = CrawlEngine(
         spark, str(root),
@@ -214,15 +214,31 @@ def test_write_volume_flat_over_many_rounds(spark, tmp_path):
         config=CrawlConfig(round_ms=ROUND_MS, n_docs=N_DOCS),
     )
     eng.bootstrap(seed_urls_df(spark, n=N_SEEDS))
+
+    def store_bytes() -> int:
+        total = 0
+        for dirpath, _d, files in os.walk(root):
+            total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        return total
+
     stats = []
+    bytes_per_row = []
+    prev_bytes = store_bytes()
     for rnd in range(n_rounds):
         docs = docs_df(spark, n=N_DOCS, seed=500 + rnd)
         stats.append(eng.run_round(rnd, docs=docs))
         # every round's parts hold exactly that round's rows — O(round)
         assert eng.store.read_parts("frontier", rnd).count() == stats[-1]["new_links"]
         assert eng.store.read_parts("fetched", rnd).count() == stats[-1]["emitted"]
+        # write-BYTE independence of round number: bytes appended this round
+        # per row written must not trend up as the table grows (measured
+        # between maintenance runs; compaction rewrites are off-path)
+        now = store_bytes()
+        rows = stats[-1]["new_links"] + stats[-1]["emitted"]
+        bytes_per_row.append((now - prev_bytes) / max(rows, 1))
         if (rnd + 1) % compact_every == 0:
             eng.maintain()
+        prev_bytes = store_bytes()
         n_parts = len(eng.store.parts("frontier"))
         n_manifests = len(
             [f for f in os.listdir(eng.store._tdir("frontier")) if f.startswith("mani-")]
@@ -234,6 +250,13 @@ def test_write_volume_flat_over_many_rounds(spark, tmp_path):
     # rounds kept doing real work the whole way (fresh docs -> new links)
     assert all(s["new_links"] > 0 for s in stats)
     assert all(s["emitted"] > 0 for s in stats)
+    # last-third vs first-third per-row write cost: flat (2x headroom for
+    # parquet footer/metadata granularity on tiny test rounds), while the
+    # table itself grew ~n_rounds x — the O(round) byte claim at larger k
+    third = n_rounds // 3
+    early = sum(bytes_per_row[:third]) / third
+    late = sum(bytes_per_row[-third:]) / third
+    assert late < 2.0 * early, (early, late, bytes_per_row)
 
 
 def test_bloom_is_maintained_incrementally(spark, tmp_path):
