@@ -99,8 +99,17 @@ def test_asof_join_no_range_join(spark):
 def test_stratified_sample_no_window_sort(spark):
     """The per-stratum cumsum must be two-phase offsets over a range
     partitioning — never a window, which would serialize each stratum into
-    one sort task (mirrors test_politeness_single_host_shuffle)."""
-    plan = _plan(E.q_corpus_stratified_sample(spark, SF))
+    one sort task (mirrors test_politeness_single_host_shuffle). Audits the
+    OPERATOR plan: the entry query intentionally returns a materialized
+    local relation so it can release the operator's load-bearing cache."""
+    from delphi_crawler_spark.operators.corpus import stratified_token_sample
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    out = stratified_token_sample(
+        docs, budget_tokens=3000, stratum_col="lang", id_col="doc_id"
+    )
+    plan = _plan(out)
+    out._release_stratified()
     assert "Window" not in plan
     assert "rangepartitioning" in plan
 
@@ -116,8 +125,15 @@ def test_corpus_segment_dedup_no_token_grain_explode(spark):
 
 def test_exact_quantiles_no_window_no_global_sort(spark):
     """Exact quantiles must be the two-phase shape: value-grain hash-agg +
-    range partitioning — never a window or a single-partition global sort."""
-    plan = _plan(E.q_agg_exact_quantiles(spark, SF))
+    range partitioning — never a window or a single-partition global sort.
+    Audits the OPERATOR plan (the entry query returns a materialized local
+    relation so it can release the operator's load-bearing cache)."""
+    from delphi_crawler_spark.operators.quantiles import exact_quantiles
+
+    ev = spark.read.parquet(SF + "/events.parquet").select("event_type", "value")
+    out = exact_quantiles(ev, "value", [0.5, 0.95], by="event_type")
+    plan = _plan(out)
+    out._release_quantiles()
     assert "Window" not in plan
     assert "rangepartitioning" in plan
     assert "SinglePartition" not in plan
