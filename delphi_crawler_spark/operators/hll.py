@@ -119,10 +119,28 @@ def build_hll_segment(
         if any_rows:
             yield pd.DataFrame({"regs": [seg.regs.tobytes()]})
 
+    def merge_partition(batches):
+        acc = None
+        for pdf in batches:
+            for blob in pdf["regs"]:
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                acc = arr.copy() if acc is None else np.maximum(acc, arr)
+        if acc is not None:
+            yield pd.DataFrame({"regs": [acc.tobytes()]})
+
+    # two-level Arrow fold (the treeAggregate shape without the RDD pickle
+    # path, which costs ~1 s of fixed overhead per call on this workload):
+    # per-partition segments -> one coalesced partial max-merge stage
+    # (each task folds ~fan_in segments) -> tiny driver reduce. Segment
+    # bytes stay in Arrow batches end to end.
     regs_df = df.select(F.col(col)).mapInPandas(build_partition, schema="regs binary")
-    zero = spark.createDataFrame([(bytearray(1 << p),)], schema="regs binary")
-    rdd = regs_df.unionByName(zero).rdd.map(
-        lambda r: np.frombuffer(r.regs, dtype=np.uint8)
+    fan_in = max(1, spark.sparkContext.defaultParallelism // (1 << tree_depth))
+    rows = (
+        regs_df.coalesce(fan_in)
+        .mapInPandas(merge_partition, schema="regs binary")
+        .toPandas()
     )
-    merged = rdd.treeReduce(np.maximum, depth=tree_depth)
-    return HLL(p, merged.copy())
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for blob in rows["regs"]:
+        np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
+    return HLL(p, merged)
