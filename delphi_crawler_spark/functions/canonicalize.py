@@ -164,9 +164,45 @@ def canonicalize_urls_pd(urls: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(StringType())
-def canonicalize_url(urls: pd.Series) -> pd.Series:
+def _canonicalize_url_udf(urls: pd.Series) -> pd.Series:
     """Arrow-vectorized canonicalization (C1). NULL = malformed (F5)."""
     return canonicalize_urls_pd(urls)
+
+
+# JVM-side already-canonical detector. Semantics mirror _FAST_RE (path
+# REQUIRED and starting with '/', so a match is the identity under
+# canonicalize_url_py), with two extra guards that make it safe without a
+# pandas-side strip: no whitespace anywhere (also defuses Java's
+# `$`-matches-before-final-newline quirk) and no dot segments. Query can
+# never contain '/', so the dot-segment scan over the whole string only
+# ever fires inside the path.
+_FAST_JVM_RE = (
+    r"^https?://"
+    r"[a-z0-9-]+(\.[a-z0-9-]+)*"
+    r"/[A-Za-z0-9\-_~./]*"
+    r"(\?[A-Za-z0-9\-_~.=&+]*)?$"
+)
+_DOTSEG_JVM_RE = r"/\.\.?(/|$)"
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """C1 canonicalization as a single-pass Column expression.
+
+    Steady-state frontiers are dominated by URLs that are ALREADY canonical
+    (they were emitted by this same canonicalizer one round earlier), so the
+    hot path splits JVM-side: rows matching the already-canonical regex are
+    passed through inside whole-stage codegen and never cross the Arrow
+    boundary — the pandas UDF receives NULL for them (null bitmap only, no
+    string bytes) and does per-row work only for dirty rows. Output is
+    byte-identical to ``canonicalize_url_py`` row-wise (property-tested in
+    tests/test_canonicalize.py)."""
+    u = F.col(url) if isinstance(url, str) else url
+    fast = (
+        u.rlike(_FAST_JVM_RE)
+        & ~u.rlike(_DOTSEG_JVM_RE)
+        & ~u.rlike(r"\s")
+    )
+    return F.when(fast, u).otherwise(_canonicalize_url_udf(F.when(~fast, u)))
 
 
 # ---------------------------------------------------------------- key columns

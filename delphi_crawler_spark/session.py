@@ -56,6 +56,12 @@ def get_spark(
     """
     cores = cores or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(8, cores * 2)
+    # Master override for multi-JVM topologies: the executor-count scaling
+    # probe sets SPARK_GRAFT_MASTER=local-cluster[N,C,mem] (separate executor
+    # JVMs — the closest this sandbox gets to N vs 4N executors); a real
+    # deployment sets it (or uses spark-submit, which wins over builder conf).
+    # ``cores`` keeps sizing shuffle partitions as TOTAL cores either way.
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cores}]"
     # shuffle/spill scratch on tmpfs when available: the sandbox's /tmp sits
     # on a shared disk with bursty neighbor I/O (observed iowait spikes
     # slowing identical CPU-bound plans >10x); RAM-backed local dirs remove
@@ -65,7 +71,7 @@ def get_spark(
         local_dir = "/dev/shm/spark-local"
         _scrub_stale(local_dir, max_age_s=2 * 3600)
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -80,6 +86,22 @@ def get_spark(
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    if master.startswith("local-cluster"):
+        # Executor JVMs are separate processes: their python workers must
+        # import this package by module path (cloudpickle serializes UDFs by
+        # reference), and executor memory must fit inside the per-worker cap
+        # from the master string. Production uses --py-files instead.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = (
+            builder.config("spark.executorEnv.PYTHONPATH", repo_root)
+            .config("spark.executor.memory",
+                    os.environ.get("SPARK_EXECUTOR_MEM", "4g"))
+        )
+        # Worker JVMs ignore spark.local.dir (cluster manager precedence);
+        # they honor SPARK_LOCAL_DIRS, inherited through the driver JVM env
+        # (must be set before the JVM launches, i.e. before getOrCreate).
+        if local_dir and "SPARK_LOCAL_DIRS" not in os.environ:
+            os.environ["SPARK_LOCAL_DIRS"] = local_dir
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -106,6 +106,41 @@ def test_vectorized_fast_path_equivalence():
     assert got.fillna("~").tolist() == exp.fillna("~").tolist()
 
 
+def test_jvm_fast_split_equivalence(spark):
+    """The JVM already-canonical pre-split (fast rows never cross Arrow)
+    must be byte-identical to the per-row reference implementation —
+    especially around its guards: whitespace anywhere disables the fast
+    branch (Java's `$` matches before a final newline), dot segments and
+    near-dot filenames are told apart, and charclass outliers (+ = & % in
+    the path) fall through to the slow path which encodes them."""
+    tricky = [
+        "https://example.com/clean/path",       # fast branch, identity
+        "https://example.com/p?a=1&b=2+3",      # fast branch with query
+        "http://example.com/a\n",               # trailing newline → slow
+        "http://example.com/a ",                # trailing space → slow
+        " http://example.com/a",                # leading space → slow
+        "http://example.com/a\tb",              # interior tab → slow (encoded)
+        "https://example.com/.hidden",          # dot-prefixed file is NOT a dot segment
+        "https://example.com/..double",         # nor is a '..'-prefixed one
+        "https://example.com/a/.",              # real dot segment → slow
+        "https://example.com/a/..",             # real dot segment → slow
+        "https://example.com/a..b/c.d/",        # interior dots stay fast
+        "https://example.com/a+b",              # '+' in path → slow, %2B
+        "https://example.com/a=b&c",            # '=&' in path → slow, encoded
+        "https://example.com/x?p=%41",          # '%' in query → slow, hex upper
+        "https://example.com/",                 # root path stays fast
+        "https://example.com",                  # no path → slow, '/' fill
+        None,
+    ]
+    junk = list(gen_seed_urls(n=400).url)
+    urls = tricky + junk
+    expected = [canonicalize_url_py(u) if u is not None else None for u in urls]
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": pd.Series(urls, dtype=object)})
+    ).select(canonicalize_url("url").alias("c"))
+    assert [r.c for r in df.collect()] == expected
+
+
 def test_idempotent():
     pdf = gen_seed_urls(n=500)
     for u in pdf.url:

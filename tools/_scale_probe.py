@@ -1,5 +1,6 @@
 """One scaling datapoint in a fresh JVM: `python tools/_scale_probe.py
-<job> <cores> <n> <reps>` → one JSON line {job, cores, n, best_sec, per_sec}.
+<job> <cores> <n> <reps> [master]` → one JSON line
+{job, cores, n, best_sec, per_sec}.
 
 Jobs:
 - crawl:   bench.crawl_schedule (the headline frontier scheduling core)
@@ -7,6 +8,11 @@ Jobs:
            Arrow-UDF stage — the compute-scaling probe)
 - spin:    pure-python multiprocessing spin (host-capability control; no
            Spark at all — measures what the shared VM itself can scale)
+
+The optional ``master`` arg (e.g. ``local-cluster[4,4,6144]``) runs the
+probe on separate executor JVMs via SPARK_GRAFT_MASTER; ``cores`` stays the
+TOTAL core count so shuffle-partition sizing and per_sec normalization are
+identical across modes.
 """
 
 from __future__ import annotations
@@ -41,6 +47,8 @@ def run_spin(cores: int, n: int, reps: int) -> float:
 
 def main() -> None:
     job, cores, n, reps = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+    if len(sys.argv) > 5:
+        os.environ["SPARK_GRAFT_MASTER"] = sys.argv[5]
     if job == "spin":
         rate = run_spin(cores, n, reps)
         print(json.dumps({"job": job, "cores": cores, "n": n,

@@ -28,10 +28,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PROBE = os.path.join(REPO, "tools", "_scale_probe.py")
 
 
-def probe(job: str, cores: int, n: int, reps: int) -> dict:
+def probe(job: str, cores: int, n: int, reps: int, master: str | None = None) -> dict:
+    cmd = [sys.executable, PROBE, job, str(cores), str(n), str(reps)]
+    if master:
+        cmd.append(master)
     out = subprocess.run(
-        [sys.executable, PROBE, job, str(cores), str(n), str(reps)],
-        capture_output=True, text=True, timeout=2400, env=dict(os.environ),
+        cmd, capture_output=True, text=True, timeout=2400, env=dict(os.environ),
     )
     for line in out.stdout.splitlines():
         line = line.strip().lstrip("\r")
@@ -53,13 +55,26 @@ def host_window_valid(levels=(8, 32)) -> tuple[bool, float]:
 
 
 def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    crawl_n = int(sys.argv[2]) if len(sys.argv) > 2 else 16_000_000
+    argv = [a for a in sys.argv[1:] if a != "--executors"]
+    executor_mode = "--executors" in sys.argv
+    reps = int(argv[0]) if len(argv) > 0 else 2
+    crawl_n = int(argv[1]) if len(argv) > 1 else 16_000_000
     minhash_n = 600_000
-    levels = (
-        (int(sys.argv[3]), int(sys.argv[4])) if len(sys.argv) > 4 else (8, 32)
-    )
-    ok, pre_eff = host_window_valid(levels)
+    levels = (int(argv[2]), int(argv[3])) if len(argv) > 3 else (8, 32)
+    if executor_mode:
+        # Levels are EXECUTOR counts; each executor is a separate JVM with
+        # CORES_PER_EXEC cores — the closest this single host gets to the
+        # north rule's N vs 4N *executor* criterion (separate memory pools,
+        # GC, shuffle servers; only the physical memory bus stays shared).
+        cores_per_exec = 4
+        masters = {
+            e: f"local-cluster[{e},{cores_per_exec},6144]" for e in levels
+        }
+        total = {e: e * cores_per_exec for e in levels}
+    else:
+        masters = {lv: None for lv in levels}
+        total = {lv: lv for lv in levels}
+    ok, pre_eff = host_window_valid((total[levels[0]], total[levels[1]]))
     print(f"[scaling] host-window preflight: spin efficiency {pre_eff:.2f} "
           f"({'VALID' if ok else 'INVALID — aborting, retry in a calmer window'})",
           flush=True)
@@ -68,7 +83,7 @@ def main() -> None:
     jobs = [("crawl", crawl_n), ("minhash", minhash_n), ("spin", 0)]
     best: dict[tuple[str, int], dict] = {}
     for r in range(reps):
-        for cores in levels:
+        for lv in levels:
             for job, n in jobs:
                 # Spark probes take best-of-3 INSIDE one JVM: rep 1 pays the
                 # cold costs (python-worker spin-up, steady-seen/bloom build)
@@ -76,11 +91,13 @@ def main() -> None:
                 # unit bench.py's headline reports. A cold single-rep probe
                 # conflates fixed setup with marginal rate (the round-1
                 # 43k-vs-250k confusion all over again).
-                res = probe(job, cores, n, 3 if job != "spin" else 2)
-                key = (job, cores)
+                res = probe(job, total[lv], n, 3 if job != "spin" else 2,
+                            master=None if job == "spin" else masters[lv])
+                key = (job, lv)
                 if key not in best or (res["per_sec"] or 0) > (best[key]["per_sec"] or 0):
                     best[key] = res
-                print(f"[scaling] rep={r} {job} cores={cores}: "
+                print(f"[scaling] rep={r} {job} level={lv} "
+                      f"(cores={total[lv]}, master={masters[lv] or 'local'}): "
                       f"{res['per_sec']:,.0f}/s ({res['best_sec']}s)", flush=True)
 
     def eff(job: str) -> tuple[float, float, float]:
@@ -92,20 +109,38 @@ def main() -> None:
     m_lo, m_hi, m_eff = eff("minhash")
     s_lo, s_hi, s_eff = eff("spin")
 
+    if executor_mode:
+        lab_lo = f"{levels[0]} executors ({masters[levels[0]]})"
+        lab_hi = f"{levels[1]} executors ({masters[levels[1]]})"
+        proto = (
+            f"Protocol: EXECUTOR-COUNT scaling — `{masters[levels[0]]}` vs\n"
+            f"`{masters[levels[1]]}`: {levels[0]} vs {levels[1]} separate executor\n"
+            "JVMs (own heap, GC, shuffle server, python workers) on one host;\n"
+            "the closest this sandbox gets to the north rule's N vs 4N\n"
+            "*executors*. Only the physical memory bus and disk stay shared.\n"
+            f"Same job, same input, fresh JVMs per run, levels interleaved\n"
+            f"across {reps} repetitions, best-of per level."
+        )
+    else:
+        lab_lo, lab_hi = f"local[{levels[0]}]", f"local[{levels[1]}]"
+        proto = (
+            "Protocol: no multi-executor cluster exists in this sandbox, so the\n"
+            "north-rule two-cluster-size criterion (N vs 4N executors, efficiency ≥0.8)\n"
+            f"is evidenced at two parallelism levels — `local[{levels[0]}]` vs\n"
+            f"`local[{levels[1]}]` — same job, same input, fresh JVM per run, levels\n"
+            f"interleaved across {reps} repetitions, best-of per level. Host: a shared\n"
+            "32-vCPU VM with variable neighbor load (hence best-of)."
+        )
+
     table = f"""
 
 ---
 
-# Scaling window: local[{levels[0]}] vs local[{levels[1]}] ({reps} reps, appended by tools/scaling_report.py)
+# Scaling window: {lab_lo} vs {lab_hi} ({reps} reps, appended by tools/scaling_report.py)
 
-Protocol: no multi-executor cluster exists in this sandbox, so the
-north-rule two-cluster-size criterion (N vs 4N executors, efficiency ≥0.8)
-is evidenced at two parallelism levels — `local[{levels[0]}]` vs
-`local[{levels[1]}]` — same job, same input, fresh JVM per run, levels
-interleaved across {reps} repetitions, best-of per level. Host: a shared
-32-vCPU VM with variable neighbor load (hence best-of).
+{proto}
 
-| probe | what it measures | local[{levels[0]}] | local[{levels[1]}] | speedup | efficiency |
+| probe | what it measures | {lab_lo} | {lab_hi} | speedup | efficiency |
 |---|---|---|---|---|---|
 | `crawl` ({crawl_n / 1e6:.0f}M URLs) | end-to-end scheduling core: canonicalize → keys → F1 dedup → bloom anti-join → politeness slots → exact emission order | {c_lo:,.0f} URLs/s | {c_hi:,.0f} URLs/s | {c_hi / c_lo:.2f}× | **{c_eff:.2f}** |
 | `minhash` ({minhash_n / 1e3:.0f}k docs) | CPU-dense vectorized-UDF operator (MinHash signatures) | {m_lo:,.0f} docs/s | {m_hi:,.0f} docs/s | {m_hi / m_lo:.2f}× | **{m_eff:.2f}** |
@@ -114,21 +149,11 @@ interleaved across {reps} repetitions, best-of per level. Host: a shared
 ## Reading
 
 - The **host control** caps what any measurement here can show: pure
-  python processes with zero shared state reach only ~{s_eff:.2f} efficiency
-  {levels[0]}→{levels[1]} on this VM (neighbor tenants + SMT).
+  python processes with zero shared state reach ~{s_eff:.2f} efficiency
+  over this window's core span on this VM (neighbor tenants + SMT).
 - The **CPU-dense operator** tracks the host ceiling — the engine's
   vectorized-UDF stages add no scaling bottleneck of their own.
-- The **end-to-end core** saturates earlier: its per-row work is tiny
-  (~15 µs-core/URL), so above ~8 local threads the single JVM's memory bus
-  (Arrow string copies + shuffle serialization, shared with every other
-  thread of the same process) is the binding constraint — a local-mode
-  artifact, not a plan property. On a real N→4N *executor* scale-out each
-  executor is a separate JVM/machine with its own memory bus; the plan
-  itself has no serial choke point: every stage is hash/range-partitioned
-  (audited in `tests/test_plans.py` — single host-shuffle politeness,
-  partial-aggregating dedup, bloom-prefiltered anti-join that keeps the
-  steady-state majority of rows out of the shuffle entirely, explicit
-  skew salting for hot hosts).
+- {"The **end-to-end core** here runs on separate executor JVMs (own heap, GC, shuffle server, python workers) — the single-JVM sharing artifact of local[N] mode is absent; what remains shared is only the physical memory bus and disk of the one host." if executor_mode else "The **end-to-end core** saturates earlier: its per-row work is tiny (~15 µs-core/URL), so above ~8 local threads the single JVM's memory bus (Arrow string copies + shuffle serialization, shared with every other thread of the same process) is the binding constraint — a local-mode artifact, not a plan property. On a real N→4N *executor* scale-out each executor is a separate JVM/machine with its own memory bus; the plan itself has no serial choke point: every stage is hash/range-partitioned (audited in `tests/test_plans.py` — single host-shuffle politeness, partial-aggregating dedup, bloom-prefiltered anti-join that keeps the steady-state majority of rows out of the shuffle entirely, explicit skew salting for hot hosts)."}
 
 Raw best-of JSON:
 
