@@ -66,7 +66,7 @@ def main() -> None:
         # CORES_PER_EXEC cores — the closest this single host gets to the
         # north rule's N vs 4N *executor* criterion (separate memory pools,
         # GC, shuffle servers; only the physical memory bus stays shared).
-        cores_per_exec = 4
+        cores_per_exec = int(os.environ.get("SCALE_CORES_PER_EXEC", "4"))
         masters = {
             e: f"local-cluster[{e},{cores_per_exec},6144]" for e in levels
         }
