@@ -169,20 +169,24 @@ def _canonicalize_url_udf(urls: pd.Series) -> pd.Series:
     return canonicalize_urls_pd(urls)
 
 
-# JVM-side already-canonical detector. Semantics mirror _FAST_RE (path
-# REQUIRED and starting with '/', so a match is the identity under
-# canonicalize_url_py), with two extra guards that make it safe without a
-# pandas-side strip: no whitespace anywhere (also defuses Java's
-# `$`-matches-before-final-newline quirk) and no dot segments. Query can
-# never contain '/', so the dot-segment scan over the whole string only
-# ever fires inside the path.
+# JVM-side already-canonical detector, ONE regex (a single rlike pass —
+# measured equal-or-faster than the pandas path on both a 70%-canonical mix
+# and a 100%-canonical steady-state input; see BENCH.md). Semantics mirror
+# _FAST_RE: path REQUIRED and starting with '/', so a match is the identity
+# under canonicalize_url_py. Differences that make it safe without a
+# pandas-side strip: \A..\z anchors (Java's `$` matches before a final
+# newline; \z does not), charclasses already exclude whitespace, and the
+# path grammar enumerates per-segment strings that are NOT exactly '.' or
+# '..' (empty segments stay allowed — '//' passes through canonicalization
+# unchanged). Query can never contain '/', so segment grammar never spans
+# into it.
+_FAST_JVM_SEG = r"(?:\.{0,2}[A-Za-z0-9\-_~][A-Za-z0-9\-_~.]*|\.{3,}[A-Za-z0-9\-_~.]*)?"
 _FAST_JVM_RE = (
-    r"^https?://"
-    r"[a-z0-9-]+(\.[a-z0-9-]+)*"
-    r"/[A-Za-z0-9\-_~./]*"
-    r"(\?[A-Za-z0-9\-_~.=&+]*)?$"
+    r"\Ahttps?://"
+    r"[a-z0-9-]+(?:\.[a-z0-9-]+)*"
+    r"(?:/" + _FAST_JVM_SEG + r")+"
+    r"(?:\?[A-Za-z0-9\-_~.=&+]*)?\z"
 )
-_DOTSEG_JVM_RE = r"/\.\.?(/|$)"
 
 
 def canonicalize_url(url: Column | str) -> Column:
@@ -193,15 +197,12 @@ def canonicalize_url(url: Column | str) -> Column:
     hot path splits JVM-side: rows matching the already-canonical regex are
     passed through inside whole-stage codegen and never cross the Arrow
     boundary — the pandas UDF receives NULL for them (null bitmap only, no
-    string bytes) and does per-row work only for dirty rows. Output is
-    byte-identical to ``canonicalize_url_py`` row-wise (property-tested in
-    tests/test_canonicalize.py)."""
+    string bytes) and does per-row work only for dirty rows. At executor
+    grain this trades Python-worker CPU + Arrow string transfer for one JVM
+    regex pass. Output is byte-identical to ``canonicalize_url_py`` row-wise
+    (property-tested in tests/test_canonicalize.py)."""
     u = F.col(url) if isinstance(url, str) else url
-    fast = (
-        u.rlike(_FAST_JVM_RE)
-        & ~u.rlike(_DOTSEG_JVM_RE)
-        & ~u.rlike(r"\s")
-    )
+    fast = u.rlike(_FAST_JVM_RE)
     return F.when(fast, u).otherwise(_canonicalize_url_udf(F.when(~fast, u)))
 
 

@@ -130,6 +130,10 @@ def test_jvm_fast_split_equivalence(spark):
         "https://example.com/x?p=%41",          # '%' in query → slow, hex upper
         "https://example.com/",                 # root path stays fast
         "https://example.com",                  # no path → slow, '/' fill
+        "https://example.com/...",              # 3+ dots is a real segment, fast
+        "https://example.com/.../y",            # ditto mid-path
+        "https://example.com//x",               # empty segment passes through
+        "https://example.com/a/",               # trailing empty segment
         None,
     ]
     junk = list(gen_seed_urls(n=400).url)
