@@ -190,17 +190,35 @@ _FAST_JVM_RE = (
 
 
 def canonicalize_url(url: Column | str) -> Column:
-    """C1 canonicalization as a single-pass Column expression.
+    """C1 canonicalization (Arrow-vectorized pandas UDF; NULL = malformed).
 
-    Steady-state frontiers are dominated by URLs that are ALREADY canonical
-    (they were emitted by this same canonicalizer one round earlier), so the
-    hot path splits JVM-side: rows matching the already-canonical regex are
-    passed through inside whole-stage codegen and never cross the Arrow
-    boundary — the pandas UDF receives NULL for them (null bitmap only, no
-    string bytes) and does per-row work only for dirty rows. At executor
-    grain this trades Python-worker CPU + Arrow string transfer for one JVM
-    regex pass. Output is byte-identical to ``canonicalize_url_py`` row-wise
-    (property-tested in tests/test_canonicalize.py)."""
+    The fast path for already-canonical URLs lives INSIDE the batch
+    (``canonicalize_urls_pd``: one vectorized regex extract classifies the
+    batch; canonical rows are passed through with zero per-row work). The
+    ArrowEvalPython node materializes the result once, so downstream
+    consumers (filter, hash keys, host extract, shuffle partitioning) read
+    a plain column. See ``canonicalize_url_jvm_split`` for why the
+    JVM-side split is NOT the default."""
+    u = F.col(url) if isinstance(url, str) else url
+    return _canonicalize_url_udf(u)
+
+
+def canonicalize_url_jvm_split(url: Column | str) -> Column:
+    """Opt-in variant: JVM regex passes already-canonical rows through
+    whole-stage codegen; only dirty rows cross the Arrow boundary (the UDF
+    receives a null-masked column — no string bytes for fast rows).
+
+    Byte-identical to ``canonicalize_url`` (property-tested). NOT the
+    default because the CASE expression is inlined by Catalyst into every
+    consumer of the output column — in the crawl core the canonical URL
+    feeds the null filter, murmur3/xxhash64 keys, host extraction and the
+    dedup shuffle partitioning before any exchange materializes it, so the
+    regex re-runs per consumer and measured ~13% SLOWER end-to-end
+    (BENCH.md round-4 A/B: best 6.05 s vs 5.35 s on the 2M-URL headline).
+    Use it only where the column feeds a single consumer or is immediately
+    materialized (exchange/write), e.g. a steady-state re-canonicalization
+    pass over frontier re-entries, where it keeps the entire batch out of
+    the Python workers."""
     u = F.col(url) if isinstance(url, str) else url
     fast = u.rlike(_FAST_JVM_RE)
     return F.when(fast, u).otherwise(_canonicalize_url_udf(F.when(~fast, u)))

@@ -107,12 +107,16 @@ def test_vectorized_fast_path_equivalence():
 
 
 def test_jvm_fast_split_equivalence(spark):
-    """The JVM already-canonical pre-split (fast rows never cross Arrow)
-    must be byte-identical to the per-row reference implementation —
-    especially around its guards: whitespace anywhere disables the fast
-    branch (Java's `$` matches before a final newline), dot segments and
-    near-dot filenames are told apart, and charclass outliers (+ = & % in
-    the path) fall through to the slow path which encodes them."""
+    """The opt-in JVM already-canonical pre-split (fast rows never cross
+    Arrow) must be byte-identical to the per-row reference implementation —
+    especially around its edges: whitespace anywhere disables the fast
+    branch (the \\A..\\z anchors defuse Java's `$`-before-final-newline),
+    dot segments and near-dot filenames are told apart, and charclass
+    outliers (+ = & % in the path) fall through to the slow path which
+    encodes them."""
+    from delphi_crawler_spark.functions.canonicalize import (
+        canonicalize_url_jvm_split,
+    )
     tricky = [
         "https://example.com/clean/path",       # fast branch, identity
         "https://example.com/p?a=1&b=2+3",      # fast branch with query
@@ -141,8 +145,13 @@ def test_jvm_fast_split_equivalence(spark):
     expected = [canonicalize_url_py(u) if u is not None else None for u in urls]
     df = spark.createDataFrame(
         pd.DataFrame({"url": pd.Series(urls, dtype=object)})
-    ).select(canonicalize_url("url").alias("c"))
+    ).select(canonicalize_url_jvm_split("url").alias("c"))
     assert [r.c for r in df.collect()] == expected
+    # and the default (pandas-internal fast path) agrees on the same vectors
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"url": pd.Series(urls, dtype=object)})
+    ).select(canonicalize_url("url").alias("c"))
+    assert [r.c for r in df2.collect()] == expected
 
 
 def test_idempotent():

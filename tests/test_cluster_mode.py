@@ -21,7 +21,8 @@ os.environ["SPARK_EXECUTOR_MEM"] = "1g"
 from pyspark.sql import functions as F
 from delphi_crawler_spark.session import get_spark
 from delphi_crawler_spark.functions.canonicalize import (
-    canonicalize_url, host_col, host_rev_col, url_hash_col)
+    canonicalize_url_jvm_split as canonicalize_url,
+    host_col, host_rev_col, url_hash_col)
 
 spark = get_spark("cluster-mode-test", cores=4)
 urls = [
