@@ -91,6 +91,15 @@ class CrawlConfig:
     limit: int = 0  # P2: 0 = unlimited (reference Configuration.scala:79)
     bloom_fpp: float = 0.01
     bloom_growth: int = 4  # capacity headroom factor at (re)build
+    # The merged bloom bitset is O(m_bits) — at a 10^10-URL frontier it is
+    # tens of GB, so persisting it EVERY round would make per-round write
+    # volume scale with the frontier, not the round (the sf1 soak measured
+    # exactly that: ~57 MB/round of blob at a 20M-seed frontier). The blob
+    # is derivable state (frontier url_hash64 is durable), so it is flushed
+    # every K rounds / at geometry rebuilds / before compaction; between
+    # flushes only the checkpoint's tiny meta advances and resume rebuilds
+    # the tail segments from the round-tagged frontier parts.
+    bloom_blob_every: int = 8
     n_docs: int | None = None  # size of the synthetic fetch corpus
     use_bloom: bool = True
     compact_every: int = 0  # run table maintenance every K rounds (0 = off)
@@ -120,6 +129,11 @@ class CrawlEngine:
         self.politeness = politeness
         self.robots = robots
         self.cfg = config or CrawlConfig()
+        # in-memory carry of the merged bloom between rounds (keyed by the
+        # checkpoint meta it corresponds to) — disk sees the blob only at
+        # flush points; a fresh process (resume) reconstructs from
+        # blob + tail parts in _load_bloom
+        self._bloom_cache: tuple[tuple, "BloomBits"] | None = None
 
     def _bucketed(self, df: DataFrame) -> tuple[DataFrame, list[str] | None]:
         """Attach the host-bucket partition column when configured."""
@@ -134,18 +148,48 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------- bloom io
-    def _save_bloom(self, bloom: BloomBits, items: int, capacity: int) -> dict:
+    @staticmethod
+    def _bloom_key(meta: dict) -> tuple:
+        return (
+            meta["blob"], meta.get("blob_round"),
+            meta.get("round", meta.get("blob_round")), meta["m"], meta["k"],
+        )
+
+    def _save_bloom(
+        self, bloom: BloomBits, items: int, capacity: int, round_no: int
+    ) -> dict:
+        """Flush the merged bitset; the blob covers all frontier rounds
+        through ``round_no`` (blob_round == round in the returned meta)."""
         blob = self.store.save_blob("bloom", bloom.words.tobytes())
         return {
-            "blob": blob, "m": bloom.m_bits, "k": bloom.k,
+            "blob": blob, "blob_round": round_no, "round": round_no,
+            "m": bloom.m_bits, "k": bloom.k,
             "items": items, "capacity": capacity,
         }
 
     def _load_bloom(self, meta: dict | None) -> BloomBits | None:
+        """The logical bloom = persisted blob (rounds ≤ blob_round) OR
+        segments of the round-tagged frontier parts in (blob_round, round]
+        — O(tail rows) to rebuild, and a process that ran those rounds has
+        it cached so steady-state rounds never touch the blob at all."""
         if not meta:
             return None
+        key = self._bloom_key(meta)
+        if self._bloom_cache is not None and self._bloom_cache[0] == key:
+            return self._bloom_cache[1]
         words = np.frombuffer(self.store.load_blob(meta["blob"]), dtype=np.uint64)
-        return BloomBits(meta["m"], meta["k"], words.copy())
+        bloom = BloomBits(meta["m"], meta["k"], words.copy())
+        blob_round = meta.get("blob_round")
+        upto = meta.get("round", blob_round)
+        if blob_round is not None and upto is not None and upto > blob_round:
+            tail = self.store.read_parts_range(
+                FRONTIER, blob_round + 1, upto
+            ).select("url_hash64")
+            bloom = bloom.merge(
+                build_bloom_segment(tail, bloom.m_bits, bloom.k)
+            )
+        self._bloom_cache = (key, bloom)
+        return bloom
 
     # ------------------------------------------------------------ bootstrap
     def bootstrap(self, seeds: DataFrame) -> None:
@@ -184,7 +228,8 @@ class CrawlEngine:
             bloom = build_bloom_segment(
                 self.store.read(FRONTIER).select("url_hash64"), proto.m_bits, proto.k
             )
-            bloom_meta = self._save_bloom(bloom, n_items, capacity)
+            bloom_meta = self._save_bloom(bloom, n_items, capacity, -1)
+            self._bloom_cache = (self._bloom_key(bloom_meta), bloom)
         # round -1 checkpoint anchors exact resume of round 0
         self.store.checkpoint(-1, {
             "emitted_total": 0,
@@ -349,15 +394,27 @@ class CrawlEngine:
                 bloom = bloom.merge(seg)
                 items = bloom_meta["items"] + n_new
                 capacity = bloom_meta["capacity"]
+                # pre-blob_round meta (older stores): force a flush so the
+                # meta carries coverage rounds from here on
+                blob_round = bloom_meta.get("blob_round", -(1 << 62))
                 if items > capacity:
-                    # amortized geometric rebuild: full scan, new capacity
+                    # amortized geometric rebuild: full scan, new capacity,
+                    # geometry changed -> the blob must flush now
                     capacity = max(1024, self.cfg.bloom_growth * items)
                     proto = BloomBits.sized(capacity, self.cfg.bloom_fpp)
                     bloom = build_bloom_segment(
                         self.store.read(FRONTIER).select("url_hash64"),
                         proto.m_bits, proto.k,
                     )
-                bloom_meta = self._save_bloom(bloom, items, capacity)
+                    bloom_meta = self._save_bloom(bloom, items, capacity, round_no)
+                elif round_no - blob_round >= max(1, self.cfg.bloom_blob_every):
+                    bloom_meta = self._save_bloom(bloom, items, capacity, round_no)
+                else:
+                    # carry: O(1) meta advance; the blob stays at blob_round
+                    # and this round's bits live in memory + the durable
+                    # round-tagged frontier part
+                    bloom_meta = {**bloom_meta, "round": round_no, "items": items}
+                self._bloom_cache = (self._bloom_key(bloom_meta), bloom)
         release()
         return n_new, max_seq + n_new, bloom_meta
 
@@ -390,6 +447,19 @@ class CrawlEngine:
                 snap = last.get(key)
                 if snap and self.store.current_snapshot(tbl) != snap:
                     self.store.restore(tbl, snap)
+        # flush the bloom tail BEFORE compaction: bin-packing may merge the
+        # round-tagged frontier parts the tail rebuild would prune to, so
+        # the blob must cover every checkpointed round first (this also
+        # amortizes blob writes to maintenance cadence at steady state)
+        if last is not None and last.get("bloom"):
+            bm = last["bloom"]
+            covered = bm.get("round", bm.get("blob_round"))
+            if covered is not None and covered != bm.get("blob_round"):
+                bloom = self._load_bloom(bm)
+                bm = self._save_bloom(bloom, bm["items"], bm["capacity"], covered)
+                self.store.amend_checkpoint(last["round"], {"bloom": bm})
+                self._bloom_cache = (self._bloom_key(bm), bloom)
+                last = self.store.last_checkpoint()
         protect_rounds = frozenset(
             {last["round"] + 1} if last is not None else set()
         )

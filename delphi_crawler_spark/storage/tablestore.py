@@ -207,6 +207,19 @@ class TableStore:
             return self.read(table).limit(0)
         return self._read_paths(table, paths)
 
+    def read_parts_range(self, table: str, lo_round: int, hi_round: int) -> DataFrame:
+        """Scan the parts tagged with any round in [lo_round, hi_round] —
+        the resume path's bloom tail rebuild (rounds appended since the last
+        persisted blob). Same manifest-level pruning as ``read_parts``."""
+        paths = [
+            os.path.join(self._tdir(table), p["path"])
+            for p in self.parts(table)
+            if p.get("round") is not None and lo_round <= p["round"] <= hi_round
+        ]
+        if not paths:
+            return self.read(table).limit(0)
+        return self._read_paths(table, paths)
+
     def write_snapshot(
         self,
         table: str,

@@ -277,11 +277,16 @@ def test_bloom_is_maintained_incrementally(spark, tmp_path):
         stats = eng.run_round(rnd, docs=docs)
         meta = stats["bloom"]
         assert meta["items"] == eng.store.read("frontier").count()
+        assert meta["round"] == rnd  # logical coverage advances every round
         blobs.append(meta["blob"])
     # same geometry across rounds (pure OR-merge, no rebuild under capacity)
     metas = [eng.store.last_checkpoint()["bloom"]]
     assert metas[0]["m"] > 0
-    assert len(set(blobs)) == len([b for b in blobs if b])  # new blob per round
+    # O(round) write volume: under the default flush cadence the bootstrap
+    # blob CARRIES across these rounds — per-round disk cost is the tiny
+    # checkpoint meta, never an O(m_bits) bitset rewrite
+    assert len(set(blobs)) == 1
+    assert metas[0]["blob_round"] == -1
 
     # bloomless engine produces the identical schedule + seen set
     eng2 = CrawlEngine(
@@ -294,3 +299,100 @@ def test_bloom_is_maintained_incrementally(spark, tmp_path):
         eng2.run_round(rnd, docs=docs)
     assert eng2.schedule_rows() == eng.schedule_rows()
     assert eng2.seen_set() == eng.seen_set()
+
+
+def test_bloom_blob_amortized_and_resume_exact(spark, tmp_path):
+    """The merged bloom bitset is O(m_bits) — tens of GB at 10^10-URL
+    geometry — so persisting it per round would make per-round write volume
+    scale with the FRONTIER (the sf1 soak measured ~57 MB/round of blob at
+    a 20M-seed frontier). Blob writes must amortize to the flush cadence;
+    between flushes the checkpoint advances only meta, and a fresh process
+    rebuilds the tail from the round-tagged frontier parts. The rebuilt
+    bloom must be BYTE-IDENTICAL to the continuously-carried one, and
+    maintenance must flush the tail before compaction can merge the parts
+    the rebuild would prune to."""
+    import os
+
+    def mkcfg():
+        return CrawlConfig(round_ms=ROUND_MS, n_docs=N_DOCS, bloom_blob_every=2)
+
+    n_rounds = 5
+
+    def blob_files(root):
+        d = os.path.join(str(root), "blobs")
+        return sorted(f for f in os.listdir(d)) if os.path.isdir(d) else []
+
+    # continuous run: blob written at bootstrap then only at cadence hits
+    root_a = tmp_path / "store_amort_a"
+    eng_a = CrawlEngine(
+        spark, str(root_a),
+        politeness=politeness_df(spark), robots=robots_df(spark), config=mkcfg(),
+    )
+    eng_a.bootstrap(seed_urls_df(spark, n=N_SEEDS))
+    # fresh (deterministic) docs per round so every round appends new links
+    # and the coverage round advances — the soak's shape
+    def round_docs(rnd):
+        return docs_df(spark, n=N_DOCS, seed=700 + rnd)
+
+    for rnd in range(n_rounds):
+        eng_a.run_round(rnd, docs=round_docs(rnd))
+    # flushes: bootstrap (blob_round -1), round 1, round 3 — rounds 0/2/4 carry
+    assert len(blob_files(root_a)) == 3, blob_files(root_a)
+    meta_a = eng_a.store.last_checkpoint()["bloom"]
+    assert meta_a["blob_round"] == 3 and meta_a["round"] == 4
+
+    # kill-and-resume run: round 3 onward in a FRESH engine (cold cache =
+    # new process) whose first act is the blob + tail-part rebuild
+    root_b = tmp_path / "store_amort_b"
+    eng_b1 = CrawlEngine(
+        spark, str(root_b),
+        politeness=politeness_df(spark), robots=robots_df(spark), config=mkcfg(),
+    )
+    eng_b1.bootstrap(seed_urls_df(spark, n=N_SEEDS))
+    for rnd in range(3):
+        eng_b1.run_round(rnd, docs=round_docs(rnd))
+    eng_b2 = CrawlEngine(
+        spark, str(root_b),
+        politeness=politeness_df(spark), robots=robots_df(spark), config=mkcfg(),
+    )
+    for rnd in range(3, n_rounds):
+        eng_b2.run_round(rnd, docs=round_docs(rnd))
+    assert eng_b2.schedule_rows() == eng_a.schedule_rows()
+
+    # byte-identical logical blooms, loaded through the cold-cache path on
+    # BOTH stores (blob + tail rebuild, no in-memory carry)
+    meta_b = eng_b2.store.last_checkpoint()["bloom"]
+    cold_a = CrawlEngine(
+        spark, str(root_a),
+        politeness=politeness_df(spark), robots=robots_df(spark), config=mkcfg(),
+    )
+    cold_b = CrawlEngine(
+        spark, str(root_b),
+        politeness=politeness_df(spark), robots=robots_df(spark), config=mkcfg(),
+    )
+    bloom_a = cold_a._load_bloom(meta_a)
+    bloom_b = cold_b._load_bloom(meta_b)
+    assert (bloom_a.m_bits, bloom_a.k) == (bloom_b.m_bits, bloom_b.k)
+    assert bloom_a.words.tobytes() == bloom_b.words.tobytes()
+    # and equal to the carried in-memory bloom of the continuous run
+    carried = eng_a._load_bloom(meta_a)
+    assert carried.words.tobytes() == bloom_a.words.tobytes()
+
+    # maintenance flushes the tail (blob covers every checkpointed round)
+    # BEFORE compaction, and the flushed bitset is unchanged
+    eng_a.maintain()
+    meta_m = eng_a.store.last_checkpoint()["bloom"]
+    assert meta_m["blob_round"] == meta_m["round"] == 4
+    cold_m = CrawlEngine(
+        spark, str(root_a),
+        politeness=politeness_df(spark), robots=robots_df(spark), config=mkcfg(),
+    )
+    assert cold_m._load_bloom(meta_m).words.tobytes() == bloom_a.words.tobytes()
+    # resume AFTER maintenance (tail parts possibly compacted away) works
+    # from the flushed blob alone
+    eng_a2 = CrawlEngine(
+        spark, str(root_a),
+        politeness=politeness_df(spark), robots=robots_df(spark), config=mkcfg(),
+    )
+    stats = eng_a2.run_round(n_rounds, docs=round_docs(n_rounds))
+    assert stats["new_links"] >= 0
