@@ -181,10 +181,23 @@ def seen_anti_join(
 ) -> DataFrame:
     """Keep candidates NOT in the seen set (F2/J1).
 
-    With a bloom: bloom-negative rows bypass the shuffle entirely;
-    bloom-positive rows get the exact ``left_anti`` confirm. Without:
-    plain exact ``left_anti``. Result is identical either way (property-
-    tested); only the shuffled volume differs.
+    With a bloom: bloom-negative rows bypass the shuffle entirely, and the
+    exact confirm of the (steady-state tiny: true-dups + fpp) bloom-positive
+    remainder is join-reshaped so the SEEN side is only scanned, never
+    shuffled:
+
+        hits = seen ⋉ maybe   (left_semi — build side is the small maybe)
+        new  = maybe ▷ hits   (left_anti — build side is the tiny hit set)
+
+    A direct ``maybe LEFT ANTI seen`` would be forced to shuffle the full
+    seen set every round (anti/semi joins can only build on the RIGHT, and
+    seen is the right side there) — O(frontier) shuffle per round, ~1.2 GB
+    at a 20M-URL frontier and fatal at 10^10. In the reshaped form both
+    joins build on maybe-sized inputs (AQE picks broadcast at runtime from
+    actual sizes; if maybe degenerates to huge — saturated bloom — AQE
+    falls back to SMJ and the cost matches the naive plan). Without a
+    bloom: plain exact ``left_anti``. Result is identical in every path
+    (property-tested); only the shuffled volume differs.
     """
     if seen is None:
         return candidates
@@ -197,5 +210,6 @@ def seen_anti_join(
     )
     definite_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     maybe = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-    confirmed_new = maybe.join(seen_keys, url_col, "left_anti")
+    hits = seen_keys.join(maybe.select(url_col).distinct(), url_col, "left_semi")
+    confirmed_new = maybe.join(hits, url_col, "left_anti")
     return definite_new.unionByName(confirmed_new)
