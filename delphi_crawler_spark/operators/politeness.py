@@ -85,6 +85,85 @@ def assign_emission_slots(
     )
 
 
+def prune_pending_topk(
+    pending: DataFrame,
+    politeness: DataFrame | None,
+    round_ms: int,
+    default_rate: float = DEFAULT_RATE,
+    default_burst: int = DEFAULT_BURST,
+) -> DataFrame:
+    """Partition-local per-host top-cap prune of the pending set BEFORE the
+    global emission window — the step that keeps per-round scheduling cost
+    O(admittable), not O(pending).
+
+    ``assign_emission_slots`` window-ranks every pending row by host: an
+    exchange of the FULL pending set each round (20M rows to admit ~10k at
+    the sf1 soak's scale; 10^10 rows at the north rule's frontier — fatal).
+    But a host can admit at most ``cap = burst + ceil(rate*round_ms/1000)``
+    rows this round (every later rank gets ``emit_ms >= round_ms`` and is
+    dropped by ``admit_round``), and per-host top-cap is closed under
+    local-then-global selection: any row in the host's global top-cap is in
+    its partition's local top-cap, and pruning only lower-ranked rows never
+    changes a survivor's rank. So one NARROW Arrow pass keeps each
+    partition's per-host top-cap (+1 rank margin for the ceil boundary) and
+    only the survivors — O(partitions x hosts_per_partition x cap), with
+    host-bucketed frontier parts a small multiple of the admitted set —
+    reach the exchange. Emitted schedule is byte-identical (pinned by the
+    crawl-round oracle equality tests and a dedicated property test).
+    """
+    import pandas as pd
+
+    if politeness is not None:
+        joined = pending.join(
+            F.broadcast(politeness.select("host", "rate_per_sec", "max_burst")),
+            "host",
+            "left",
+        )
+    else:
+        joined = pending.withColumn(
+            "rate_per_sec", F.lit(None).cast("double")
+        ).withColumn("max_burst", F.lit(None).cast("int"))
+    capped = joined.withColumn(
+        "__cap",
+        (
+            F.coalesce("max_burst", F.lit(default_burst))
+            + F.ceil(
+                F.coalesce("rate_per_sec", F.lit(default_rate))
+                * F.lit(round_ms)
+                / 1000.0
+            )
+            + F.lit(1)
+        ).cast("long"),
+    ).drop("rate_per_sec", "max_burst")
+
+    from pyspark.sql.types import StructType
+
+    out_fields = [f for f in capped.schema.fields if f.name != "__cap"]
+    out_schema = StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def _local_topk(batches):
+        cur = None
+        for pdf in batches:
+            both = pd.concat([cur, pdf], ignore_index=True) if cur is not None else pdf
+            # the scheduling order within a host (P6 ⊇ P3), then bounded
+            # survivors per host — stable mergesort keeps the order total
+            both = both.sort_values(
+                ["host", "priority", "discovery_ts", "seq"],
+                ascending=[True, False, True, True],
+                kind="mergesort",
+                ignore_index=True,
+            )
+            keep = both.groupby("host", sort=False).cumcount().to_numpy() < both[
+                "__cap"
+            ].to_numpy()
+            cur = both.loc[keep]
+        if cur is not None and len(cur):
+            yield cur[out_cols]
+
+    return capped.mapInPandas(_local_topk, schema=out_schema)
+
+
 def admit_round(slotted: DataFrame, round_ms: int) -> DataFrame:
     """Per-round budget admission (P1 + S9): schedule rows whose bucket slot
     falls inside this round; the rest remain pending for the next round."""

@@ -65,6 +65,7 @@ from delphi_crawler_spark.operators.politeness import (
     admit_round,
     assign_emission_slots,
     emission_order,
+    prune_pending_topk,
 )
 from delphi_crawler_spark.operators.robots import robots_filter
 from delphi_crawler_spark.operators.seen import (
@@ -102,6 +103,11 @@ class CrawlConfig:
     bloom_blob_every: int = 8
     n_docs: int | None = None  # size of the synthetic fetch corpus
     use_bloom: bool = True
+    # partition-local per-host top-cap prune of the pending set before the
+    # emission window: scheduling shuffles O(admittable) rows per round
+    # instead of the full pending set (schedule is byte-identical; see
+    # operators/politeness.py::prune_pending_topk)
+    prune_pending: bool = True
     compact_every: int = 0  # run table maintenance every K rounds (0 = off)
     compact_target_bytes: int = 128 << 20
     # frontier appends are dir-partitioned on pmod(xxhash64(host), N) — the
@@ -265,6 +271,10 @@ class CrawlEngine:
         else:
             pending = frontier
 
+        if self.cfg.prune_pending:
+            # O(admittable) scheduling: narrow local top-cap per host, so
+            # the emission window's exchange sees survivors, not the table
+            pending = prune_pending_topk(pending, self.politeness, self.cfg.round_ms)
         slotted = assign_emission_slots(pending, self.politeness)
         admitted = admit_round(slotted, self.cfg.round_ms)
         if self.cfg.limit and self.cfg.limit > 0:

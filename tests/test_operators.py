@@ -861,3 +861,67 @@ def test_plan_salts_multimodal_skew(spark):
     for r in cells:
         if r["host"] in ("hostA", "hostB"):
             assert r["count"] < 1.35 * target, (r["host"], r["cell"], r["count"])
+
+
+def test_prune_pending_topk_schedule_identical(spark):
+    """prune_pending_topk must be invisible in the output: the full
+    slot→admit→order pipeline over the pruned pending set is byte-identical
+    to the unpruned one (local-then-global per-host top-cap closure), while
+    actually pruning the exchange input. Covers budgeted hosts, a
+    zero-burst slow host, and hosts absent from the politeness dim
+    (default budget)."""
+    from delphi_crawler_spark.operators.politeness import (
+        admit_round,
+        assign_emission_slots,
+        emission_order,
+        prune_pending_topk,
+    )
+
+    n = 20000
+    df = spark.range(n).select(
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string")).alias("host"),
+        (F.col("id") % 5).cast("int").alias("priority"),
+        ((F.col("id") * 37) % 1000).cast("long").alias("discovery_ts"),
+        F.col("id").alias("seq"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+    )
+    pol = spark.createDataFrame(
+        [("h0", 2.0, 1), ("h1", 50.0, 10), ("h2", 0.5, 0)],
+        "host string, rate_per_sec double, max_burst int",
+    )
+    round_ms = 3000
+    cols = ["emit_ms", "host", "priority", "discovery_ts", "seq", "url"]
+    base = [
+        tuple(r)
+        for r in emission_order(
+            admit_round(assign_emission_slots(df, pol), round_ms)
+        ).select(cols).collect()
+    ]
+    pruned = prune_pending_topk(df, pol, round_ms)
+    got = [
+        tuple(r)
+        for r in emission_order(
+            admit_round(assign_emission_slots(pruned, pol), round_ms)
+        ).select(cols).collect()
+    ]
+    assert got == base
+    assert len(base) > 0
+    # the prune actually prunes: survivors ≤ partitions x hosts x cap ≪ n
+    assert pruned.count() < n
+    # politeness=None path (default budget everywhere)
+    base_d = [
+        tuple(r)
+        for r in emission_order(
+            admit_round(assign_emission_slots(df, None), round_ms)
+        ).select(cols).collect()
+    ]
+    got_d = [
+        tuple(r)
+        for r in emission_order(
+            admit_round(
+                assign_emission_slots(prune_pending_topk(df, None, round_ms), None),
+                round_ms,
+            )
+        ).select(cols).collect()
+    ]
+    assert got_d == base_d
