@@ -267,6 +267,31 @@ def q_p1_politeness_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p11_prune_pending_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P6 at O(admittable) cost: partition-local per-host top-cap prune
+    of the pending set (politeness.prune_pending_topk) feeding the exact
+    emission window + round admission. The oracle is the UNPRUNED window
+    SQL — the prune must be invisible in the admitted schedule (rows below
+    the per-host admissible rank can never be emitted), which is precisely
+    the property that lets a 10^10-URL frontier schedule a round without
+    exchanging the whole pending set."""
+    from delphi_crawler_spark.operators.politeness import (
+        admit_round,
+        assign_emission_slots,
+        prune_pending_topk,
+    )
+
+    fr = _events_frontier(spark, sf_dir)
+    pruned = prune_pending_topk(fr, None, round_ms=2000)
+    out = admit_round(assign_emission_slots(pruned, politeness=None), 2000)
+    return out.select(
+        "host", "seq",
+        F.col("priority").cast(BIG).alias("priority"),
+        F.col("host_rank").cast(BIG).alias("host_rank"),
+        F.col("emit_ms").cast(BIG).alias("emit_ms"),
+    )
+
+
 def q_p2_global_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/P3: global take(limit) over the exact emission order — TakeOrdered
     (per-partition top-n + driver merge), total order with seq tiebreak
@@ -2093,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "a4b_span_stats_wide": q_a4b_span_stats_wide,
+        "p11_prune_pending_admit": q_p11_prune_pending_admit,
         "s1_index_scan_parse": q_s1_index_scan_parse,
         "c1_canonicalize_url": q_c1_canonicalize_url,
         "f1_first_occurrence_dedup": q_f1_first_occurrence_dedup,
@@ -2382,6 +2408,11 @@ WHERE NOT ((hk = 0 AND path LIKE '/a%') OR (hk = 1 AND path LIKE '/a/secret%'))
     o["p1_politeness_token_bucket"] = (
         "SELECT host, seq, priority, host_rank::BIGINT AS host_rank, emit_ms FROM ("
         + _EMIT_SQL + ") e"
+    )
+
+    o["p11_prune_pending_admit"] = (
+        "SELECT host, seq, priority, host_rank::BIGINT AS host_rank, emit_ms FROM ("
+        + _EMIT_SQL + ") e WHERE emit_ms < 2000"
     )
 
     o["p2_global_limit"] = (
