@@ -179,3 +179,29 @@ def test_unicode_normalize_arrow_not_per_row(spark):
     plan = _plan(E.q_text_unicode_normalize(spark, SF))
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_seen_confirm_builds_on_maybe_not_seen(spark):
+    """The bloom-positive exact confirm must never shuffle the seen side:
+    reshaped as seen ⋉ maybe (LeftSemi) then maybe ▷ hits (LeftAnti), both
+    builds are maybe-sized. A SortMergeJoin anti/semi here would mean the
+    O(frontier) shuffle regressed."""
+    df = E.q_j1_seen_anti_join_bloom(spark, SF)
+    plan = _plan(df)
+    assert "LeftSemi" in plan  # the reshape marker
+    assert "SortMergeJoin LeftAnti" not in plan
+    assert "SortMergeJoin LeftSemi" not in plan
+
+
+def test_prune_pending_narrow_before_window(spark):
+    """prune_pending_topk is a NARROW stage: MapInPandas with no exchange
+    below it — the window's host exchange sees only survivors. The prune
+    regressing to a shuffle would re-create the O(pending) exchange."""
+    df = E.q_p11_prune_pending_admit(spark, SF)
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    head, _, tail = plan.partition("MapInPandas")
+    # nothing below (after, in tree print order) the prune but the scan
+    assert "Exchange" not in tail, tail
+    # exactly the window's exchange above it
+    assert head.count("Exchange hashpartitioning") == 1, head
