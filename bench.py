@@ -196,6 +196,40 @@ def redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_redirects(edges, max_hops=32)
 
 
+def pending_prune_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state round scheduling over a BIG pending set (the case the
+    crawl_schedule headline doesn't cover: pending >> admitted). 2M pending
+    rows across ~4k hosts, default politeness (5/s burst 5, 10s round →
+    ≤56 admittable per host): prune_pending_topk keeps the emission
+    window's exchange at survivor volume instead of the full table."""
+    from delphi_crawler_spark.operators.politeness import (
+        admit_round,
+        assign_emission_slots,
+        emission_order,
+        prune_pending_topk,
+    )
+
+    d = F.col("id")
+    pending = spark.range(FRONTIER_N).select(
+        F.concat(
+            F.lit("https://host"),
+            F.pmod(d * 2654435761, F.lit(4096)),
+            F.lit(".example.com/p/"),
+            d,
+        ).alias("url"),
+        F.concat(F.lit("host"), F.pmod(d * 2654435761, F.lit(4096))).alias("host"),
+        F.pmod(d, F.lit(10)).cast("int").alias("priority"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=d / 1000.0)
+        ).alias("discovery_ts"),
+        d.alias("seq"),
+    )
+    pruned = prune_pending_topk(pending, None, round_ms=10_000)
+    out = admit_round(assign_emission_slots(pruned, None), 10_000)
+    return emission_order(out).select("url", "host", "priority", "seq", "emit_ms")
+
+
 def exact_quantiles_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentile_disc over 2M skewed values, 64 groups —
     the two-phase no-global-sort shape at volume."""
@@ -231,6 +265,7 @@ BENCH_QUERIES = {
     "heavy_hitters": E.q_hh_heavy_hitters,
     "substring_dedup": E.q_dedup_substring_windows,
     "redirect_resolve": redirect_resolve,
+    "pending_prune_schedule": pending_prune_schedule,
     "exact_quantiles": exact_quantiles_2m,
     "hll_incremental_update": hll_incremental_update,
 }
