@@ -110,6 +110,19 @@ def prune_pending_topk(
     host-bucketed frontier parts a small multiple of the admitted set —
     reach the exchange. Emitted schedule is byte-identical (pinned by the
     crawl-round oracle equality tests and a dedicated property test).
+
+    Measured trade (BENCH.md round-4): on local[32] the unpruned window
+    WINS wall time (0.95 s vs 1.48 s at 2M pending, 1.87 vs 2.95 at 8M) —
+    a single-JVM exchange is a memory copy, while the Arrow pass prices
+    every row. The prune is the CLUSTER-scale shape: it cuts exchange
+    volume ~9x here and to O(admittable) in general, which is network
+    bytes + executor sort memory on a real deployment, and is what makes a
+    10^10-row pending set schedulable at all (an unpruned window must
+    globally sort the whole frontier every round). Two prerequisites to
+    bite: hosts must be partition-clustered (the frontier store's
+    host-bucket layout provides this; over round-robin input the local
+    top-cap keeps everything) and pending-per-host must exceed the cap.
+    Single-host tunings can set CrawlConfig.prune_pending=False.
     """
     import pandas as pd
 
