@@ -109,7 +109,11 @@ def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = first_occurrence_dedup(cand, key="url", order=["seq"])
     # seen set: every 7th url of the first half (steady-state: most candidates new)
     seen, bloom = _steady_seen(spark)
-    fresh = seen_anti_join(cand, seen, bloom)
+    # this mix is a young-crawl shape (candidate wave ~14x the seen set, so
+    # maybe ~ seen): the single shuffled left_anti is the right confirm
+    # plan; the broadcast reshape is for frontier >> round (see
+    # operators/seen.py docstring + BENCH.md round-4 close-out)
+    fresh = seen_anti_join(cand, seen, bloom, reshape_confirm=False)
     slotted = assign_emission_slots(fresh, politeness=None)
     return emission_order(slotted).select("url", "host", "priority", "seq", "emit_ms")
 

@@ -178,6 +178,7 @@ def seen_anti_join(
     bloom: BloomBits | None = None,
     url_col: str = "url",
     hash64_col: str = "url_hash64",
+    reshape_confirm: bool = True,
 ) -> DataFrame:
     """Keep candidates NOT in the seen set (F2/J1).
 
@@ -198,6 +199,15 @@ def seen_anti_join(
     falls back to SMJ and the cost matches the naive plan). Without a
     bloom: plain exact ``left_anti``. Result is identical in every path
     (property-tested); only the shuffled volume differs.
+
+    ``reshape_confirm`` chooses the confirm's build-side economics: the
+    reshape wins iff ``|maybe| << |seen|`` (broadcast cost is paid once per
+    executor, ~|maybe| x executors), which is the steady-state crawl shape
+    — a frontier orders of magnitude bigger than one round's discoveries.
+    A young-crawl / backfill shape where the candidate wave rivals the seen
+    set (the bench's 16M-candidates-vs-1.1M-seen mix measured the
+    2→8-executor efficiency 0.43 → 0.35 under the reshape) should pass
+    ``False`` and take the single shuffled ``left_anti``.
     """
     if seen is None:
         return candidates
@@ -210,6 +220,9 @@ def seen_anti_join(
     )
     definite_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     maybe = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-    hits = seen_keys.join(maybe.select(url_col).distinct(), url_col, "left_semi")
-    confirmed_new = maybe.join(hits, url_col, "left_anti")
+    if reshape_confirm:
+        hits = seen_keys.join(maybe.select(url_col).distinct(), url_col, "left_semi")
+        confirmed_new = maybe.join(hits, url_col, "left_anti")
+    else:
+        confirmed_new = maybe.join(seen_keys, url_col, "left_anti")
     return definite_new.unionByName(confirmed_new)
