@@ -562,9 +562,9 @@ def q_a2_feature_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: per-doc feature map shaped as the reference's ``Map[String,Int]``
     (HermesActor.scala:49) via map_from_entries — serialized to a canonical
     sorted string for the oracle compare (map column hashing is
-    representation-dependent). Wide since schema v4: the map carries the
-    full declared integer feature space (SPAN_INT_FEATURES +
-    WIDE_INT_FEATURES — 65 keys), the breadth analogue of the reference's
+    representation-dependent). Wide since schema v4 (v5 widened): the map
+    carries the full declared integer feature space (SPAN_INT_FEATURES +
+    WIDE_INT_FEATURES — 174 keys), the breadth analogue of the reference's
     ElasticFeatureListMapping.scala:33-426."""
     from delphi_crawler_spark.operators.links import feature_map
 
@@ -577,9 +577,9 @@ def q_a2_feature_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a4b_span_stats_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 widened (schema v4): the per-kind × per-metric cross product —
-    51 per-kind + 7 global features per document, all higher-order array
-    functions in one codegen projection (reference breadth precedent:
+    """A4 widened (schema v4 + v5): the per-kind × per-metric cross product
+    — 142 per-kind + 24 global wide features per document, all higher-order
+    array functions in one narrow projection (reference breadth precedent:
     ElasticFeatureListMapping.scala:33-426)."""
     from delphi_crawler_spark.operators.links import (
         WIDE_DOUBLE_FEATURES,
@@ -2352,6 +2352,113 @@ def _span_sql_exprs() -> dict[str, str]:
             f"CASE WHEN total_text_len > 0 THEN "
             f"round(coalesce(list_sum({L}), 0) / total_text_len, 6) ELSE 0.0 END"
         )
+        # ---- v5 per-kind block (schema v5 widening) ----
+        G = f"list_transform(range(1, {C}), i -> ({P})[i+1] - ({P})[i])"
+        S = f"coalesce(list_sum({L}), 0)"
+        Q = f"coalesce(list_sum(list_transform({L}, x -> x * x)), 0)"
+        exprs[f"{kind}_first_len"] = f"coalesce(({L})[1], 0)"
+        exprs[f"{kind}_last_len"] = f"coalesce(({L})[-1], 0)"
+        exprs[f"{kind}_p25_len"] = (
+            f"CASE WHEN {C} > 0 THEN list_sort({L})"
+            f"[CAST(ceil({C} / 4.0) AS INT)] ELSE 0 END"
+        )
+        exprs[f"{kind}_p75_len"] = (
+            f"CASE WHEN {C} > 0 THEN list_sort({L})"
+            f"[CAST(ceil({C} * 3 / 4.0) AS INT)] ELSE 0 END"
+        )
+        exprs[f"{kind}_len_range"] = (
+            f"CASE WHEN {C} > 0 THEN list_max({L}) - list_min({L}) ELSE 0 END"
+        )
+        exprs[f"{kind}_n_unique_lens"] = f"len(list_distinct({L}))"
+        exprs[f"{kind}_n_even_len"] = f"len(list_filter({L}, x -> x % 2 = 0))"
+        exprs[f"{kind}_n_odd_len"] = f"len(list_filter({L}, x -> x % 2 = 1))"
+        exprs[f"{kind}_sum_pos"] = f"coalesce(list_sum({P}), 0)"
+        exprs[f"{kind}_pos_span"] = (
+            f"CASE WHEN {C} > 0 THEN list_max({P}) - list_min({P}) ELSE 0 END"
+        )
+        exprs[f"{kind}_max_gap"] = f"coalesce(list_max({G}), 0)"
+        exprs[f"{kind}_min_gap"] = f"coalesce(list_min({G}), 0)"
+        exprs[f"{kind}_n_runs"] = (
+            f"CASE WHEN {C} > 0 THEN len(list_filter({G}, g -> g > 1)) + 1 "
+            "ELSE 0 END"
+        )
+        exprs[f"{kind}_n_first_half"] = (
+            f"len(list_filter({P}, p -> p <= CAST(ceil(n_spans / 2.0) AS INT)))"
+        )
+        exprs[f"{kind}_n_with_digit"] = (
+            f"len(list_filter({T}, x -> regexp_matches(x, '[0-9]')))"
+        )
+        for feat, pat in (
+            ("n_digits", "[^0-9]"),
+            ("n_vowels", "[^aeiouAEIOU]"),
+            ("n_alpha", "[^A-Za-z]"),
+            ("n_nonalnum", "[A-Za-z0-9]"),
+        ):
+            exprs[f"{kind}_{feat}"] = (
+                f"coalesce(list_sum(list_transform({T}, "
+                f"x -> length(regexp_replace(x, '{pat}', '', 'g')))), 0)"
+            )
+        exprs[f"{kind}_n_vowel_start"] = (
+            f"len(list_filter({T}, x -> regexp_matches(x, '^[aeiouAEIOU]')))"
+        )
+        exprs[f"{kind}_n_digit_start"] = (
+            f"len(list_filter({T}, x -> regexp_matches(x, '^[0-9]')))"
+        )
+        for j in range(9):
+            exprs[f"{kind}_len_h{j}"] = (
+                f"len(list_filter({L}, x -> x >= {2 * j + 1} AND x <= {2 * j + 2}))"
+            )
+        exprs[f"{kind}_len_h9"] = f"len(list_filter({L}, x -> x >= 19))"
+        exprs[f"{kind}_share_spans"] = (
+            f"CASE WHEN n_spans > 0 THEN round({C} / n_spans, 6) ELSE 0.0 END"
+        )
+        exprs[f"{kind}_mean_pos"] = (
+            f"CASE WHEN {C} > 0 THEN round(coalesce(list_sum({P}), 0) / {C}, 6) "
+            "ELSE 0.0 END"
+        )
+        exprs[f"{kind}_std_len"] = (
+            f"CASE WHEN {C} > 0 THEN round(sqrt(greatest("
+            f"{Q} / {C} - ({S} / {C}) * ({S} / {C}), 0.0)), 6) ELSE 0.0 END"
+        )
+    # ---- v5 global block ----
+    LALL = "list_transform(ws, x -> length(x))"
+    kindm = {"text": 0, "link": 1, "media": 2}
+    for a, ma in kindm.items():
+        for b, mb in kindm.items():
+            exprs[f"n_trans_{a}_{b}"] = (
+                "coalesce(list_sum(list_transform(range(1, n_spans), "
+                f"i -> CASE WHEN length(ws[i]) % 3 = {ma} "
+                f"AND length(ws[i+1]) % 3 = {mb} THEN 1 ELSE 0 END)), 0)"
+            )
+    exprs["argmax_len_pos"] = (
+        f"CASE WHEN n_spans > 0 THEN list_position({LALL}, list_max({LALL})) "
+        "ELSE 0 END"
+    )
+    exprs["argmin_len_pos"] = (
+        f"CASE WHEN n_spans > 0 THEN list_position({LALL}, list_min({LALL})) "
+        "ELSE 0 END"
+    )
+    for feat, op in (
+        ("n_len_increases", ">"),
+        ("n_len_decreases", "<"),
+        ("n_len_plateaus", "="),
+    ):
+        exprs[feat] = (
+            "coalesce(list_sum(list_transform(range(1, n_spans), "
+            f"i -> CASE WHEN length(ws[i+1]) {op} length(ws[i]) THEN 1 ELSE 0 END)), 0)"
+        )
+    exprs["total_len_sq"] = (
+        "coalesce(list_sum(list_transform(ws, x -> length(x) * length(x))), 0)"
+    )
+    exprs["n_unique_lens_all"] = f"len(list_distinct({LALL}))"
+    exprs["std_text_len"] = (
+        "CASE WHEN n_spans > 0 THEN round(sqrt(greatest("
+        "total_len_sq_g / n_spans - (total_text_len / n_spans) * "
+        "(total_text_len / n_spans), 0.0)), 6) ELSE 0.0 END"
+    ).replace(
+        "total_len_sq_g",
+        "coalesce(list_sum(list_transform(ws, x -> length(x) * length(x))), 0)",
+    )
     return exprs
 
 

@@ -170,28 +170,68 @@ WIDE_GLOBAL_INT_FEATURES = [
     "n_offset_inversions", "offsets_monotonic", "n_runs", "median_text_len",
 ]
 WIDE_GLOBAL_DOUBLE_FEATURES = ["text_density"]
-WIDE_INT_FEATURES = [
+V4_INT_FEATURES = [
     f"{k}_{m}" for k in SPAN_KINDS for m in WIDE_KIND_INT_METRICS
 ] + WIDE_GLOBAL_INT_FEATURES
-WIDE_DOUBLE_FEATURES = [
+V4_DOUBLE_FEATURES = [
     f"{k}_{m}" for k in SPAN_KINDS for m in WIDE_KIND_DOUBLE_METRICS
 ] + WIDE_GLOBAL_DOUBLE_FEATURES
+
+# v5 block: the second widening pass toward the reference's full ~250-field
+# breadth (ElasticFeatureListMapping.scala:33-426). Positional statistics,
+# per-kind character-class totals, a 10-bucket length histogram, run/gap
+# structure, and the 3×3 kind-transition matrix — each metric is computed by
+# the operator AND independently re-expressed in the DuckDB oracle.
+V5_KIND_INT_METRICS = [
+    "first_len", "last_len", "p25_len", "p75_len", "len_range",
+    "n_unique_lens", "n_even_len", "n_odd_len", "sum_pos", "pos_span",
+    "max_gap", "min_gap", "n_runs", "n_first_half",
+    "n_with_digit", "n_digits", "n_vowels", "n_alpha", "n_nonalnum",
+    "n_vowel_start", "n_digit_start",
+] + [f"len_h{j}" for j in range(10)]
+V5_KIND_DOUBLE_METRICS = ["share_spans", "mean_pos", "std_len"]
+V5_GLOBAL_INT_FEATURES = [
+    f"n_trans_{a}_{b}" for a in SPAN_KINDS for b in SPAN_KINDS
+] + [
+    "argmax_len_pos", "argmin_len_pos", "n_len_increases",
+    "n_len_decreases", "n_len_plateaus", "total_len_sq", "n_unique_lens_all",
+]
+V5_GLOBAL_DOUBLE_FEATURES = ["std_text_len"]
+V5_INT_FEATURES = [
+    f"{k}_{m}" for k in SPAN_KINDS for m in V5_KIND_INT_METRICS
+] + V5_GLOBAL_INT_FEATURES
+V5_DOUBLE_FEATURES = [
+    f"{k}_{m}" for k in SPAN_KINDS for m in V5_KIND_DOUBLE_METRICS
+] + V5_GLOBAL_DOUBLE_FEATURES
+
+WIDE_INT_FEATURES = V4_INT_FEATURES + V5_INT_FEATURES
+WIDE_DOUBLE_FEATURES = V4_DOUBLE_FEATURES + V5_DOUBLE_FEATURES
 
 
 def span_stats_wide(docs: DataFrame) -> DataFrame:
     """``span_stats`` widened with the per-kind × per-metric cross product —
     the engine's answer to the reference's ~250-field declared feature space
-    (ElasticFeatureListMapping.scala:33-426). Still one whole-stage-codegen
-    projection of higher-order array functions: per kind the spans collapse
-    to one filtered struct array reused by every metric; no explode, no
-    shuffle, no Python.
+    (ElasticFeatureListMapping.scala:33-426; schema v5 declares 217 fields).
+    Still one narrow zero-exchange projection of higher-order array
+    functions: per kind the spans collapse to one filtered struct array
+    reused by every metric; no explode, no shuffle, no Python (higher-order
+    array expressions evaluate JVM-side outside whole-stage codegen —
+    plan-audited: Exchange count 0).
 
-    Per kind: empty/length extrema, lower-median and sum-of-squares of text
-    lengths, distinct/duplicate text counts, offset extrema and span,
+    v4 per kind: empty/length extrema, lower-median and sum-of-squares of
+    text lengths, distinct/duplicate text counts, offset extrema and span,
     first/last position (1-based; 0 = kind absent; offsets -1 = absent),
     length-bucket histogram (1-4 / 5-8 / 9+), mean length and share of total
-    text length. Globals: text-kind density, offset inversion count /
+    text length. v4 globals: text-kind density, offset inversion count /
     monotonicity, run count (kind switches + 1), global median length.
+
+    v5 per kind: first/last/quartile lengths, length range/parity/unique
+    counts, position sum/span/gaps/runs, first-half occupancy, character-
+    class totals (digits/vowels/alpha/non-alnum; digit- and vowel-start
+    counts), a 10-bucket length histogram, span share, mean position, and
+    population std of lengths. v5 globals: the 3×3 kind-transition matrix,
+    argmax/argmin length positions, length increase/decrease/plateau counts,
+    total squared length, distinct-length count, and global length std.
     Ratios round to 6 decimals (oracle-compare convention)."""
     spans = F.col("spans")
     n = F.size(spans)
@@ -220,7 +260,24 @@ def span_stats_wide(docs: DataFrame) -> DataFrame:
         sum_len = F.coalesce(
             F.aggregate(lens, F.lit(0), lambda a, x: a + x), F.lit(0)
         )
+        sum_len_sq = F.aggregate(lens, F.lit(0), lambda a, x: a + x * x)
+        sum_pos = F.coalesce(
+            F.aggregate(ps, F.lit(0), lambda a, x: a + x), F.lit(0)
+        )
+        kpair = F.greatest(cnt - 1, F.lit(0))
+        gaps = F.zip_with(
+            F.slice(ps, 1, kpair), F.slice(ps, 2, kpair), lambda a, b: b - a
+        )
         ndist = F.size(F.array_distinct(texts))
+
+        def char_total(pattern: str):
+            # total chars of a class = sum of lengths after stripping its
+            # complement (mirrors the oracle's regexp_replace(...,'g') form)
+            return F.aggregate(
+                texts,
+                F.lit(0),
+                lambda a, t: a + F.length(F.regexp_replace(t, pattern, "")),
+            )
         cols += [
             F.size(F.filter(lens, lambda x: x == 0)).alias(f"{kind}_n_empty"),
             F.coalesce(F.array_min(lens), F.lit(0)).alias(f"{kind}_min_len"),
@@ -264,6 +321,94 @@ def span_stats_wide(docs: DataFrame) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias(f"{kind}_share_len"),
         ]
+        # v5 per-kind block
+        cols += [
+            # try_element_at: per-kind arrays can be empty (ANSI element_at
+            # throws on out-of-bounds instead of returning NULL)
+            F.coalesce(F.try_element_at(lens, F.lit(1)), F.lit(0)).alias(
+                f"{kind}_first_len"
+            ),
+            F.coalesce(F.try_element_at(lens, F.lit(-1)), F.lit(0)).alias(
+                f"{kind}_last_len"
+            ),
+            F.when(
+                cnt > 0,
+                F.element_at(F.array_sort(lens), F.ceil(cnt / 4.0).cast("int")),
+            ).otherwise(F.lit(0)).alias(f"{kind}_p25_len"),
+            F.when(
+                cnt > 0,
+                F.element_at(
+                    F.array_sort(lens), F.ceil(cnt * 3 / 4.0).cast("int")
+                ),
+            ).otherwise(F.lit(0)).alias(f"{kind}_p75_len"),
+            F.when(cnt > 0, F.array_max(lens) - F.array_min(lens))
+            .otherwise(F.lit(0))
+            .alias(f"{kind}_len_range"),
+            F.size(F.array_distinct(lens)).alias(f"{kind}_n_unique_lens"),
+            F.size(F.filter(lens, lambda x: x % 2 == 0)).alias(
+                f"{kind}_n_even_len"
+            ),
+            F.size(F.filter(lens, lambda x: x % 2 == 1)).alias(
+                f"{kind}_n_odd_len"
+            ),
+            sum_pos.alias(f"{kind}_sum_pos"),
+            F.when(cnt > 0, F.array_max(ps) - F.array_min(ps))
+            .otherwise(F.lit(0))
+            .alias(f"{kind}_pos_span"),
+            F.coalesce(F.array_max(gaps), F.lit(0)).alias(f"{kind}_max_gap"),
+            F.coalesce(F.array_min(gaps), F.lit(0)).alias(f"{kind}_min_gap"),
+            F.when(cnt > 0, F.size(F.filter(gaps, lambda g: g > 1)) + 1)
+            .otherwise(F.lit(0))
+            .alias(f"{kind}_n_runs"),
+            F.size(
+                F.filter(ps, lambda p: p <= F.ceil(n / 2.0).cast("int"))
+            ).alias(f"{kind}_n_first_half"),
+            F.size(F.filter(texts, lambda t: t.rlike("[0-9]"))).alias(
+                f"{kind}_n_with_digit"
+            ),
+            char_total("[^0-9]").alias(f"{kind}_n_digits"),
+            char_total("[^aeiouAEIOU]").alias(f"{kind}_n_vowels"),
+            char_total("[^A-Za-z]").alias(f"{kind}_n_alpha"),
+            char_total("[A-Za-z0-9]").alias(f"{kind}_n_nonalnum"),
+            F.size(F.filter(texts, lambda t: t.rlike("^[aeiouAEIOU]"))).alias(
+                f"{kind}_n_vowel_start"
+            ),
+            F.size(F.filter(texts, lambda t: t.rlike("^[0-9]"))).alias(
+                f"{kind}_n_digit_start"
+            ),
+            *[
+                F.size(
+                    F.filter(
+                        lens,
+                        (lambda lo, hi: lambda x: (x >= lo) & (x <= hi))(
+                            2 * j + 1, 2 * j + 2
+                        ),
+                    )
+                ).alias(f"{kind}_len_h{j}")
+                for j in range(9)
+            ],
+            F.size(F.filter(lens, lambda x: x >= 19)).alias(f"{kind}_len_h9"),
+            F.when(n > 0, F.round(cnt / n, 6))
+            .otherwise(F.lit(0.0))
+            .alias(f"{kind}_share_spans"),
+            F.when(cnt > 0, F.round(sum_pos / cnt, 6))
+            .otherwise(F.lit(0.0))
+            .alias(f"{kind}_mean_pos"),
+            F.when(
+                cnt > 0,
+                F.round(
+                    F.sqrt(
+                        F.greatest(
+                            sum_len_sq / cnt - (sum_len / cnt) * (sum_len / cnt),
+                            F.lit(0.0),
+                        )
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"{kind}_std_len"),
+        ]
     all_lens = F.transform(spans, lambda s: F.coalesce(F.length(s["text"]), F.lit(0)))
     all_offs = F.transform(spans, lambda s: s["offset"])
     pair_len = F.greatest(n - 1, F.lit(0))
@@ -289,6 +434,72 @@ def span_stats_wide(docs: DataFrame) -> DataFrame:
         F.when(n > 0, F.round(F.col("n_text") / n, 6))
         .otherwise(F.lit(0.0))
         .alias("text_density"),
+    ]
+    # v5 global block
+    all_kinds = F.transform(spans, lambda s: s["kind"])
+    k_prev = F.slice(all_kinds, 1, pair_len)
+    k_next = F.slice(all_kinds, 2, pair_len)
+    l_prev = F.slice(all_lens, 1, pair_len)
+    l_next = F.slice(all_lens, 2, pair_len)
+    total_len_sq = F.aggregate(all_lens, F.lit(0), lambda a, x: a + x * x)
+    total_len = F.aggregate(all_lens, F.lit(0), lambda a, x: a + x)
+    cols += [
+        *[
+            F.aggregate(
+                F.zip_with(
+                    k_prev,
+                    k_next,
+                    (
+                        lambda ka, kb: lambda x, y: (
+                            (x == F.lit(ka)) & (y == F.lit(kb))
+                        ).cast("int")
+                    )(a, b),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias(f"n_trans_{a}_{b}")
+            for a in SPAN_KINDS
+            for b in SPAN_KINDS
+        ],
+        F.when(n > 0, F.array_position(all_lens, F.array_max(all_lens)))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("argmax_len_pos"),
+        F.when(n > 0, F.array_position(all_lens, F.array_min(all_lens)))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("argmin_len_pos"),
+        F.aggregate(
+            F.zip_with(l_prev, l_next, lambda x, y: (y > x).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("n_len_increases"),
+        F.aggregate(
+            F.zip_with(l_prev, l_next, lambda x, y: (y < x).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("n_len_decreases"),
+        F.aggregate(
+            F.zip_with(l_prev, l_next, lambda x, y: (y == x).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("n_len_plateaus"),
+        total_len_sq.alias("total_len_sq"),
+        F.size(F.array_distinct(all_lens)).alias("n_unique_lens_all"),
+        F.when(
+            n > 0,
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        total_len_sq / n - (total_len / n) * (total_len / n),
+                        F.lit(0.0),
+                    )
+                ),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("std_text_len"),
     ]
     base_names = ["doc_id"] + SPAN_INT_FEATURES + SPAN_OTHER_FEATURES
     return base.select(*base_names, *cols)

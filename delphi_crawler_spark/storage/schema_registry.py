@@ -22,11 +22,15 @@ import json
 
 from delphi_crawler_spark.storage.tablestore import TableStore
 
-SCHEMA_VERSION = 4  # bumped when the declared feature space changes
+SCHEMA_VERSION = 5  # bumped when the declared feature space changes
 # v4: widened with the per-kind × per-metric cross product of
 # operators/links.py span_stats_wide (WIDE_INT_FEATURES +
 # WIDE_DOUBLE_FEATURES) — the span-domain analogue of the reference's
 # ~250-field breadth; exercises migrate_if_needed on a real widening.
+# v5: second widening pass (links.py V5_* blocks) — positional stats,
+# character-class totals, 10-bucket length histograms, run/gap structure,
+# and the 3×3 kind-transition matrix; declared space reaches 217 fields
+# vs the reference's ≈250 (ElasticFeatureListMapping.scala:33-426).
 
 # The engine's declared feature space: every analytics column any operator
 # emits, with its Spark DDL type (the reference's fixed typed field list).

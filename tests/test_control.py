@@ -244,9 +244,9 @@ def test_schema_registry_v3_to_v4_widening(spark, tmp_path):
     store = TableStore(spark, str(tmp_path / "reg4"))
     SR._write(store, {"schema_version": 3, "fields": v3_fields, "migrations": []})
     migrated = SR.migrate_if_needed(store)
-    assert migrated["schema_version"] == 4
+    assert migrated["schema_version"] == SR.SCHEMA_VERSION
     ev = migrated["migrations"][-1]
-    assert (ev["from"], ev["to"]) == (3, 4)
+    assert (ev["from"], ev["to"]) == (3, SR.SCHEMA_VERSION)
     assert ev["added"] == sorted(wide)
     assert ev["removed"] == []
     assert set(migrated["fields"]) == set(SR.FEATURE_FIELDS)
@@ -254,3 +254,31 @@ def test_schema_registry_v3_to_v4_widening(spark, tmp_path):
     assert SR.check_fields_declared(sorted(wide)) == []
     assert all(SR.FEATURE_FIELDS[f] == "int" for f in WIDE_INT_FEATURES)
     assert all(SR.FEATURE_FIELDS[f] == "double" for f in WIDE_DOUBLE_FEATURES)
+
+
+def test_schema_registry_v4_to_v5_widening(spark, tmp_path):
+    """The REAL v4 -> v5 migration: an on-disk registry holding the v4
+    space (98 fields) upgrades to v5, recording exactly the v5 block
+    (positional / char-class / histogram / transition features) as added."""
+    from delphi_crawler_spark.operators.links import (
+        V5_DOUBLE_FEATURES,
+        V5_INT_FEATURES,
+    )
+    from delphi_crawler_spark.storage import schema_registry as SR
+    from delphi_crawler_spark.storage.tablestore import TableStore
+
+    v5 = set(V5_INT_FEATURES) | set(V5_DOUBLE_FEATURES)
+    v4_fields = {k: v for k, v in SR.FEATURE_FIELDS.items() if k not in v5}
+    assert len(v4_fields) == 98  # the v4 declared space
+    assert len(SR.FEATURE_FIELDS) == 217  # v5 breadth (reference ≈250)
+    store = TableStore(spark, str(tmp_path / "reg5"))
+    SR._write(store, {"schema_version": 4, "fields": v4_fields, "migrations": []})
+    migrated = SR.migrate_if_needed(store)
+    assert migrated["schema_version"] == 5
+    ev = migrated["migrations"][-1]
+    assert (ev["from"], ev["to"]) == (4, 5)
+    assert ev["added"] == sorted(v5)
+    assert ev["removed"] == []
+    assert set(migrated["fields"]) == set(SR.FEATURE_FIELDS)
+    assert all(SR.FEATURE_FIELDS[f] == "int" for f in V5_INT_FEATURES)
+    assert all(SR.FEATURE_FIELDS[f] == "double" for f in V5_DOUBLE_FEATURES)
