@@ -2066,6 +2066,36 @@ def q_agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select("event_type", "q", "value", F.col("n").cast(BIG).alias("n"))
 
 
+def q_agg_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable significant-digit quantile-histogram sketch
+    (operators/histsketch.py): two disjoint round segments built at
+    (group, bucket) grain, merged with one bucket-grain hash-agg, then
+    p50/p95/p99 read off the merged segment with a narrow window. By
+    monotone-map commutation the answer EQUALS sig_trunc(percentile_disc)
+    of the raw rows — which is exactly what the oracle computes, so the
+    whole segment→merge→read pipeline is pinned end-to-end. Incremental
+    telemetry analogue of the bloom/HLL segment families (A5/metrics,
+    SURVEY §2.5)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.histsketch import (
+        hist_quantiles,
+        hist_segments,
+        merge_segments,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+    ).where(F.col("v").isNotNull() & (F.col("v") >= 0))
+    seg = merge_segments(
+        hist_segments(ev.where(F.col("event_id") % 2 == 0), "v", by="event_type"),
+        hist_segments(ev.where(F.col("event_id") % 2 == 1), "v", by="event_type"),
+    )
+    out = hist_quantiles(seg, [0.5, 0.95, 0.99], by="event_type")
+    return out.select("event_type", "q", "value", F.col("n").cast(BIG).alias("n"))
+
+
 # =====================================================================
 # Contract surface
 # =====================================================================
@@ -2108,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r4_redirect_resolve": q_r4_redirect_resolve,
         "f6d_crawl_delay": q_f6d_crawl_delay,
         "agg_quantiles_keyed": q_agg_quantiles_keyed,
+        "agg_hist_quantile_sketch": q_agg_hist_quantile_sketch,
         "c1b_strip_tracking": q_c1b_strip_tracking,
         "text_unicode_normalize": q_text_unicode_normalize,
         "a6_render_spans": q_a6_render_spans,
@@ -3485,6 +3516,30 @@ FROM t JOIN r ON r.event_type = t.event_type AND r.rk = t.rank
 """
     # the keyed window variant must equal the two-phase answer exactly
     o["agg_quantiles_keyed"] = o["agg_exact_quantiles"]
+
+    # sketch quantile == sig_trunc(percentile_disc) of the raw rows
+    # (monotone truncation commutes with order statistics) — the oracle
+    # computes the exact disc-quantile over TRUNCATED values with the same
+    # rank convention, independently re-expressing the 3-digit decimal grid
+    o["agg_hist_quantile_sketch"] = """
+WITH raw AS (SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v0
+             FROM events WHERE value IS NOT NULL),
+v AS (SELECT event_type,
+             CASE WHEN length(CAST(v0 AS VARCHAR)) <= 3 THEN v0
+                  ELSE v0 - (v0 % CAST(power(10, length(CAST(v0 AS VARCHAR)) - 3) AS BIGINT))
+             END AS value
+      FROM raw WHERE v0 >= 0),
+n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+r AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk
+      FROM v),
+qs(q) AS (VALUES (0.5::DOUBLE), (0.95::DOUBLE), (0.99::DOUBLE)),
+t AS (SELECT n.event_type, qs.q,
+             greatest(1, ceil(qs.q * n.n)::BIGINT) AS rank, n.n
+      FROM n CROSS JOIN qs)
+SELECT t.event_type, t.q, r.value AS value, t.n::BIGINT AS n
+FROM t JOIN r ON r.event_type = t.event_type AND r.rk = t.rank
+"""
 
     o["c2b_registrable_domain"] = """
 WITH h AS (
