@@ -247,6 +247,30 @@ def exact_quantiles_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(vals, "v", [0.5, 0.95, 0.99], by="host")
 
 
+def hist_sketch_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-histogram sketch over the same 2M × 64-group
+    telemetry shape as exact_quantiles_2m: four round segments built,
+    merged at bucket grain, p50/p95/p99 read off the merged segment —
+    the incremental path whose per-round cost is O(buckets), not O(rows)."""
+    from delphi_crawler_spark.operators.histsketch import (
+        hist_quantiles,
+        hist_segments,
+        merge_segments,
+    )
+
+    d = F.col("id")
+    vals = spark.range(FRONTIER_N).select(
+        F.concat(F.lit("h"), (d % 64).cast("string")).alias("host"),
+        ((d * 2654435761) % 1000003).alias("v"),
+        (d % 4).alias("rnd"),
+    )
+    segs = [
+        hist_segments(vals.where(F.col("rnd") == r), "v", by="host")
+        for r in range(4)
+    ]
+    return hist_quantiles(merge_segments(*segs), [0.5, 0.95, 0.99], by="host")
+
+
 BENCH_QUERIES = {
     "crawl_schedule": crawl_schedule,
     "bloom_incremental_update": bloom_incremental_update,
@@ -271,6 +295,7 @@ BENCH_QUERIES = {
     "redirect_resolve": redirect_resolve,
     "pending_prune_schedule": pending_prune_schedule,
     "exact_quantiles": exact_quantiles_2m,
+    "hist_quantile_sketch": hist_sketch_2m,
     "hll_incremental_update": hll_incremental_update,
 }
 

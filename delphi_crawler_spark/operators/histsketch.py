@@ -120,22 +120,34 @@ def hist_quantiles(
             Window.partitionBy(*gcols) if by else Window.partitionBy()
         ).alias("n"),
     )
-    picks = None
-    for q in qs:
-        rank = F.greatest(F.lit(1), F.ceil(F.lit(float(q)) * F.col("n")))
-        p = (
-            cum.where(F.col("cum") >= rank)
-            .groupBy(*gcols, "n")
-            .agg(F.min("bucket").alias("value"))
-            .select(
-                *gcols,
-                F.lit(float(q)).alias("q"),
-                "value",
-                F.col("n").cast("bigint").alias("n"),
+    # every q picked in ONE aggregation pass: min bucket whose cumulative
+    # count reaches rank max(1, ceil(q*n)) — per-q filter scans would walk
+    # the bucket table len(qs) times for the same answer
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.greatest(F.lit(1), F.ceil(F.lit(float(q)) * F.col("n"))),
+                F.col("bucket"),
             )
-        )
-        picks = p if picks is None else picks.unionByName(p)
-    out = picks
+        ).alias(f"_q{i}")
+        for i, q in enumerate(qs)
+    ]
+    wide = cum.groupBy(*gcols, "n").agg(*picks)
+    out = wide.select(
+        *gcols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"), F.col(f"_q{i}").alias("value")
+                    )
+                    for i, q in enumerate(qs)
+                ]
+            )
+        ).alias("pick"),
+        F.col("n").cast("bigint").alias("n"),
+    ).select(*gcols, "pick.q", "pick.value", "n")
     if by:
         out = out.withColumnRenamed("grp", by)
     return out
