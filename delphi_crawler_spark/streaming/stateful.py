@@ -197,3 +197,85 @@ def streaming_heavy_hitter_candidates(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------- streaming quantile-histogram sketch
+
+_HS_STATE_SCHEMA = StructType(
+    [
+        StructField("ver", LongType()),
+        StructField("buckets", ArrayType(LongType())),
+        StructField("cnts", ArrayType(LongType())),
+    ]
+)
+
+_HS_OUT_SCHEMA = StructType(
+    [
+        StructField("grp", StringType()),
+        StructField("ver", LongType()),
+        StructField("bucket", LongType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def _hs_fold(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    (grp,) = key
+    if state.exists:
+        ver, bks, cs = state.get
+        seg = {int(b): int(c) for b, c in zip(list(bks), list(cs))}
+    else:
+        ver, seg = 0, {}
+    for pdf in pdfs:
+        if len(pdf):
+            # fold = count-sum per bucket: the SAME merge rule as the batch
+            # merge_segments hash-agg, so stream state == batch segment
+            for b, c in pdf["bucket"].value_counts().items():
+                seg[int(b)] = seg.get(int(b), 0) + int(c)
+    ver += 1
+    state.update((ver, list(seg.keys()), [int(v) for v in seg.values()]))
+    if seg:
+        yield pd.DataFrame(
+            {
+                "grp": str(grp),
+                "ver": int(ver),
+                "bucket": list(seg.keys()),
+                "cnt": [int(v) for v in seg.values()],
+            }
+        )
+
+
+def streaming_hist_segments(
+    stream: DataFrame,
+    value_col: str,
+    by: str,
+    digits: int = 3,
+) -> DataFrame:
+    """Bounded-state streaming quantile-histogram sketch (§2.8 + the batch
+    ``operators/histsketch.py``, fused into a stream): values truncate to
+    the SAME significant-digit grid (shared ``sig_trunc`` expression), each
+    group's ``GroupState`` is its (bucket → count) segment, folded per
+    micro-batch with the same count-sum rule as the batch
+    ``merge_segments`` — so the stream's state after any prefix of batches
+    EQUALS the batch segment built over that prefix, and the batch
+    ``hist_quantiles`` read gives the exact same percentiles either way
+    (parity-pinned in tests/test_streaming_stateful.py).
+
+    Every trigger emits each updated group's current segment stamped with a
+    monotone ``ver`` (take a group's max-``ver`` rows for its latest
+    segment). State is O(grid buckets) per group — ≤900 per decade, ≤ ~17k
+    for the full bigint range — regardless of stream length."""
+    from delphi_crawler_spark.operators.histsketch import sig_trunc
+
+    v = F.col(value_col).cast("bigint")
+    keyed = stream.where(v.isNotNull() & (v >= 0)).select(
+        F.col(by).cast("string").alias("grp"),
+        sig_trunc(v, digits).alias("bucket"),
+    )
+    return keyed.groupBy("grp").applyInPandasWithState(
+        _hs_fold,
+        outputStructType=_HS_OUT_SCHEMA,
+        stateStructType=_HS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

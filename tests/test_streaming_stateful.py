@@ -135,3 +135,84 @@ def test_streaming_heavy_hitter_candidates(spark, tmp_path):
         "SELECT bucket, count(DISTINCT key) AS nk FROM hh_out GROUP BY bucket"
     ).collect()
     assert all(r["nk"] <= 2 * k for r in per_bucket)  # across-trigger union
+
+
+def test_streaming_hist_segments_parity_with_batch(spark, tmp_path):
+    """Streaming quantile-histogram sketch: after any prefix of micro-batches
+    a group's state equals the batch segment over that prefix, and the final
+    quantile read matches the batch pipeline exactly."""
+    import pandas as pd
+
+    from delphi_crawler_spark.operators.histsketch import (
+        hist_quantiles,
+        hist_segments,
+    )
+    from delphi_crawler_spark.streaming.stateful import streaming_hist_segments
+
+    rows = []
+    for i in range(4000):
+        v = (i * 2654435761) % 123457
+        rows.append(("g%d" % (i % 5), v, i))
+    pdf = pd.DataFrame(rows, columns=["grp_in", "v", "seq"])
+
+    drop = tmp_path / "hsdrop"
+    os.makedirs(drop)
+    half = 2000
+    pdf[pdf["seq"] < half].to_parquet(str(drop / "b0.parquet"))
+    pdf[pdf["seq"] >= half].to_parquet(str(drop / "b1.parquet"))
+
+    stream = (
+        spark.readStream.schema("grp_in string, v long, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    q = (
+        streaming_hist_segments(stream, "v", by="grp_in")
+        .writeStream.format("memory")
+        .queryName("hs_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hsckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM hs_out")
+
+    full = spark.createDataFrame(pdf)
+    # final stream state (max-ver rows per group) == batch segment over all
+    latest = spark.sql(
+        """SELECT a.grp, a.bucket, a.cnt FROM hs_out a
+           JOIN (SELECT grp AS g2, max(ver) AS mv FROM hs_out GROUP BY grp) b
+             ON a.grp = b.g2 AND a.ver = b.mv"""
+    )
+    want = {
+        tuple(r)
+        for r in hist_segments(full, "v", by="grp_in").collect()
+    }
+    got = {tuple(r) for r in latest.collect()}
+    assert got == want and len(got) > 10
+
+    # prefix property: ver-1 rows of batch-0 groups == batch segment of b0
+    b0 = spark.createDataFrame(pdf[pdf["seq"] < half])
+    b0_grps = {r["grp_in"] for r in b0.select("grp_in").distinct().collect()}
+    ver1 = {
+        tuple(r)
+        for r in out.where((F.col("ver") == 1) & F.col("grp").isin(b0_grps))
+        .select("grp", "bucket", "cnt")
+        .collect()
+    }
+    want0 = {tuple(r) for r in hist_segments(b0, "v", by="grp_in").collect()}
+    assert ver1 == want0
+
+    # quantile read off the stream's final segment == batch read
+    sq = {
+        tuple(r)
+        for r in hist_quantiles(latest, [0.5, 0.99], by="grp_in").collect()
+    }
+    bq = {
+        tuple(r)
+        for r in hist_quantiles(
+            hist_segments(full, "v", by="grp_in"), [0.5, 0.99], by="grp_in"
+        ).collect()
+    }
+    assert sq == bq
