@@ -1970,6 +1970,44 @@ def q_a6_render_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a7_anchor_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-context aggregation per link target (Cho/Garcia-Molina/Page
+    '98 crawl-ordering anchor signal): each link span picks up the nearest
+    PRECEDING text span's text via a single-pass JVM array fold (no
+    explode-then-window shuffle), then one hash-agg per target gives
+    in-link count, distinct source docs, total context length, and a
+    deterministic sample context. Same span synthesis as a4_span_stats
+    (kind = word length mod 3)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.links import anchor_context_agg
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    kind = lambda w: (  # noqa: E731
+        F.when(F.length(w) % 3 == 0, F.lit("text"))
+        .when(F.length(w) % 3 == 1, F.lit("link"))
+        .otherwise(F.lit("media"))
+    )
+    spans = F.transform(
+        words,
+        lambda w, i: F.struct(
+            kind(w).alias("kind"),
+            w.alias("text"),
+            F.when(F.length(w) % 3 == 2, F.concat(F.lit("m://"), i)).alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    docs2 = docs.select(F.col("doc_id").cast(BIG).alias("doc_id"), spans.alias("spans"))
+    out = anchor_context_agg(docs2)
+    return out.select(
+        "target",
+        F.col("n_inlinks").cast(BIG).alias("n_inlinks"),
+        F.col("n_src_docs").cast(BIG).alias("n_src_docs"),
+        F.col("ctx_total_len").cast(BIG).alias("ctx_total_len"),
+        "sample_ctx",
+    )
+
+
 def q_text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus text normalization: NFC compose (Arrow pandas UDF — Spark SQL
     has no ICU normalizer) + C0 control strip (tab/newline kept) + CRLF
@@ -2150,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_span_stats": q_a4_span_stats,
         "a4b_span_stats_wide": q_a4b_span_stats_wide,
         "p11_prune_pending_admit": q_p11_prune_pending_admit,
+        "a7_anchor_context": q_a7_anchor_context,
         "s1_index_scan_parse": q_s1_index_scan_parse,
         "c1_canonicalize_url": q_c1_canonicalize_url,
         "f1_first_occurrence_dedup": q_f1_first_occurrence_dedup,
@@ -3613,6 +3652,22 @@ r AS (SELECT doc_id,
 SELECT doc_id::BIGINT AS doc_id, rendered,
        length(rendered)::BIGINT AS n_chars
 FROM r
+"""
+
+    o["a7_anchor_context"] = """
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+z AS (SELECT doc_id, unnest(list_zip(ws, range(1, len(ws) + 1))) AS zz FROM t),
+sp AS (SELECT doc_id, zz[1] AS w, zz[2] AS pos FROM z),
+cx AS (SELECT doc_id, w, pos,
+         coalesce(last_value(CASE WHEN length(w) % 3 = 0 THEN w END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), '') AS ctx
+       FROM sp)
+SELECT w AS target, count(*)::BIGINT AS n_inlinks,
+       count(DISTINCT doc_id)::BIGINT AS n_src_docs,
+       sum(length(ctx))::BIGINT AS ctx_total_len,
+       min(ctx) AS sample_ctx
+FROM cx WHERE length(w) % 3 = 1 GROUP BY w
 """
 
     o["text_unicode_normalize"] = """

@@ -553,3 +553,70 @@ def render_spans(
     ).otherwise(F.coalesce(s["text"], F.lit("")))
     rendered = F.concat_ws(sep, F.transform(ordered, piece))
     return docs.select("doc_id", rendered.alias("rendered"))
+
+
+def anchor_context(docs: DataFrame) -> DataFrame:
+    """One row per link span with its anchor context: the text of the
+    nearest PRECEDING text span in the same document (``''`` when the link
+    opens the document). Anchor/context text is the classic crawl-ordering
+    and target-description signal (Cho/Garcia-Molina/Page '98 §3 "anchor
+    text"; the reference's analogue is the POM context carried next to each
+    extracted dependency edge, MavenDependencyActor.scala:93-99).
+
+    Single-pass ``F.aggregate`` fold over the span array — the accumulator
+    carries (last text-span text, emitted (target, ctx) pairs), so the scan
+    of each document is O(spans), stays inside the JVM, and needs no
+    explode-then-window shuffle. Span order is the array order (the
+    span-sequence invariant), exactly what a window over ``span_pos`` would
+    give. Output rows appear via one ``explode`` of the folded pair array.
+
+    Scale: narrow per-row fold (no shuffle at all); the downstream
+    ``anchor_context_agg`` hash-agg is the only exchange.
+    """
+    # typed empty pair array: slice(len 1, take 0) of a dummy element keeps
+    # the element type without relying on a void-array cast
+    empty_pairs = F.slice(
+        F.array(F.struct(F.lit("").alias("target"), F.lit("").alias("ctx"))), 1, 0
+    )
+    acc0 = F.struct(F.lit("").alias("last_text"), empty_pairs.alias("out"))
+    step = lambda acc, s: F.struct(  # noqa: E731
+        F.when(s["kind"] == "text", F.coalesce(s["text"], acc["last_text"]))
+        .otherwise(acc["last_text"])
+        .alias("last_text"),
+        F.when(
+            s["kind"] == "link",
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        F.coalesce(s["text"], F.lit("")).alias("target"),
+                        acc["last_text"].alias("ctx"),
+                    )
+                ),
+            ),
+        )
+        .otherwise(acc["out"])
+        .alias("out"),
+    )
+    folded = F.aggregate(F.col("spans"), acc0, step)
+    return docs.select("doc_id", F.explode(folded["out"]).alias("p")).select(
+        "doc_id", F.col("p.target").alias("target"), F.col("p.ctx").alias("ctx")
+    )
+
+
+def anchor_context_agg(docs: DataFrame) -> DataFrame:
+    """Per-target anchor aggregation over ``anchor_context``: in-link count,
+    distinct source docs, total context length, and a deterministic sample
+    context (lexicographic min). One hash-agg shuffle keyed by target — the
+    partial aggregate (map-side combine) does the heavy lifting, so the
+    exchange carries one row per (partition, target)."""
+    return (
+        anchor_context(docs)
+        .groupBy("target")
+        .agg(
+            F.count(F.lit(1)).alias("n_inlinks"),
+            F.countDistinct("doc_id").alias("n_src_docs"),
+            F.sum(F.length("ctx")).alias("ctx_total_len"),
+            F.min("ctx").alias("sample_ctx"),
+        )
+    )

@@ -277,3 +277,37 @@ def test_registrable_domain_cases(spark):
         for r in df.select("host", registrable_domain(F.col("host")).alias("d")).collect()
     }
     assert got == cases
+
+
+def test_anchor_context_fold_semantics(spark):
+    """Anchor context = nearest PRECEDING text span; '' before any text;
+    carries across consecutive links; media spans never update it; docs
+    without links emit nothing. Aggregation is per-target with a
+    deterministic lexicographic-min sample context."""
+    from delphi_crawler_spark.operators.links import anchor_context, anchor_context_agg
+
+    schema = (
+        "doc_id bigint, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    rows = [
+        (1, [("link", "u1", None, 0), ("text", "hello", None, 1),
+             ("link", "u2", None, 2), ("link", "u3", None, 3),
+             ("text", "world", None, 4), ("media", None, "m://1", 5),
+             ("link", "u2", None, 6)]),
+        (2, [("text", "alpha", None, 0), ("link", "u2", None, 1)]),
+        (3, [("media", None, "m://2", 0)]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        (r["doc_id"], r["target"], r["ctx"])
+        for r in anchor_context(df).collect()
+    }
+    assert got == {
+        (1, "u1", ""), (1, "u2", "hello"), (1, "u3", "hello"),
+        (1, "u2", "world"), (2, "u2", "alpha"),
+    }
+    agg = {r["target"]: r for r in anchor_context_agg(df).collect()}
+    assert agg["u2"]["n_inlinks"] == 3 and agg["u2"]["n_src_docs"] == 2
+    assert agg["u2"]["ctx_total_len"] == 15 and agg["u2"]["sample_ctx"] == "alpha"
+    assert agg["u1"]["ctx_total_len"] == 0 and agg["u1"]["sample_ctx"] == ""
