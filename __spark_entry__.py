@@ -1073,6 +1073,49 @@ def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAGIC_BY_CLASS: list[tuple[bytes, str]] = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff\xe0", "image/jpeg"),
+    (b"GIF89a", "image/gif"),
+    (b"RIFF\x00\x01\x02\x03WEBP", "image/webp"),
+    (b"RIFF\x00\x01\x02\x03WAVE", "audio/wav"),
+    (b"\x00\x00\x00\x18ftypmp42", "video/mp4"),
+    (b"%PDF-1.7", "application/pdf"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"\x1f\x8b\x08", "application/gzip"),
+    (b"ID3\x04", "audio/mpeg"),
+    (b"<!DOCTYPE html>", "text/html"),
+    (b"", "application/octet-stream"),  # no magic -> WHATWG fallback
+]
+
+
+def q_mm_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type sniffing from binary magic bytes (WHATWG MIME-sniffing
+    §6 subset): payloads synthesize one of 12 signature classes (PNG, JPEG,
+    GIF, RIFF→WEBP/WAVE, ISO-BMFF ftyp, PDF, ZIP, GZIP, ID3, HTML, none)
+    prepended to the document text; the sniffer is pure JVM hex-prefix
+    matching over the first 16 bytes. The oracle derives the expected MIME
+    independently from the class rule — a wrong signature table or
+    condition order hash-mismatches."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.multimodal import sniff_mime
+
+    docs = _t(spark, sf_dir, "documents")
+    cls = (F.col("doc_id") % 12).cast("int")
+    payload = None
+    for i, (magic, _) in enumerate(_MAGIC_BY_CLASS):
+        body = F.concat(F.lit(magic), F.encode("text", "UTF-8"))
+        payload = F.when(cls == i, body) if payload is None else payload.when(cls == i, body)
+    media = docs.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), payload.alias("payload")
+    )
+    return media.select(
+        "doc_id",
+        sniff_mime("payload").alias("mime"),
+        F.length("payload").cast(BIG).alias("payload_bytes"),
+    )
+
+
 def q_mm_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling contract: (doc, frame_ts) rows from duration
     metadata — pure JVM sequence+explode; frame decode is the pluggable
@@ -2189,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4b_span_stats_wide": q_a4b_span_stats_wide,
         "p11_prune_pending_admit": q_p11_prune_pending_admit,
         "a7_anchor_context": q_a7_anchor_context,
+        "mm_mime_sniff": q_mm_mime_sniff,
         "s1_index_scan_parse": q_s1_index_scan_parse,
         "c1_canonicalize_url": q_c1_canonicalize_url,
         "f1_first_occurrence_dedup": q_f1_first_occurrence_dedup,
@@ -3223,6 +3267,24 @@ SELECT doc_id::BIGINT AS doc_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
        sha256(text) AS payload_sha256,
        octet_length(encode(text))::BIGINT AS payload_bytes
+FROM documents
+"""
+
+    o["mm_mime_sniff"] = """
+SELECT doc_id::BIGINT AS doc_id,
+       CASE CAST(doc_id % 12 AS INT)
+         WHEN 0 THEN 'image/png'    WHEN 1 THEN 'image/jpeg'
+         WHEN 2 THEN 'image/gif'    WHEN 3 THEN 'image/webp'
+         WHEN 4 THEN 'audio/wav'    WHEN 5 THEN 'video/mp4'
+         WHEN 6 THEN 'application/pdf' WHEN 7 THEN 'application/zip'
+         WHEN 8 THEN 'application/gzip' WHEN 9 THEN 'audio/mpeg'
+         WHEN 10 THEN 'text/html'   ELSE 'application/octet-stream'
+       END AS mime,
+       (CASE CAST(doc_id % 12 AS INT)
+         WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 6 WHEN 3 THEN 12
+         WHEN 4 THEN 12 WHEN 5 THEN 12 WHEN 6 THEN 8 WHEN 7 THEN 4
+         WHEN 8 THEN 3 WHEN 9 THEN 4 WHEN 10 THEN 15 ELSE 0
+       END + octet_length(encode(text)))::BIGINT AS payload_bytes
 FROM documents
 """
 

@@ -299,3 +299,57 @@ def synth_media(spark, docs: DataFrame, seed: int = 42) -> DataFrame:
             )
 
     return refs.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ------------------------------------------------------------- MIME sniffing
+# (magic-byte prefixes, WHATWG MIME-sniffing §6 subset; RFC 2046 names).
+# Hex-encoded prefix of the payload is matched against signature constants —
+# pure JVM (hex + substring + startswith inside whole-stage codegen), zero
+# Python, payload never leaves its partition. Condition order follows the
+# WHATWG table: exact long magics first, container formats (RIFF/ftyp) with
+# their discriminator bytes, then short/ambiguous magics, then the sniffed
+# text classes, else application/octet-stream.
+_MIME_BY_MAGIC: list[tuple[str, str]] = [
+    ("89504E470D0A1A0A", "image/png"),
+    ("474946383761", "image/gif"),  # GIF87a
+    ("474946383961", "image/gif"),  # GIF89a
+    ("FFD8FF", "image/jpeg"),
+    ("255044462D", "application/pdf"),  # %PDF-
+    ("504B0304", "application/zip"),
+    ("4F676753", "application/ogg"),  # OggS
+    ("494433", "audio/mpeg"),  # ID3
+    ("1F8B", "application/gzip"),
+]
+
+
+def sniff_mime(payload) -> "F.Column":
+    """MIME type sniffed from the payload's leading bytes. Accepts a binary
+    column (or name); returns a string column. Signatures with interior
+    discriminators (RIFF→WEBP/WAVE at offset 8, ISO-BMFF ``ftyp`` at offset
+    4, MP3 frame-sync nibble) are matched on the hex of the first 16 bytes;
+    the HTML check decodes at most 32 bytes and only runs when no binary
+    magic matched (CASE WHEN short-circuit)."""
+    col = F.col(payload) if isinstance(payload, str) else payload
+    h = F.hex(F.substring(col, 1, 16))
+    expr = None
+    for magic, mime in _MIME_BY_MAGIC:
+        cond = h.startswith(magic)
+        expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
+    riff = h.startswith("52494646")  # RIFF....<form>
+    expr = expr.when(riff & (F.substring(h, 17, 8) == "57454250"), "image/webp")
+    expr = expr.when(riff & (F.substring(h, 17, 8) == "57415645"), "audio/wav")
+    expr = expr.when(F.substring(h, 9, 8) == "66747970", "video/mp4")  # ....ftyp
+    # MP3 frame sync: FF Ex / FF Fx (11 set bits)
+    expr = expr.when(
+        h.startswith("FFE") | h.startswith("FFF"), "audio/mpeg"
+    )
+    head = F.lower(F.ltrim(F.decode(F.substring(col, 1, 32), "UTF-8")))
+    expr = expr.when(
+        head.startswith("<!doctype html") | head.startswith("<html"), "text/html"
+    )
+    return expr.otherwise("application/octet-stream")
+
+
+def with_mime(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach the sniffed ``mime`` column — narrow, no shuffle."""
+    return media.withColumn("mime", sniff_mime(payload_col))

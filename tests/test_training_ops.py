@@ -577,3 +577,39 @@ def test_semantic_dedup_tiling_preserves_verdict(spark):
     )
     per_block = blk.groupBy("cluster_id", "blk").count().collect()
     assert max(r["count"] for r in per_block) < 2 * 50
+
+
+def test_mime_sniffing_magic_table(spark):
+    """Magic-byte MIME sniffing: exact signatures, RIFF/ftyp interior
+    discriminators, MP3 frame sync, HTML text sniff, and the
+    octet-stream fallback for unknown/short/binary-junk payloads."""
+    from delphi_crawler_spark.operators.multimodal import with_mime
+
+    cases = [
+        (b"\x89PNG\r\n\x1a\nxxxx", "image/png"),
+        (b"\xff\xd8\xff\xdb\x00", "image/jpeg"),
+        (b"GIF87axxxx", "image/gif"),
+        (b"GIF89axxxx", "image/gif"),
+        (b"RIFF\x12\x34\x56\x78WEBPVP8 ", "image/webp"),
+        (b"RIFF\x12\x34\x56\x78WAVEfmt ", "audio/wav"),
+        (b"RIFF\x12\x34\x56\x78AVI LIST", "application/octet-stream"),
+        (b"\x00\x00\x00\x20ftypisom", "video/mp4"),
+        (b"%PDF-1.4\n%", "application/pdf"),
+        (b"PK\x03\x04\x14\x00", "application/zip"),
+        (b"\x1f\x8b\x08\x00", "application/gzip"),
+        (b"ID3\x03\x00", "audio/mpeg"),
+        (b"\xff\xfb\x90\x64", "audio/mpeg"),  # MPEG-1 L3 frame sync
+        (b"\xff\xe3\x18\xc4", "audio/mpeg"),  # MPEG-2.5 sync
+        (b"OggS\x00\x02", "application/ogg"),
+        (b"  <!DOCTYPE HTML><head>", "text/html"),
+        (b"<html lang=\"en\">", "text/html"),
+        (b"plain words only", "application/octet-stream"),
+        (b"\x00\x01", "application/octet-stream"),  # short, no magic
+        (b"", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, (p, _) in enumerate(cases)], "i int, payload binary"
+    )
+    got = {r["i"]: r["mime"] for r in with_mime(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)
