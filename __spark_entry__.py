@@ -2131,6 +2131,36 @@ def _materialize_release(out: DataFrame, release_attr: str) -> DataFrame:
     return out.sparkSession.createDataFrame(rows, schema=out.schema)
 
 
+def q_p12_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global per-round
+    fetch budget into per-host integer quotas proportional to host score —
+    sum(quota) == budget exactly; floor shares + the largest fractional
+    remainders get the leftover, ties by host asc. Scores are integer
+    counts so the double arithmetic (budget*s/S, identical op order in
+    both engines) is bit-reproducible; every-13th host gets score 0 to
+    pin the non-positive exclusion path."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.politeness import apportion_budget
+
+    orders = _t(spark, sf_dir, "orders")
+    r = F.col("o_custkey") % 211
+    hosts = (
+        orders.groupBy(
+            F.concat(F.lit("h"), r).alias("host"), (r % 13).alias("_z")
+        )
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "host",
+            F.when(F.col("_z") == 0, F.lit(0.0))
+            .otherwise(F.col("_cnt").cast("double"))
+            .alias("score"),
+        )
+    )
+    out = apportion_budget(hosts, budget=100_000)
+    out = _materialize_release(out, "_release_apportion")
+    return out.select("host", "score", F.col("quota").cast(BIG).alias("quota"))
+
+
 def q_agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group percentile_disc with no global sort: value-grain
     hash-agg -> two-phase per-partition offsets (ordering.py pattern) ->
@@ -2233,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p11_prune_pending_admit": q_p11_prune_pending_admit,
         "a7_anchor_context": q_a7_anchor_context,
         "mm_mime_sniff": q_mm_mime_sniff,
+        "p12_budget_apportion": q_p12_budget_apportion,
         "s1_index_scan_parse": q_s1_index_scan_parse,
         "c1_canonicalize_url": q_c1_canonicalize_url,
         "f1_first_occurrence_dedup": q_f1_first_occurrence_dedup,
@@ -3730,6 +3761,29 @@ SELECT w AS target, count(*)::BIGINT AS n_inlinks,
        sum(length(ctx))::BIGINT AS ctx_total_len,
        min(ctx) AS sample_ctx
 FROM cx WHERE length(w) % 3 = 1 GROUP BY w
+"""
+
+    o["p12_budget_apportion"] = """
+WITH h AS (SELECT o_custkey % 211 AS r, 'h' || (o_custkey % 211) AS host,
+                  count(*) AS cnt
+           FROM orders GROUP BY 1, 2),
+sc AS (SELECT host, CASE WHEN r % 13 = 0 THEN 0.0 ELSE CAST(cnt AS DOUBLE) END AS score
+       FROM h),
+pool AS (SELECT host, score FROM sc WHERE score > 0),
+t AS (SELECT sum(score) AS total FROM pool),
+sh AS (SELECT host, score, (100000.0 * score) / total AS share FROM pool, t),
+fl AS (SELECT host, score, CAST(floor(share) AS BIGINT) AS flr,
+              share - floor(share) AS rem
+       FROM sh),
+fs AS (SELECT sum(flr) AS fsum FROM fl),
+rk AS (SELECT host, score, flr, rem,
+              row_number() OVER (ORDER BY rem DESC, host ASC) AS rnk
+       FROM fl)
+SELECT host, score,
+       (flr + CASE WHEN rnk <= 100000 - (SELECT fsum FROM fs) THEN 1 ELSE 0 END)::BIGINT AS quota
+FROM rk
+UNION ALL
+SELECT host, score, 0::BIGINT AS quota FROM sc WHERE score <= 0 OR score IS NULL
 """
 
     o["text_unicode_normalize"] = """

@@ -254,3 +254,77 @@ def host_backoff_schedule(
         backoff.alias("backoff_s"),
         (streak > max_restarts).alias("retired"),
     )
+
+
+def apportion_budget(
+    hosts: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    key: str = "host",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer crawl
+    budget across hosts, proportional to ``score_col`` — the standard way a
+    frontier splits a global per-round fetch budget into per-host quotas
+    (the per-host analogue of P2's global limit; reference's global cap is
+    Defaults.scala's maxBatch). Output: ``(key, score, quota)`` with
+    ``sum(quota) == budget`` exactly.
+
+    quota_i = floor(budget * s_i / S) + 1 for the ``budget - sum(floors)``
+    largest fractional remainders (ties broken by key asc — deterministic).
+
+    Scale shape: two scalar one-row aggregates (total score, floor sum)
+    broadcast via crossJoin — no driver collect of host rows; the remainder
+    rank uses ``attach_global_seq`` (range-partition + partition-local sort
+    + offset add), NOT a partitionless window, so no single-task funnel and
+    the result is parallelism-invariant. Hosts with null/non-positive
+    scores get quota 0 and are excluded from the proportional pool.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    from delphi_crawler_spark.operators.ordering import attach_global_seq
+
+    s = F.col(score_col).cast("double")
+    pool = hosts.where(s.isNotNull() & (s > 0)).select(
+        F.col(key).alias(key), s.alias("_s")
+    )
+    zeros = hosts.where(s.isNull() | (s <= 0)).select(
+        F.col(key).alias(key),
+        F.col(score_col).cast("double").alias("score"),
+        F.lit(0).cast("bigint").alias("quota"),
+    )
+    total = pool.agg(F.sum("_s").alias("_total"))
+    shared = pool.crossJoin(F.broadcast(total)).select(
+        key,
+        "_s",
+        ((F.lit(float(budget)) * F.col("_s")) / F.col("_total")).alias("_share"),
+    )
+    floored = shared.select(
+        key,
+        "_s",
+        F.floor("_share").cast("bigint").alias("_floor"),
+        (F.col("_share") - F.floor("_share")).alias("_rem"),
+        # descending remainder via negation: attach_global_seq sorts asc
+        (-(F.col("_share") - F.floor("_share"))).alias("_negrem"),
+    )
+    fsum = floored.agg(F.sum("_floor").alias("_fsum"))
+    ranked, release = attach_global_seq(
+        floored, order=["_negrem", key], seq_col="_rank"
+    )
+    out = (
+        ranked.crossJoin(F.broadcast(fsum))
+        .select(
+            key,
+            F.col("_s").alias("score"),
+            (
+                F.col("_floor")
+                + F.when(
+                    F.col("_rank") <= (F.lit(int(budget)) - F.col("_fsum")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("quota"),
+        )
+        .unionByName(zeros)
+    )
+    out._release_apportion = release  # type: ignore[attr-defined]
+    return out

@@ -933,3 +933,33 @@ def test_prune_pending_topk_schedule_identical(spark):
         ).select(cols).collect()
     ]
     assert got_d == base_d
+
+
+def test_apportion_budget_properties(spark):
+    """Hamilton apportionment: quotas sum exactly to the budget, are within
+    1 of the real-valued share, non-positive/null scores get 0, the
+    leftover goes to the largest remainders (ties by key asc), and the
+    result is identical at different parallelism levels."""
+    from delphi_crawler_spark.operators.politeness import apportion_budget
+
+    rows = [("h%03d" % i, float(1 + (i * 7) % 23)) for i in range(200)]
+    rows += [("z1", 0.0), ("z2", -3.0), ("z3", None)]
+    df = spark.createDataFrame(rows, "host string, score double")
+    total = sum(s for _, s in rows[:200])
+
+    for budget in (17, 5000, 123457):
+        out = apportion_budget(df, budget)
+        got = {r["host"]: r["quota"] for r in out.collect()}
+        release = getattr(out, "_release_apportion", None)
+        if release:
+            release()
+        assert sum(got.values()) == budget
+        assert got["z1"] == got["z2"] == got["z3"] == 0
+        for h, s in rows[:200]:
+            share = budget * s / total
+            assert int(share) <= got[h] <= int(share) + 1, (budget, h)
+
+    # parallelism invariance: 2-partition and 16-partition inputs agree
+    base = {r["host"]: r["quota"] for r in apportion_budget(df.repartition(2), 5000).collect()}
+    wide = {r["host"]: r["quota"] for r in apportion_budget(df.repartition(16), 5000).collect()}
+    assert base == wide
