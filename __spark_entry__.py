@@ -1270,6 +1270,32 @@ def q_evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_r5_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho & Garcia-Molina (TOIT 2003) bias-reduced Poisson change-rate
+    estimator per URL from revisit history: lambda_hat = -ln((n-X+0.5)/
+    (n+0.5)) per mean revisit interval, corrected for changes missed
+    between probes. Events stand in as revisits: user bucket ≡ URL,
+    every-third event ≡ detected change. One hash-agg, all JVM math."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.recrawl import change_rate_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    visits = ev.select(
+        F.concat(F.lit("u"), F.col("user_id") % 500).alias("url"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        (F.col("event_id") % 3 == 0).alias("changed"),
+    )
+    out = change_rate_estimate(visits)
+    return out.select(
+        "url",
+        F.col("n_visits").cast(BIG).alias("n_visits"),
+        F.col("n_changed").cast(BIG).alias("n_changed"),
+        "mean_interval_s",
+        "lambda_per_day",
+        "horizon_days",
+    )
+
+
 def q_p7_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 at host granularity: restart-with-backoff policy derived from
     per-(host, round) fetch metrics — trailing failed-round streak →
@@ -2264,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_anchor_context": q_a7_anchor_context,
         "mm_mime_sniff": q_mm_mime_sniff,
         "p12_budget_apportion": q_p12_budget_apportion,
+        "r5_change_rate": q_r5_change_rate,
         "s1_index_scan_parse": q_s1_index_scan_parse,
         "c1_canonicalize_url": q_c1_canonicalize_url,
         "f1_first_occurrence_dedup": q_f1_first_occurrence_dedup,
@@ -3089,6 +3116,29 @@ ASOF LEFT JOIN (
   SELECT user_id, ts, max(event_id) AS event_id
   FROM events WHERE event_type = 'view' GROUP BY user_id, ts
 ) v ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+    o["r5_change_rate"] = """
+WITH v AS (SELECT 'u' || (user_id % 500) AS url, epoch_us(ts) AS ts_us,
+                  (event_id % 3 = 0) AS changed
+           FROM events),
+a AS (SELECT url, count(*) AS n,
+             sum(CASE WHEN changed THEN 1 ELSE 0 END) AS x,
+             max(ts_us) - min(ts_us) AS span_us
+      FROM v GROUP BY url
+      HAVING count(*) >= 2 AND max(ts_us) - min(ts_us) > 0),
+m AS (SELECT url, n, x,
+             (CAST(span_us AS DOUBLE) / (n - 1)) / 1000000.0 AS ibar_s,
+             ((n - x) + 0.5) / (n + 0.5) AS ratio
+      FROM a),
+l AS (SELECT url, n, x, ibar_s,
+             -ln(ratio) / (ibar_s / 86400.0) AS lam
+      FROM m)
+SELECT url, n::BIGINT AS n_visits, x::BIGINT AS n_changed,
+       round(ibar_s, 6) AS mean_interval_s,
+       round(lam, 6) AS lambda_per_day,
+       CASE WHEN x > 0 THEN round(1.0 / lam, 6) END AS horizon_days
+FROM l
 """
 
     o["p7_host_backoff"] = """

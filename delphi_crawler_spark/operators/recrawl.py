@@ -120,3 +120,58 @@ def inlink_priority_refresh(
         .withColumn("indegree", F.coalesce("__indeg", F.lit(0)).cast("long"))
         .drop("__indeg")
     )
+
+
+def change_rate_estimate(
+    visits: DataFrame,
+    url_col: str = "url",
+    ts_us_col: str = "ts_us",
+    changed_col: str = "changed",
+) -> DataFrame:
+    """Per-URL Poisson change-rate estimation from revisit history — the
+    bias-reduced frequency estimator of Cho & Garcia-Molina, "Estimating
+    Frequency of Change" (TOIT 2003), eq. (6): with n revisits of which X
+    detected a change, lambda_hat = -log((n - X + 0.5) / (n + 0.5)) per
+    mean revisit interval. This is the principled upgrade of
+    ``revisit_intervals``' change-ratio heuristic: it corrects for changes
+    MISSED between visits (a page that changed twice between two probes
+    counts once), which the raw ratio cannot.
+
+    Input: one row per completed revisit — ``(url, ts_us, changed)`` with
+    ``ts_us`` the visit time in epoch microseconds and ``changed`` whether
+    the content digest moved since the previous visit.
+
+    Output per URL (n >= 2 visits spanning > 0 time; others carry no
+    interval evidence and are dropped): visit count, change count, mean
+    interval, ``lambda_per_day``, and ``horizon_days`` = 1/lambda (NULL
+    when no change was ever observed — lambda_hat = 0 means "no evidence",
+    not "never changes").
+
+    One partial-aggregating hash-agg keyed by URL; all math is JVM
+    expressions. Doubles are combined in a fixed operation order and
+    rounded to 6 dp so the DuckDB oracle twin is bit-comparable.
+    """
+    n = F.count(F.lit(1))
+    x = F.sum(F.when(F.col(changed_col), 1).otherwise(0))
+    agg = (
+        visits.groupBy(url_col)
+        .agg(
+            n.alias("n_visits"),
+            x.alias("n_changed"),
+            (F.max(ts_us_col) - F.min(ts_us_col)).alias("_span_us"),
+        )
+        .where((F.col("n_visits") >= 2) & (F.col("_span_us") > 0))
+    )
+    nn = F.col("n_visits")
+    xx = F.col("n_changed")
+    ibar_s = (F.col("_span_us").cast("double") / (nn - 1)) / 1_000_000.0
+    ratio = ((nn - xx) + 0.5) / (nn + 0.5)
+    lam_day = -F.log(ratio) / (ibar_s / 86400.0)
+    return agg.select(
+        url_col,
+        nn.cast("long").alias("n_visits"),
+        xx.cast("long").alias("n_changed"),
+        F.round(ibar_s, 6).alias("mean_interval_s"),
+        F.round(lam_day, 6).alias("lambda_per_day"),
+        F.when(xx > 0, F.round(1.0 / lam_day, 6)).alias("horizon_days"),
+    )

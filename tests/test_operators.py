@@ -963,3 +963,37 @@ def test_apportion_budget_properties(spark):
     base = {r["host"]: r["quota"] for r in apportion_budget(df.repartition(2), 5000).collect()}
     wide = {r["host"]: r["quota"] for r in apportion_budget(df.repartition(16), 5000).collect()}
     assert base == wide
+
+
+def test_change_rate_estimate_cgm(spark):
+    """Cho/Garcia-Molina estimator: hand-computed lambda on a regular
+    revisit grid; X=0 gives lambda 0 with NULL horizon; all-changed stays
+    finite (the 0.5 correction); <2 visits or zero span are dropped."""
+    import math
+
+    from delphi_crawler_spark.operators.recrawl import change_rate_estimate
+
+    day_us = 86_400_000_000
+    rows = []
+    # u1: 5 visits, 1/day, 2 changed
+    for i in range(5):
+        rows.append(("u1", i * day_us, i in (1, 3)))
+    # u2: 4 visits, never changed
+    for i in range(4):
+        rows.append(("u2", i * day_us, False))
+    # u3: 3 visits, ALL changed (naive -ln((n-X)/n) would be infinite)
+    for i in range(3):
+        rows.append(("u3", i * day_us, True))
+    rows.append(("u4", 0, True))                      # single visit -> drop
+    rows += [("u5", 7 * day_us, False), ("u5", 7 * day_us, True)]  # zero span
+    df = spark.createDataFrame(rows, "url string, ts_us long, changed boolean")
+    got = {r["url"]: r for r in change_rate_estimate(df).collect()}
+
+    assert set(got) == {"u1", "u2", "u3"}
+    lam1 = -math.log((5 - 2 + 0.5) / (5 + 0.5)) / 1.0  # ibar = 1 day
+    assert abs(got["u1"]["lambda_per_day"] - round(lam1, 6)) < 1e-12
+    assert abs(got["u1"]["horizon_days"] - round(1 / lam1, 6)) < 1e-12
+    assert got["u2"]["lambda_per_day"] == 0.0 and got["u2"]["horizon_days"] is None
+    lam3 = -math.log(0.5 / 3.5)
+    assert abs(got["u3"]["lambda_per_day"] - round(lam3, 6)) < 1e-12
+    assert got["u1"]["mean_interval_s"] == 86400.0
