@@ -1270,6 +1270,21 @@ def q_evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (Sennrich 2016): 30 merge
+    iterations over the distinct-word grain — ONE corpus-sized word-count
+    agg, then every iteration is a vocab-sized pair-count hash-agg, a
+    TakeOrdered argmax (driver sees one row per iteration), and a narrow
+    JVM fold merge with per-iteration localCheckpoint lineage truncation.
+    Oracle: expected-parquet from the independent per-word Python trainer
+    (tools/gen_expected.py)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, num_merges=30, min_pair_count=2)
+
+
 def q_r5_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cho & Garcia-Molina (TOIT 2003) bias-reduced Poisson change-rate
     estimator per URL from revisit history: lambda_hat = -ln((n-X+0.5)/
@@ -2291,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mime_sniff": q_mm_mime_sniff,
         "p12_budget_apportion": q_p12_budget_apportion,
         "r5_change_rate": q_r5_change_rate,
+        "corpus_bpe_merges": q_corpus_bpe_merges,
         "s1_index_scan_parse": q_s1_index_scan_parse,
         "c1_canonicalize_url": q_c1_canonicalize_url,
         "f1_first_occurrence_dedup": q_f1_first_occurrence_dedup,
@@ -3908,6 +3924,7 @@ FROM r WHERE sample_rank <= 30
         "sim_ivf_topk",
         "dedup_semantic",
         "agg_hll_distinct",
+        "corpus_bpe_merges",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
 

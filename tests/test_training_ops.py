@@ -613,3 +613,53 @@ def test_mime_sniffing_magic_table(spark):
     got = {r["i"]: r["mime"] for r in with_mime(df).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, cases[i][0], got[i], want)
+
+
+def test_bpe_train_encode_roundtrip(spark):
+    """BPE: learned merges on a toy corpus match the classic worked
+    example; encoding the training corpus with the learned merges yields
+    exactly the trained symbol state (fold == scan replacement); unseen
+    words fall back to characters."""
+    from delphi_crawler_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lower newest newest newest widest")],
+        "doc_id long, text string",
+    )
+    merges_df = bpe_train(docs, num_merges=6, min_pair_count=2)
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    assert len(merges) == 6
+    ranks = {r["merge_rank"]: (r["left"], r["right"], r["pair_count"])
+             for r in merges_df.collect()}
+    counts = [ranks[i][2] for i in sorted(ranks)]
+    assert all(c >= 2 for c in counts)  # min_pair_count respected
+    # worked example: (l,o) = low*3 + lower*2 = 5 wins round 1
+    assert ranks[1] == ("l", "o", 5)
+
+    # vocab from the final state covers the corpus exactly
+    state = merges_df._bpe_state
+    vocab = {r["token"]: r["total_count"] for r in bpe_vocab(state).collect()}
+    assert sum(vocab.values()) == sum(
+        r["cnt"] * len(r["syms"]) for r in state.collect()
+    )
+
+    # encode(training corpus) tokens == flatten of trained word states
+    enc = bpe_encode(docs, merges).collect()[0]["tokens"]
+    by_word = {r["word"]: list(r["syms"]) for r in state.collect()}
+    want = []
+    for w in "low low low lower lower newest newest newest widest".split():
+        want += by_word[w]
+    assert enc == want
+
+    # unseen word -> characters (+ </w>), known word -> trained pieces
+    new = spark.createDataFrame([(2, "low zzq")], "doc_id long, text string")
+    enc2 = bpe_encode(new, merges).collect()[0]["tokens"]
+    assert enc2[: len(by_word["low"])] == by_word["low"]
+    assert enc2[len(by_word["low"]):] == ["z", "z", "q", "</w>"]

@@ -545,6 +545,49 @@ def gen_agg_hll_distinct(docs: pd.DataFrame, p: int = 12) -> pd.DataFrame:
     ).astype({"n_exact": "int64", "hll_estimate": "float64", "p": "int64"})
 
 
+def gen_corpus_bpe_merges(
+    docs: pd.DataFrame, num_merges: int = 30, min_pair_count: int = 2
+) -> pd.DataFrame:
+    """Independent BPE trainer (Sennrich 2016, per-word Python loops): the
+    merge table the Spark fold-based trainer must reproduce exactly —
+    greedy left-to-right non-overlapping replacement, argmax pair with
+    (count desc, left asc, right asc) tiebreak."""
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for t in docs["text"]:
+        for w in str(t).lower().split():
+            wc[w] += 1
+    syms = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pc: Counter = Counter()
+        for w, c in wc.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if c < min_pair_count:
+            break
+        merges.append((rank, l, r, c))
+        merged = l + r
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return pd.DataFrame(
+        merges, columns=["merge_rank", "left", "right", "pair_count"]
+    ).astype({"merge_rank": "int64", "pair_count": "int64"})
+
+
 # ==================================================================== driver
 GENERATORS = {
     "c3_hash_keys": ("documents", gen_c3_hash_keys),
@@ -555,6 +598,7 @@ GENERATORS = {
     "sim_ivf_topk": ("embeddings", gen_sim_ivf_topk),
     "dedup_semantic": ("embeddings", gen_dedup_semantic),
     "agg_hll_distinct": ("documents", gen_agg_hll_distinct),
+    "corpus_bpe_merges": ("documents", gen_corpus_bpe_merges),
 }
 
 
