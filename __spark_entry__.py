@@ -239,6 +239,61 @@ def q_f6_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_filter(cand, rules).select("c_custkey", "url")
 
 
+def q_f6e_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 with RFC 9309 §2.2.3 special characters: '*' (any char run) and
+    trailing '$' (end anchor) in path patterns, most-octets specificity.
+    Three wildcard regimes by host class: extension block with a longer
+    allow carve-out (/*.php$ vs /pub*.php$), mid-pattern wildcard
+    (/p*/secret), and exact-path anchor (/dl$). The oracle hand-derives
+    each class's winning verdict as independent regexes — a wrong
+    translation or specificity order mismatches."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.robots import robots_filter
+
+    nation = _t(spark, sf_dir, "nation")
+    host = F.concat(
+        F.regexp_replace(F.lower(F.col("n_name")), "[^a-z0-9]", ""), F.lit(".test")
+    ).alias("host")
+    k = F.col("n_nationkey") % 3
+
+    def rule(flt, rl, pat, order):
+        return nation.filter(flt).select(
+            host,
+            F.lit(rl).alias("rule"),
+            F.lit(pat).alias("path_prefix"),
+            F.lit(order).alias("order"),
+        )
+
+    rules = (
+        rule(k == 0, "disallow", "/*.php$", 0)
+        .unionByName(rule(k == 0, "allow", "/pub*.php$", 1))
+        .unionByName(rule(k == 1, "disallow", "/p*/secret", 0))
+        .unionByName(rule(k == 1, "allow", "/", 1))
+        .unionByName(rule(k == 2, "disallow", "/dl$", 0))
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    ck = F.col("c_custkey")
+    path = (
+        F.when(ck % 6 == 0, F.concat(F.lit("/idx"), ck, F.lit(".php")))
+        .when(ck % 6 == 1, F.concat(F.lit("/pub"), ck, F.lit(".php")))
+        .when(ck % 6 == 2, F.concat(F.lit("/idx"), ck, F.lit(".php?q=1")))
+        .when(ck % 6 == 3, F.concat(F.lit("/p"), ck, F.lit("/secret")))
+        .when(ck % 6 == 4, F.lit("/dl"))
+        .otherwise(F.lit("/dl/x"))
+    )
+    hostc = F.concat(
+        F.regexp_replace(F.lower(F.col("n_name")), "[^a-z0-9]", ""), F.lit(".test")
+    )
+    cand = cust.select(
+        ck.cast(BIG).alias("c_custkey"),
+        hostc.alias("host"),
+        F.concat(F.lit("https://"), hostc, path).alias("url"),
+    )
+    return robots_filter(cand, rules).select("c_custkey", "url")
+
+
 def _events_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events recast as a URL frontier: host = user bucket, priority from the
     event id, arrival order = (ts, event_id)."""
@@ -2307,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p12_budget_apportion": q_p12_budget_apportion,
         "r5_change_rate": q_r5_change_rate,
         "corpus_bpe_merges": q_corpus_bpe_merges,
+        "f6e_robots_wildcards": q_f6e_robots_wildcards,
         "s1_index_scan_parse": q_s1_index_scan_parse,
         "c1_canonicalize_url": q_c1_canonicalize_url,
         "f1_first_occurrence_dedup": q_f1_first_occurrence_dedup,
@@ -2685,6 +2741,33 @@ SELECT user_id::BIGINT AS user_id, event_type, event_id::BIGINT AS event_id, val
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
       FROM events) t
 WHERE rn = 1
+"""
+
+    o["f6e_robots_wildcards"] = """
+WITH c AS (
+  SELECT c_custkey,
+         regexp_replace(lower(n_name), '[^a-z0-9]', '', 'g') || '.test' AS host,
+         n_nationkey % 3 AS k,
+         CASE CAST(c_custkey % 6 AS INT)
+           WHEN 0 THEN '/idx' || c_custkey || '.php'
+           WHEN 1 THEN '/pub' || c_custkey || '.php'
+           WHEN 2 THEN '/idx' || c_custkey || '.php?q=1'
+           WHEN 3 THEN '/p' || c_custkey || '/secret'
+           WHEN 4 THEN '/dl'
+           ELSE '/dl/x'
+         END AS path
+  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+SELECT c_custkey::BIGINT AS c_custkey, 'https://' || host || path AS url
+FROM c
+WHERE CASE k
+  -- class 0: allow /pub*.php$ (10 octets) beats disallow /*.php$ (7)
+  WHEN 0 THEN regexp_matches(path, '^/pub.*\\.php$')
+              OR NOT regexp_matches(path, '^/.*\\.php$')
+  -- class 1: disallow /p*/secret (10) beats allow / (1)
+  WHEN 1 THEN NOT regexp_matches(path, '^/p.*/secret')
+  -- class 2: disallow /dl$ — exact-path anchor only
+  ELSE NOT regexp_matches(path, '^/dl$')
+END
 """
 
     o["f6_robots_gate"] = """

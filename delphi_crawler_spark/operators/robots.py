@@ -6,8 +6,14 @@ must pass through. The north rule requires a real robots gate: parse
 per-host allow/disallow path-prefix rules into a broadcast structure and
 filter candidates with a vectorized ``allowed(host, path)``.
 
-Semantics (de-facto robots standard): the **longest matching path prefix**
-wins; on equal length, ``allow`` wins; a host with no rules is allowed.
+Semantics (RFC 9309): the **most specific matching rule** wins — most
+pattern octets (§2.2.2); on equal length, ``allow`` wins; a host with no
+rules is allowed. Path patterns support the §2.2.3 special characters:
+``*`` matches any character run and a trailing ``$`` anchors end-of-path
+(compiled to \\Q-quoted Java regexes executor-side; plain prefixes keep a
+startswith fast path). Literal ``\\E`` inside a path pattern is the one
+unsupported corner (it would close the quote) — not expressible in a
+sane URL path.
 
 Scale: the rules stay a DataFrame end-to-end — aggregated executor-side
 into one pre-sorted rule array per host and broadcast-JOINED to the
@@ -25,13 +31,28 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _pattern_re(pattern: str):
+    """RFC 9309 §2.2.3 path pattern → compiled regex: ``*`` matches any
+    char sequence, a trailing ``$`` anchors end-of-path, everything else is
+    literal. Returns None for plain prefixes (fast startswith path)."""
+    import re
+
+    if "*" not in pattern and not pattern.endswith("$"):
+        return None
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "^" + ".*".join(re.escape(piece) for piece in body.split("*"))
+    return re.compile(rx + ("$" if anchored else ""))
+
+
 def compile_rules(rules_pdf: pd.DataFrame) -> dict[str, list[tuple[str, bool]]]:
-    """host -> [(path_prefix, is_allow)] sorted by (prefix_len desc,
-    allow-first) so the first match is the winning rule."""
-    compiled: dict[str, list[tuple[str, bool]]] = {}
+    """host -> [(path_pattern, is_allow, compiled_or_None)] sorted by
+    (pattern_len desc, allow-first) so the first match is the winning rule
+    (RFC 9309 §2.2.2 most-octets specificity; wildcards per §2.2.3)."""
+    compiled: dict[str, list[tuple[str, bool, object]]] = {}
     for host, grp in rules_pdf.groupby("host"):
         entries = [
-            (str(r.path_prefix), str(r.rule) == "allow")
+            (str(r.path_prefix), str(r.rule) == "allow", _pattern_re(str(r.path_prefix)))
             for r in grp.sort_values("order").itertuples()
         ]
         entries.sort(key=lambda e: (-len(e[0]), not e[1]))
@@ -43,8 +64,8 @@ def allowed_py(compiled: dict, host: str, path: str) -> bool:
     rules = compiled.get(host)
     if not rules:
         return True
-    for prefix, is_allow in rules:
-        if path.startswith(prefix):
+    for pattern, is_allow, rx in rules:
+        if rx.match(path) if rx is not None else path.startswith(pattern):
             return is_allow
     return True
 
@@ -72,6 +93,28 @@ def robots_filter(
     (plan-audited in tests/test_plans.py)."""
     if rules is None:
         return candidates
+    # RFC 9309 §2.2.3 wildcard compile, executor-side column math: a rule
+    # containing '*' (any char run) or a trailing '$' (end anchor) gets a
+    # precompiled Java regex — literal chars escaped with \Q..\E quoting so
+    # no metachar survives — while plain prefixes keep the startswith fast
+    # path (has_wild=false ⇒ pattern never evaluated).
+    anchored = F.endswith(F.col("path_prefix"), F.lit("$"))
+    body = F.when(
+        anchored, F.expr("substring(path_prefix, 1, length(path_prefix) - 1)")
+    ).otherwise(F.col("path_prefix"))
+    quoted = F.concat(
+        F.lit("^"),
+        # \Q..\E-quote each literal piece between '*'s; join with '.*'
+        F.array_join(
+            F.transform(
+                F.split(body, r"\*", -1),
+                lambda p: F.concat(F.lit("\\Q"), p, F.lit("\\E")),
+            ),
+            ".*",
+        ),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    has_wild = F.col("path_prefix").contains("*") | anchored
     rule_arr = rules.groupBy(F.col("host").alias("__rhost")).agg(
         F.array_sort(
             F.collect_list(
@@ -81,6 +124,8 @@ def robots_filter(
                     F.col("order").alias("order"),
                     F.col("path_prefix").alias("path_prefix"),
                     (F.col("rule") == "allow").alias("is_allow"),
+                    has_wild.alias("has_wild"),
+                    F.when(has_wild, quoted).otherwise(F.lit("^")).alias("pattern"),
                 )
             )
         ).alias("__rules")
@@ -95,7 +140,9 @@ def robots_filter(
     ).withColumn("__path", path)
     matched = F.filter(
         F.col("__rules"),
-        lambda r: F.startswith(F.col("__path"), r["path_prefix"]),
+        lambda r: F.when(
+            r["has_wild"], F.regexp_like(F.col("__path"), r["pattern"])
+        ).otherwise(F.startswith(F.col("__path"), r["path_prefix"])),
     )
     verdict = (
         F.col("__rules").isNull()

@@ -997,3 +997,48 @@ def test_change_rate_estimate_cgm(spark):
     lam3 = -math.log(0.5 / 3.5)
     assert abs(got["u3"]["lambda_per_day"] - round(lam3, 6)) < 1e-12
     assert got["u1"]["mean_interval_s"] == 86400.0
+
+
+def test_robots_wildcard_matching_rfc9309(spark):
+    """RFC 9309 §2.2.3 special characters in the gate AND the independent
+    python reference: '*' any-run, trailing '$' end-anchor, most-octets
+    specificity, allow-on-tie. Vectors adapted from the spec's and
+    Google's published matching examples."""
+    import pandas as pd
+
+    from delphi_crawler_spark.operators.robots import (
+        allowed_py,
+        compile_rules,
+        robots_filter,
+    )
+
+    rules_rows = [
+        ("h", "disallow", "/*.gif$", 0),
+        ("h", "allow", "/fish*.gif$", 1),
+        ("h", "disallow", "/fish*.php", 2),
+        ("h", "disallow", "/exact$", 3),
+        ("h", "allow", "/", 4),
+    ]
+    cases = {
+        "/a.gif": False,          # /*.gif$
+        "/a.gif?x=1": True,       # $ anchor fails past the query
+        "/fishy.gif": True,       # longer allow beats /*.gif$
+        "/fish/a.php": False,     # mid-pattern * spans the slash
+        "/fishxphp": True,        # needs the literal .php
+        "/exact": False,          # anchored exact path
+        "/exact/sub": True,       # anchor rejects longer paths
+        "/": True,
+    }
+    rules = spark.createDataFrame(
+        rules_rows, "host string, rule string, path_prefix string, order int"
+    )
+    cand = spark.createDataFrame(
+        [(f"https://h{p}", "h") for p in cases], "url string, host string"
+    )
+    got = {r["url"] for r in robots_filter(cand, rules).collect()}
+    comp = compile_rules(
+        pd.DataFrame(rules_rows, columns=["host", "rule", "path_prefix", "order"])
+    )
+    for p, want in cases.items():
+        assert (f"https://h{p}" in got) == want, p
+        assert allowed_py(comp, "h", p) == want, p
