@@ -239,6 +239,32 @@ def q_f6_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_filter(cand, rules).select("c_custkey", "url")
 
 
+def q_c1c_host_idna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internationalized hostname → punycode (IDNA ToASCII, RFC 3490/3492):
+    five template classes (German umlauts, CJK, multi-label, pure-ASCII
+    passthrough, uppercase Cyrillic exercising nameprep case-fold) behind a
+    per-key ASCII prefix label. Plan: JVM rlike pre-split keeps ASCII hosts
+    pure codegen; only non-ASCII rows pay the Arrow hop. Oracle maps each
+    class to its literal expected encoding — independent of the codec."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.canonicalize import host_to_ascii
+
+    cust = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    tmpl = (
+        F.when(ck % 5 == 0, "bücher.de")
+        .when(ck % 5 == 1, "中国.example")
+        .when(ck % 5 == 2, "münchen.müller.example")
+        .when(ck % 5 == 3, "ascii.example.com")
+        .otherwise("ПРИМЕР.испытание")
+    )
+    host = F.concat(F.lit("h"), ck, F.lit("."), tmpl)
+    return cust.select(
+        ck.cast(BIG).alias("c_custkey"),
+        host_to_ascii(host).alias("host_ascii"),
+    )
+
+
 def q_f6e_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 with RFC 9309 §2.2.3 special characters: '*' (any char run) and
     trailing '$' (end anchor) in path patterns, most-octets specificity.
@@ -2363,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r5_change_rate": q_r5_change_rate,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "f6e_robots_wildcards": q_f6e_robots_wildcards,
+        "c1c_host_idna": q_c1c_host_idna,
         "s1_index_scan_parse": q_s1_index_scan_parse,
         "c1_canonicalize_url": q_c1_canonicalize_url,
         "f1_first_occurrence_dedup": q_f1_first_occurrence_dedup,
@@ -2741,6 +2768,19 @@ SELECT user_id::BIGINT AS user_id, event_type, event_id::BIGINT AS event_id, val
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
       FROM events) t
 WHERE rn = 1
+"""
+
+    o["c1c_host_idna"] = """
+SELECT c_custkey::BIGINT AS c_custkey,
+       'h' || c_custkey || '.' ||
+       CASE CAST(c_custkey % 5 AS INT)
+         WHEN 0 THEN 'xn--bcher-kva.de'
+         WHEN 1 THEN 'xn--fiqs8s.example'
+         WHEN 2 THEN 'xn--mnchen-3ya.xn--mller-kva.example'
+         WHEN 3 THEN 'ascii.example.com'
+         ELSE 'xn--e1afmkfd.xn--80akhbyknj4f'
+       END AS host_ascii
+FROM customer
 """
 
     o["f6e_robots_wildcards"] = """

@@ -311,3 +311,37 @@ def strip_tracking_params(url: Column) -> Column:
     kept = F.filter(params, lambda p: (p != "") & ~is_tracking(p))
     rebuilt = F.when(F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))).otherwise(base)
     return F.when(url.contains("?"), rebuilt).otherwise(url)
+
+
+# ------------------------------------------------------------- IDN / punycode
+def host_to_ascii_py(host: str | None) -> str | None:
+    """IDNA ToASCII (RFC 3490 nameprep + RFC 3492 punycode, the stdlib
+    ``idna`` codec) per hostname — the reference scalar implementation.
+    Already-ASCII hosts pass through untouched; hosts the codec rejects
+    (empty labels, length violations) pass through unchanged — the gate is
+    fail-open like the bloom filter, a crawler must not lose a URL to an
+    encoding corner."""
+    if host is None:
+        return None
+    if host.isascii():
+        return host
+    try:
+        return host.encode("idna").decode("ascii")
+    except UnicodeError:
+        return host
+
+
+@F.pandas_udf(StringType())
+def _host_ascii_udf(hosts: pd.Series) -> pd.Series:
+    return hosts.map(host_to_ascii_py)
+
+
+def host_to_ascii(host: Column | str) -> Column:
+    """Internationalized hostname → ASCII-compatible (punycode) form.
+
+    Plan shape: a JVM ``rlike`` pre-split keeps the overwhelmingly-common
+    all-ASCII host on the pure-codegen path (the Python hop is never paid
+    for it); only non-ASCII hosts route through the Arrow-batched pandas
+    UDF. Mirrors the canonicalize_url fast-path discipline."""
+    col = F.col(host) if isinstance(host, str) else host
+    return F.when(col.rlike(r"^[\x00-\x7F]*$"), col).otherwise(_host_ascii_udf(col))

@@ -204,3 +204,34 @@ def test_clean_text_nfc_and_control_strip(spark):
         for r in df.select("t", clean_text_col(F.col("t")).alias("c")).collect()
     }
     assert got == cases
+
+
+def test_host_to_ascii_idna(spark):
+    """IDNA ToASCII golden vectors: punycode per label, nameprep
+    case-fold, ASCII passthrough (fast path never pays the Python hop),
+    fail-open on codec rejections, null safety."""
+    from delphi_crawler_spark.functions.canonicalize import (
+        host_to_ascii,
+        host_to_ascii_py,
+    )
+
+    cases = {
+        "bücher.de": "xn--bcher-kva.de",
+        "中国.example": "xn--fiqs8s.example",
+        "münchen.müller.example": "xn--mnchen-3ya.xn--mller-kva.example",
+        "ascii.example.com": "ascii.example.com",
+        "ПРИМЕР.испытание": "xn--e1afmkfd.xn--80akhbyknj4f",
+        "ok..двойнаяточка": "ok..двойнаяточка",  # empty label -> fail-open
+    }
+    for h, want in cases.items():
+        assert host_to_ascii_py(h) == want, h
+    assert host_to_ascii_py(None) is None
+
+    df = spark.createDataFrame([(h,) for h in cases] + [(None,)], "host string")
+    got = {
+        r["host"]: r["a"]
+        for r in df.select("host", host_to_ascii("host").alias("a")).collect()
+    }
+    for h, want in cases.items():
+        assert got[h] == want, h
+    assert got[None] is None
