@@ -781,6 +781,18 @@ def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: event-time sliding (hopping) window aggregation — 1h windows
+    every 15min, each event in 4 windows (batch plan ≡ Structured
+    Streaming plan; streaming parity pinned in test_streaming.py)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.streaming.frontier_stream import sliding_event_metrics
+
+    ev = _t(spark, sf_dir, "events")
+    # batch path: no watermark semantics apply; call the same plan builder
+    return sliding_event_metrics(ev)
+
+
 # =====================================================================
 # Relational analytics (scan/filter/join/agg parity demos)
 # =====================================================================
@@ -2390,6 +2402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "f6e_robots_wildcards": q_f6e_robots_wildcards,
         "c1c_host_idna": q_c1c_host_idna,
+        "stream_sliding_window": q_stream_sliding_window,
         "s1_index_scan_parse": q_s1_index_scan_parse,
         "c1_canonicalize_url": q_c1_canonicalize_url,
         "f1_first_occurrence_dedup": q_f1_first_occurrence_dedup,
@@ -3002,6 +3015,16 @@ SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY event_type
+"""
+
+    o["stream_sliding_window"] = """
+WITH e AS (SELECT epoch_us(ts) AS eu, event_type, value FROM events),
+x AS (SELECT event_type, value,
+             make_timestamp(((eu // 900000000) - k.k) * 900000000) AS window_start
+      FROM e, (SELECT unnest(range(0, 4)) AS k) k)
+SELECT window_start, event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM x GROUP BY 1, 2
 """
 
     o["stream_tumbling_window"] = """

@@ -138,6 +138,32 @@ def windowed_event_metrics(
     )
 
 
+def sliding_event_metrics(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time SLIDING (hopping) window metrics — each event lands in
+    window/slide overlapping windows (4 for 1h/15min), the standard
+    smoothed-rate telemetry read (per-host fetch rate, error rate) a crawl
+    dashboard reads. Same watermark state-eviction and exact-decimal sum
+    discipline as ``windowed_event_metrics``; identical on batch and
+    streaming inputs (parity-pinned), batch twin oracle-checked
+    (q ``stream_sliding_window``). State is O(open windows × keys) —
+    window/slide× the tumbling state, still watermark-bounded."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
 def session_metrics(
     events: DataFrame,
     gap: str = "30 minutes",

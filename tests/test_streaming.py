@@ -233,3 +233,43 @@ def test_frontier_dedup_stream_bounded_state(spark, tmp_path):
     )
     assert got == exp
     assert len(got) < len(allb)  # the input really contained duplicates
+
+
+def test_sliding_window_stream_equals_batch(spark, tmp_path):
+    """Sliding (hopping) windows: streaming output over a file source
+    equals the batch plan over the same rows — every event lands in
+    exactly window/slide (=4) overlapping windows."""
+    import numpy as np
+    import pandas as pd
+
+    from delphi_crawler_spark.streaming.frontier_stream import sliding_event_metrics
+
+    src = str(tmp_path / "slide_src")
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 6 * 3600, 4000), unit="s"),
+            "event_type": rng.choice(["a", "b"], 4000),
+            "value": rng.random(4000) * 10,
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+    batch = sliding_event_metrics(spark.read.parquet(src))
+    assert batch.agg(F.sum("n")).collect()[0][0] == 4 * 4000  # 4 windows/event
+
+    stream_in = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(src)
+    q = (
+        sliding_event_metrics(stream_in)
+        .writeStream.format("memory")
+        .queryName("slide_metrics")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM slide_metrics")
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
