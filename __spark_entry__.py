@@ -1966,6 +1966,32 @@ def q_corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-host k-sample without replacement (Efraimidis-Spirakis
+    order sampling): deterministic md5-derived uniform -> exponential race
+    key -ln(u)/w, k smallest win, selection probability proportional to
+    weight. Weights = doc length; every-7th doc gets weight 0 to pin the
+    non-positive exclusion. Same window shape as the uniform sampler."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.sampling import group_weighted_sample
+
+    d = F.col("doc_id")
+    frontier = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (d % 5).cast("string")).alias("host"),
+        d.cast(BIG).alias("doc_id"),
+        F.when(d % 7 == 0, F.lit(0.0))
+        .otherwise(F.length("text").cast("double"))
+        .alias("weight"),
+    )
+    out = group_weighted_sample(frontier, "host", "doc_id", "weight", k=25)
+    return out.select(
+        "host",
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        F.round("weight", 6).alias("weight"),
+        F.col("sample_rank").cast(BIG).alias("sample_rank"),
+    )
+
+
 def q_corpus_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host uniform downsampling (cap k docs per host) by
     deterministic md5(host:id) rank — the reproducible stand-in for a
@@ -2403,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6e_robots_wildcards": q_f6e_robots_wildcards,
         "c1c_host_idna": q_c1c_host_idna,
         "stream_sliding_window": q_stream_sliding_window,
+        "corpus_weighted_sample": q_corpus_weighted_sample,
         "s1_index_scan_parse": q_s1_index_scan_parse,
         "c1_canonicalize_url": q_c1_canonicalize_url,
         "f1_first_occurrence_dedup": q_f1_first_occurrence_dedup,
@@ -2781,6 +2808,25 @@ SELECT user_id::BIGINT AS user_id, event_type, event_id::BIGINT AS event_id, val
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
       FROM events) t
 WHERE rn = 1
+"""
+
+    o["corpus_weighted_sample"] = """
+WITH fr AS (SELECT 'h' || (doc_id % 5) AS host, doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN 0.0
+                        ELSE CAST(length(text) AS DOUBLE) END AS weight
+            FROM documents),
+p AS (SELECT host, doc_id, weight FROM fr WHERE weight > 0),
+kx AS (SELECT host, doc_id, weight,
+              -ln((CAST(('0x' || substr(md5(host || ':' || doc_id), 1, 12)) AS BIGINT) + 1.0)
+                  / 281474976710657.0) / weight AS key
+       FROM p),
+r AS (SELECT host, doc_id, weight,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY key ASC, doc_id ASC) AS sample_rank
+      FROM kx)
+SELECT host, doc_id::BIGINT AS doc_id, round(weight, 6) AS weight,
+       sample_rank::BIGINT AS sample_rank
+FROM r WHERE sample_rank <= 25
 """
 
     o["c1c_host_idna"] = """

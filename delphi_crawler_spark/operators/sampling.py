@@ -48,3 +48,44 @@ def group_uniform_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def group_weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted k-sample without replacement per group — Efraimidis &
+    Spirakis (IPL 2006) order sampling: each row draws an exponential race
+    key ``-ln(u)/w`` from a DETERMINISTIC uniform u (md5 of (group, id),
+    first 48 hex bits → (0,1)); the k smallest keys win, which selects row
+    i with probability proportional to ``w_i`` at every step. The training
+    -data use: sample documents proportional to quality/importance weight
+    while capping per-host contribution — reproducible across reruns AND
+    engines (the DuckDB oracle replays the identical arithmetic).
+
+    Rows with null/non-positive weight never win (they draw an infinite
+    key only if u could be 1 — instead they are filtered, mirroring
+    ``apportion_budget``'s non-positive pool exclusion). Adds
+    ``sample_rank`` (1-based by race key, id tiebreak).
+
+    Scale shape: same single per-group window as ``group_uniform_sample``
+    (k-bounded sort per group, no driver collection); the skew note above
+    applies unchanged.
+    """
+    wgt = F.col(weight_col).cast("double")
+    hkey = F.md5(
+        F.concat_ws(":", F.col(group_col).cast("string"), F.col(id_col).cast("string"))
+    )
+    # first 12 hex chars = 48 bits: exact in a double; +1 keeps u in (0,1]
+    v = F.conv(F.substring(hkey, 1, 12), 16, 10).cast("double")
+    u = (v + 1.0) / 281474976710657.0  # 2^48 + 1
+    key = -F.log(u) / wgt
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.where(wgt.isNotNull() & (wgt > 0))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

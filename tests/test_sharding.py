@@ -50,3 +50,34 @@ def test_shard_plan_rejects_bad_n(spark):
     docs = spark.createDataFrame([Row(doc_id=1, w=1)])
     with pytest.raises(ValueError):
         shard_plan(docs, "doc_id", "w", 0)
+
+
+def test_group_weighted_sample_proportionality(spark):
+    """Efraimidis-Spirakis order sampling: across many 2-item groups with
+    weights (1, 3) and k=1, the heavy item wins ~3/4 of groups (md5-
+    deterministic, so the frequency is a fixed number — pinned within a
+    binomial tolerance); zero/null weights never win; ranks are identical
+    at different parallelism."""
+    from delphi_crawler_spark.operators.sampling import group_weighted_sample
+
+    rows = []
+    n_groups = 2000
+    for g in range(n_groups):
+        rows.append(("g%d" % g, 0, 1.0))
+        rows.append(("g%d" % g, 1, 3.0))
+        rows.append(("g%d" % g, 2, 0.0))   # excluded
+        rows.append(("g%d" % g, 3, None))  # excluded
+    df = spark.createDataFrame(rows, "grp string, id int, w double")
+    won = group_weighted_sample(df, "grp", "id", "w", k=1)
+    picks = {r["grp"]: r["id"] for r in won.collect()}
+    assert len(picks) == n_groups
+    assert all(i in (0, 1) for i in picks.values())
+    heavy = sum(1 for i in picks.values() if i == 1)
+    # E = 0.75, sd = sqrt(0.75*0.25/2000) ~ 0.0097 -> +-5 sd band
+    assert 0.70 <= heavy / n_groups <= 0.80, heavy
+
+    again = {
+        r["grp"]: r["id"]
+        for r in group_weighted_sample(df.repartition(17), "grp", "id", "w", k=1).collect()
+    }
+    assert again == picks
