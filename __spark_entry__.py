@@ -1363,6 +1363,43 @@ def q_evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Count-Min frequency telemetry (Cormode & Muthukrishnan
+    2005): per-partition count matrices sum-merged with the two-level
+    Arrow fold (the bloom/HLL segment shape), then point estimates for the
+    probe keys via a broadcast of the 128 KiB sketch — estimates are
+    computed executor-side in a narrow mapInPandas, never a driver loop.
+    Oracle: expected-parquet from an independent per-event Python sketch
+    (tools/gen_expected.py) — same public-spec XXH64 row hashing."""
+    _ensure_pkg(spark)
+    import numpy as np
+
+    from delphi_crawler_spark.operators.cms import CMS, build_cms_segment
+
+    depth, width = 4, 4096
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(F.xxhash64("user_id").alias("h"))
+    cms = build_cms_segment(keyed, col="h", depth=depth, width=width)
+    probes = ev.select("user_id").distinct().select(
+        "user_id", F.xxhash64("user_id").alias("h")
+    )
+    bc = spark.sparkContext.broadcast(cms.counts)
+
+    def est(batches):
+        sk = CMS(depth, width, bc.value)
+        for pdf in batches:
+            hv = pdf["h"].to_numpy(dtype="int64").view(np.uint64)
+            out = pdf[["user_id"]].copy()
+            out["est_count"] = sk.estimate_many(hv)
+            yield out
+
+    out = probes.mapInPandas(est, schema="user_id long, est_count long")
+    return out.select(
+        F.col("user_id").cast(BIG).alias("user_id"),
+        F.col("est_count").cast(BIG).alias("est_count"),
+    )
+
+
 def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary training (Sennrich 2016): 30 merge
     iterations over the distinct-word grain — ONE corpus-sized word-count
@@ -2430,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1c_host_idna": q_c1c_host_idna,
         "stream_sliding_window": q_stream_sliding_window,
         "corpus_weighted_sample": q_corpus_weighted_sample,
+        "agg_cms_freq": q_agg_cms_freq,
         "s1_index_scan_parse": q_s1_index_scan_parse,
         "c1_canonicalize_url": q_c1_canonicalize_url,
         "f1_first_occurrence_dedup": q_f1_first_occurrence_dedup,
@@ -4117,6 +4155,7 @@ FROM r WHERE sample_rank <= 30
         "dedup_semantic",
         "agg_hll_distinct",
         "corpus_bpe_merges",
+        "agg_cms_freq",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
 

@@ -47,3 +47,56 @@ def test_hll_empty_and_bounds(spark):
     assert build_hll_segment(_keys(spark, 0, 1).limit(0), p=10).estimate() == 0.0
     with pytest.raises(ValueError):
         HLL.empty(3)
+
+
+def test_cms_merge_equals_rebuild_and_guarantees(spark):
+    """Count-Min sketch: (a) vectorized row hash == scalar spec impl;
+    (b) sum-merging per-round segments is bit-identical to one build over
+    the union; (c) estimates are one-sided (>= exact) even under forced
+    collisions, and exact when width is generous."""
+    import numpy as np
+    import pandas as pd
+
+    from delphi_crawler_spark.operators.cms import CMS, build_cms_segment, xxh64_u64
+    from tools.gen_expected import xxh64_long
+
+    vals = np.array(
+        [0, 1, -1, 2**63 - 1, -(2**63), 424242, 7], dtype=np.int64
+    ).view(np.uint64)
+    for seed in (0, 1, 2, 3):
+        got = xxh64_u64(vals, seed)
+        want = [xxh64_long(int(v), seed) % 2**64 for v in vals.view(np.int64)]
+        assert [int(g) for g in got] == want
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 300, 20000, dtype=np.int64)  # zipf-ish reuse
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    hashed = df.select(F.xxhash64("k").alias("h"))
+
+    full = build_cms_segment(hashed, col="h", depth=4, width=64)  # collisions
+    # segments over a disjoint split: rows 0..8999 / 9000.. via ordered ids
+    df2 = df.select("k", F.monotonically_increasing_id().alias("i"))
+    lo = df2.where(F.col("i") < 9000).select(F.xxhash64("k").alias("h"))
+    hi = df2.where(F.col("i") >= 9000).select(F.xxhash64("k").alias("h"))
+    m = build_cms_segment(lo, col="h", depth=4, width=64).merge(
+        build_cms_segment(hi, col="h", depth=4, width=64)
+    )
+    assert np.array_equal(m.counts, full.counts)  # merge == rebuild
+
+    import collections
+
+    exact = collections.Counter(keys.tolist())
+    probe_keys = np.array(sorted(exact), dtype=np.int64)
+    probe_h = (
+        spark.createDataFrame(pd.DataFrame({"k": probe_keys}))
+        .select(F.xxhash64("k").alias("h"))
+        .toPandas()["h"]
+        .to_numpy(dtype="int64")
+        .view(np.uint64)
+    )
+    est = full.estimate_many(probe_h)
+    assert all(int(e) >= exact[int(k)] for e, k in zip(est, probe_keys))
+
+    wide = build_cms_segment(hashed, col="h", depth=4, width=1 << 14)
+    est_w = wide.estimate_many(probe_h)
+    assert all(int(e) == exact[int(k)] for e, k in zip(est_w, probe_keys))

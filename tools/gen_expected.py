@@ -588,6 +588,40 @@ def gen_corpus_bpe_merges(
     ).astype({"merge_rank": "int64", "pair_count": "int64"})
 
 
+def gen_agg_cms_freq(
+    events: pd.DataFrame, depth: int = 4, width: int = 4096
+) -> pd.DataFrame:
+    """Independent Count-Min sketch (per-event Python loop): keys hash
+    Spark-style (xxh64 of the long's 8 LE bytes, seed 42), sketch row i
+    re-hashes that 64-bit key with seed i; estimate = min over rows.
+    The Spark build (vectorized numpy) must reproduce every estimate —
+    including any collision inflation — bit-for-bit."""
+    counts = [[0] * width for _ in range(depth)]
+
+    def signed(h: int) -> int:
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    uids = [int(u) for u in events["user_id"]]
+    hs = {}
+    for uid in uids:
+        h = hs.get(uid)
+        if h is None:
+            h = xxh64_long(uid, 42)
+            hs[uid] = h
+        for i in range(depth):
+            counts[i][xxh64_long(signed(h), i) % width] += 1
+    out = []
+    for uid in sorted(set(uids)):
+        h = hs[uid]
+        est = min(
+            counts[i][xxh64_long(signed(h), i) % width] for i in range(depth)
+        )
+        out.append((uid, est))
+    return pd.DataFrame(out, columns=["user_id", "est_count"]).astype(
+        {"user_id": "int64", "est_count": "int64"}
+    )
+
+
 # ==================================================================== driver
 GENERATORS = {
     "c3_hash_keys": ("documents", gen_c3_hash_keys),
@@ -599,6 +633,7 @@ GENERATORS = {
     "dedup_semantic": ("embeddings", gen_dedup_semantic),
     "agg_hll_distinct": ("documents", gen_agg_hll_distinct),
     "corpus_bpe_merges": ("documents", gen_corpus_bpe_merges),
+    "agg_cms_freq": ("events", gen_agg_cms_freq),
 }
 
 
@@ -611,6 +646,7 @@ def main(sfs=("0.001", "0.01")) -> None:
         tables = {
             "documents": pd.read_parquet(f"{sf_dir}/documents.parquet"),
             "embeddings": pd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+            "events": pd.read_parquet(f"{sf_dir}/events.parquet"),
         }
         for name, (table, fn) in GENERATORS.items():
             df = fn(tables[table])
