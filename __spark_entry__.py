@@ -1363,6 +1363,34 @@ def q_evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-density boilerplate removal (justext/trafilatura heuristic
+    core): synthesized pages interleave real content lines with a nav bar,
+    a copyright footer, and a dateline; only lines that are long enough,
+    word-dense, and letter-dominant survive. Pure JVM higher-order filter,
+    no shuffle."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.scrub import boilerplate_strip
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat_ws(
+        "\n",
+        F.substring("text", 1, 120),
+        F.lit("Home | About | Contact"),
+        F.lit("(c) 2024 example.com"),
+        F.concat(F.lit("Published 2024-01-0"), (F.col("doc_id") % 9 + 1)),
+        F.substring("text", 121, 120),
+    )
+    pages = docs.select(F.col("doc_id").cast(BIG).alias("doc_id"), page.alias("text"))
+    out = boilerplate_strip(pages)
+    return out.select(
+        "doc_id",
+        "content",
+        F.col("n_lines_kept").cast(BIG).alias("n_lines_kept"),
+        F.col("n_lines_total").cast(BIG).alias("n_lines_total"),
+    )
+
+
 def q_agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Count-Min frequency telemetry (Cormode & Muthukrishnan
     2005): per-partition count matrices sum-merged with the two-level
@@ -2468,6 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding_window": q_stream_sliding_window,
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "agg_cms_freq": q_agg_cms_freq,
+        "text_boilerplate_strip": q_text_boilerplate_strip,
         "s1_index_scan_parse": q_s1_index_scan_parse,
         "c1_canonicalize_url": q_c1_canonicalize_url,
         "f1_first_occurrence_dedup": q_f1_first_occurrence_dedup,
@@ -2846,6 +2875,32 @@ SELECT user_id::BIGINT AS user_id, event_type, event_id::BIGINT AS event_id, val
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
       FROM events) t
 WHERE rn = 1
+"""
+
+    o["text_boilerplate_strip"] = """
+WITH p AS (
+  SELECT doc_id,
+         substr(text, 1, 120) || chr(10) ||
+         'Home | About | Contact' || chr(10) ||
+         '(c) 2024 example.com' || chr(10) ||
+         'Published 2024-01-0' || (doc_id % 9 + 1) || chr(10) ||
+         substr(text, 121, 120) AS text
+  FROM documents),
+k AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls,
+         list_filter(string_split(text, chr(10)),
+           x -> length(x) >= 30
+                AND len(string_split_regex(trim(x), '\\s+')) >= 5
+                AND length(regexp_replace(x, '[^A-Za-z ]', '', 'g'))
+                    >= length(x) * 0.6
+                AND length(regexp_replace(x, '[A-Za-z0-9 ]', '', 'g'))
+                    <= length(x) * 0.05) AS kept
+  FROM p)
+SELECT doc_id::BIGINT AS doc_id,
+       array_to_string(kept, chr(10)) AS content,
+       len(kept)::BIGINT AS n_lines_kept,
+       len(ls)::BIGINT AS n_lines_total
+FROM k
 """
 
     o["corpus_weighted_sample"] = """

@@ -137,3 +137,51 @@ def decontaminate(
         )
     )
     return hits.withColumn("contaminated", (F.col("n_hits") >= min_hits).cast("bigint"))
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 30,
+    min_words: int = 5,
+    min_alpha_ratio: float = 0.6,
+    max_symbol_ratio: float = 0.05,
+) -> DataFrame:
+    """Line-density boilerplate removal — the justext/trafilatura-family
+    heuristic reduced to its language-independent core: a line survives iff
+    it is long enough (``min_chars``), has enough words (``min_words``),
+    is mostly letters+spaces (``min_alpha_ratio``), AND is nearly
+    punctuation-free (``max_symbol_ratio`` — nav bars and breadcrumb
+    trails are wordy but separator-ridden, so the symbol cap is what
+    actually catches them; timestamps and footers fail the other three).
+    Applied after ``html_strip_col`` in a text pipeline (strip gives text;
+    this decides which LINES of it are content).
+
+    Adds ``content`` (surviving lines, newline-joined), ``n_lines_kept``,
+    ``n_lines_total``. Pure JVM (split + higher-order filter + regexp
+    inside the lambda, whole-stage codegen) — no shuffle, no Python; the
+    regex chain is the RE2-compatible subset shared with the DuckDB
+    oracles."""
+    c = F.col(text_col)
+    lines = F.split(c, r"\n")
+    alpha_len = lambda s: F.length(  # noqa: E731
+        F.regexp_replace(s, r"[^A-Za-z ]", "")
+    )
+    words = lambda s: F.size(F.split(F.trim(s), r"\s+"))  # noqa: E731
+    symbol_len = lambda s: F.length(  # noqa: E731
+        F.regexp_replace(s, r"[A-Za-z0-9 ]", "")
+    )
+    keep = lambda s: (  # noqa: E731
+        (F.length(s) >= min_chars)
+        & (words(s) >= min_words)
+        & (alpha_len(s) >= F.length(s) * min_alpha_ratio)
+        & (symbol_len(s) <= F.length(s) * max_symbol_ratio)
+    )
+    kept = F.filter(lines, keep)
+    return df.withColumns(
+        {
+            "content": F.array_join(kept, "\n"),
+            "n_lines_kept": F.size(kept).cast("long"),
+            "n_lines_total": F.size(lines).cast("long"),
+        }
+    )

@@ -118,3 +118,27 @@ def test_scrub_plans(spark):
     )
     assert "BroadcastHashJoin" in dplan
     assert "CartesianProduct" not in dplan
+
+
+def test_boilerplate_strip_line_heuristics(spark):
+    """Line survival: content lines pass; nav bars (symbol-heavy), short
+    footers, datelines (digit-heavy / few words), and empty lines fail;
+    counts are exact and content preserves line order."""
+    from delphi_crawler_spark.operators.scrub import boilerplate_strip
+
+    good1 = "this is a perfectly normal sentence with many plain words"
+    good2 = "another long readable line of ordinary prose for the corpus"
+    page = "\n".join(
+        [
+            good1,
+            "Home | About | Contact | Login",
+            "(c) 2024 example.com",
+            "Published 2024-01-05",
+            "",
+            good2,
+        ]
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    r = boilerplate_strip(df).collect()[0]
+    assert r["content"] == good1 + "\n" + good2
+    assert r["n_lines_kept"] == 2 and r["n_lines_total"] == 6
