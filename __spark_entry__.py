@@ -1391,6 +1391,25 @@ def q_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing (GPT-3/T5 pretraining practice;
+    Krell et al. 2022): documents walk in doc_id order within their shard
+    and fill fixed 89-token training sequences; a document longer than the
+    budget gets a sequence of its own. One hash repartition on the shard
+    key, then a vectorized per-shard applyInPandas over (id, weight) only —
+    the text never moves. Budget 89 vs the 10-99-token corpus exercises
+    both multi-doc packing and the oversized-doc clamp."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        (F.col("doc_id") % 8).cast(BIG).alias("shard"),
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tokens"),
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", budget=89)
+
+
 def q_agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Count-Min frequency telemetry (Cormode & Muthukrishnan
     2005): per-partition count matrices sum-merged with the two-level
@@ -2497,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "agg_cms_freq": q_agg_cms_freq,
         "text_boilerplate_strip": q_text_boilerplate_strip,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
         "s1_index_scan_parse": q_s1_index_scan_parse,
         "c1_canonicalize_url": q_c1_canonicalize_url,
         "f1_first_occurrence_dedup": q_f1_first_occurrence_dedup,
@@ -2901,6 +2921,46 @@ SELECT doc_id::BIGINT AS doc_id,
        len(kept)::BIGINT AS n_lines_kept,
        len(ls)::BIGINT AS n_lines_total
 FROM k
+"""
+
+    # Greedy next-fit packing is inherently sequential within a shard, so
+    # the oracle walks sequence boundaries with a recursive CTE: each step
+    # closes one sequence (the last idx whose running token sum fits
+    # base+budget, clamped for oversized docs) and carries the new base.
+    o["corpus_pack_sequences"] = """
+WITH RECURSIVE d AS (
+  SELECT doc_id % 8 AS shard, doc_id,
+         len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT shard, doc_id, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id))::BIGINT AS cum,
+         (row_number() OVER (PARTITION BY shard ORDER BY doc_id))::BIGINT AS idx
+  FROM d),
+m AS (SELECT shard, max(idx) AS n FROM c GROUP BY shard),
+seqs AS (
+  SELECT m.shard, 1::BIGINT AS s, 0::BIGINT AS base, 0::BIGINT AS seq_id,
+         greatest(1::BIGINT, coalesce((SELECT max(idx) FROM c
+            WHERE c.shard = m.shard AND c.cum <= 89), 0::BIGINT)) AS e
+  FROM m
+  UNION ALL
+  SELECT sq.shard, sq.e + 1 AS s,
+         (SELECT cum FROM c WHERE c.shard = sq.shard AND c.idx = sq.e) AS base,
+         sq.seq_id + 1 AS seq_id,
+         greatest(sq.e + 1, coalesce((SELECT max(idx) FROM c
+            WHERE c.shard = sq.shard
+              AND c.cum <= (SELECT cum FROM c c2
+                            WHERE c2.shard = sq.shard AND c2.idx = sq.e) + 89),
+            0::BIGINT)) AS e
+  FROM seqs sq JOIN m ON m.shard = sq.shard
+  WHERE sq.e < m.n)
+SELECT c.shard::BIGINT AS shard, c.doc_id::BIGINT AS doc_id,
+       c.n_tokens, sq.seq_id,
+       (c.idx - sq.s)::BIGINT AS pos_in_seq,
+       (c.cum - c.n_tokens - sq.base)::BIGINT AS tok_offset,
+       ((SELECT cum FROM c c3 WHERE c3.shard = c.shard AND c3.idx = sq.e)
+        - sq.base)::BIGINT AS seq_tokens
+FROM c JOIN seqs sq ON c.shard = sq.shard AND c.idx BETWEEN sq.s AND sq.e
 """
 
     o["corpus_weighted_sample"] = """

@@ -663,3 +663,74 @@ def test_bpe_train_encode_roundtrip(spark):
     enc2 = bpe_encode(new, merges).collect()[0]["tokens"]
     assert enc2[: len(by_word["low"])] == by_word["low"]
     assert enc2[len(by_word["low"]):] == ["z", "z", "q", "</w>"]
+
+
+def test_pack_sequences_next_fit_semantics(spark):
+    """Greedy next-fit packing: crafted shard pinning boundary cases
+    (exact fit, overflow opens a new sequence, oversized doc gets its own
+    sequence) plus an independent per-shard Python walk at random-ish
+    sizes, and partition-count invariance."""
+    from delphi_crawler_spark.operators.packing import pack_sequences
+
+    # crafted: budget 10; docs (id, tokens): 4+6 exact-fit, 7 overflows,
+    # 13 oversized (own sequence), then 2+3 resume normally
+    rows = [(0, 1, 4), (0, 2, 6), (0, 3, 7), (0, 4, 13), (0, 5, 2), (0, 6, 3)]
+    df = spark.createDataFrame(rows, "shard long, doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["seq_id"], r["pos_in_seq"], r["tok_offset"], r["seq_tokens"])
+        for r in pack_sequences(df, "doc_id", "n_tokens", budget=10).collect()
+    }
+    assert got == {
+        1: (0, 0, 0, 10),
+        2: (0, 1, 4, 10),
+        3: (1, 0, 0, 7),
+        4: (2, 0, 0, 13),  # oversized: own sequence, fill > budget
+        5: (3, 0, 0, 5),
+        6: (3, 1, 2, 5),
+    }
+
+    # independent python walk over multiple shards, deterministic sizes
+    docs = [(i % 5, i, (i * 37 + 11) % 90 + 10) for i in range(400)]
+    big = spark.createDataFrame(docs, "shard long, doc_id long, n_tokens long")
+    out = pack_sequences(big, "doc_id", "n_tokens", budget=120)
+
+    def walk(items, budget):
+        want = {}
+        seq, fill, pos = -1, budget + 1, 0
+        fills, members = [], []
+        for doc_id, tok in items:
+            if fill + tok > budget:
+                seq += 1
+                fill, pos = 0, 0
+                fills.append(0)
+                members.append([])
+            want[doc_id] = (seq, pos, fill)
+            fills[seq] += tok
+            members[seq].append(doc_id)
+            fill += tok
+            pos += 1
+        return want, fills, members
+
+    expect = {}
+    for sh in range(5):
+        items = sorted((d, t) for s, d, t in docs if s == sh)
+        want, fills, members = walk(items, 120)
+        for doc_id, (seq, pos, off) in want.items():
+            expect[doc_id] = (sh, seq, pos, off, fills[seq])
+    got = {
+        r["doc_id"]: (r["shard"], r["seq_id"], r["pos_in_seq"],
+                      r["tok_offset"], r["seq_tokens"])
+        for r in out.collect()
+    }
+    assert got == expect
+    assert max(f for sh in range(5)
+               for f in walk(sorted((d, t) for s, d, t in docs if s == sh), 120)[1]
+               if True) <= 120 + 99  # sanity: oversized-only overflow
+
+    # partition-count invariance: same result at 1 and 13 input partitions
+    for n in (1, 13):
+        re = pack_sequences(big.repartition(n), "doc_id", "n_tokens", budget=120)
+        assert {tuple(r) for r in re.collect()} == {tuple(r) for r in out.collect()}
+
+    with pytest.raises(ValueError):
+        pack_sequences(big, "doc_id", "n_tokens", budget=0)
