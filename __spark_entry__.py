@@ -1410,6 +1410,36 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "doc_id", "n_tokens", budget=89)
 
 
+def q_corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-length context windows over each document's token
+    stream (seq_len 32, stride 24 — the BERT/GPT long-document convention;
+    packing's inverse). Entirely JVM: split → sequence → explode → slice
+    inside whole-stage codegen, no shuffle, no Python."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.packing import chunk_token_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_token_windows(docs, "doc_id", "text", seq_len=32, stride=24)
+
+
+def q_corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (XLM-R/mT5 practice, alpha=0.5):
+    per (source:lang) token mass → natural share p, flattened sampling
+    share q ∝ p^0.5, and expected epochs over each source when drawing a
+    fixed 3M-token budget. One corpus hash-agg + scalar math on the
+    group-sized result."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.mixture import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat_ws(":", "source", "lang").alias("grp"),
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tokens"),
+    )
+    return temperature_mixture(
+        docs, "grp", "n_tokens", alpha=0.5, budget=3_000_000
+    )
+
+
 def q_agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Count-Min frequency telemetry (Cormode & Muthukrishnan
     2005): per-partition count matrices sum-merged with the two-level
@@ -2517,6 +2547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cms_freq": q_agg_cms_freq,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "corpus_pack_sequences": q_corpus_pack_sequences,
+        "corpus_chunk_windows": q_corpus_chunk_windows,
+        "corpus_mixture_weights": q_corpus_mixture_weights,
         "s1_index_scan_parse": q_s1_index_scan_parse,
         "c1_canonicalize_url": q_c1_canonicalize_url,
         "f1_first_occurrence_dedup": q_f1_first_occurrence_dedup,
@@ -2961,6 +2993,34 @@ SELECT c.shard::BIGINT AS shard, c.doc_id::BIGINT AS doc_id,
        ((SELECT cum FROM c c3 WHERE c3.shard = c.shard AND c3.idx = sq.e)
         - sq.base)::BIGINT AS seq_tokens
 FROM c JOIN seqs sq ON c.shard = sq.shard AND c.idx BETWEEN sq.s AND sq.e
+"""
+
+    o["corpus_chunk_windows"] = """
+WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ls
+           FROM documents),
+n AS (SELECT doc_id, ls, len(ls)::BIGINT AS n FROM d),
+w AS (SELECT doc_id, ls, n,
+             unnest(generate_series(0::BIGINT,
+               CASE WHEN n <= 32 THEN 0::BIGINT ELSE (n - 32 + 23) // 24 END)) AS win_id
+      FROM n)
+SELECT doc_id::BIGINT AS doc_id, win_id::BIGINT AS win_id,
+       (win_id * 24)::BIGINT AS start_tok,
+       least(32::BIGINT, n - win_id * 24)::BIGINT AS n_tok,
+       array_to_string(ls[win_id * 24 + 1 : win_id * 24 + 32], ' ') AS window_text
+FROM w
+"""
+
+    o["corpus_mixture_weights"] = """
+WITH d AS (SELECT source || ':' || lang AS grp,
+                  len(string_split_regex(lower(trim(text)), '\\s+'))::DOUBLE AS w
+           FROM documents),
+per AS (SELECT grp, sum(w) AS n_tokens FROM d GROUP BY grp),
+t AS (SELECT sum(n_tokens) AS N, sum(pow(n_tokens, 0.5)) AS Z FROM per)
+SELECT grp AS "group", n_tokens::BIGINT AS n_tokens,
+       round(n_tokens / N, 6) AS p,
+       round(pow(n_tokens, 0.5) / Z, 6) AS q,
+       round(3000000 * pow(n_tokens, 0.5) / Z / n_tokens, 6) AS epochs
+FROM per CROSS JOIN t
 """
 
     o["corpus_weighted_sample"] = """

@@ -102,3 +102,46 @@ def pack_sequences(
     return slim.groupBy("shard").applyInPandas(
         lambda pdf: _pack_group(pdf, budget), schema=_OUT_SCHEMA
     )
+
+
+def chunk_token_windows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int,
+    stride: int,
+) -> DataFrame:
+    """Packing's inverse: split each document's whitespace token stream
+    into overlapping fixed-length context windows (BERT/GPT long-document
+    convention: window w covers tokens ``[w*stride, w*stride+seq_len)``;
+    windows are emitted until the stream is covered, so the last window may
+    be shorter; a doc of ``<= seq_len`` tokens yields exactly one window).
+    Returns ``(doc_id, win_id, start_tok, n_tok, window_text)``.
+
+    Scale shape: entirely JVM (split → sequence → explode → slice →
+    array_join inside whole-stage codegen), narrow — no shuffle, no Python.
+    Fan-out is ``~n_tokens/stride`` rows per doc, each carrying only its
+    own slice of text, so the exploded volume is ``seq_len/stride ×`` the
+    corpus — the same constant a trainer's window loader would read."""
+    if seq_len < 1 or stride < 1:
+        raise ValueError("seq_len and stride must be >= 1")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    n_win = F.when(n <= seq_len, F.lit(1)).otherwise(
+        F.floor((n - seq_len + stride - 1) / stride).cast("bigint") + 1
+    )
+    win = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        toks.alias("_toks"),
+        n.cast("bigint").alias("_n"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_win - 1)).alias("win_id"),
+    )
+    start = win["win_id"] * stride
+    piece = F.slice(win["_toks"], (start + 1).cast("int"), seq_len)
+    return win.select(
+        "doc_id",
+        "win_id",
+        start.alias("start_tok"),
+        F.least(F.lit(seq_len).cast("bigint"), win["_n"] - start).alias("n_tok"),
+        F.array_join(piece, " ").alias("window_text"),
+    )

@@ -734,3 +734,71 @@ def test_pack_sequences_next_fit_semantics(spark):
 
     with pytest.raises(ValueError):
         pack_sequences(big, "doc_id", "n_tokens", budget=0)
+
+
+def test_chunk_token_windows_coverage_and_overlap(spark):
+    """Overlapping window chunking: window w covers [w*stride,
+    w*stride+seq_len); emission stops once the stream is covered; short
+    docs yield one window; every token index is covered by >= 1 window."""
+    from delphi_crawler_spark.operators.packing import chunk_token_windows
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y z"), (3, "p q r s")],
+        "doc_id long, text string",
+    )
+    out = chunk_token_windows(df, "doc_id", "text", seq_len=4, stride=3)
+    rows = {(r["doc_id"], r["win_id"]): (r["start_tok"], r["n_tok"], r["window_text"])
+            for r in out.collect()}
+    assert rows == {
+        (1, 0): (0, 4, "a b c d"),
+        (1, 1): (3, 4, "d e f g"),
+        (1, 2): (6, 4, "g h i j"),   # last window ends exactly at n
+        (2, 0): (0, 3, "x y z"),     # short doc: one (short) window
+        (3, 0): (0, 4, "p q r s"),   # n == seq_len: exactly one window
+    }
+
+    # coverage property across sizes: union of [start, start+n_tok) == [0, n)
+    texts = [(i, " ".join(f"t{j}" for j in range(i))) for i in range(1, 60)]
+    big = spark.createDataFrame(texts, "doc_id long, text string")
+    got = chunk_token_windows(big, "doc_id", "text", seq_len=7, stride=5).collect()
+    cover = {}
+    for r in got:
+        cover.setdefault(r["doc_id"], set()).update(
+            range(r["start_tok"], r["start_tok"] + r["n_tok"]))
+        assert r["n_tok"] == len(r["window_text"].split(" "))
+    assert cover == {i: set(range(i)) for i in range(1, 60)}
+
+    with pytest.raises(ValueError):
+        chunk_token_windows(big, "doc_id", "text", seq_len=0, stride=5)
+
+
+def test_temperature_mixture_hand_computed(spark):
+    """alpha=0.5 flattening over a 3-source corpus vs hand math; alpha=1 is
+    natural sampling (q == p, epochs == budget/N); small sources get
+    epochs > natural, large sources < natural."""
+    import math
+
+    from delphi_crawler_spark.operators.mixture import temperature_mixture
+
+    rows = [("big", 900), ("mid", 90), ("small", 10), (None, 999)]
+    df = spark.createDataFrame(rows, "src string, n long")
+    out = {r["group"]: r for r in
+           temperature_mixture(df, "src", "n", alpha=0.5, budget=2000).collect()}
+    assert set(out) == {"big", "mid", "small"}  # null group dropped
+    z = math.sqrt(900) + math.sqrt(90) + math.sqrt(10)
+    for g, n in [("big", 900), ("mid", 90), ("small", 10)]:
+        assert out[g]["n_tokens"] == n
+        assert out[g]["p"] == round(n / 1000, 6)
+        assert out[g]["q"] == round(math.sqrt(n) / z, 6)
+        assert out[g]["epochs"] == round(2000 * math.sqrt(n) / z / n, 6)
+    # flattening direction: small up-sampled past one pass, big below natural
+    assert out["small"]["epochs"] > 2.0 > out["big"]["epochs"]
+
+    nat = {r["group"]: r for r in
+           temperature_mixture(df, "src", "n", alpha=1.0).collect()}
+    for g in ("big", "mid", "small"):
+        assert nat[g]["q"] == nat[g]["p"]
+        assert nat[g]["epochs"] == 1.0  # budget defaults to N
+
+    with pytest.raises(ValueError):
+        temperature_mixture(df, "src", "n", alpha=1.5)
