@@ -234,6 +234,55 @@ def pending_prune_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emission_order(out).select("url", "host", "priority", "seq", "emit_ms")
 
 
+def pack_sequences_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing of 2M docs into 8192-token sequences over
+    256 shards — the per-shard applyInPandas grain at writer volume (the
+    text never moves; only (id, weight) shuffles)."""
+    from delphi_crawler_spark.operators.packing import pack_sequences
+
+    d = F.col("id")
+    docs = spark.range(FRONTIER_N).select(
+        (d % 256).alias("shard"),
+        d.alias("doc_id"),
+        ((d * 2654435761) % 1990 + 10).alias("n_tokens"),
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", budget=8192)
+
+
+def chunk_windows_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking of 200k ~128-token docs
+    (seq_len 32, stride 24 → ~5 windows/doc, ~1M output rows) — the pure
+    whole-stage-codegen split/sequence/explode/slice fan-out path."""
+    from delphi_crawler_spark.operators.packing import chunk_token_windows
+
+    docs = spark.range(FRONTIER_N // 10).select(
+        F.col("id").alias("doc_id"),
+        F.rtrim(F.repeat(F.lit("lorem ipsum dolor sit amet consectetur "
+                                "adipiscing elit "), 16)).alias("text"),
+    )
+    return chunk_token_windows(docs, "doc_id", "text", seq_len=32, stride=24)
+
+
+def budget_select_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quality-ordered token-budget cut over 2M docs (budget = half
+    the corpus mass) — the two-phase exclusive prefix sum at volume."""
+    from delphi_crawler_spark.operators.corpus import token_budget_select
+
+    d = F.col("id")
+    docs = spark.range(FRONTIER_N).select(
+        d.alias("doc_id"),
+        (((d * 2654435761) % 1000003) / 1000003.0).alias("quality"),
+        ((d * 40503) % 990 + 10).alias("n_tokens"),
+    )
+    out = token_budget_select(docs, budget_tokens=FRONTIER_N * 500 // 2)
+    counted = out.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tok")
+    )
+    rows = counted.collect()
+    out._release_budget()
+    return spark.createDataFrame(rows, schema=counted.schema)
+
+
 def exact_quantiles_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentile_disc over 2M skewed values, 64 groups —
     the two-phase no-global-sort shape at volume."""
@@ -294,6 +343,9 @@ BENCH_QUERIES = {
     "substring_dedup": E.q_dedup_substring_windows,
     "redirect_resolve": redirect_resolve,
     "pending_prune_schedule": pending_prune_schedule,
+    "pack_sequences": pack_sequences_2m,
+    "chunk_windows": chunk_windows_200k,
+    "budget_select": budget_select_2m,
     "exact_quantiles": exact_quantiles_2m,
     "hist_quantile_sketch": hist_sketch_2m,
     "hll_incremental_update": hll_incremental_update,
