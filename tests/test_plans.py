@@ -205,3 +205,20 @@ def test_prune_pending_narrow_before_window(spark):
     assert "Exchange" not in tail, tail
     # exactly the window's exchange above it
     assert head.count("Exchange hashpartitioning") == 1, head
+
+
+def test_chunk_windows_pure_jvm_no_shuffle(spark):
+    """Chunking must stay one codegen span: no Python eval, no exchange —
+    the fan-out is a Generate over an in-row sequence."""
+    plan = _plan(E.q_corpus_chunk_windows(spark, SF))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the window explode, in-stage
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing shuffles exactly once (hash on the shard key) into the
+    per-shard FlatMapGroupsInPandas; nothing else may exchange."""
+    plan = _plan(E.q_corpus_pack_sequences(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan
