@@ -1462,6 +1462,33 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_release(out, "_release_budget")
 
 
+def q_corpus_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram PMI (Church & Hanks 1990) over the corpus at
+    min_count=4: bigrams from one in-row JVM transform (no position
+    self-join), vocabulary-sized hash-aggs, min_count filter below the
+    unigram joins."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.collocations import collocation_pmi
+
+    return collocation_pmi(_t(spark, sf_dir, "documents"), min_count=4)
+
+
+def q_p13_host_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian-shrunk per-host content-quality prior (focused-crawling
+    feedback, Chakrabarti 1999): integer letter/char masses per host, rate
+    shrunk toward the global rate with k=200 pseudo-chars. One hash-agg +
+    broadcast 1-row totals."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.recrawl import host_quality_prior
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias("host"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("n_letters"),
+        F.length("text").alias("n_chars"),
+    )
+    return host_quality_prior(docs, k=200.0)
+
+
 def q_agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Count-Min frequency telemetry (Cormode & Muthukrishnan
     2005): per-partition count matrices sum-merged with the two-level
@@ -2575,6 +2602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (v3 schema); everything further down was driver-green in r03
         # unchanged.
         "corpus_budget_select": q_corpus_budget_select,
+        "corpus_collocation_pmi": q_corpus_collocation_pmi,
+        "p13_host_quality_prior": q_p13_host_quality_prior,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -3037,6 +3066,36 @@ c AS (
   FROM d)
 SELECT doc_id::BIGINT AS doc_id, quality, n_tokens, cum_before
 FROM c WHERE cum_before < 12000
+"""
+
+    o["corpus_collocation_pmi"] = """
+WITH d AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+           FROM documents
+           WHERE len(string_split_regex(lower(trim(text)), '\\s+')) > 0),
+bi0 AS (SELECT t[i] AS x, t[i+1] AS y
+        FROM d, unnest(generate_series(1, len(t)-1)) AS u(i)),
+bi AS (SELECT x, y, count(*) AS c_xy FROM bi0 GROUP BY x, y
+       HAVING count(*) >= 4),
+uni AS (SELECT unnest(t) AS x FROM d),
+cu AS (SELECT x, count(*) AS c FROM uni GROUP BY x),
+tot AS (SELECT sum(len(t))::BIGINT AS N, sum(len(t)-1)::BIGINT AS M FROM d)
+SELECT bi.x, bi.y, c_xy::BIGINT AS c_xy, cx.c::BIGINT AS c_x,
+       cy.c::BIGINT AS c_y,
+       round(ln((c_xy / M) / ((cx.c / N) * (cy.c / N))), 6) AS pmi
+FROM bi JOIN cu cx ON bi.x = cx.x JOIN cu cy ON bi.y = cy.x CROSS JOIN tot
+"""
+
+    o["p13_host_quality_prior"] = """
+WITH per AS (
+  SELECT 'h' || (doc_id % 23) AS host, count(*) AS n_docs,
+         sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g')))::BIGINT AS letters,
+         sum(length(text))::BIGINT AS chars
+  FROM documents GROUP BY 1),
+g AS (SELECT sum(letters)::BIGINT AS gl, sum(chars)::BIGINT AS gc FROM per)
+SELECT host, n_docs::BIGINT AS n_docs, chars AS chars,
+       round(letters / chars, 6) AS rate,
+       round((letters + 200.0 * (gl / gc)) / (chars + 200.0), 6) AS prior
+FROM per CROSS JOIN g
 """
 
     o["corpus_chunk_windows"] = """

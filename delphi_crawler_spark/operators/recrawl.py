@@ -175,3 +175,55 @@ def change_rate_estimate(
         F.round(lam_day, 6).alias("lambda_per_day"),
         F.when(xx > 0, F.round(1.0 / lam_day, 6)).alias("horizon_days"),
     )
+
+
+def host_quality_prior(
+    docs: DataFrame,
+    host_col: str = "host",
+    letters_col: str = "n_letters",
+    chars_col: str = "n_chars",
+    k: float = 200.0,
+) -> DataFrame:
+    """Per-host content-quality prior for crawl prioritization: hosts whose
+    fetched pages score well get their pending URLs boosted (the host-level
+    quality feedback loop of focused-crawling practice — Chakrabarti et al.
+    1999's page-score propagation, public knowledge). Quality is a ratio of
+    INTEGER masses (``letters_col`` / ``chars_col`` per fetched doc) so the
+    per-host sums are exact at any parallelism and engine — no
+    summation-order drift. The prior shrinks each host's observed rate
+    toward the global rate with ``k`` pseudo-characters of evidence
+    (Bayesian smoothing): ``(letters_h + k·rate_g) / (chars_h + k)`` —
+    unobserved-ish hosts sit near the global rate, heavily-fetched hosts
+    near their own.
+
+    One partial-aggregating hash-agg per host + a broadcast of the 1-row
+    global totals. Returns (host, n_docs, chars, rate, prior)."""
+    per = (
+        docs.select(
+            F.col(host_col).cast("string").alias("host"),
+            F.col(letters_col).cast("bigint").alias("l"),
+            F.col(chars_col).cast("bigint").alias("c"),
+        )
+        .filter(F.col("host").isNotNull() & (F.col("c") > 0))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("l").alias("letters"),
+            F.sum("c").alias("chars"),
+        )
+    )
+    glob = per.agg(
+        F.sum("letters").alias("gl"), F.sum("chars").alias("gc")
+    )
+    kk = F.lit(float(k))
+    return per.crossJoin(F.broadcast(glob)).select(
+        "host",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("chars").cast("bigint").alias("chars"),
+        F.round(F.col("letters") / F.col("chars"), 6).alias("rate"),
+        F.round(
+            (F.col("letters") + kk * (F.col("gl") / F.col("gc")))
+            / (F.col("chars") + kk),
+            6,
+        ).alias("prior"),
+    )

@@ -802,3 +802,62 @@ def test_temperature_mixture_hand_computed(spark):
 
     with pytest.raises(ValueError):
         temperature_mixture(df, "src", "n", alpha=1.5)
+
+
+def test_collocation_pmi_hand_computed(spark):
+    """PMI on a crafted corpus vs hand math; min_count filter; bigrams
+    cross doc boundaries never."""
+    import math
+
+    from delphi_crawler_spark.operators.collocations import collocation_pmi
+
+    # "new york" always adjacent (high PMI); "the the" frequent but
+    # independent-ish; "york the" crosses into filler
+    docs = spark.createDataFrame(
+        [(i, "new york the the the") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = {(r["x"], r["y"]): r for r in collocation_pmi(docs, min_count=4).collect()}
+    # per doc: tokens [new, york, the, the, the]; bigrams: (new,york),
+    # (york,the), (the,the)x2 — each ×4 docs. N=20, M=16.
+    assert set(out) == {("new", "york"), ("york", "the"), ("the", "the")}
+    n, m = 20.0, 16.0
+    c = {"new": 4, "york": 4, "the": 12}
+    for (x, y), r in out.items():
+        cxy = 8 if (x, y) == ("the", "the") else 4
+        assert (r["c_xy"], r["c_x"], r["c_y"]) == (cxy, c[x], c[y])
+        want = math.log((cxy / m) / ((c[x] / n) * (c[y] / n)))
+        assert r["pmi"] == round(want, 6)
+    # the perfectly-bound pair scores highest
+    assert out[("new", "york")]["pmi"] == max(r["pmi"] for r in out.values())
+
+    # min_count prunes: at 5, the 4-count pairs disappear
+    left = {(r["x"], r["y"]) for r in collocation_pmi(docs, min_count=5).collect()}
+    assert left == {("the", "the")}
+
+    with pytest.raises(ValueError):
+        collocation_pmi(docs, min_count=0)
+
+
+def test_host_quality_prior_shrinkage(spark):
+    """Shrinkage direction and exactness: a barely-observed host sits near
+    the global rate, a heavily-observed host near its own; zero-char and
+    null hosts dropped."""
+    from delphi_crawler_spark.operators.recrawl import host_quality_prior
+
+    rows = (
+        [("big", 90, 100)] * 50          # rate 0.9, lots of evidence
+        + [("tiny", 10, 100)]            # rate 0.1, one doc
+        + [(None, 50, 100), ("zero", 0, 0)]
+    )
+    df = spark.createDataFrame(rows, "host string, n_letters long, n_chars long")
+    out = {r["host"]: r for r in host_quality_prior(df, k=200.0).collect()}
+    assert set(out) == {"big", "tiny"}
+    gl, gc = 90 * 50 + 10, 100 * 50 + 100
+    grate = gl / gc
+    assert out["big"]["rate"] == 0.9 and out["tiny"]["rate"] == 0.1
+    assert out["big"]["prior"] == round((4500 + 200.0 * grate) / (5000 + 200.0), 6)
+    assert out["tiny"]["prior"] == round((10 + 200.0 * grate) / (100 + 200.0), 6)
+    # direction: tiny pulled far toward global, big barely moved
+    assert abs(out["tiny"]["prior"] - grate) < abs(0.1 - grate) * 0.5
+    assert abs(out["big"]["prior"] - 0.9) < 0.01
