@@ -1489,6 +1489,36 @@ def q_p13_host_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_quality_prior(docs, k=200.0)
 
 
+def q_mm_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch-once planning for media assets embedded across documents:
+    spans synthesized as in a4/a6 but with content-derived media refs (the
+    same token ⇒ the same asset in every embedding doc), then per-asset
+    reference/doc counts and the deterministic fetch owner. Only
+    (doc_id, media_ref) pairs ever explode; two hash-aggs share the grain."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.multimodal import media_fetch_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    spans = F.transform(
+        words,
+        lambda w, i: F.struct(
+            F.when(F.length(w) % 3 == 2, F.lit("media"))
+            .otherwise(F.lit("text"))
+            .alias("kind"),
+            w.alias("text"),
+            F.when(F.length(w) % 3 == 2, F.concat(F.lit("m://"), w)).alias(
+                "media_ref"
+            ),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    docs2 = docs.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), spans.alias("spans")
+    )
+    return media_fetch_plan(docs2)
+
+
 def q_agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Count-Min frequency telemetry (Cormode & Muthukrishnan
     2005): per-partition count matrices sum-merged with the two-level
@@ -2604,6 +2634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_budget_select": q_corpus_budget_select,
         "corpus_collocation_pmi": q_corpus_collocation_pmi,
         "p13_host_quality_prior": q_p13_host_quality_prior,
+        "mm_fetch_plan": q_mm_fetch_plan,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -3096,6 +3127,17 @@ SELECT host, n_docs::BIGINT AS n_docs, chars AS chars,
        round(letters / chars, 6) AS rate,
        round((letters + 200.0 * (gl / gc)) / (chars + 200.0), 6) AS prior
 FROM per CROSS JOIN g
+"""
+
+    o["mm_fetch_plan"] = """
+WITH w AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+           FROM documents),
+m AS (SELECT doc_id, 'm://' || tok AS media_ref FROM w
+      WHERE length(tok) % 3 = 2),
+p AS (SELECT media_ref, doc_id, count(*) AS c FROM m GROUP BY 1, 2)
+SELECT media_ref, sum(c)::BIGINT AS n_refs, count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS first_doc
+FROM p GROUP BY media_ref
 """
 
     o["corpus_chunk_windows"] = """

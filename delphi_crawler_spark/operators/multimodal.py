@@ -353,3 +353,35 @@ def sniff_mime(payload) -> "F.Column":
 def with_mime(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Attach the sniffed ``mime`` column — narrow, no shuffle."""
     return media.withColumn("mime", sniff_mime(payload_col))
+
+
+def media_fetch_plan(
+    docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Fetch-once planning over interleaved media spans: the same media
+    asset (``media_ref``) is typically embedded by MANY documents, and a
+    crawler must fetch it exactly once — this plans that dedup. Returns one
+    row per distinct referenced asset: ``(media_ref, n_refs, n_docs,
+    first_doc)`` where ``first_doc`` (min doc id, a deterministic choice)
+    is the designated fetch owner.
+
+    Scale shape: explode only the (doc_id, media_ref) pair — never the
+    span payloads — then two hash-aggs sharing the (media_ref, doc) grain:
+    the pair-grain count partial-aggregates map-side, and the second agg is
+    asset-sized, not reference-sized. No count-distinct expansion."""
+    refs = (
+        docs.select(
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            F.explode(spans_col).alias("s"),
+        )
+        .filter((F.col("s.kind") == "media") & F.col("s.media_ref").isNotNull())
+        .select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    )
+    pairs = refs.groupBy("media_ref", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return pairs.groupBy("media_ref").agg(
+        F.sum("c").cast("bigint").alias("n_refs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -861,3 +861,27 @@ def test_host_quality_prior_shrinkage(spark):
     # direction: tiny pulled far toward global, big barely moved
     assert abs(out["tiny"]["prior"] - grate) < abs(0.1 - grate) * 0.5
     assert abs(out["big"]["prior"] - 0.9) < 0.01
+
+
+def test_media_fetch_plan_dedup_and_owner(spark):
+    """Fetch-once planning: per-asset totals across docs, deterministic
+    min-doc owner, non-media and null-ref spans ignored."""
+    from delphi_crawler_spark.operators.multimodal import media_fetch_plan
+
+    def sp(kind, ref):
+        return (kind, "w", ref, 0)
+
+    rows = [
+        (3, [sp("media", "a"), sp("media", "a"), sp("text", None)]),
+        (1, [sp("media", "a"), sp("media", "b")]),
+        (2, [sp("media", "b"), sp("media", None), sp("link", "x")]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = {r["media_ref"]: r for r in media_fetch_plan(df).collect()}
+    assert set(out) == {"a", "b"}
+    assert (out["a"]["n_refs"], out["a"]["n_docs"], out["a"]["first_doc"]) == (3, 2, 1)
+    assert (out["b"]["n_refs"], out["b"]["n_docs"], out["b"]["first_doc"]) == (2, 2, 1)
