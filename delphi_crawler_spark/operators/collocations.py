@@ -52,8 +52,12 @@ def collocation_pmi(
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # size >= 2 guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0]
+    # (not an empty list), so an unguarded single-token doc would emit
+    # bogus null-member bigrams.
     bi = (
-        base.select(
+        base.filter(F.size("t") >= 2)
+        .select(
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(t) - 1),"

@@ -835,6 +835,22 @@ def test_collocation_pmi_hand_computed(spark):
     left = {(r["x"], r["y"]) for r in collocation_pmi(docs, min_count=5).collect()}
     assert left == {("the", "the")}
 
+    # single-token docs yield NO bigrams (Spark sequence(1,0) is a
+    # descending [1,0], not empty — the guard must keep them out) but DO
+    # count toward N, shifting every PMI
+    import math as _math
+
+    docs2 = docs.union(
+        spark.createDataFrame([(100 + i, "solo") for i in range(4)],
+                              "doc_id long, text string")
+    )
+    out2 = {(r["x"], r["y"]): r for r in
+            collocation_pmi(docs2, min_count=4).collect()}
+    assert set(out2) == set(out)  # no (solo, *) or (*, None) pairs
+    n2 = 24.0  # 20 tokens + 4 solos; M unchanged at 16
+    r = out2[("new", "york")]
+    assert r["pmi"] == round(_math.log((4 / 16.0) / ((4 / n2) * (4 / n2))), 6)
+
     with pytest.raises(ValueError):
         collocation_pmi(docs, min_count=0)
 
