@@ -1519,6 +1519,35 @@ def q_mm_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_fetch_plan(docs2)
 
 
+def q_corpus_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup clusters (same CC pass
+    as dedup_cluster_cc) hash as a UNIT into 0.8/0.1/0.1 bands, so
+    near-duplicates can never straddle train and eval (Lee et al. 2022's
+    contamination mode). The split itself is a pure JVM projection on top
+    of the one clustering pass."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.dedup_fuzzy import jaccard_verify
+    from delphi_crawler_spark.operators.graph import neardup_clusters
+    from delphi_crawler_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    dups = jaccard_verify(pairs, docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    clusters = neardup_clusters(docs.select("doc_id"), dups.select("id_a", "id_b"))
+    out = leakage_safe_split(
+        clusters, "cluster_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    return out.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        F.col("cluster_id").cast(BIG).alias("cluster_id"),
+        "split",
+    )
+
+
 def q_agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Count-Min frequency telemetry (Cormode & Muthukrishnan
     2005): per-partition count matrices sum-merged with the two-level
@@ -2635,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_collocation_pmi": q_corpus_collocation_pmi,
         "p13_host_quality_prior": q_p13_host_quality_prior,
         "mm_fetch_plan": q_mm_fetch_plan,
+        "corpus_leakage_split": q_corpus_leakage_split,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -3967,6 +3997,37 @@ sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM lab GROUP BY clu
 SELECT l.doc_id, l.cluster_id, s.cluster_size,
        (l.doc_id = l.cluster_id)::BIGINT AS is_canonical
 FROM lab l JOIN sz s USING (cluster_id)
+"""
+    )
+
+    # Same CC walk as dedup_cluster_cc, then the md5-band split arithmetic
+    # of operators/sampling.py::leakage_safe_split replayed verbatim.
+    o["corpus_leakage_split"] = (
+        "WITH RECURSIVE g AS (" + _GRAMS_SQL + "), "
+        """
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1), 6) AS jaccard
+      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+ed AS (SELECT id_a AS u, id_b AS v FROM p WHERE jaccard >= 0.5
+       UNION SELECT id_b, id_a FROM p WHERE jaccard >= 0.5),
+vs AS (SELECT DISTINCT u AS n FROM ed),
+reach(node, label) AS (
+  SELECT n, n FROM vs
+  UNION
+  SELECT ed.v, r.label FROM reach r JOIN ed ON ed.u = r.node),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+lab AS (SELECT d.doc_id::BIGINT AS doc_id,
+               coalesce(c.component, d.doc_id)::BIGINT AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+SELECT doc_id, cluster_id,
+       CASE WHEN uu <= 0.8 THEN 'train'
+            WHEN uu <= 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster_id,
+             ((('0x' || substr(md5(cluster_id::VARCHAR), 1, 12))::BIGINT + 1.0)
+              / 281474976710657.0) AS uu
+      FROM lab) t
 """
     )
 

@@ -89,3 +89,40 @@ def group_weighted_sample(
         .withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    unit_col: str,
+    splits: list[tuple[str, float]],
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by leakage UNIT: every row
+    hashes its ``unit_col`` (e.g. the near-dup ``cluster_id`` from
+    ``graph.neardup_clusters``, or a registrable domain) to a uniform
+    u ∈ (0, 1] and lands in the split whose cumulative-fraction band
+    contains u — so all members of a unit land in the SAME split and
+    near-duplicates (or same-site pages) can never straddle train and
+    eval (the contamination mode Lee et al. 2022 measure). ``splits`` is
+    ``[(name, fraction), ...]``; fractions must sum to 1.
+
+    The hash is the engine-portable md5-uniform idiom shared with
+    ``group_weighted_sample`` (first 48 bits, exact in a double), so
+    reruns AND the SQL oracle assign identically. Pure JVM projection —
+    no shuffle, no Python; composes downstream of the one CC clustering
+    pass, adding zero passes of its own."""
+    fracs = [f for _, f in splits]
+    if not splits or any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError("split fractions must be >= 0 and sum to 1")
+    hkey = F.md5(F.col(unit_col).cast("string"))
+    v = F.conv(F.substring(hkey, 1, 12), 16, 10).cast("double")
+    u = (v + 1.0) / 281474976710657.0  # 2^48 + 1; u in (0, 1]
+    expr = None
+    acc = 0.0
+    for name, frac in splits[:-1]:
+        acc += frac
+        cond = u <= F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(splits[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

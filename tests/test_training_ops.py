@@ -901,3 +901,36 @@ def test_media_fetch_plan_dedup_and_owner(spark):
     assert set(out) == {"a", "b"}
     assert (out["a"]["n_refs"], out["a"]["n_docs"], out["a"]["first_doc"]) == (3, 2, 1)
     assert (out["b"]["n_refs"], out["b"]["n_docs"], out["b"]["first_doc"]) == (2, 2, 1)
+
+
+def test_leakage_safe_split_unit_integrity(spark):
+    """All members of a unit get one split; fractions land near targets
+    over many units; bad fraction lists rejected; deterministic rerun."""
+    from delphi_crawler_spark.operators.sampling import leakage_safe_split
+
+    rows = [(i, i // 3) for i in range(3000)]  # 1000 units of 3 docs
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    out = leakage_safe_split(df, "cluster_id", splits).collect()
+
+    by_unit = {}
+    for r in out:
+        by_unit.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_unit.values())  # no unit straddles
+
+    from collections import Counter
+
+    unit_split = Counter(next(iter(s)) for s in by_unit.values())
+    assert 0.75 <= unit_split["train"] / 1000 <= 0.85
+    assert 0.06 <= unit_split["val"] / 1000 <= 0.14
+    assert 0.06 <= unit_split["test"] / 1000 <= 0.14
+
+    again = leakage_safe_split(df, "cluster_id", splits).collect()
+    assert {(r["doc_id"], r["split"]) for r in again} == {
+        (r["doc_id"], r["split"]) for r in out
+    }
+
+    with pytest.raises(ValueError):
+        leakage_safe_split(df, "cluster_id", [("train", 0.8), ("val", 0.1)])
+    with pytest.raises(ValueError):
+        leakage_safe_split(df, "cluster_id", [])
