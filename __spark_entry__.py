@@ -1432,7 +1432,10 @@ def q_corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delphi_crawler_spark.operators.mixture import temperature_mixture
 
     docs = _t(spark, sf_dir, "documents").select(
-        F.concat_ws(":", "source", "lang").alias("grp"),
+        # concat (null-propagating, matching SQL ||), NOT concat_ws: a null
+        # source/lang must null the group so both engines drop the row in
+        # the operator's / oracle's null-group filter.
+        F.concat("source", F.lit(":"), "lang").alias("grp"),
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tokens"),
     )
     return temperature_mixture(
@@ -1470,7 +1473,10 @@ def q_corpus_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     from delphi_crawler_spark.operators.collocations import collocation_pmi
 
-    return collocation_pmi(_t(spark, sf_dir, "documents"), min_count=4)
+    out = collocation_pmi(_t(spark, sf_dir, "documents"), min_count=4)
+    # frequent-bigram table is min_count-bounded (vocabulary tail, not
+    # corpus) — safe to materialize while releasing the token cache
+    return _materialize_release(out, "_release_pmi")
 
 
 def q_p13_host_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3151,7 +3157,9 @@ WITH per AS (
   SELECT 'h' || (doc_id % 23) AS host, count(*) AS n_docs,
          sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g')))::BIGINT AS letters,
          sum(length(text))::BIGINT AS chars
-  FROM documents GROUP BY 1),
+  FROM documents
+  WHERE length(text) > 0  -- impl drops zero-char docs per-doc (c > 0)
+  GROUP BY 1),
 g AS (SELECT sum(letters)::BIGINT AS gl, sum(chars)::BIGINT AS gc FROM per)
 SELECT host, n_docs::BIGINT AS n_docs, chars AS chars,
        round(letters / chars, 6) AS rate,
@@ -3189,7 +3197,8 @@ FROM w
 WITH d AS (SELECT source || ':' || lang AS grp,
                   len(string_split_regex(lower(trim(text)), '\\s+'))::DOUBLE AS w
            FROM documents),
-per AS (SELECT grp, sum(w) AS n_tokens FROM d GROUP BY grp),
+per AS (SELECT grp, sum(w) AS n_tokens FROM d
+        WHERE grp IS NOT NULL GROUP BY grp),
 t AS (SELECT sum(n_tokens) AS N, sum(pow(n_tokens, 0.5)) AS Z FROM per)
 SELECT grp AS "group", n_tokens::BIGINT AS n_tokens,
        round(n_tokens / N, 6) AS p,

@@ -45,7 +45,7 @@ def collocation_pmi(
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    base = docs.select(toks.alias("t")).filter(F.size("t") > 0)
+    base = docs.select(toks.alias("t")).filter(F.size("t") > 0).persist()
 
     uni = (
         base.select(F.explode("t").alias("x"))
@@ -76,7 +76,7 @@ def collocation_pmi(
     )
     cx = uni.select(F.col("x"), F.col("c").alias("c_x"))
     cy = uni.select(F.col("x").alias("y"), F.col("c").alias("c_y"))
-    return (
+    out = (
         bi.join(cx, "x")
         .join(cy, "y")
         .crossJoin(F.broadcast(totals))
@@ -95,3 +95,8 @@ def collocation_pmi(
             ).alias("pmi"),
         )
     )
+    # the tokenized base feeds three passes (uni, bi, totals) — persisted so
+    # the corpus is scanned/tokenized once; callers release after the result
+    # is materialized (entry query does via _materialize_release)
+    out._release_pmi = lambda: base.unpersist()  # type: ignore[attr-defined]
+    return out

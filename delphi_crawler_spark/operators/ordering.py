@@ -112,6 +112,15 @@ def attach_global_cumsum(
     sums are exact. Returns (df_with_cum, release)."""
     if cum_col in df.columns:
         raise ValueError(f"column {cum_col!r} already exists")
+    # fail fast on non-integer weights: a silent to_numpy(int64) would turn
+    # NaN into INT64_MIN and truncate fractions — garbage prefix sums with
+    # no error. Exactness (the parallelism-invariance guarantee) needs
+    # integer weight sums.
+    wtype = df.schema[weight_col].dataType.simpleString()
+    if wtype not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"weight column {weight_col!r} must be integral, got {wtype}"
+        )
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order]
@@ -124,6 +133,8 @@ def attach_global_cumsum(
         pid = TaskContext.get().partitionId()
         w = 0
         for pdf in batches:
+            if pdf[weight_col].isna().any():
+                raise ValueError(f"null weight in {weight_col!r}")
             w += int(pdf[weight_col].to_numpy(np.int64).sum()) if len(pdf) else 0
         yield pd.DataFrame({"pid": [pid], "w": [w]})
 

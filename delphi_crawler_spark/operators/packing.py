@@ -125,6 +125,10 @@ def chunk_token_windows(
     corpus — the same constant a trainer's window loader would read."""
     if seq_len < 1 or stride < 1:
         raise ValueError("seq_len and stride must be >= 1")
+    if stride > seq_len:
+        # stride > seq_len leaves coverage gaps AND mints phantom trailing
+        # windows (start past the stream, n_tok <= 0) — never meaningful.
+        raise ValueError("stride must be <= seq_len (windows must cover)")
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n = F.size(toks)
     n_win = F.when(n <= seq_len, F.lit(1)).otherwise(

@@ -111,17 +111,22 @@ def leakage_safe_split(
     reruns AND the SQL oracle assign identically. Pure JVM projection —
     no shuffle, no Python; composes downstream of the one CC clustering
     pass, adding zero passes of its own."""
+    import math
+
     fracs = [f for _, f in splits]
-    if not splits or any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+    if not splits or any(f < 0 for f in fracs) or abs(math.fsum(fracs) - 1.0) > 1e-9:
         raise ValueError("split fractions must be >= 0 and sum to 1")
     hkey = F.md5(F.col(unit_col).cast("string"))
     v = F.conv(F.substring(hkey, 1, 12), 16, 10).cast("double")
     u = (v + 1.0) / 281474976710657.0  # 2^48 + 1; u in (0, 1]
     expr = None
-    acc = 0.0
-    for name, frac in splits[:-1]:
-        acc += frac
+    for i in range(len(splits) - 1):
+        # fsum, not running +=: naive accumulation drifts a ulp off the
+        # literal band edge a SQL twin writes (0.8 + 0.1 != 0.9 in IEEE),
+        # while the correctly-rounded exact sum reproduces it.
+        acc = math.fsum(fracs[: i + 1])
         cond = u <= F.lit(acc)
+        name = splits[i][0]
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(splits[-1][0])
     expr = last if expr is None else expr.otherwise(last)

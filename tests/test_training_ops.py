@@ -770,6 +770,8 @@ def test_chunk_token_windows_coverage_and_overlap(spark):
 
     with pytest.raises(ValueError):
         chunk_token_windows(big, "doc_id", "text", seq_len=0, stride=5)
+    with pytest.raises(ValueError):  # gaps + phantom trailing windows
+        chunk_token_windows(big, "doc_id", "text", seq_len=3, stride=5)
 
 
 def test_temperature_mixture_hand_computed(spark):
