@@ -1554,6 +1554,20 @@ def q_corpus_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_global_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global uniform 100-sample (eval-subset draw):
+    md5-ranked TakeOrderedAndProject — per-partition k-bounded top-k, no
+    global sort, no corpus-wide window (plan-audited)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.sampling import global_uniform_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id")
+    )
+    out = global_uniform_sample(docs, "doc_id", k=100)
+    return out.select("doc_id", F.col("sample_rank").cast(BIG).alias("sample_rank"))
+
+
 def q_agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Count-Min frequency telemetry (Cormode & Muthukrishnan
     2005): per-partition count matrices sum-merged with the two-level
@@ -2671,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p13_host_quality_prior": q_p13_host_quality_prior,
         "mm_fetch_plan": q_mm_fetch_plan,
         "corpus_leakage_split": q_corpus_leakage_split,
+        "corpus_global_sample": q_corpus_global_sample,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -3176,6 +3191,15 @@ p AS (SELECT media_ref, doc_id, count(*) AS c FROM m GROUP BY 1, 2)
 SELECT media_ref, sum(c)::BIGINT AS n_refs, count(*)::BIGINT AS n_docs,
        min(doc_id)::BIGINT AS first_doc
 FROM p GROUP BY media_ref
+"""
+
+    o["corpus_global_sample"] = """
+SELECT doc_id, sample_rank FROM (
+  SELECT doc_id::BIGINT AS doc_id,
+         (row_number() OVER (ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC))::BIGINT
+           AS sample_rank
+  FROM documents) t
+WHERE sample_rank <= 100
 """
 
     o["corpus_chunk_windows"] = """

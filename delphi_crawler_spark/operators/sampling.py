@@ -131,3 +131,27 @@ def leakage_safe_split(
     last = F.lit(splits[-1][0])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def global_uniform_sample(
+    df: DataFrame, id_col: str, k: int, rank_col: str = "sample_rank"
+) -> DataFrame:
+    """Deterministic GLOBAL uniform k-sample: rank every row by the
+    md5-uniform of its id (corpus-wide, not per group) and keep the k
+    smallest — the "draw an eval/inspection subset of exactly k docs"
+    step, reproducible across reruns and engines.
+
+    Scale shape: expressed as orderBy(hash).limit(k), which Catalyst
+    compiles to TakeOrderedAndProject — a per-partition k-bounded top-k
+    plus one k-sized driver merge; NO global sort, NO single-task window
+    (the trap a row_number() over an unpartitioned window springs).
+    Plan-audited in tests/test_plans.py."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.md5(F.col(id_col).cast("string"))
+    ranked = df.orderBy(h.asc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")).asc(),
+                       F.col(id_col).asc())
+    # the window here ranks only the k survivors (post-limit), so the
+    # unpartitioned window is k-bounded, never corpus-bounded
+    return ranked.withColumn(rank_col, F.row_number().over(w))

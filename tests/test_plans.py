@@ -222,3 +222,10 @@ def test_pack_sequences_single_shuffle(spark):
     plan = _plan(E.q_corpus_pack_sequences(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_global_sample_take_ordered_no_global_sort(spark):
+    """Global uniform sample must compile to TakeOrderedAndProject (k-bounded
+    per-partition top-k), never a full Sort or corpus-wide window."""
+    plan = _plan(E.q_corpus_global_sample(spark, SF))
+    assert "TakeOrderedAndProject" in plan
