@@ -229,3 +229,32 @@ def test_global_sample_take_ordered_no_global_sort(spark):
     per-partition top-k), never a full Sort or corpus-wide window."""
     plan = _plan(E.q_corpus_global_sample(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_colocated_join_no_shuffle(spark):
+    """Two tables written bucketed+sorted on the same key with the same
+    bucket count must sort-merge join with ZERO Exchange — the
+    write-once-join-forever layout for the recurring frontier joins. (A
+    partition-local Sort remains: Spark ignores bucket sort metadata by
+    default since 3.0, SPARK-28595; the shuffle is the scale cost.)"""
+    from delphi_crawler_spark.storage.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    a = spark.range(10_000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(5_000).selectExpr("id AS k", "id * 3 AS vb")
+    try:
+        write_bucketed(a, "buck_a", "k", n_buckets=8)
+        write_bucketed(b, "buck_b", "k", n_buckets=8)
+        out = colocated_join(spark, "buck_a", "buck_b", "k", force_merge=True)
+        plan = _plan(out)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert plan.count("SelectedBucketsCount: 8 out of 8") == 2, plan
+        assert out.count() == 5_000
+        row = out.where("k = 7").collect()[0]
+        assert (row["va"], row["vb"]) == (14, 21)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS buck_a")
+        spark.sql("DROP TABLE IF EXISTS buck_b")
