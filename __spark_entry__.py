@@ -1568,6 +1568,36 @@ def q_corpus_global_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("sample_rank").cast(BIG).alias("sample_rank"))
 
 
+def q_pipeline_training_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-write path: quality score (letter ratio) →
+    global token-budget selection (12k, two-phase prefix sum) → next-fit
+    packing of the selected docs into 128-token sequences over 4 shards.
+    Composes the continuation family; every stage individually oracled."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.corpus import token_budget_select
+    from delphi_crawler_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        (
+            F.length(F.regexp_replace("text", "[^A-Za-z ]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("quality"),
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast(BIG)
+        .alias("n_tokens"),
+    )
+    sel = token_budget_select(docs, 12_000)
+    sel = _materialize_release(sel, "_release_budget")
+    packed = pack_sequences(
+        sel.withColumn("shard", (F.col("doc_id") % 4).cast(BIG)),
+        "doc_id",
+        "n_tokens",
+        budget=128,
+    )
+    return packed
+
+
 def q_agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Count-Min frequency telemetry (Cormode & Muthukrishnan
     2005): per-partition count matrices sum-merged with the two-level
@@ -2686,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_fetch_plan": q_mm_fetch_plan,
         "corpus_leakage_split": q_corpus_leakage_split,
         "corpus_global_sample": q_corpus_global_sample,
+        "pipeline_training_write": q_pipeline_training_write,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -3200,6 +3231,51 @@ SELECT doc_id, sample_rank FROM (
            AS sample_rank
   FROM documents) t
 WHERE sample_rank <= 100
+"""
+
+    o["pipeline_training_write"] = """
+WITH RECURSIVE q AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1) AS quality,
+         len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n_tokens
+  FROM documents),
+cb AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+            AS cum_before
+  FROM q),
+sel AS (SELECT doc_id % 4 AS shard, doc_id, n_tokens FROM cb
+        WHERE cum_before < 12000),
+c AS (
+  SELECT shard, doc_id, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id))::BIGINT AS cum,
+         (row_number() OVER (PARTITION BY shard ORDER BY doc_id))::BIGINT AS idx
+  FROM sel),
+m AS (SELECT shard, max(idx) AS n FROM c GROUP BY shard),
+seqs AS (
+  SELECT m.shard, 1::BIGINT AS s, 0::BIGINT AS base, 0::BIGINT AS seq_id,
+         greatest(1::BIGINT, coalesce((SELECT max(idx) FROM c
+            WHERE c.shard = m.shard AND c.cum <= 128), 0::BIGINT)) AS e
+  FROM m
+  UNION ALL
+  SELECT sq.shard, sq.e + 1 AS s,
+         (SELECT cum FROM c WHERE c.shard = sq.shard AND c.idx = sq.e) AS base,
+         sq.seq_id + 1 AS seq_id,
+         greatest(sq.e + 1, coalesce((SELECT max(idx) FROM c
+            WHERE c.shard = sq.shard
+              AND c.cum <= (SELECT cum FROM c c2
+                            WHERE c2.shard = sq.shard AND c2.idx = sq.e) + 128),
+            0::BIGINT)) AS e
+  FROM seqs sq JOIN m ON m.shard = sq.shard
+  WHERE sq.e < m.n)
+SELECT c.shard::BIGINT AS shard, c.doc_id::BIGINT AS doc_id,
+       c.n_tokens, sq.seq_id,
+       (c.idx - sq.s)::BIGINT AS pos_in_seq,
+       (c.cum - c.n_tokens - sq.base)::BIGINT AS tok_offset,
+       ((SELECT cum FROM c c3 WHERE c3.shard = c.shard AND c3.idx = sq.e)
+        - sq.base)::BIGINT AS seq_tokens
+FROM c JOIN seqs sq ON c.shard = sq.shard AND c.idx BETWEEN sq.s AND sq.e
 """
 
     o["corpus_chunk_windows"] = """
