@@ -1598,6 +1598,27 @@ def q_pipeline_training_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed
 
 
+def q_text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality scoring (Wenzek 2020): add-one-smoothed
+    bigram LM trained on the deterministic doc_id%3==0 reference slice,
+    every document scored by mean bigram NLL + perplexity. LM count tables
+    are vocabulary-bounded (AQE-broadcastable); bigram emission is a
+    shuffle-free zip_with explode; all expressions JVM."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.lm import bigram_perplexity
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    out = bigram_perplexity(docs, train_pred=F.col("doc_id") % 3 == 0)
+    return out.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        F.col("n_bigrams").cast(BIG).alias("n_bigrams"),
+        "avg_nll",
+        "ppl",
+    )
+
+
 def q_agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Count-Min frequency telemetry (Cormode & Muthukrishnan
     2005): per-partition count matrices sum-merged with the two-level
@@ -2717,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_leakage_split": q_corpus_leakage_split,
         "corpus_global_sample": q_corpus_global_sample,
         "pipeline_training_write": q_pipeline_training_write,
+        "text_lm_perplexity": q_text_lm_perplexity,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -3276,6 +3298,28 @@ SELECT c.shard::BIGINT AS shard, c.doc_id::BIGINT AS doc_id,
        ((SELECT cum FROM c c3 WHERE c3.shard = c.shard AND c3.idx = sq.e)
         - sq.base)::BIGINT AS seq_tokens
 FROM c JOIN seqs sq ON c.shard = sq.shard AND c.idx BETWEEN sq.s AND sq.e
+"""
+
+    o["text_lm_perplexity"] = """
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+           FROM documents),
+bz AS (SELECT doc_id,
+              unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS z
+       FROM w),
+bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bz),
+tb AS (SELECT * FROM bg WHERE doc_id % 3 = 0),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM tb GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM tb GROUP BY w1),
+v AS (SELECT count(DISTINCT t.w) AS v
+      FROM (SELECT unnest(ws) AS w FROM w WHERE doc_id % 3 = 0) t),
+s AS (SELECT bg.doc_id,
+             -ln((coalesce(c2.c2, 0) + 1) / (coalesce(c1.c1, 0) + v.v)) AS nll
+      FROM bg LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+              LEFT JOIN c1 ON bg.w1 = c1.w1
+              CROSS JOIN v)
+SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(nll), 6) AS avg_nll, round(exp(avg(nll)), 3) AS ppl
+FROM s GROUP BY doc_id
 """
 
     o["corpus_chunk_windows"] = """

@@ -1,0 +1,62 @@
+"""Bigram-LM perplexity scoring (operators/lm.py): hand-computed smoothed
+probabilities, train/score separation, degenerate inputs, plan shape."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from delphi_crawler_spark.operators.lm import bigram_perplexity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bigram_perplexity_hand_values(spark):
+    # train slice = doc 0 only: "a b a b" -> bigrams (a,b)x2, (b,a)x1
+    # vocab V = {a, b} = 2; contexts c1(a)=2, c1(b)=1
+    docs = _docs(spark, [(0, "a b a b"), (1, "a b"), (2, "b c")])
+    out = bigram_perplexity(docs, train_pred=F.col("doc_id") == 0)
+    got = {r["doc_id"]: r for r in out.collect()}
+
+    # doc 1: one bigram (a,b): -ln((2+1)/(2+2)) = -ln(3/4)
+    exp1 = -math.log(3 / 4)
+    assert got[1]["n_bigrams"] == 1
+    assert abs(got[1]["avg_nll"] - round(exp1, 6)) < 1e-9
+    assert abs(got[1]["ppl"] - round(math.exp(exp1), 3)) < 1e-9
+
+    # doc 2: one bigram (b,c) unseen: -ln((0+1)/(1+2)) = ln(3)
+    exp2 = math.log(3)
+    assert abs(got[2]["avg_nll"] - round(exp2, 6)) < 1e-9
+
+    # doc 0 scores itself: bigrams (a,b),(b,a),(a,b)
+    exp0 = -(2 * math.log(3 / 4) + math.log(2 / 3)) / 3
+    assert got[0]["n_bigrams"] == 3
+    assert abs(got[0]["avg_nll"] - round(exp0, 6)) < 1e-9
+
+
+def test_bigram_perplexity_short_and_empty_docs(spark):
+    # single-token and empty-text docs have no bigrams -> no output row
+    docs = _docs(spark, [(0, "a b c a b"), (1, "solo"), (2, "")])
+    out = bigram_perplexity(docs, train_pred=F.col("doc_id") == 0)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {0}
+
+
+def test_bigram_perplexity_empty_train_slice(spark):
+    docs = _docs(spark, [(0, "a b c"), (1, "d e")])
+    out = bigram_perplexity(docs, train_pred=F.lit(False))
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_bigrams", "avg_nll", "ppl"]
+
+
+def test_bigram_emission_is_shuffle_free(spark):
+    # the tokenize -> zip_with -> explode stage must plan without Exchange
+    from delphi_crawler_spark.operators.lm import _bigrams, _token_arrays
+
+    docs = _docs(spark, [(0, "a b c")])
+    plan = _bigrams(_token_arrays(docs, "doc_id", "text"), "doc_id")
+    txt = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in txt
