@@ -1619,6 +1619,24 @@ def q_text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher composite quality-rule filter (Rae 2021 App. A): word-count /
+    mean-word-length bounds, symbol + bullet/ellipsis line ratios,
+    alphabetic-word fraction, distinct-stop-word floor — one narrow JVM map
+    over the scan, pass flag from the unrounded metrics."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.textfns import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    return gopher_rules(docs).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "n_stop_hits", "passed",
+    )
+
+
 def q_agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Count-Min frequency telemetry (Cormode & Muthukrishnan
     2005): per-partition count matrices sum-merged with the two-level
@@ -2739,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_global_sample": q_corpus_global_sample,
         "pipeline_training_write": q_pipeline_training_write,
         "text_lm_perplexity": q_text_lm_perplexity,
+        "text_gopher_rules": q_text_gopher_rules,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -3320,6 +3339,45 @@ s AS (SELECT bg.doc_id,
 SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_bigrams,
        round(avg(nll), 6) AS avg_nll, round(exp(avg(nll)), 3) AS ppl
 FROM s GROUP BY doc_id
+"""
+
+    o["text_gopher_rules"] = """
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS ws,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(ws)::BIGINT AS n_words,
+         list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+           / greatest(len(ws), 1) AS mwl,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) // 3)::DOUBLE
+           / greatest(len(ws), 1) AS symbol_ratio,
+         len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+               OR starts_with(ltrim(l), '*')
+               OR starts_with(ltrim(l), '•')))::DOUBLE
+           / greatest(len(lines), 1) AS bullet_frac,
+         len(list_filter(lines, l -> ends_with(rtrim(l), '...')))::DOUBLE
+           / greatest(len(lines), 1) AS ellipsis_frac,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+           / greatest(len(ws), 1) AS alpha_frac,
+         len(list_intersect(ws,
+             ['the','be','to','of','and','that','have','with']))::BIGINT AS n_stop
+  FROM base)
+SELECT doc_id::BIGINT AS doc_id, n_words,
+       round(mwl, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(bullet_frac, 6) AS bullet_line_frac,
+       round(ellipsis_frac, 6) AS ellipsis_line_frac,
+       round(alpha_frac, 6) AS alpha_word_frac,
+       n_stop AS n_stop_hits,
+       (n_words BETWEEN 50 AND 100000 AND mwl >= 3 AND mwl <= 10
+        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        AND n_stop >= 2)::BIGINT AS passed
+FROM m
 """
 
     o["corpus_chunk_windows"] = """

@@ -181,3 +181,72 @@ def clean_text_col(text: Column) -> Column:
     composed = nfc_normalize_pd(text)
     no_ctl = F.regexp_replace(composed, _CONTROL_RE, "")
     return F.regexp_replace(no_ctl, r"\r\n?", "\n")
+
+
+# ---------------------------------------------------------- gopher rules
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df, text_col: str = "text"):
+    """Gopher-style composite document-quality rules (Rae et al. 2021,
+    Appendix A): word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio, bullet/ellipsis line fractions, alphabetic-word fraction, and a
+    minimum distinct-stop-word count, combined into one ``passed`` flag.
+
+    Distinct from ``quality_features`` (a continuous score): this is the
+    published RULE SET, each metric exposed so downstream filters can relax
+    individual thresholds. Every expression is JVM (whole-stage codegen) —
+    higher-order array functions over the token/line splits, zero Python
+    and zero shuffles; at 100 TB this is a narrow map over the scan.
+
+    Adds: n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, n_stop_hits, passed (0/1).
+    Thresholds (published Gopher values): 50 <= n_words <= 100000,
+    3 <= mean_word_len <= 10, symbol_ratio <= 0.1, bullet <= 0.9,
+    ellipsis <= 0.3, alpha >= 0.8, stops >= 2. The pass flag is computed
+    from the UNROUNDED metrics; the exposed columns are rounded to 6.
+    """
+    t = F.col(text_col)
+    ws = F.split(F.lower(F.trim(t)), r"\s+")
+    lines = F.split(t, "\n")
+    n_words = F.size(ws)
+    dw = F.greatest(n_words, F.lit(1))
+    total_chars = F.aggregate(ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+    mwl = total_chars / dw
+    hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ellipses = F.floor((F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3)
+    symbol_ratio = (hashes + ellipses) / dw
+    dl = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.size(
+        F.filter(
+            lines,
+            lambda l: F.startswith(F.ltrim(l), F.lit("-"))
+            | F.startswith(F.ltrim(l), F.lit("*"))
+            | F.startswith(F.ltrim(l), F.lit("•")),
+        )
+    ) / dl
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda l: F.endswith(F.rtrim(l), F.lit("...")))
+    ) / dl
+    alpha_frac = F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))) / dw
+    n_stop = F.size(F.array_intersect(ws, F.array(*[F.lit(s) for s in _GOPHER_STOPS])))
+    passed = (
+        (n_words >= 50) & (n_words <= 100_000)
+        & (mwl >= 3) & (mwl <= 10)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+    )
+    return (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", F.round(mwl, 6))
+        .withColumn("symbol_ratio", F.round(symbol_ratio, 6))
+        .withColumn("bullet_line_frac", F.round(bullet_frac, 6))
+        .withColumn("ellipsis_line_frac", F.round(ellipsis_frac, 6))
+        .withColumn("alpha_word_frac", F.round(alpha_frac, 6))
+        .withColumn("n_stop_hits", n_stop.cast("long"))
+        .withColumn("passed", passed.cast("long"))
+    )

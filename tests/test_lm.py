@@ -60,3 +60,49 @@ def test_bigram_emission_is_shuffle_free(spark):
     plan = _bigrams(_token_arrays(docs, "doc_id", "text"), "doc_id")
     txt = plan._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in txt
+
+
+# ---------------------------------------------------------- gopher rules
+
+
+def test_gopher_rules_hand_values(spark):
+    from delphi_crawler_spark.functions.textfns import gopher_rules
+
+    good = " ".join(
+        ["the quick brown fox jumps over the lazy dog and that have with be to of"] * 5
+    )  # 16 words x 5 = 80 words, all alpha, plenty of stops
+    bullets = "- one\n- two\n* three\n• four\nplain line"
+    dots = "end... " * 4 + "we the of and go"  # ellipsis symbols
+    short = "too few words here"
+    df = spark.createDataFrame(
+        [(0, good), (1, bullets), (2, dots), (3, short), (4, ".....")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+
+    assert got[0]["passed"] == 1
+    assert got[0]["n_words"] == 80
+    assert got[0]["n_stop_hits"] == 8
+
+    # 4 of 5 lines are bullets
+    assert abs(got[1]["bullet_line_frac"] - 0.8) < 1e-9
+    assert got[1]["passed"] == 0  # word-count floor
+
+    # 4 '...' in 9 words -> symbol ratio > 0.1
+    assert got[2]["symbol_ratio"] > 0.1
+    assert got[2]["passed"] == 0
+
+    assert got[3]["passed"] == 0  # < 50 words
+
+    # '.....' = one non-overlapping '...' occurrence, one word, no alpha
+    assert got[4]["symbol_ratio"] == 1.0
+    assert got[4]["alpha_word_frac"] == 0.0
+
+
+def test_gopher_rules_is_narrow_jvm(spark):
+    from delphi_crawler_spark.functions.textfns import gopher_rules
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    txt = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in txt
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
