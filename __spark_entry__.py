@@ -1689,6 +1689,27 @@ def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, num_merges=30, min_pair_count=2)
 
 
+def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE *application* at corpus scale: train 30 merges (as
+    corpus_bpe_merges), then tokenize every document — the merge fold runs
+    over the DISTINCT-word table (vocab-sized, not corpus-sized), the
+    per-doc token stream is a broadcast join + posexplode/flatten
+    reassembly, word order preserved. Oracle: expected-parquet from the
+    independent per-word Python encoder (tools/gen_expected.py)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    mt = bpe_train(docs, num_merges=30, min_pair_count=2)
+    merges = [(r["left"], r["right"]) for r in mt.orderBy("merge_rank").collect()]
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        F.size("tokens").cast(BIG).alias("n_tokens"),
+        F.array_join("tokens", " ").alias("tokens_text"),
+    )
+
+
 def q_r5_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cho & Garcia-Molina (TOIT 2003) bias-reduced Poisson change-rate
     estimator per URL from revisit history: lambda_hat = -ln((n-X+0.5)/
@@ -2758,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_training_write": q_pipeline_training_write,
         "text_lm_perplexity": q_text_lm_perplexity,
         "text_gopher_rules": q_text_gopher_rules,
+        "corpus_bpe_encode": q_corpus_bpe_encode,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -4747,6 +4769,7 @@ FROM r WHERE sample_rank <= 30
         "dedup_semantic",
         "agg_hll_distinct",
         "corpus_bpe_merges",
+        "corpus_bpe_encode",
         "agg_cms_freq",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"

@@ -35,6 +35,7 @@ CASES = {
     "sim_ivf_topk": (E.q_sim_ivf_topk, "embeddings", G.gen_sim_ivf_topk),
     "dedup_semantic": (E.q_dedup_semantic, "embeddings", G.gen_dedup_semantic),
     "corpus_bpe_merges": (E.q_corpus_bpe_merges, "documents", G.gen_corpus_bpe_merges),
+    "corpus_bpe_encode": (E.q_corpus_bpe_encode, "documents", G.gen_corpus_bpe_encode),
     "agg_cms_freq": (E.q_agg_cms_freq, "events", G.gen_agg_cms_freq),
 }
 

@@ -588,6 +588,46 @@ def gen_corpus_bpe_merges(
     ).astype({"merge_rank": "int64", "pair_count": "int64"})
 
 
+def gen_corpus_bpe_encode(
+    docs: pd.DataFrame, num_merges: int = 30, min_pair_count: int = 2
+) -> pd.DataFrame:
+    """Independent BPE *application*: learn the merge table with the same
+    per-word trainer as gen_corpus_bpe_merges, then encode every document
+    — per word, char-init + '</w>', merges applied in rank order with
+    greedy left-to-right non-overlapping replacement, word order kept.
+    The Spark vocab-sized fold encode must reproduce every token stream."""
+    mt = gen_corpus_bpe_merges(docs, num_merges, min_pair_count)
+    merges = list(zip(mt["left"], mt["right"]))
+
+    def enc_word(w: str) -> list[str]:
+        s = list(w) + ["</w>"]
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    cache: dict[str, list[str]] = {}
+    rows = []
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        toks: list[str] = []
+        for w in str(t).lower().split():
+            if w not in cache:
+                cache[w] = enc_word(w)
+            toks.extend(cache[w])
+        if toks:
+            rows.append((int(doc_id), len(toks), " ".join(toks)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_tokens", "tokens_text"]
+    ).astype({"doc_id": "int64", "n_tokens": "int64"})
+
+
 def gen_agg_cms_freq(
     events: pd.DataFrame, depth: int = 4, width: int = 4096
 ) -> pd.DataFrame:
@@ -633,6 +673,7 @@ GENERATORS = {
     "dedup_semantic": ("embeddings", gen_dedup_semantic),
     "agg_hll_distinct": ("documents", gen_agg_hll_distinct),
     "corpus_bpe_merges": ("documents", gen_corpus_bpe_merges),
+    "corpus_bpe_encode": ("documents", gen_corpus_bpe_encode),
     "agg_cms_freq": ("events", gen_agg_cms_freq),
 }
 
