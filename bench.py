@@ -320,6 +320,16 @@ def hist_sketch_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist_quantiles(merge_segments(*segs), [0.5, 0.95, 0.99], by="host")
 
 
+def lm_perplexity_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM scoring over the documents table: LM trained
+    on the doc_id%3 slice, every doc scored — the vocabulary-bounded
+    count-table join shape at the bench scale."""
+    from delphi_crawler_spark.operators.lm import bigram_perplexity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_perplexity(docs, train_pred=F.col("doc_id") % 3 == 0)
+
+
 BENCH_QUERIES = {
     "crawl_schedule": crawl_schedule,
     "bloom_incremental_update": bloom_incremental_update,
@@ -349,6 +359,7 @@ BENCH_QUERIES = {
     "exact_quantiles": exact_quantiles_2m,
     "hist_quantile_sketch": hist_sketch_2m,
     "hll_incremental_update": hll_incremental_update,
+    "lm_perplexity": lm_perplexity_sf,
 }
 
 
