@@ -1710,6 +1710,28 @@ def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_r6_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level drift between crawl rounds: per-term Jensen–Shannon
+    contributions between the doc_id%2 halves of the corpus (stand-in for
+    round A/B). One term hash-agg per side, vocab-grain full-outer join,
+    broadcast scalar totals — never corpus-sized past the first agg."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.snapshot import term_distribution_drift
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    out = term_distribution_drift(
+        docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1)
+    )
+    return out.select(
+        "term",
+        F.col("cnt_a").cast(BIG).alias("cnt_a"),
+        F.col("cnt_b").cast(BIG).alias("cnt_b"),
+        "p_a", "p_b", "jsd_term",
+    )
+
+
 def q_r5_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cho & Garcia-Molina (TOIT 2003) bias-reduced Poisson change-rate
     estimator per URL from revisit history: lambda_hat = -ln((n-X+0.5)/
@@ -2780,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_perplexity": q_text_lm_perplexity,
         "text_gopher_rules": q_text_gopher_rules,
         "corpus_bpe_encode": q_corpus_bpe_encode,
+        "r6_term_drift": q_r6_term_drift,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -3400,6 +3423,30 @@ SELECT doc_id::BIGINT AS doc_id, n_words,
         AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
         AND n_stop >= 2)::BIGINT AS passed
 FROM m
+"""
+
+    o["r6_term_drift"] = """
+WITH ta AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+            FROM documents WHERE doc_id % 2 = 0),
+tb AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       FROM documents WHERE doc_id % 2 = 1),
+ca AS (SELECT term, count(*) AS cnt_a FROM ta GROUP BY term),
+cb AS (SELECT term, count(*) AS cnt_b FROM tb GROUP BY term),
+jn AS (SELECT coalesce(ca.term, cb.term) AS term,
+              coalesce(ca.cnt_a, 0) AS cnt_a,
+              coalesce(cb.cnt_b, 0) AS cnt_b
+       FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+tot AS (SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b FROM jn),
+s AS (SELECT term, cnt_a, cnt_b,
+             cnt_a / tot_a AS p, cnt_b / tot_b AS q
+      FROM jn CROSS JOIN tot)
+SELECT term, cnt_a::BIGINT AS cnt_a, cnt_b::BIGINT AS cnt_b,
+       round(p, 9) AS p_a, round(q, 9) AS p_b,
+       round(
+         (CASE WHEN cnt_a > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END)
+         + (CASE WHEN cnt_b > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END),
+         9) AS jsd_term
+FROM s
 """
 
     o["corpus_chunk_windows"] = """

@@ -60,3 +60,71 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     """One row per status with its count — the round-level churn metric a
     scheduler consumes (change rate drives the recrawl interval)."""
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def term_distribution_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-term Jensen–Shannon drift between two crawl rounds' unigram
+    distributions — the corpus-level companion to ``snapshot_diff``: the
+    row-grain diff says WHICH pages changed, this says whether the
+    *language of the corpus* moved (topic shift, spam influx, template
+    takeover) and which terms drive it.
+
+    Per term t with relative frequencies p (round A) and q (round B),
+    m = (p+q)/2, the JSD contribution is
+    ``0.5*p*ln(p/m) + 0.5*q*ln(q/m)`` (zero-count sides contribute 0 by
+    the x·ln(x) → 0 limit); summing the column gives the corpus JSD in
+    nats (bounded by ln 2).
+
+    Scale shape: one token explode + one term hash-agg per side (shared
+    tokenization contract with TF-IDF/decontamination), a full-outer
+    equi-join at the vocabulary grain, scalar totals as a broadcast
+    1-row cross join — never corpus-sized after the first agg. All
+    expressions JVM; the CASE guards keep ln off zero counts so the
+    column is NaN-free by construction.
+
+    Returns ``(term, cnt_a, cnt_b, p_a, p_b, jsd_term)`` with the ratios
+    rounded to 9 (values are vocabulary-small; 9 decimals absorbs the
+    ~1e-16-relative ln ulp differences across engines while keeping the
+    drift signal).
+    """
+    def counts(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.select(
+                F.explode(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+                ).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count("*").alias(name))
+        )
+
+    ca = counts(docs_a, "cnt_a")
+    cb = counts(docs_b, "cnt_b")
+    joined = ca.join(cb, "term", "full_outer").select(
+        "term",
+        F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+    )
+    totals = joined.agg(
+        F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
+    )
+    j = joined.crossJoin(F.broadcast(totals))
+    p = F.col("cnt_a") / F.col("tot_a")
+    q = F.col("cnt_b") / F.col("tot_b")
+    m = (p + q) / 2
+    jsd = (
+        F.when(F.col("cnt_a") > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("cnt_b") > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "term",
+        "cnt_a",
+        "cnt_b",
+        F.round(p, 9).alias("p_a"),
+        F.round(q, 9).alias("p_b"),
+        F.round(jsd, 9).alias("jsd_term"),
+    )

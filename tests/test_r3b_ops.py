@@ -311,3 +311,42 @@ def test_anchor_context_fold_semantics(spark):
     assert agg["u2"]["n_inlinks"] == 3 and agg["u2"]["n_src_docs"] == 2
     assert agg["u2"]["ctx_total_len"] == 15 and agg["u2"]["sample_ctx"] == "alpha"
     assert agg["u1"]["ctx_total_len"] == 0 and agg["u1"]["sample_ctx"] == ""
+
+
+def test_term_drift_identical_corpora_is_zero(spark):
+    from delphi_crawler_spark.operators.snapshot import term_distribution_drift
+
+    d = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b")], "doc_id long, text string"
+    )
+    out = term_distribution_drift(d, d).collect()
+    assert all(r["jsd_term"] == 0.0 for r in out)
+    assert {r["term"] for r in out} == {"a", "b", "c"}
+
+
+def test_term_drift_hand_values(spark):
+    import math
+
+    from delphi_crawler_spark.operators.snapshot import term_distribution_drift
+
+    # A: {a:2, b:2} tot 4; B: {a:1, c:3} tot 4
+    da = spark.createDataFrame([(0, "a a b b")], "doc_id long, text string")
+    db = spark.createDataFrame([(1, "a c c c")], "doc_id long, text string")
+    got = {r["term"]: r for r in term_distribution_drift(da, db).collect()}
+
+    def jsd(p, q):
+        m = (p + q) / 2
+        s = 0.0
+        if p > 0:
+            s += 0.5 * p * math.log(p / m)
+        if q > 0:
+            s += 0.5 * q * math.log(q / m)
+        return round(s, 9)
+
+    assert got["a"]["jsd_term"] == jsd(0.5, 0.25)
+    assert got["b"]["jsd_term"] == jsd(0.5, 0.0)   # disappeared term
+    assert got["c"]["jsd_term"] == jsd(0.0, 0.75)  # new term
+    assert got["b"]["cnt_b"] == 0 and got["c"]["cnt_a"] == 0
+    # corpus JSD bounded by ln 2
+    total = sum(r["jsd_term"] for r in got.values())
+    assert 0.0 < total <= math.log(2)
