@@ -1732,6 +1732,29 @@ def q_r6_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p14_focused_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focused-crawl boost (Chakrabarti 1999): integer topic-term mass per
+    doc (broadcast topic join + one hash-agg), pooled over each target's
+    in-links, priority boost via exact integer division — no float
+    threshold can flip across engines or summation orders."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.focused import (
+        focused_priority,
+        topic_relevance,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    rel = topic_relevance(docs, {"join": 3, "stream": 2, "query": 1})
+    li = _t(spark, sf_dir, "lineitem")
+    links = li.select(
+        (F.col("l_orderkey") % 500).cast(BIG).alias("src"),
+        F.concat(F.lit("k"), F.col("l_partkey")).alias("dst"),
+    )
+    return focused_priority(rel, links)
+
+
 def q_r5_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cho & Garcia-Molina (TOIT 2003) bias-reduced Poisson change-rate
     estimator per URL from revisit history: lambda_hat = -ln((n-X+0.5)/
@@ -2803,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_rules": q_text_gopher_rules,
         "corpus_bpe_encode": q_corpus_bpe_encode,
         "r6_term_drift": q_r6_term_drift,
+        "p14_focused_priority": q_p14_focused_priority,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -3447,6 +3471,26 @@ SELECT term, cnt_a::BIGINT AS cnt_a, cnt_b::BIGINT AS cnt_b,
          + (CASE WHEN cnt_b > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END),
          9) AS jsd_term
 FROM s
+"""
+
+    o["p14_focused_priority"] = """
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+           FROM documents),
+rel AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+               (3 * len(list_filter(ws, x -> x = 'join'))
+                + 2 * len(list_filter(ws, x -> x = 'stream'))
+                + 1 * len(list_filter(ws, x -> x = 'query')))::BIGINT AS rel_num
+        FROM w),
+links AS (SELECT l_orderkey % 500 AS src, 'k' || l_partkey AS dst
+          FROM lineitem),
+e AS (SELECT l.dst, r.rel_num, r.n_tokens
+      FROM links l JOIN rel r ON l.src = r.doc_id)
+SELECT dst, count(*)::BIGINT AS n_inlinks,
+       sum(rel_num)::BIGINT AS sum_rel_num,
+       sum(n_tokens)::BIGINT AS sum_tokens,
+       round(sum(rel_num)::DOUBLE / sum(n_tokens), 9) AS relevance,
+       least(9, (20 * sum(rel_num)) // sum(n_tokens))::BIGINT AS priority_boost
+FROM e GROUP BY dst
 """
 
     o["corpus_chunk_windows"] = """

@@ -350,3 +350,41 @@ def test_term_drift_hand_values(spark):
     # corpus JSD bounded by ln 2
     total = sum(r["jsd_term"] for r in got.values())
     assert 0.0 < total <= math.log(2)
+
+
+def test_focused_priority_hand_values(spark):
+    from delphi_crawler_spark.operators.focused import (
+        focused_priority,
+        topic_relevance,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "join stream query other"),   # rel = 3+2+1 = 6, 4 toks
+            (1, "join join plain"),           # rel = 6, 3 toks
+            (2, "nothing topical here four"), # rel = 0, 4 toks
+        ],
+        "doc_id long, text string",
+    )
+    rel = topic_relevance(docs, {"join": 3, "stream": 2, "query": 1})
+    got = {r["doc_id"]: r for r in rel.collect()}
+    assert (got[0]["rel_num"], got[0]["n_tokens"]) == (6, 4)
+    assert (got[1]["rel_num"], got[1]["n_tokens"]) == (6, 3)
+    assert (got[2]["rel_num"], got[2]["n_tokens"]) == (0, 4)
+
+    links = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "a"), (0, "b")], "src long, dst string"
+    )
+    out = {r["dst"]: r for r in focused_priority(rel, links, src_col="src").collect()}
+    # target a: num 12, toks 11 -> boost min(9, 240 div 11 = 21) = 9
+    assert out["a"]["n_inlinks"] == 3
+    assert out["a"]["sum_rel_num"] == 12 and out["a"]["sum_tokens"] == 11
+    assert out["a"]["priority_boost"] == 9
+    assert out["a"]["relevance"] == round(12 / 11, 9)
+    # target b: num 6, toks 4 -> 120 div 4 = 30 -> capped 9
+    assert out["b"]["priority_boost"] == 9
+
+    # a low-relevance-only target stays un-boosted
+    links2 = spark.createDataFrame([(2, "c")], "src long, dst string")
+    out2 = focused_priority(rel, links2).collect()[0]
+    assert out2["priority_boost"] == 0 and out2["relevance"] == 0.0
