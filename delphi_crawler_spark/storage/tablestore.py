@@ -446,6 +446,45 @@ class TableStore:
         """Current manifest id (recorded in checkpoints for exact resume)."""
         return self._current_snap(table)
 
+    def snapshots(self, table: str) -> list[dict]:
+        """Retained manifest history, oldest first (Iceberg
+        ``table.snapshots()`` analogue): manifest id, part/byte counts, the
+        round tags it covers, and whether it is the current pointer. Only
+        manifests ``expire`` has retained appear — history is bounded by
+        ``keep_manifests``, not by table age."""
+        tdir = self._tdir(table)
+        cur = self._current_snap(table)
+        out = []
+        for m in sorted(f for f in os.listdir(tdir) if f.startswith("mani-")):
+            parts = self._read_manifest(table, m)
+            out.append(
+                {
+                    "manifest": m,
+                    "n_parts": len(parts),
+                    "bytes": sum(p.get("bytes", 0) for p in parts),
+                    "rounds": sorted(
+                        {p["round"] for p in parts if p.get("round") is not None}
+                    ),
+                    "is_current": m == cur,
+                }
+            )
+        return out
+
+    def read_at(self, table: str, mani: str) -> DataFrame:
+        """Time-travel read (Iceberg ``VERSION AS OF`` analogue): scan the
+        table exactly as manifest ``mani`` committed it, WITHOUT moving the
+        ``_current`` pointer — ``restore`` rolls the table back,
+        ``read_at`` only looks back. Works for any retained manifest;
+        per-part predicate pushdown and partition pruning apply as in
+        ``read``. Raises FileNotFoundError once ``expire`` has dropped it."""
+        if not os.path.isfile(os.path.join(self._tdir(table), mani)):
+            raise FileNotFoundError(f"manifest {mani!r} of {table!r} not found")
+        paths = [
+            os.path.join(self._tdir(table), p["path"])
+            for p in self._read_manifest(table, mani)
+        ]
+        return self._read_paths(table, paths)
+
     def restore(self, table: str, mani: str) -> None:
         """Roll the table's pointer back to an earlier manifest (Iceberg
         time-travel / rollback analogue) — used on resume to discard the

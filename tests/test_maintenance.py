@@ -259,3 +259,31 @@ def test_maintain_on_dirty_store_discards_inflight(spark, tmp_path):
     clean = _run(_engine(spark, tmp_path / "clean2"), spark)
     assert eng.schedule_rows() == clean.schedule_rows()
     assert eng.seen_set() == clean.seen_set()
+
+
+def test_time_travel_read_at_and_snapshots(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "t"))
+    store.append("tbl", spark.range(0, 10), round_no=0)
+    m0 = store.current_snapshot("tbl")
+    store.append("tbl", spark.range(10, 25), round_no=1)
+    m1 = store.current_snapshot("tbl")
+
+    # read_at looks back without moving the pointer
+    assert store.read_at("tbl", m0).count() == 10
+    assert store.read("tbl").count() == 25
+    assert store.current_snapshot("tbl") == m1
+
+    snaps = store.snapshots("tbl")
+    assert [s["manifest"] for s in snaps] == [m0, m1]
+    assert [s["is_current"] for s in snaps] == [False, True]
+    assert snaps[0]["rounds"] == [0] and snaps[1]["rounds"] == [0, 1]
+    assert snaps[1]["n_parts"] == 2 and snaps[1]["bytes"] > snaps[0]["bytes"]
+
+    # expired manifests are gone for time travel, by design
+    store.append("tbl", spark.range(25, 30), round_no=2)
+    store.expire("tbl", keep_manifests=1)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        store.read_at("tbl", m0)
+    assert store.read("tbl").count() == 30
