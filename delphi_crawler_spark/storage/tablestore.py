@@ -485,6 +485,31 @@ class TableStore:
         ]
         return self._read_paths(table, paths)
 
+    def read_between(self, table: str, from_mani: str, to_mani: str) -> DataFrame:
+        """Incremental scan (Iceberg incremental-read analogue): only the
+        part directories ``to_mani`` references that ``from_mani`` does not
+        — i.e. the data appended between the two commits. Downstream
+        incremental consumers (index deltas, bloom segments, re-dedup of
+        changed rows) read O(new data), never the whole table. Parts are
+        immutable and content-addressed by path, so the set difference IS
+        the row difference for append-only tables; after a compaction the
+        rewritten parts appear new by path (callers diff across compaction
+        boundaries via round tags instead — ``read_parts_range``)."""
+        for m in (from_mani, to_mani):
+            if not os.path.isfile(os.path.join(self._tdir(table), m)):
+                raise FileNotFoundError(f"manifest {m!r} of {table!r} not found")
+        old = {p["path"] for p in self._read_manifest(table, from_mani)}
+        new_parts = [
+            p["path"]
+            for p in self._read_manifest(table, to_mani)
+            if p["path"] not in old
+        ]
+        if not new_parts:
+            return self.read_at(table, to_mani).limit(0)
+        return self._read_paths(
+            table, [os.path.join(self._tdir(table), p) for p in new_parts]
+        )
+
     def restore(self, table: str, mani: str) -> None:
         """Roll the table's pointer back to an earlier manifest (Iceberg
         time-travel / rollback analogue) — used on resume to discard the

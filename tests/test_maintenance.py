@@ -287,3 +287,20 @@ def test_time_travel_read_at_and_snapshots(spark, tmp_path):
     with _pytest.raises(FileNotFoundError):
         store.read_at("tbl", m0)
     assert store.read("tbl").count() == 30
+
+
+def test_incremental_read_between_manifests(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "t"))
+    store.append("tbl", spark.range(0, 10), round_no=0)
+    m0 = store.current_snapshot("tbl")
+    store.append("tbl", spark.range(10, 25), round_no=1)
+    store.append("tbl", spark.range(25, 30), round_no=2)
+    m2 = store.current_snapshot("tbl")
+
+    inc = store.read_between("tbl", m0, m2)
+    got = sorted(r["id"] for r in inc.collect())
+    assert got == list(range(10, 30))  # only the data appended after m0
+
+    # identical manifests -> empty frame with the table schema
+    empty = store.read_between("tbl", m2, m2)
+    assert empty.count() == 0 and empty.columns == ["id"]
