@@ -1755,6 +1755,64 @@ def q_p14_focused_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focused_priority(rel, links)
 
 
+def q_pipeline_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end adaptive frontier prioritization: Bayesian host quality
+    prior (p13) + focused-crawl topic boost (p14) composed onto a frontier,
+    then the P6 per-host top-2 window emission. Effective priority is pure
+    integer arithmetic (base + boost) so the window order is bit-exact;
+    the prior rides along as telemetry."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.focused import (
+        focused_priority,
+        topic_relevance,
+    )
+    from delphi_crawler_spark.operators.recrawl import host_quality_prior
+
+    docs_raw = _t(spark, sf_dir, "documents")
+    hp = host_quality_prior(
+        docs_raw.select(
+            F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias("host"),
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("n_letters"),
+            F.length("text").alias("n_chars"),
+        ),
+        k=200.0,
+    ).select("host", "prior")
+    rel = topic_relevance(
+        docs_raw.select(F.col("doc_id").cast(BIG).alias("doc_id"), "text"),
+        {"join": 3, "stream": 2, "query": 1},
+    )
+    links = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 500).cast(BIG).alias("src"),
+        F.concat(F.lit("k"), F.col("l_partkey")).alias("dst"),
+    )
+    boost = focused_priority(rel, links).select("dst", "priority_boost")
+    frontier = _t(spark, sf_dir, "part").select(
+        F.concat(F.lit("k"), F.col("p_partkey")).alias("url"),
+        F.concat(F.lit("h"), (F.col("p_partkey") % 23).cast("string")).alias("host"),
+        (F.col("p_size") % 5).cast(BIG).alias("base"),
+    )
+    j = (
+        frontier.join(boost, frontier["url"] == boost["dst"], "left")
+        .join(hp, "host", "left")
+        .select(
+            "host",
+            "url",
+            (F.col("base") + F.coalesce("priority_boost", F.lit(0)))
+            .cast(BIG)
+            .alias("eff_priority"),
+            F.coalesce("prior", F.lit(0.0)).alias("host_prior"),
+        )
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("eff_priority").desc(), F.col("url").asc()
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w).cast(BIG))
+        .where(F.col("rnk") <= 2)
+        .select("host", "url", "eff_priority", "rnk", "host_prior")
+    )
+
+
 def q_r5_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cho & Garcia-Molina (TOIT 2003) bias-reduced Poisson change-rate
     estimator per URL from revisit history: lambda_hat = -ln((n-X+0.5)/
@@ -2827,6 +2885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_encode": q_corpus_bpe_encode,
         "r6_term_drift": q_r6_term_drift,
         "p14_focused_priority": q_p14_focused_priority,
+        "pipeline_frontier_priority": q_pipeline_frontier_priority,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -3491,6 +3550,42 @@ SELECT dst, count(*)::BIGINT AS n_inlinks,
        round(sum(rel_num)::DOUBLE / sum(n_tokens), 9) AS relevance,
        least(9, (20 * sum(rel_num)) // sum(n_tokens))::BIGINT AS priority_boost
 FROM e GROUP BY dst
+"""
+
+    o["pipeline_frontier_priority"] = """
+WITH per AS (
+  SELECT 'h' || (doc_id % 23) AS host,
+         sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g')))::BIGINT AS letters,
+         sum(length(text))::BIGINT AS chars
+  FROM documents WHERE length(text) > 0 GROUP BY 1),
+g AS (SELECT sum(letters)::BIGINT AS gl, sum(chars)::BIGINT AS gc FROM per),
+hp AS (SELECT host,
+              round((letters + 200.0 * (gl / gc)) / (chars + 200.0), 6) AS prior
+       FROM per CROSS JOIN g),
+w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents),
+rel AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+               (3 * len(list_filter(ws, x -> x = 'join'))
+                + 2 * len(list_filter(ws, x -> x = 'stream'))
+                + 1 * len(list_filter(ws, x -> x = 'query')))::BIGINT AS rel_num
+        FROM w),
+links AS (SELECT l_orderkey % 500 AS src, 'k' || l_partkey AS dst FROM lineitem),
+e AS (SELECT l.dst, r.rel_num, r.n_tokens
+      FROM links l JOIN rel r ON l.src = r.doc_id),
+boost AS (SELECT dst,
+                 least(9, (20 * sum(rel_num)) // sum(n_tokens))::BIGINT AS pb
+          FROM e GROUP BY dst),
+fr AS (SELECT 'k' || p_partkey AS url, 'h' || (p_partkey % 23) AS host,
+              (p_size % 5)::BIGINT AS base FROM part),
+j AS (SELECT fr.host, fr.url,
+             (fr.base + coalesce(b.pb, 0))::BIGINT AS eff_priority,
+             coalesce(hp.prior, 0.0) AS host_prior
+      FROM fr LEFT JOIN boost b ON fr.url = b.dst
+              LEFT JOIN hp ON fr.host = hp.host),
+r AS (SELECT *, row_number() OVER (PARTITION BY host
+            ORDER BY eff_priority DESC, url ASC) AS rnk FROM j)
+SELECT host, url, eff_priority, rnk::BIGINT AS rnk, host_prior
+FROM r WHERE rnk <= 2
 """
 
     o["corpus_chunk_windows"] = """
