@@ -215,3 +215,50 @@ def frontier_dedup_stream(
     duplicate floods (the common case: a URL re-linked thousands of times
     within minutes) from ever reaching it."""
     return urls.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
+
+
+def schedule_fetch_join(
+    schedules: DataFrame,
+    fetches: DataFrame,
+    horizon: str = "5 minutes",
+    watermark: str = "10 minutes",
+    url_col: str = "url",
+    sched_ts_col: str = "sched_ts",
+    fetch_ts_col: str = "fetch_ts",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: correlate every fetch outcome
+    with the schedule record that emitted it — same ``url``, fetch event
+    time inside ``[sched_ts, sched_ts + horizon]``. This is the streaming
+    completion of the S3 fetch path: the scheduler emits, the fetcher
+    reports, and the correlated row (latency, status vs promised slot) is
+    what feeds politeness auditing and the p7 backoff loop continuously.
+
+    State discipline at 100 TB/day: BOTH sides carry a watermark and the
+    join predicate carries a closed event-time range, so Spark evicts
+    buffered rows from each side once the other side's watermark passes
+    ``ts + horizon`` — steady state is O(in-flight fetch horizon), never
+    O(stream history). The equi-key (`url`) keeps the join a hash
+    exchange on both sides, identical to the batch plan shape.
+
+    Works identically on batch frames (a plain range join) — the parity
+    test pins streaming == batch on the same input."""
+    s = schedules.withWatermark(sched_ts_col, watermark).alias("s")
+    f = fetches.withWatermark(fetch_ts_col, watermark).alias("f")
+    cond = (
+        (F.col(f"s.{url_col}") == F.col(f"f.{url_col}"))
+        & (F.col(f"f.{fetch_ts_col}") >= F.col(f"s.{sched_ts_col}"))
+        & (
+            F.col(f"f.{fetch_ts_col}")
+            <= F.col(f"s.{sched_ts_col}") + F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return s.join(f, cond, "inner").select(
+        F.col(f"s.{url_col}").alias("url"),
+        F.col(f"s.{sched_ts_col}").alias("sched_ts"),
+        F.col(f"f.{fetch_ts_col}").alias("fetch_ts"),
+        F.col("f.status").alias("status"),
+        (
+            F.unix_micros(F.col(f"f.{fetch_ts_col}").cast("timestamp_ltz"))
+            - F.unix_micros(F.col(f"s.{sched_ts_col}").cast("timestamp_ltz"))
+        ).alias("latency_us"),
+    )

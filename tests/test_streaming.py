@@ -273,3 +273,64 @@ def test_sliding_window_stream_equals_batch(spark, tmp_path):
     got = spark.sql("SELECT * FROM slide_metrics")
     cols = ["window_start", "event_type", "n", "sum_value"]
     assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """The watermarked stream-stream schedule↔fetch join (inner, event-time
+    range) over file streams equals the batch range join of the same
+    function on the same inputs — including fetches outside the horizon
+    (dropped) and urls with several schedule records (each matches only its
+    own in-horizon outcomes)."""
+    import numpy as np
+    import pandas as pd
+
+    from delphi_crawler_spark.streaming.frontier_stream import schedule_fetch_join
+
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01")
+    n = 800
+    sched = pd.DataFrame(
+        {
+            "url": [f"u{i % 120}" for i in range(n)],
+            "sched_ts": base + pd.to_timedelta(rng.integers(0, 3600, n), unit="s"),
+        }
+    )
+    # ~2 outcomes per schedule: one inside the 5-min horizon, one far out
+    fetch = pd.DataFrame(
+        {
+            "url": list(sched["url"]) * 2,
+            "fetch_ts": list(
+                sched["sched_ts"] + pd.to_timedelta(rng.integers(0, 300, n), unit="s")
+            )
+            + list(
+                sched["sched_ts"] + pd.to_timedelta(rng.integers(600, 1200, n), unit="s")
+            ),
+            "status": list(rng.integers(200, 600, 2 * n)),
+        }
+    )
+    sdir, fdir = str(tmp_path / "sched"), str(tmp_path / "fetch")
+    spark.createDataFrame(sched).write.parquet(sdir)
+    spark.createDataFrame(fetch).write.parquet(fdir)
+
+    batch = schedule_fetch_join(
+        spark.read.parquet(sdir), spark.read.parquet(fdir)
+    )
+    s_in = spark.readStream.schema("url string, sched_ts timestamp").parquet(sdir)
+    f_in = spark.readStream.schema(
+        "url string, fetch_ts timestamp, status long"
+    ).parquet(fdir)
+    q = (
+        schedule_fetch_join(s_in, f_in)
+        .writeStream.format("memory")
+        .queryName("sf_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sf_join")
+    cols = ["url", "sched_ts", "fetch_ts", "status", "latency_us"]
+    assert sorted(_rows(got, cols)) == sorted(_rows(batch, cols))
+    # the far-out outcomes were really dropped by the horizon
+    assert batch.count() < 2 * n
+    assert batch.where(F.col("latency_us") > 300 * 1_000_000).count() == 0
