@@ -50,19 +50,21 @@ def topic_relevance(
         F.col(doc_col),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("ws"),
     )
-    toks = base.select(doc_col, F.size("ws").alias("n_tokens"), F.explode("ws").alias("term"))
-    hits = (
-        toks.join(F.broadcast(topics), "term")
-        .groupBy(doc_col)
-        .agg(F.sum("weight").alias("rel_num"))
+    # single-pass shape: n_tokens rides the explode and the topic join is
+    # LEFT against the broadcast table, so zero-hit docs survive without a
+    # corpus-sized join-back — the explode is narrow and the per-doc agg
+    # partial-aggregates map-side to ONE exchange on the doc key (the
+    # two-join alternative plans a SortMergeJoin of two corpus-sized
+    # frames; this is strictly cheaper at any scale).
+    toks = base.select(
+        doc_col, F.size("ws").alias("n_tokens"), F.explode("ws").alias("term")
     )
     return (
-        base.select(doc_col, F.size("ws").cast("long").alias("n_tokens"))
-        .join(hits, doc_col, "left")
-        .select(
-            doc_col,
-            "n_tokens",
-            F.coalesce("rel_num", F.lit(0)).cast("long").alias("rel_num"),
+        toks.join(F.broadcast(topics), "term", "left")
+        .groupBy(doc_col)
+        .agg(
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("rel_num"),
         )
     )
 
