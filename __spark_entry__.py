@@ -1689,6 +1689,19 @@ def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, num_merges=30, min_pair_count=2)
 
 
+def q_sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection of the embeddings table to 16 dims (seeded
+    Gaussian matrix, Arrow GEMM over mapInPandas — narrow, no exchange).
+    Oracle: expected-parquet from an independent per-row Python dot-product
+    (tools/gen_expected.py)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = random_projection(emb, out_dim=16, seed=42, as_csv=True)
+    return out.select(F.col("vec_id").cast(BIG).alias("vec_id"), "proj")
+
+
 def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE *application* at corpus scale: train 30 merges (as
     corpus_bpe_merges), then tokenize every document — the merge fold runs
@@ -2886,6 +2899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r6_term_drift": q_r6_term_drift,
         "p14_focused_priority": q_p14_focused_priority,
         "pipeline_frontier_priority": q_pipeline_frontier_priority,
+        "sim_random_projection": q_sim_random_projection,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -4956,6 +4970,7 @@ FROM r WHERE sample_rank <= 30
         "agg_hll_distinct",
         "corpus_bpe_merges",
         "corpus_bpe_encode",
+        "sim_random_projection",
         "agg_cms_freq",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"

@@ -36,6 +36,9 @@ CASES = {
     "dedup_semantic": (E.q_dedup_semantic, "embeddings", G.gen_dedup_semantic),
     "corpus_bpe_merges": (E.q_corpus_bpe_merges, "documents", G.gen_corpus_bpe_merges),
     "corpus_bpe_encode": (E.q_corpus_bpe_encode, "documents", G.gen_corpus_bpe_encode),
+    "sim_random_projection": (
+        E.q_sim_random_projection, "embeddings", G.gen_sim_random_projection,
+    ),
     "agg_cms_freq": (E.q_agg_cms_freq, "events", G.gen_agg_cms_freq),
 }
 

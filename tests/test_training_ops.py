@@ -936,3 +936,34 @@ def test_leakage_safe_split_unit_integrity(spark):
         leakage_safe_split(df, "cluster_id", [("train", 0.8), ("val", 0.1)])
     with pytest.raises(ValueError):
         leakage_safe_split(df, "cluster_id", [])
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property: pairwise distances survive the cut within modest
+    distortion (deterministic seed, 64 -> 16 dims)."""
+    import numpy as np
+
+    from delphi_crawler_spark.operators.similarity import random_projection
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((40, 64)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: np.array(r["proj"]) for r in
+           random_projection(emb, out_dim=16, seed=42).collect()}
+    d0, d1 = [], []
+    for i in range(0, 40, 3):
+        for j in range(i + 1, 40, 7):
+            d0.append(np.linalg.norm(vecs[i].astype("float64") - vecs[j]))
+            d1.append(np.linalg.norm(got[i] - got[j]))
+    ratios = np.array(d1) / np.array(d0)
+    # distances preserved in expectation; spread bounded for 16 dims
+    assert 0.8 < ratios.mean() < 1.2
+    assert ratios.min() > 0.45 and ratios.max() < 1.7
+
+    # determinism: the same seed reproduces byte-identical CSV artifacts
+    a = random_projection(emb, out_dim=8, seed=7, as_csv=True).collect()
+    b = random_projection(emb, out_dim=8, seed=7, as_csv=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -628,6 +628,25 @@ def gen_corpus_bpe_encode(
     ).astype({"doc_id": "int64", "n_tokens": "int64"})
 
 
+def gen_sim_random_projection(
+    emb: pd.DataFrame, out_dim: int = 16, seed: int = 42
+) -> pd.DataFrame:
+    """Independent JL projection: same seeded Gaussian matrix convention
+    (default_rng(seed), (d × out_dim) standard normals / sqrt(out_dim)),
+    row-by-row Python dot products — the Spark Arrow GEMM must reproduce
+    every rounded element."""
+    import numpy as np
+
+    d = len(emb["embedding"].iloc[0])
+    rng = np.random.default_rng(seed)
+    mat = (rng.standard_normal((d, out_dim)) / np.sqrt(out_dim)).astype("float64")
+    rows = []
+    for vec_id, v in zip(emb["vec_id"], emb["embedding"]):
+        p = np.round(np.asarray(v, dtype="float64") @ mat, 6)
+        rows.append((int(vec_id), ",".join(f"{x:.6f}" for x in p)))
+    return pd.DataFrame(rows, columns=["vec_id", "proj"]).astype({"vec_id": "int64"})
+
+
 def gen_agg_cms_freq(
     events: pd.DataFrame, depth: int = 4, width: int = 4096
 ) -> pd.DataFrame:
@@ -674,6 +693,7 @@ GENERATORS = {
     "agg_hll_distinct": ("documents", gen_agg_hll_distinct),
     "corpus_bpe_merges": ("documents", gen_corpus_bpe_merges),
     "corpus_bpe_encode": ("documents", gen_corpus_bpe_encode),
+    "sim_random_projection": ("embeddings", gen_sim_random_projection),
     "agg_cms_freq": ("events", gen_agg_cms_freq),
 }
 
