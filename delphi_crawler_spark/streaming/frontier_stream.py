@@ -225,6 +225,7 @@ def schedule_fetch_join(
     url_col: str = "url",
     sched_ts_col: str = "sched_ts",
     fetch_ts_col: str = "fetch_ts",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream INNER join: correlate every fetch outcome
     with the schedule record that emitted it — same ``url``, fetch event
@@ -240,6 +241,12 @@ def schedule_fetch_join(
     O(stream history). The equi-key (`url`) keeps the join a hash
     exchange on both sides, identical to the batch plan shape.
 
+    With ``how="left_outer"`` schedules with NO in-horizon outcome emit a
+    null-status row once the fetch-side watermark passes their horizon —
+    streaming TIMEOUT detection (a dropped fetch is itself a signal the
+    backoff loop needs). The outer row is withheld until eviction time by
+    construction, so emission lags one watermark — the price of exactness.
+
     Works identically on batch frames (a plain range join) — the parity
     test pins streaming == batch on the same input."""
     s = schedules.withWatermark(sched_ts_col, watermark).alias("s")
@@ -252,7 +259,7 @@ def schedule_fetch_join(
             <= F.col(f"s.{sched_ts_col}") + F.expr(f"INTERVAL {horizon}")
         )
     )
-    return s.join(f, cond, "inner").select(
+    return s.join(f, cond, how).select(
         F.col(f"s.{url_col}").alias("url"),
         F.col(f"s.{sched_ts_col}").alias("sched_ts"),
         F.col(f"f.{fetch_ts_col}").alias("fetch_ts"),

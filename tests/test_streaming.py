@@ -334,3 +334,88 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     # the far-out outcomes were really dropped by the horizon
     assert batch.count() < 2 * n
     assert batch.where(F.col("latency_us") > 300 * 1_000_000).count() == 0
+
+
+def test_stream_stream_left_outer_detects_timeouts(spark, tmp_path):
+    """left_outer mode: schedules with no in-horizon outcome emit a
+    null-status timeout row once the fetch-side watermark passes their
+    horizon. Outer rows flush on a LATER micro-batch (eviction uses the
+    previous trigger's watermark), so the fetch source is split into two
+    files consumed one per trigger — the sentinel file advances the
+    watermark past every horizon. Matches the batch left join."""
+    import time as _time
+
+    import pandas as pd
+
+    from delphi_crawler_spark.streaming.frontier_stream import schedule_fetch_join
+
+    base = pd.Timestamp("2024-01-01")
+    # the global watermark is the MIN across sources, so the schedule
+    # stream also carries a late sentinel to let it advance
+    sched = pd.DataFrame(
+        {
+            "url": ["a", "b", "c", "zz-sched-sentinel"],
+            "sched_ts": [
+                base,
+                base,
+                base + pd.Timedelta(minutes=1),
+                base + pd.Timedelta(hours=2),
+            ],
+        }
+    )
+    # a fetched in-horizon; b never fetched (timeout); c fetched late
+    # (outside the 5-min horizon => also a timeout row)
+    fetch1 = pd.DataFrame(
+        {
+            "url": ["a", "c"],
+            "fetch_ts": [
+                base + pd.Timedelta(minutes=2),
+                base + pd.Timedelta(minutes=30),
+            ],
+            "status": [200, 200],
+        }
+    )
+    sentinel = pd.DataFrame(
+        {
+            "url": ["zz-sentinel"],
+            "fetch_ts": [base + pd.Timedelta(hours=2)],
+            "status": [200],
+        }
+    )
+    sdir, fdir = str(tmp_path / "s2"), str(tmp_path / "f2")
+    spark.createDataFrame(sched).coalesce(1).write.parquet(sdir)
+    spark.createDataFrame(fetch1).coalesce(1).write.parquet(fdir)
+    _time.sleep(1.1)  # distinct mod-times => deterministic file order
+    spark.createDataFrame(sentinel).coalesce(1).write.mode("append").parquet(fdir)
+
+    s_in = spark.readStream.schema("url string, sched_ts timestamp").parquet(sdir)
+    f_in = (
+        spark.readStream.schema("url string, fetch_ts timestamp, status long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(fdir)
+    )
+    q = (
+        schedule_fetch_join(s_in, f_in, watermark="1 minute", how="left_outer")
+        .writeStream.format("memory")
+        .queryName("sf_timeouts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["url"], r["status"]) for r in spark.sql("SELECT * FROM sf_timeouts").collect()
+    }
+    assert ("a", 200) in got          # matched in horizon
+    assert ("b", None) in got         # never fetched -> timeout row
+    assert ("c", None) in got         # fetched too late -> timeout row
+    assert ("c", 200) not in got
+
+    batch = schedule_fetch_join(
+        spark.read.parquet(sdir), spark.read.parquet(fdir), how="left_outer"
+    )
+    batch_set = {(r["url"], r["status"]) for r in batch.collect()}
+    # the sentinel's own horizon never closes before end-of-stream, so
+    # streaming correctly withholds its outer row — the one tail-row
+    # divergence exact watermark semantics require
+    assert got == batch_set - {("zz-sched-sentinel", None)}
