@@ -1689,6 +1689,30 @@ def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, num_merges=30, min_pair_count=2)
 
 
+def q_agg_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level corpus telemetry in ONE pass: CUBE(source, lang) —
+    per-(source,lang), per-source, per-lang, and grand-total doc/token/char
+    stats from a single partial-aggregating shuffle (Spark expands grouping
+    sets map-side; no per-level rescan). The §2.6 grouping-sets surface; at
+    100 TB this replaces 4 separate dashboard scans with one."""
+    _ensure_pkg(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tok"),
+        F.length("text").alias("n_chr"),
+    )
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast(BIG).alias("n_docs"),
+            F.sum("n_tok").cast(BIG).alias("n_tokens"),
+            F.sum("n_chr").cast(BIG).alias("n_chars"),
+        )
+        .select("source", "lang", "n_docs", "n_tokens", "n_chars")
+    )
+
+
 def q_sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection of the embeddings table to 16 dims (seeded
     Gaussian matrix, Arrow GEMM over mapInPandas — narrow, no exchange).
@@ -2900,6 +2924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p14_focused_priority": q_p14_focused_priority,
         "pipeline_frontier_priority": q_pipeline_frontier_priority,
         "sim_random_projection": q_sim_random_projection,
+        "agg_cube_rollup": q_agg_cube_rollup,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -3600,6 +3625,14 @@ r AS (SELECT *, row_number() OVER (PARTITION BY host
             ORDER BY eff_priority DESC, url ASC) AS rnk FROM j)
 SELECT host, url, eff_priority, rnk::BIGINT AS rnk, host_prior
 FROM r WHERE rnk <= 2
+"""
+
+    o["agg_cube_rollup"] = """
+SELECT source, lang, count(*)::BIGINT AS n_docs,
+       sum(len(string_split_regex(lower(trim(text)), '\\s+')))::BIGINT AS n_tokens,
+       sum(length(text))::BIGINT AS n_chars
+FROM documents
+GROUP BY CUBE (source, lang)
 """
 
     o["corpus_chunk_windows"] = """
