@@ -1713,6 +1713,28 @@ def q_agg_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_pivot_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix matrix per source: PIVOT on an explicit lang list —
+    Spark plans one hash-agg with conditional aggregates (no per-lang
+    rescan, no dynamic-schema second job because the value list is
+    pinned). The wide-telemetry shape a mixture dashboard reads."""
+    _ensure_pkg(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tok"),
+    )
+    langs = ["de", "en", "es", "fr", "zh"]
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.coalesce(F.sum("n_tok"), F.lit(0)).cast(BIG))
+    )
+    return out.select(
+        "source", *[F.coalesce(F.col(l), F.lit(0)).cast(BIG).alias(l) for l in langs]
+    )
+
+
 def q_sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection of the embeddings table to 16 dims (seeded
     Gaussian matrix, Arrow GEMM over mapInPandas — narrow, no exchange).
@@ -2925,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_frontier_priority": q_pipeline_frontier_priority,
         "sim_random_projection": q_sim_random_projection,
         "agg_cube_rollup": q_agg_cube_rollup,
+        "agg_pivot_langs": q_agg_pivot_langs,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -3633,6 +3656,19 @@ SELECT source, lang, count(*)::BIGINT AS n_docs,
        sum(length(text))::BIGINT AS n_chars
 FROM documents
 GROUP BY CUBE (source, lang)
+"""
+
+    o["agg_pivot_langs"] = """
+WITH t AS (SELECT source, lang,
+                  len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+           FROM documents)
+SELECT source,
+       coalesce(sum(CASE WHEN lang = 'de' THEN n_tok END), 0)::BIGINT AS de,
+       coalesce(sum(CASE WHEN lang = 'en' THEN n_tok END), 0)::BIGINT AS en,
+       coalesce(sum(CASE WHEN lang = 'es' THEN n_tok END), 0)::BIGINT AS es,
+       coalesce(sum(CASE WHEN lang = 'fr' THEN n_tok END), 0)::BIGINT AS fr,
+       coalesce(sum(CASE WHEN lang = 'zh' THEN n_tok END), 0)::BIGINT AS zh
+FROM t GROUP BY source
 """
 
     o["corpus_chunk_windows"] = """
