@@ -1735,6 +1735,45 @@ def q_agg_pivot_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate composition over today's scoring family: keep documents
+    that pass the Gopher rule set AND sit at/below the corpus-median bigram
+    perplexity (median via the exact two-phase percentile_disc — no global
+    sort). The CCNet+Gopher filter stack as one oracled query; every stage
+    individually oracled too."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.textfns import gopher_rules
+    from delphi_crawler_spark.operators.lm import bigram_perplexity
+    from delphi_crawler_spark.operators.quantiles import exact_quantiles
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    lmout = bigram_perplexity(docs, train_pred=F.col("doc_id") % 3 == 0)
+    med = exact_quantiles(lmout, "avg_nll", [0.5])
+    med = _materialize_release(med, "_release_quantiles").select(
+        F.col("value").alias("med_nll")
+    )
+    # corpus-adapted knobs (the synthetic vocabulary carries one stop word,
+    # so the published stop floor of 2 is unreachable by construction)
+    gop = gopher_rules(docs, min_words=20, min_stop_hits=1).select(
+        "doc_id", "n_words", "n_stop_hits", "passed"
+    )
+    out = (
+        lmout.crossJoin(F.broadcast(med))
+        .join(gop, "doc_id")
+        .where((F.col("passed") == 1) & (F.col("avg_nll") <= F.col("med_nll")))
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast(BIG).alias("n_words"),
+        F.col("n_bigrams").cast(BIG).alias("n_bigrams"),
+        "avg_nll",
+        "ppl",
+        "med_nll",
+    )
+
+
 def q_sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection of the embeddings table to 16 dims (seeded
     Gaussian matrix, Arrow GEMM over mapInPandas — narrow, no exchange).
@@ -2948,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_random_projection": q_sim_random_projection,
         "agg_cube_rollup": q_agg_cube_rollup,
         "agg_pivot_langs": q_agg_pivot_langs,
+        "pipeline_quality_filter": q_pipeline_quality_filter,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -3669,6 +3709,62 @@ SELECT source,
        coalesce(sum(CASE WHEN lang = 'fr' THEN n_tok END), 0)::BIGINT AS fr,
        coalesce(sum(CASE WHEN lang = 'zh' THEN n_tok END), 0)::BIGINT AS zh
 FROM t GROUP BY source
+"""
+
+    o["pipeline_quality_filter"] = """
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+           FROM documents),
+bz AS (SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS z
+       FROM w),
+bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bz),
+tb AS (SELECT * FROM bg WHERE doc_id % 3 = 0),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM tb GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM tb GROUP BY w1),
+v AS (SELECT count(DISTINCT t.w) AS v
+      FROM (SELECT unnest(ws) AS w FROM w WHERE doc_id % 3 = 0) t),
+s AS (SELECT bg.doc_id,
+             -ln((coalesce(c2.c2, 0) + 1) / (coalesce(c1.c1, 0) + v.v)) AS nll
+      FROM bg LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+              LEFT JOIN c1 ON bg.w1 = c1.w1
+              CROSS JOIN v),
+lm AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+              round(avg(nll), 6) AS avg_nll, round(exp(avg(nll)), 3) AS ppl
+       FROM s GROUP BY doc_id),
+nn AS (SELECT count(*) AS n FROM lm),
+rr AS (SELECT avg_nll, row_number() OVER (ORDER BY avg_nll) AS rk FROM lm),
+med AS (SELECT rr.avg_nll AS med_nll FROM rr CROSS JOIN nn
+        WHERE rr.rk = greatest(1, ceil(0.5 * nn.n)::BIGINT)),
+gb AS (SELECT doc_id, text,
+              string_split_regex(lower(trim(text)), '\\s+') AS gws,
+              string_split(text, chr(10)) AS lines
+       FROM documents),
+gm AS (SELECT doc_id,
+         len(gws)::BIGINT AS n_words,
+         list_sum(list_transform(gws, x -> length(x)))::DOUBLE
+           / greatest(len(gws), 1) AS mwl,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) // 3)::DOUBLE
+           / greatest(len(gws), 1) AS symbol_ratio,
+         len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+               OR starts_with(ltrim(l), '*')
+               OR starts_with(ltrim(l), '•')))::DOUBLE
+           / greatest(len(lines), 1) AS bullet_frac,
+         len(list_filter(lines, l -> ends_with(rtrim(l), '...')))::DOUBLE
+           / greatest(len(lines), 1) AS ellipsis_frac,
+         len(list_filter(gws, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+           / greatest(len(gws), 1) AS alpha_frac,
+         len(list_intersect(gws,
+             ['the','be','to','of','and','that','have','with']))::BIGINT AS n_stop
+       FROM gb),
+gp AS (SELECT doc_id, n_words,
+         (n_words BETWEEN 20 AND 100000 AND mwl >= 3 AND mwl <= 10
+          AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+          AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+          AND n_stop >= 1) AS passed
+       FROM gm)
+SELECT lm.doc_id, gp.n_words, lm.n_bigrams, lm.avg_nll, lm.ppl, med.med_nll
+FROM lm CROSS JOIN med JOIN gp ON gp.doc_id = lm.doc_id
+WHERE gp.passed AND lm.avg_nll <= med.med_nll
 """
 
     o["corpus_chunk_windows"] = """

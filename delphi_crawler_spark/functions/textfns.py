@@ -188,7 +188,13 @@ def clean_text_col(text: Column) -> Column:
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_rules(df, text_col: str = "text"):
+def gopher_rules(
+    df,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_hits: int = 2,
+):
     """Gopher-style composite document-quality rules (Rae et al. 2021,
     Appendix A): word-count bounds, mean-word-length bounds, symbol-to-word
     ratio, bullet/ellipsis line fractions, alphabetic-word fraction, and a
@@ -202,10 +208,13 @@ def gopher_rules(df, text_col: str = "text"):
 
     Adds: n_words, mean_word_len, symbol_ratio, bullet_line_frac,
     ellipsis_line_frac, alpha_word_frac, n_stop_hits, passed (0/1).
-    Thresholds (published Gopher values): 50 <= n_words <= 100000,
-    3 <= mean_word_len <= 10, symbol_ratio <= 0.1, bullet <= 0.9,
-    ellipsis <= 0.3, alpha >= 0.8, stops >= 2. The pass flag is computed
-    from the UNROUNDED metrics; the exposed columns are rounded to 6.
+    Default thresholds are the published Gopher values: 50 <= n_words <=
+    100000, 3 <= mean_word_len <= 10, symbol_ratio <= 0.1, bullet <= 0.9,
+    ellipsis <= 0.3, alpha >= 0.8, stops >= 2; the word-count bounds and
+    stop-word floor are parameters because real pipelines tune them per
+    corpus/language (a stop list is language-bound by nature). The pass
+    flag is computed from the UNROUNDED metrics; the exposed columns are
+    rounded to 6.
     """
     t = F.col(text_col)
     ws = F.split(F.lower(F.trim(t)), r"\s+")
@@ -232,13 +241,13 @@ def gopher_rules(df, text_col: str = "text"):
     alpha_frac = F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))) / dw
     n_stop = F.size(F.array_intersect(ws, F.array(*[F.lit(s) for s in _GOPHER_STOPS])))
     passed = (
-        (n_words >= 50) & (n_words <= 100_000)
+        (n_words >= min_words) & (n_words <= max_words)
         & (mwl >= 3) & (mwl <= 10)
         & (symbol_ratio <= 0.1)
         & (bullet_frac <= 0.9)
         & (ellipsis_frac <= 0.3)
         & (alpha_frac >= 0.8)
-        & (n_stop >= 2)
+        & (n_stop >= min_stop_hits)
     )
     return (
         df.withColumn("n_words", n_words.cast("long"))
