@@ -173,3 +173,59 @@ def test_hll_merge_commutative_associative_idempotent(xs, ys, zs):
     # merge of everything == one segment over the concatenation
     allv = seg(xs + ys + zs)
     assert (a.merge(b).merge(c).regs == allv.regs).all()
+
+
+# ---------------------------------------------------------------------- bloom
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=2**63 - 1), min_size=1,
+             max_size=400, unique=True),
+)
+def test_bloom_no_false_negatives_and_or_merge(keys):
+    from delphi_crawler_spark.operators.seen import BloomBits
+
+    arr = np.array(keys, dtype=np.uint64)
+    half = len(arr) // 2
+    a = BloomBits.sized(max(len(arr), 16))
+    b = BloomBits.sized(max(len(arr), 16))
+    a.add_many(arr[:half])
+    b.add_many(arr[half:])
+    # OR-merge of segments sees everything either segment saw
+    merged = BloomBits(a.m_bits, a.k, a.words | b.words)
+    assert bool(merged.might_contain_many(arr).all())
+
+
+# -------------------------------------------------------------------- packing
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=60),
+    st.integers(min_value=8, max_value=64),
+)
+def test_pack_group_invariants(tokens, budget):
+    from delphi_crawler_spark.operators.packing import _pack_group
+
+    pdf = pd.DataFrame(
+        {
+            "shard": [0] * len(tokens),
+            "doc_id": range(len(tokens)),
+            "n_tokens": tokens,
+        }
+    )
+    out = _pack_group(pdf, budget)
+    # every doc packed exactly once, order preserved within sequences
+    assert sorted(out["doc_id"]) == list(range(len(tokens)))
+    for seq_id, g in out.groupby("seq_id"):
+        g = g.sort_values("pos_in_seq")
+        # a sequence only exceeds the budget when a single doc does
+        assert g["n_tokens"].sum() <= budget or len(g) == 1
+        # offsets are the exclusive prefix sums of the sequence
+        assert list(g["tok_offset"]) == list(
+            np.concatenate([[0], np.cumsum(g["n_tokens"].to_numpy())[:-1]])
+        )
+        assert (g["seq_tokens"] == g["n_tokens"].sum()).all()
+    # sequences are numbered 0..S-1 without gaps
+    assert sorted(out["seq_id"].unique()) == list(range(out["seq_id"].max() + 1))
