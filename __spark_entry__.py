@@ -1725,11 +1725,8 @@ def q_agg_pivot_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tok"),
     )
     langs = ["de", "en", "es", "fr", "zh"]
-    out = (
-        docs.groupBy("source")
-        .pivot("lang", langs)
-        .agg(F.coalesce(F.sum("n_tok"), F.lit(0)).cast(BIG))
-    )
+    out = docs.groupBy("source").pivot("lang", langs).agg(F.sum("n_tok"))
+    # post-pivot zero-fill: a (source, lang) cell with no rows is NULL
     return out.select(
         "source", *[F.coalesce(F.col(l), F.lit(0)).cast(BIG).alias(l) for l in langs]
     )
@@ -1749,7 +1746,9 @@ def q_pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast(BIG).alias("doc_id"), "text"
     )
-    lmout = bigram_perplexity(docs, train_pred=F.col("doc_id") % 3 == 0)
+    # the LM scoring lineage is the expensive stage and feeds BOTH the
+    # median pick and the final join — materialize it once
+    lmout = bigram_perplexity(docs, train_pred=F.col("doc_id") % 3 == 0).localCheckpoint()
     med = exact_quantiles(lmout, "avg_nll", [0.5])
     med = _materialize_release(med, "_release_quantiles").select(
         F.col("value").alias("med_nll")
@@ -1800,7 +1799,9 @@ def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     mt = bpe_train(docs, num_merges=30, min_pair_count=2)
     merges = [(r["left"], r["right"]) for r in mt.orderBy("merge_rank").collect()]
-    enc = bpe_encode(docs, merges)
+    # same-corpus encode: reuse the trainer's final symbol state instead of
+    # replaying 30 vocab-wide folds
+    enc = bpe_encode(docs, merges, state=mt._bpe_state)
     return enc.select(
         F.col("doc_id").cast(BIG).alias("doc_id"),
         F.size("tokens").cast(BIG).alias("n_tokens"),

@@ -130,24 +130,33 @@ def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
+    state: DataFrame | None = None,
 ) -> DataFrame:
     """Encode text with a learned merge list (rank order): per-word symbol
     init, then each merge's fold applied in order over the DISTINCT-word
     table, joined back to documents — encoding cost is vocab-sized, not
     corpus-sized, and unseen words fall back to characters exactly like
     the reference algorithm. Output: ``(doc_id, tokens array<string>)``
-    with the document's whitespace word order preserved."""
-    words = (
-        docs.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
-        .where(F.col("word") != "")
-        .distinct()
-        .select("word", F.lit(1).alias("cnt"))
-    )
-    state = _init_symbols(words).localCheckpoint()
-    for i, (l, r) in enumerate(merges):
-        state = _merge_pair(state, l, r)
-        if (i + 1) % 8 == 0:
-            state = state.localCheckpoint()
+    with the document's whitespace word order preserved.
+
+    When encoding the SAME corpus the merges were trained on, pass the
+    trainer's final symbol state (``bpe_train(...)._bpe_state``) as
+    ``state`` — it is exactly the (word, syms) lookup this function would
+    otherwise re-derive with 30 more vocab-wide folds."""
+    if state is None:
+        words = (
+            docs.select(
+                F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+            )
+            .where(F.col("word") != "")
+            .distinct()
+            .select("word", F.lit(1).alias("cnt"))
+        )
+        state = _init_symbols(words).localCheckpoint()
+        for i, (l, r) in enumerate(merges):
+            state = _merge_pair(state, l, r)
+            if (i + 1) % 8 == 0:
+                state = state.localCheckpoint()
     lookup = state.select("word", F.col("syms").alias("word_tokens"))
     exploded = docs.select(
         "doc_id",

@@ -284,7 +284,14 @@ def random_projection(
     (``%.6f``) comma-joined string instead — a textual artifact whose
     byte representation is engine-portable (oracle/interchange use).
     """
-    d = len(emb.select(vec_col).first()[0])
+    head = emb.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError(
+            "random_projection needs at least one non-null embedding to "
+            "derive the input dimension; got an empty frame or a NULL "
+            f"first {vec_col!r}"
+        )
+    d = len(head[0])
     rng = np.random.default_rng(seed)
     mat = (rng.standard_normal((d, out_dim)) / np.sqrt(out_dim)).astype("float64")
 

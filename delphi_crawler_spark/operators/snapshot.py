@@ -113,8 +113,15 @@ def term_distribution_drift(
         F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
     )
     j = joined.crossJoin(F.broadcast(totals))
-    p = F.col("cnt_a") / F.col("tot_a")
-    q = F.col("cnt_b") / F.col("tot_b")
+    # an empty round has tot=0 AND every cnt=0: its distribution is the
+    # empty one, every contribution 0 — guard the ratio so 0/0 can never
+    # poison the other side's branch through m
+    p = F.when(F.col("tot_a") > 0, F.col("cnt_a") / F.col("tot_a")).otherwise(
+        F.lit(0.0)
+    )
+    q = F.when(F.col("tot_b") > 0, F.col("cnt_b") / F.col("tot_b")).otherwise(
+        F.lit(0.0)
+    )
     m = (p + q) / 2
     jsd = (
         F.when(F.col("cnt_a") > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))

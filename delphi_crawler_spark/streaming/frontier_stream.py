@@ -225,6 +225,7 @@ def schedule_fetch_join(
     url_col: str = "url",
     sched_ts_col: str = "sched_ts",
     fetch_ts_col: str = "fetch_ts",
+    status_col: str = "status",
     how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream INNER join: correlate every fetch outcome
@@ -263,7 +264,7 @@ def schedule_fetch_join(
         F.col(f"s.{url_col}").alias("url"),
         F.col(f"s.{sched_ts_col}").alias("sched_ts"),
         F.col(f"f.{fetch_ts_col}").alias("fetch_ts"),
-        F.col("f.status").alias("status"),
+        F.col(f"f.{status_col}").alias("status"),
         (
             F.unix_micros(F.col(f"f.{fetch_ts_col}").cast("timestamp_ltz"))
             - F.unix_micros(F.col(f"s.{sched_ts_col}").cast("timestamp_ltz"))

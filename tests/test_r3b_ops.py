@@ -388,3 +388,19 @@ def test_focused_priority_hand_values(spark):
     links2 = spark.createDataFrame([(2, "c")], "src long, dst string")
     out2 = focused_priority(rel, links2).collect()[0]
     assert out2["priority_boost"] == 0 and out2["relevance"] == 0.0
+
+
+def test_term_drift_one_empty_round_is_nan_free(spark):
+    from delphi_crawler_spark.operators.snapshot import term_distribution_drift
+
+    d = spark.createDataFrame([(0, "a a b")], "doc_id long, text string")
+    empty = d.where("doc_id < 0")
+    out = term_distribution_drift(d, empty).collect()
+    assert {r["term"] for r in out} == {"a", "b"}
+    for r in out:
+        # the empty round contributes nothing; no NaN anywhere
+        assert r["p_b"] == 0.0 and r["cnt_b"] == 0
+        assert r["jsd_term"] is not None and r["jsd_term"] == r["jsd_term"]
+        # one-sided term at p, q=0: contribution is 0.5*p*ln(2)
+        import math
+        assert r["jsd_term"] == round(0.5 * r["p_a"] * math.log(2), 9)
