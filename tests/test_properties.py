@@ -229,3 +229,37 @@ def test_pack_group_invariants(tokens, budget):
         assert (g["seq_tokens"] == g["n_tokens"].sum()).all()
     # sequences are numbered 0..S-1 without gaps
     assert sorted(out["seq_id"].unique()) == list(range(out["seq_id"].max() + 1))
+
+
+# ------------------------------------------------------------ content digest
+# (needs Spark — placed here because the properties are the point: order/
+# partitioning invariance and difference sensitivity across generated rows)
+
+
+def test_content_digest_invariances(spark):
+    from delphi_crawler_spark.functions.digest import content_digest, frames_equal
+
+    rows = [(i, f"u{i % 7}", float(i % 13)) for i in range(500)]
+    a = spark.createDataFrame(rows, "id long, k string, v double")
+    # permuted row order + different partitioning + different column order
+    b = (
+        spark.createDataFrame(
+            [(r[1], r[2], r[0]) for r in reversed(rows)], "k string, v double, id long"
+        ).repartition(13)
+    )
+    assert frames_equal(a, b)
+
+    # sensitivity: one changed row flips the digest
+    c = spark.createDataFrame(
+        [((r[0], r[1], r[2] + 1.0) if r[0] == 250 else r) for r in rows],
+        "id long, k string, v double",
+    )
+    assert not frames_equal(a, c)
+    # a dropped row flips it too (count catches what XOR pairs might cancel)
+    d = spark.createDataFrame(rows[:-1], "id long, k string, v double")
+    assert not frames_equal(a, d)
+    # duplicate-pair cancellation is caught by the count component
+    e = spark.createDataFrame(rows + rows[:2] + rows[:2], "id long, k string, v double")
+    assert not frames_equal(a, e)
+
+    assert content_digest(a.where("id < 0")) == (0, 0)
