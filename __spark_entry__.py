@@ -1773,6 +1773,24 @@ def q_pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a literal query over the corpus — the
+    retrieval half of the inverted-index story. Tokens prune to the query
+    terms BEFORE the first shuffle (the posting-read analogue); N/avgdl
+    are one broadcast scalar row from integer masses; final top-k is a
+    TakeOrdered on the rounded score."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.invindex import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    out = bm25_topk(docs, ["join", "stream", "window"], k=25)
+    return out.select(
+        "doc_id", "score", F.col("n_terms").cast(BIG).alias("n_terms")
+    )
+
+
 def q_sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection of the embeddings table to 16 dims (seeded
     Gaussian matrix, Arrow GEMM over mapInPandas — narrow, no exchange).
@@ -2989,6 +3007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cube_rollup": q_agg_cube_rollup,
         "agg_pivot_langs": q_agg_pivot_langs,
         "pipeline_quality_filter": q_pipeline_quality_filter,
+        "corpus_bm25_topk": q_corpus_bm25_topk,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -3766,6 +3785,27 @@ gp AS (SELECT doc_id, n_words,
 SELECT lm.doc_id, gp.n_words, lm.n_bigrams, lm.avg_nll, lm.ppl, med.med_nll
 FROM lm CROSS JOIN med JOIN gp ON gp.doc_id = lm.doc_id
 WHERE gp.passed AND lm.avg_nll <= med.med_nll
+"""
+
+    o["corpus_bm25_topk"] = """
+WITH base AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM documents),
+st AS (SELECT count(*) AS n_docs, sum(len(ws)) AS total_len FROM base),
+lens AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM base),
+tok AS (SELECT doc_id, unnest(ws) AS term FROM base),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('join', 'stream', 'window') GROUP BY doc_id, term),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id,
+             ln(1 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75
+                    + 0.75 * lens.dl / (st.total_len / st.n_docs))) AS c
+      FROM tf JOIN dfx USING (term) JOIN lens USING (doc_id) CROSS JOIN st),
+agg AS (SELECT doc_id, round(sum(c), 6) AS score,
+               count(*)::BIGINT AS n_terms FROM s GROUP BY doc_id)
+SELECT doc_id::BIGINT AS doc_id, score, n_terms FROM agg
+ORDER BY score DESC, doc_id ASC LIMIT 25
 """
 
     o["corpus_chunk_windows"] = """

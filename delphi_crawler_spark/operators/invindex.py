@@ -117,3 +117,74 @@ def merge_index_deltas(a: DataFrame, b: DataFrame) -> DataFrame:
         F.sum("tf").alias("tf"),
         F.sort_array(F.flatten(F.collect_list("postings"))).alias("postings"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009; Lucene's
+    non-negative idf variant) for a literal query-term set — the
+    retrieval half the inverted index exists for.
+
+    Per doc d and query term t:
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    ``score += idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``;
+    top-k docs by (score desc, doc asc).
+
+    Scale shape: tokens are FILTERED to the query terms before the first
+    shuffle (the scan-side isin prune — the posting-list read of a real
+    index), so the (doc, term) agg carries only matching rows; df comes
+    from the same grain with a plain count; N and avgdl are one broadcast
+    scalar row computed from integer masses (exact at any parallelism);
+    the final top-k is a TakeOrdered, never a global sort. Every
+    expression is JVM; the per-doc term-sum is ≤|query| doubles, rounded
+    to 6 to absorb summation-order ulps across engines.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    base = docs.select(
+        F.col(doc_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("ws"),
+    )
+    # integer masses: exact N and total doc length at any summation order
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ws")).alias("total_len"),
+    )
+    lens = base.select(doc_col, F.size("ws").cast("long").alias("dl"))
+    tf = (
+        base.select(doc_col, F.explode("ws").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy(doc_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .join(lens, doc_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    avgdl = F.col("total_len") / F.col("n_docs")
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    out = (
+        scored.select(F.col(doc_col), contrib.alias("c"))
+        .groupBy(doc_col)
+        .agg(F.round(F.sum("c"), 6).alias("score"), F.count(F.lit(1)).alias("n_terms"))
+        .orderBy(F.col("score").desc(), F.col(doc_col).asc())
+        .limit(k)
+    )
+    return out

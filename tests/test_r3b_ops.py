@@ -404,3 +404,43 @@ def test_term_drift_one_empty_round_is_nan_free(spark):
         # one-sided term at p, q=0: contribution is 0.5*p*ln(2)
         import math
         assert r["jsd_term"] == round(0.5 * r["p_a"] * math.log(2), 9)
+
+
+def test_bm25_hand_values(spark):
+    import math
+
+    from delphi_crawler_spark.operators.invindex import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "join join stream x"),  # tf(join)=2, tf(stream)=1, dl=4
+            (1, "join y z"),            # tf(join)=1, dl=3
+            (2, "plain text only"),     # no hits, dl=3
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25_topk(docs, ["join", "stream"]).collect()}
+    assert set(out) == {0, 1}  # doc 2 never scores
+
+    n, avgdl = 3, 10 / 3
+    k1, b = 1.2, 0.75
+
+    def bm25(tf, df, dl):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp0 = round(bm25(2, 2, 4) + bm25(1, 1, 4), 6)
+    exp1 = round(bm25(1, 2, 3), 6)
+    assert abs(out[0]["score"] - exp0) < 1e-9
+    assert abs(out[1]["score"] - exp1) < 1e-9
+    assert out[0]["n_terms"] == 2 and out[1]["n_terms"] == 1
+
+
+def test_bm25_requires_terms(spark):
+    import pytest as _pytest
+
+    from delphi_crawler_spark.operators.invindex import bm25_topk
+
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, [])
