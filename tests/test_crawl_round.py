@@ -140,6 +140,12 @@ def test_resume_equivalence_mid_round_kill(spark, tmp_path, oracle_result):
     killed_rows = sorted(map(tuple, eng2.frontier_view().select(cols).collect()))
     clean_rows = sorted(map(tuple, clean.frontier_view().select(cols).collect()))
     assert killed_rows == clean_rows
+    # the scale-path check: the O(1)-result digest agrees without collecting
+    from delphi_crawler_spark.functions.digest import frames_equal
+
+    assert frames_equal(
+        eng2.frontier_view().select(cols), clean.frontier_view().select(cols)
+    )
 
 
 def test_rounds_are_idempotent(spark, tmp_path):
