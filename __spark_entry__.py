@@ -1791,6 +1791,44 @@ def q_corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack 2009, k=60) of the
+    BM25 lexical top-50 and the dense cosine top-50 (query = embedding 0).
+    Ranks come from the two k-bounded lists (TakeOrdered each side), the
+    fusion is a 50∪50-row full-outer join — driver-scale, no corpus pass
+    beyond the two retrievals. Exact twin: both ranks ordered on the
+    ROUNDED scores with id tiebreaks, RRF arithmetic fixed-order."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.invindex import bm25_topk
+    from delphi_crawler_spark.operators.similarity import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    bm = bm25_topk(docs, ["join", "stream", "window"], k=50)
+    w_bm = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bm_r = bm.select("doc_id", F.row_number().over(w_bm).alias("r_bm"))
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q0 = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dn = brute_force_topk(emb, q0, k=50).select(
+        F.col("vec_id").cast(BIG).alias("doc_id"), F.col("rank").alias("r_d")
+    )
+    fused = bm_r.join(dn, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("r_bm", F.lit(None)).cast(BIG).alias("r_bm"),
+        F.coalesce("r_d", F.lit(None)).cast(BIG).alias("r_d"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_bm")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_d")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(20)
+
+
 def q_sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection of the embeddings table to 16 dims (seeded
     Gaussian matrix, Arrow GEMM over mapInPandas — narrow, no exchange).
@@ -3008,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pivot_langs": q_agg_pivot_langs,
         "pipeline_quality_filter": q_pipeline_quality_filter,
         "corpus_bm25_topk": q_corpus_bm25_topk,
+        "retrieval_rrf_fusion": q_retrieval_rrf_fusion,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -3806,6 +3845,42 @@ agg AS (SELECT doc_id, round(sum(c), 6) AS score,
                count(*)::BIGINT AS n_terms FROM s GROUP BY doc_id)
 SELECT doc_id::BIGINT AS doc_id, score, n_terms FROM agg
 ORDER BY score DESC, doc_id ASC LIMIT 25
+"""
+
+    o["retrieval_rrf_fusion"] = """
+WITH base AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM documents),
+st AS (SELECT count(*) AS n_docs, sum(len(ws)) AS total_len FROM base),
+lens AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM base),
+tok AS (SELECT doc_id, unnest(ws) AS term FROM base),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('join', 'stream', 'window') GROUP BY doc_id, term),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id,
+             ln(1 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75
+                    + 0.75 * lens.dl / (st.total_len / st.n_docs))) AS c
+      FROM tf JOIN dfx USING (term) JOIN lens USING (doc_id) CROSS JOIN st),
+bm AS (SELECT doc_id, round(sum(c), 6) AS score FROM s GROUP BY doc_id
+       ORDER BY score DESC, doc_id ASC LIMIT 50),
+bmr AS (SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r_bm
+        FROM bm),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+cs AS (SELECT e.vec_id AS doc_id,
+              round(list_cosine_similarity(e.embedding::DOUBLE[], qv.q::DOUBLE[]), 6)
+                AS cosine
+       FROM embeddings e CROSS JOIN qv),
+dn AS (SELECT doc_id,
+              row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS r_d
+       FROM cs ORDER BY cosine DESC, doc_id ASC LIMIT 50),
+f AS (SELECT coalesce(bmr.doc_id, dn.doc_id) AS doc_id, bmr.r_bm, dn.r_d
+      FROM bmr FULL OUTER JOIN dn ON bmr.doc_id = dn.doc_id)
+SELECT doc_id::BIGINT AS doc_id, r_bm::BIGINT AS r_bm, r_d::BIGINT AS r_d,
+       round(coalesce(1.0 / (60 + r_bm), 0) + coalesce(1.0 / (60 + r_d), 0), 9)
+         AS rrf
+FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 20
 """
 
     o["corpus_chunk_windows"] = """
