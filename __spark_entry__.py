@@ -1818,8 +1818,8 @@ def q_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fused = bm_r.join(dn, "doc_id", "full_outer").select(
         "doc_id",
-        F.coalesce("r_bm", F.lit(None)).cast(BIG).alias("r_bm"),
-        F.coalesce("r_d", F.lit(None)).cast(BIG).alias("r_d"),
+        F.col("r_bm").cast(BIG).alias("r_bm"),
+        F.col("r_d").cast(BIG).alias("r_d"),
         F.round(
             F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_bm")), F.lit(0.0))
             + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_d")), F.lit(0.0)),
@@ -3826,9 +3826,10 @@ FROM lm CROSS JOIN med JOIN gp ON gp.doc_id = lm.doc_id
 WHERE gp.passed AND lm.avg_nll <= med.med_nll
 """
 
-    o["corpus_bm25_topk"] = """
-WITH base AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
-              FROM documents),
+    # shared between corpus_bm25_topk and retrieval_rrf_fusion: ONE copy of
+    # the BM25 math so the two oracles can never silently disagree
+    _bm25_cte = """base AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM documents WHERE text IS NOT NULL),
 st AS (SELECT count(*) AS n_docs, sum(len(ws)) AS total_len FROM base),
 lens AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM base),
 tok AS (SELECT doc_id, unnest(ws) AS term FROM base),
@@ -3840,28 +3841,18 @@ s AS (SELECT tf.doc_id,
                * tf.tf * 2.2
                / (tf.tf + 1.2 * (1 - 0.75
                     + 0.75 * lens.dl / (st.total_len / st.n_docs))) AS c
-      FROM tf JOIN dfx USING (term) JOIN lens USING (doc_id) CROSS JOIN st),
+      FROM tf JOIN dfx USING (term) JOIN lens USING (doc_id) CROSS JOIN st)"""
+
+    o["corpus_bm25_topk"] = f"""
+WITH {_bm25_cte},
 agg AS (SELECT doc_id, round(sum(c), 6) AS score,
                count(*)::BIGINT AS n_terms FROM s GROUP BY doc_id)
 SELECT doc_id::BIGINT AS doc_id, score, n_terms FROM agg
 ORDER BY score DESC, doc_id ASC LIMIT 25
 """
 
-    o["retrieval_rrf_fusion"] = """
-WITH base AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
-              FROM documents),
-st AS (SELECT count(*) AS n_docs, sum(len(ws)) AS total_len FROM base),
-lens AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM base),
-tok AS (SELECT doc_id, unnest(ws) AS term FROM base),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-       WHERE term IN ('join', 'stream', 'window') GROUP BY doc_id, term),
-dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-s AS (SELECT tf.doc_id,
-             ln(1 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
-               * tf.tf * 2.2
-               / (tf.tf + 1.2 * (1 - 0.75
-                    + 0.75 * lens.dl / (st.total_len / st.n_docs))) AS c
-      FROM tf JOIN dfx USING (term) JOIN lens USING (doc_id) CROSS JOIN st),
+    o["retrieval_rrf_fusion"] = f"""
+WITH {_bm25_cte},
 bm AS (SELECT doc_id, round(sum(c), 6) AS score FROM s GROUP BY doc_id
        ORDER BY score DESC, doc_id ASC LIMIT 50),
 bmr AS (SELECT doc_id,

@@ -149,28 +149,30 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted(set(query_terms))
-    base = docs.select(
+    # null text would make size(ws) = -1 and silently corrupt avgdl for
+    # the whole corpus — a null document simply isn't in the collection
+    base = docs.where(F.col(text_col).isNotNull()).select(
         F.col(doc_col),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("ws"),
     )
     # integer masses: exact N and total doc length at any summation order
+    # (one agg-only tokenization pass over the corpus)
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("ws")).alias("total_len"),
     )
-    lens = base.select(doc_col, F.size("ws").cast("long").alias("dl"))
+    # the second and last tokenization pass: dl rides the explode so only
+    # query-matching docs ever need their length — no third corpus scan,
+    # no per-doc lens join
     tf = (
-        base.select(doc_col, F.explode("ws").alias("term"))
+        base.select(doc_col, F.size("ws").cast("long").alias("dl"),
+                    F.explode("ws").alias("term"))
         .where(F.col("term").isin(terms))
         .groupBy(doc_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(df_, "term")
-        .join(lens, doc_col)
-        .crossJoin(F.broadcast(stats))
-    )
+    scored = tf.join(df_, "term").crossJoin(F.broadcast(stats))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))

@@ -262,4 +262,17 @@ def test_content_digest_invariances(spark):
     e = spark.createDataFrame(rows + rows[:2] + rows[:2], "id long, k string, v double")
     assert not frames_equal(a, e)
 
-    assert content_digest(a.where("id < 0")) == (0, 0)
+    assert content_digest(a.where("id < 0")) == (0, 0, 0)
+
+    # XOR-cancelling duplicate pairs with equal counts must still differ
+    # (the SUM component catches what XOR is blind to)
+    pa = spark.createDataFrame([(1, "x", 0.0)] * 2, "id long, k string, v double")
+    pb = spark.createDataFrame([(2, "y", 1.0)] * 2, "id long, k string, v double")
+    assert not frames_equal(pa, pb)
+    # null-position swaps between same-typed columns must differ
+    na = spark.createDataFrame([(5, None)], "a long, b long")
+    nb = spark.createDataFrame([(None, 5)], "a long, b long")
+    assert not frames_equal(na, nb)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        content_digest(a, cols=[])
