@@ -2968,6 +2968,100 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_p2_global_limit(spark, "/root/testdata/sf0.001")
 
 
+def q_p15_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyöngyi et al., VLDB 2004): PageRank biased to a curated
+    trusted-seed host set — teleport AND dangling mass flow through the
+    seed vector, so spam islands unreachable from any seed converge to
+    exactly 0. The spam-aware crawl-priority twin of p9_host_linkrank,
+    over the same weighted host graph; seeds are hosts h0..h9."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.graph import trust_rank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("h"), (F.col("l_suppkey") % 100).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 103).cast("string")).alias("dst"),
+    )
+    seeds = spark.createDataFrame([(f"h{i}",) for i in range(10)], "node string")
+    out = trust_rank(edges, seeds, damping=0.85, iters=5)
+    return out.select("node", F.round("trust", 6).alias("trust"))
+
+
+def q_r7_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-host mirror detection (Bharat & Broder, WWW 1999): group docs
+    by exact content digest, surface digests served from >= 2 distinct
+    hosts with the sorted host list — the crawl-economics dual of dedup
+    (skip re-fetching mirrored shares; collapse politeness budgets).
+    Mirrors are synthesized deterministically: every 5 consecutive doc_ids
+    share one canonical text; every third canonical group is single-host
+    (and must be filtered out). One digest-keyed hash-agg, map-side
+    partials; no windows."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.snapshot import detect_mirrors
+
+    docs = _t(spark, sf_dir, "documents")
+    canon_id = F.col("doc_id") - F.col("doc_id") % 5
+    host = F.when(
+        ((canon_id / 5).cast("long") % 3) == 0,
+        F.concat(F.lit("h"), (canon_id % 7).cast("string")),
+    ).otherwise(F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")))
+    base = docs.select("doc_id", canon_id.alias("canon_id"), host.alias("host"))
+    canon = docs.select(
+        F.col("doc_id").alias("canon_id"), F.md5(F.col("text")).alias("digest")
+    )
+    joined = base.join(canon, "canon_id")
+    out = detect_mirrors(joined, host_col="host", digest_col="digest")
+    return out.select(
+        "digest",
+        F.col("n_docs").cast(BIG).alias("n_docs"),
+        F.col("n_hosts").cast(BIG).alias("n_hosts"),
+        "hosts",
+    )
+
+
+def q_store_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (Morton 1966; the layout Delta OPTIMIZE
+    ZORDER BY / Iceberg zorder rewrite apply): interleave the bits of two
+    cluster axes into one code as PURE JVM bit arithmetic (shift/and/sum,
+    whole-stage codegen — no UDF). ``storage/zorder.write_zordered``
+    range-partitions files by this key so 2-D box predicates skip most
+    files from parquet footer min/max stats alone (skipping evidence
+    pinned in tests/test_maintenance.py)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.storage.zorder import morton_key
+
+    ev = _t(spark, sf_dir, "events")
+    zx = F.col("event_id") % 1024
+    zy = (F.col("user_id") * 37) % 1024
+    return ev.select(
+        F.col("event_id").cast(BIG).alias("event_id"),
+        zx.cast(BIG).alias("zx"),
+        zy.cast(BIG).alias("zy"),
+        morton_key(zx, zy, bits=10).cast(BIG).alias("zkey"),
+    )
+
+
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: event-time SESSION windows via Spark-native ``session_window``
+    — dynamic-length windows that merge while consecutive events arrive
+    within the 30-min gap, watermark-bounded state when run as a stream
+    (streaming ≡ batch parity pinned in test_streaming.py; this is the
+    batch twin, oracle = gap-islands SQL). Session close = last_ts + gap
+    (exclusive boundary: an event exactly gap later opens a new session)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.streaming.frontier_stream import session_metrics
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_metrics(ev, gap="30 minutes")
+    return out.select(
+        F.col("user_id").cast(BIG).alias("user_id"),
+        "session_start",
+        "session_close",
+        F.col("n_events").cast(BIG).alias("n_events"),
+        "total_value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -3047,6 +3141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_quality_filter": q_pipeline_quality_filter,
         "corpus_bm25_topk": q_corpus_bm25_topk,
         "retrieval_rrf_fusion": q_retrieval_rrf_fusion,
+        "p15_trustrank": q_p15_trustrank,
+        "r7_mirror_detect": q_r7_mirror_detect,
+        "store_zorder_layout": q_store_zorder_layout,
+        "stream_session_window": q_stream_session_window,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -3169,6 +3267,50 @@ def _linkrank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
     return (
         ",\n".join(parts)
         + f'\nSELECT node, round(pr, 6) AS "rank" FROM r{iters}'
+    )
+
+
+def _trustrank_oracle_sql(
+    iters: int = 5, damping: float = 0.85, n_seed_ids: int = 10
+) -> str:
+    """Unrolled TrustRank (Gyöngyi 2004) in plain SQL — generated like
+    _linkrank_oracle_sql, must mirror operators/graph.py:trust_rank
+    exactly: seed vector uniform over seeds h0..h{n-1} present in the
+    graph, teleport AND dangling mass redistributed through the seed
+    vector, start vector = seed vector."""
+    seed_list = ", ".join(f"'h{i}'" for i in range(n_seed_ids))
+    parts = [
+        "WITH e0 AS (SELECT 'h' || (l_suppkey % 100) AS s, "
+        "'h' || (l_partkey % 103) AS d, count(*)::DOUBLE AS w "
+        "FROM lineitem GROUP BY 1, 2)",
+        "outw AS (SELECT s, sum(w) AS ow FROM e0 GROUP BY s)",
+        "e AS (SELECT e0.s, e0.d, e0.w / outw.ow AS share FROM e0 JOIN outw USING (s))",
+        "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e)",
+        f"ns AS (SELECT count(*)::DOUBLE AS n FROM nodes WHERE node IN ({seed_list}))",
+        "no_ AS (SELECT nodes.node, (src.s IS NOT NULL) AS has_out, "
+        f"CASE WHEN nodes.node IN ({seed_list}) THEN 1.0 / (SELECT n FROM ns) "
+        "ELSE 0.0 END AS sv "
+        "FROM nodes LEFT JOIN (SELECT DISTINCT s FROM e) src ON src.s = nodes.node)",
+        "r0 AS (SELECT node, has_out, sv, sv AS tr FROM no_)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"d{k} AS (SELECT coalesce(sum(tr), 0) AS dang FROM r{k} WHERE NOT has_out)"
+        )
+        parts.append(
+            f"c{k} AS (SELECT e.d AS node, sum(r.tr * e.share) AS c "
+            f"FROM r{k} r JOIN e ON e.s = r.node GROUP BY e.d)"
+        )
+        parts.append(
+            f"r{k + 1} AS (SELECT no_.node, no_.has_out, no_.sv, "
+            f"(1 - {damping}) * no_.sv + {damping} * "
+            f"(coalesce(c{k}.c, 0) + d{k}.dang * no_.sv) AS tr "
+            f"FROM no_ CROSS JOIN d{k} "
+            f"LEFT JOIN c{k} ON c{k}.node = no_.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, round(tr, 6) AS trust FROM r{iters}"
     )
 
 
@@ -5246,5 +5388,59 @@ FROM r WHERE sample_rank <= 30
         "agg_cms_freq",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
+
+    o["p15_trustrank"] = _trustrank_oracle_sql(iters=5, damping=0.85)
+
+    o["r7_mirror_detect"] = """
+WITH base AS (
+  SELECT doc_id, doc_id - doc_id % 5 AS canon_id,
+         CASE WHEN ((doc_id - doc_id % 5) // 5) % 3 = 0
+              THEN 'h' || ((doc_id - doc_id % 5) % 7)
+              ELSE 'h' || (doc_id % 7) END AS host
+  FROM documents),
+canon AS (SELECT doc_id AS canon_id, md5(text) AS digest FROM documents),
+g AS (
+  SELECT digest, count(*)::BIGINT AS n_docs,
+         count(DISTINCT host)::BIGINT AS n_hosts,
+         array_to_string(list_sort(list(DISTINCT host)), ',') AS hosts
+  FROM base JOIN canon USING (canon_id)
+  GROUP BY digest)
+SELECT digest, n_docs, n_hosts, hosts FROM g WHERE n_hosts >= 2
+"""
+
+    zbits = " + ".join(
+        f"(((zx >> {i}) & 1) << {2 * i}) + (((zy >> {i}) & 1) << {2 * i + 1})"
+        for i in range(10)
+    )
+    o["store_zorder_layout"] = f"""
+WITH b AS (SELECT event_id, event_id % 1024 AS zx, (user_id * 37) % 1024 AS zy
+           FROM events)
+SELECT event_id::BIGINT AS event_id, zx::BIGINT AS zx, zy::BIGINT AS zy,
+       ({zbits})::BIGINT AS zkey
+FROM b
+"""
+
+    # Gap-islands twin of Spark's session_window merge semantics: a new
+    # session opens when ts - prev_ts >= gap (session_window's end bound
+    # is EXCLUSIVE: last_ts + gap), close = last_ts + gap.
+    o["stream_session_window"] = """
+WITH s AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s)
+SELECT user_id::BIGINT AS user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_close,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM g GROUP BY user_id, sess
+"""
 
     return o

@@ -334,3 +334,113 @@ def hits(
     ew.unpersist()
     nodes.unpersist()
     return out.select("node", "hub", "authority")
+
+
+def trust_rank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    seed_col: str = "node",
+    damping: float = 0.85,
+    iters: int = 5,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): biased
+    PageRank whose teleport vector is uniform over a curated SEED set of
+    trusted hosts instead of uniform over all nodes — trust decays along
+    out-links, so spam farms far from any seed get near-zero scores. The
+    crawl-priority twin of ``link_rank`` for spam-aware frontier ordering
+    (reference crawl priority: delphi-crawler schedules by maven-index
+    order; a web-tier frontier wants a trust prior per host).
+
+    Semantics (deterministic given edges + seeds):
+      t_0(n)     = seed(n)                      (uniform 1/|S| over seeds)
+      t_{k+1}(n) = (1-d)·seed(n) + d·(Σ_{(s→n)} t_k(s)·w/out_w(s)
+                                      + dangling_k·seed(n))
+    i.e. BOTH the teleport term and the dangling mass are redistributed
+    through the seed vector (the static-score-distribution variant of the
+    paper, eq. 4), so Σ t = 1 every step and non-seed spam islands with no
+    seed-reachable in-path converge to exactly 0.
+
+    Scale shape: identical to ``link_rank`` — the weighted edge list
+    aggregates once, is repartitioned by source and persisted; each
+    iteration shuffles only the narrow (node, trust) table; the dangling
+    term is a scalar aggregate; trust vectors are localCheckpoint-ed so
+    the plan stays O(1) across iterations. The seed table joins once into
+    the node table (broadcast-sized by definition: seeds are curated).
+    """
+    ew = edges.select(
+        F.col(src).alias("s"),
+        F.col(dst).alias("d"),
+        (F.col(weight) if weight else F.lit(1.0)).cast("double").alias("w"),
+    )
+    ew = ew.groupBy("s", "d").agg(F.sum("w").alias("w"))
+    outw = ew.groupBy("s").agg(F.sum("w").alias("ow"))
+    ew = (
+        ew.join(outw, "s")
+        .select("s", "d", (F.col("w") / F.col("ow")).alias("share"))
+        .repartition("s")
+        .persist()
+    )
+    nodes = (
+        ew.select(F.col("s").alias("node"))
+        .union(ew.select(F.col("d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    has_out = ew.select(F.col("s").alias("node")).distinct().withColumn(
+        "_has_out", F.lit(True)
+    )
+    seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
+    n_seeds = seed_nodes.join(nodes, "node", "left_semi").count()
+    if n_seeds == 0:
+        raise ValueError("trust_rank() requires at least one seed present in the graph")
+    nodes_o = (
+        nodes.join(has_out, "node", "left")
+        .join(
+            F.broadcast(seed_nodes.withColumn("_is_seed", F.lit(True))),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce("_has_out", F.lit(False)).alias("has_out"),
+            F.when(F.col("_is_seed"), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("seed_v"),
+        )
+        .persist()
+    )
+    trust = nodes_o.select("node", "has_out", "seed_v", F.col("seed_v").alias("trust"))
+    for _ in range(iters):
+        dangling = trust.where(~F.col("has_out")).agg(
+            F.coalesce(F.sum("trust"), F.lit(0.0))
+        ).collect()[0][0]
+        contribs = (
+            trust.join(ew, trust["node"] == ew["s"])
+            .select(F.col("d").alias("node"), (F.col("trust") * F.col("share")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        trust = (
+            nodes_o.join(contribs, "node", "left")
+            .select(
+                "node",
+                "has_out",
+                "seed_v",
+                (
+                    F.lit(1.0 - damping) * F.col("seed_v")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.lit(dangling) * F.col("seed_v")
+                    )
+                ).alias("trust"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ew.unpersist()
+    nodes.unpersist()
+    nodes_o.unpersist()
+    return trust.select("node", "trust")

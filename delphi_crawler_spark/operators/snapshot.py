@@ -135,3 +135,42 @@ def term_distribution_drift(
         F.round(q, 9).alias("p_b"),
         F.round(jsd, 9).alias("jsd_term"),
     )
+
+
+def detect_mirrors(
+    docs: DataFrame,
+    host_col: str = "host",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Cross-host mirror detection: group fetched documents by exact
+    content digest and surface every digest served by >= 2 distinct hosts,
+    with the sorted host list. Mirrors are the crawl-economics dual of
+    dedup — a frontier that knows host B mirrors host A can (a) skip
+    re-fetching the mirrored share of B entirely and (b) collapse both
+    hosts' politeness budgets onto one copy; search-engine crawlers run
+    exactly this digest-grouping pass (Bharat & Broder, WWW 1999, "mirror
+    detection on the web").
+
+    Returns (digest, n_docs, n_hosts, hosts) for digests with n_hosts >= 2;
+    ``hosts`` is the lexicographically sorted distinct host list, so output
+    is deterministic.
+
+    Scale shape: ONE hash aggregation on the digest (count + collect_set
+    over hosts — set cardinality is bounded by the mirror fan-out, which is
+    small by nature; a digest mirrored across millions of hosts is a
+    degenerate spam signature better handled by the traps operator). No
+    joins, no windows; partial aggregation runs map-side. At 100 TB the
+    digest is already materialized per fetch (resume audits use it), so
+    this reads two narrow columns.
+
+    Reference parity: the reference keys its Elasticsearch store by
+    identifier and never compares content across sources
+    (ElasticStoreQueries.scala); content-addressed mirror grouping is the
+    web-tier extension (SURVEY §2.10 family).
+    """
+    per_digest = docs.groupBy(F.col(digest_col).alias("digest")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.size(F.collect_set(host_col)).alias("n_hosts"),
+        F.array_join(F.array_sort(F.collect_set(host_col)), ",").alias("hosts"),
+    )
+    return per_digest.where(F.col("n_hosts") >= 2)

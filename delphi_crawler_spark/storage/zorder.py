@@ -1,0 +1,131 @@
+"""Z-order (Morton-curve) clustered table layout for multi-column file skipping.
+
+Directory partitioning (tablestore host buckets) prunes on ONE axis;
+bucketing (storage/bucketing.py) co-locates ONE join key. A 100-TB crawl
+store is also range-queried on TWO axes at once — (host_bucket,
+discovery_round), (url_hash, ts), (doc length, quality score) — and a sort
+on either axis alone leaves the other scattered across every file, so
+min/max footer stats prune nothing. Z-ORDERING interleaves the bits of
+both keys into one Morton code and range-partitions + sorts files by it:
+points close in (x, y) land in the same files, every file covers a small
+(x, y) rectangle, and a 2-D box predicate skips most files from parquet
+footer min/max stats alone. This is the same layout Delta OPTIMIZE ZORDER
+BY and Iceberg's zorder sort-order rewrite apply (public algorithm:
+Morton 1966; Orenstein & Merrett 1984); implemented here from scratch as
+pure JVM bit arithmetic — no UDF, whole-stage-codegen all the way.
+
+Scale shape: the key is a narrow integer expression (codegen, no shuffle
+of its own); the write is ONE repartitionByRange on the key (sampled range
+boundaries — the same exchange any sorted write pays) + partition-local
+sort. Reads stay plain parquet: skipping comes from footer stats, so ANY
+engine (Spark, DuckDB, Trino) benefits with no catalog dependency.
+
+Reference parity: the reference's Elasticsearch store gets multi-field
+pruning from inverted indexes per field (ElasticStoreQueries.scala); this
+is the columnar-lake equivalent for its two hottest compound reads.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def morton_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative integer columns
+    into a single Morton (Z-order) code: bit i of x lands at position 2i,
+    bit i of y at 2i+1. Pure JVM expression (shift/and/sum — the summed
+    terms occupy disjoint bit positions, so + is |); stays inside
+    whole-stage codegen, no UDF, no shuffle.
+
+    Inputs are masked to ``bits`` bits (callers hash-or-mod into range
+    first); 2*bits must fit a signed 64-bit long, so bits <= 31.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError(f"morton_key bits must be in [1, 31], got {bits}")
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return reduce(lambda a, b: a + b, terms).alias("zkey")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    bits: int = 16,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered on the Morton code of (x, y):
+    one range-exchange on the z-key (sampled boundaries — the exchange any
+    clustered write pays once), partition-local sort, ``n_files`` output
+    files each covering a compact (x, y) rectangle. The z-key itself is
+    NOT persisted — skipping reads only the x/y footer min/max stats, so
+    readers need no knowledge of the layout.
+    """
+    key = morton_key(x, y, bits=bits)
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def files_touched_by_box(
+    path: str,
+    x: str,
+    y: str,
+    x_range: tuple[int, int],
+    y_range: tuple[int, int],
+) -> tuple[int, int]:
+    """Footer-stats skipping audit: (files a 2-D box predicate must read,
+    total files), decided EXACTLY the way a parquet reader prunes — from
+    per-file column min/max statistics, no row data touched. Driver-side
+    metadata read only (one footer per file; at 100 TB this is the
+    manifest scan every lake engine does)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    touched = 0
+    total = 0
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        total += 1
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        xmin = ymin = None
+        xmax = ymax = None
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                cname = col.path_in_schema
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                if cname == x:
+                    xmin = st.min if xmin is None else min(xmin, st.min)
+                    xmax = st.max if xmax is None else max(xmax, st.max)
+                elif cname == y:
+                    ymin = st.min if ymin is None else min(ymin, st.min)
+                    ymax = st.max if ymax is None else max(ymax, st.max)
+        if xmin is None or ymin is None:
+            touched += 1  # no stats: must read
+            continue
+        if xmax < x_range[0] or xmin > x_range[1]:
+            continue
+        if ymax < y_range[0] or ymin > y_range[1]:
+            continue
+        touched += 1
+    return touched, total

@@ -223,3 +223,66 @@ def test_hits_matches_independent_numpy(spark):
         assert got[x][1] == 0.0
     for x in sinks:
         assert got[x][0] == 0.0
+
+
+def test_trust_rank_matches_independent_numpy_and_zeroes_spam_island(spark):
+    """Spec-level cross-check of TrustRank (Gyöngyi 2004): seed-biased
+    teleport + seed-routed dangling mass, reimplemented independently in
+    dense numpy; a spam island unreachable from any seed must converge to
+    exactly 0 while total trust stays 1."""
+    import numpy as np
+
+    from delphi_crawler_spark.operators.graph import trust_rank
+
+    rng = random.Random(7)
+    n = 24
+    # main component: nodes 0..17 (seeds 0..3); spam island: 18..23 only
+    # links among itself, nothing from the main component points in.
+    edges = []
+    for _ in range(80):
+        u, v = rng.randrange(18), rng.randrange(18)
+        if u != v:
+            edges.append((u, v, float(rng.randrange(1, 4))))
+    for _ in range(20):
+        u, v = 18 + rng.randrange(6), 18 + rng.randrange(6)
+        if u != v:
+            edges.append((u, v, 1.0))
+    df = spark.createDataFrame(edges, "src: long, dst: long, w: double")
+    seeds = spark.createDataFrame([(i,) for i in range(4)], "node: long")
+    got = {
+        r["node"]: r["trust"]
+        for r in trust_rank(df, seeds, weight="w", iters=6).collect()
+    }
+
+    nodes = sorted({u for u, v, _ in edges} | {v for _, v, _ in edges})
+    idx = {x: i for i, x in enumerate(nodes)}
+    m = len(nodes)
+    W = np.zeros((m, m))
+    for u, v, w in edges:
+        W[idx[u], idx[v]] += w
+    outw = W.sum(axis=1)
+    has_out = outw > 0
+    P = np.divide(W, outw[:, None], out=np.zeros_like(W), where=has_out[:, None])
+    seed_ids = [x for x in nodes if x < 4]
+    sv = np.zeros(m)
+    for x in seed_ids:
+        sv[idx[x]] = 1.0 / len(seed_ids)
+    d, t = 0.85, sv.copy()
+    for _ in range(6):
+        dangling = t[~has_out].sum()
+        t = (1.0 - d) * sv + d * (t @ P + dangling * sv)
+    for x in nodes:
+        assert abs(got[x] - t[idx[x]]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for x in nodes:
+        if x >= 18:  # spam island: zero trust, exactly
+            assert got[x] == 0.0
+
+
+def test_trust_rank_requires_seed_in_graph(spark):
+    edges = spark.createDataFrame([(0, 1)], "src: long, dst: long")
+    seeds = spark.createDataFrame([(99,)], "node: long")
+    with pytest.raises(ValueError, match="seed"):
+        from delphi_crawler_spark.operators.graph import trust_rank
+
+        trust_rank(edges, seeds)

@@ -1097,3 +1097,25 @@ def test_token_budget_select_fill_and_order(spark):
 
     with _pytest.raises(ValueError):
         token_budget_select(df, -1)
+
+
+def test_detect_mirrors_groups_hosts_and_filters_singletons(spark):
+    """Mirror detection: digests on >=2 distinct hosts surface with the
+    sorted host list; single-host digests (even with many copies) do not."""
+    from delphi_crawler_spark.operators.snapshot import detect_mirrors
+
+    rows = [
+        ("d1", "b.com"), ("d1", "a.com"), ("d1", "a.com"),  # mirror, 2 hosts
+        ("d2", "x.org"), ("d2", "x.org"),                   # dup, single host
+        ("d3", "solo.net"),                                 # singleton
+        ("d4", "c.io"), ("d4", "a.com"), ("d4", "b.com"),   # mirror, 3 hosts
+    ]
+    df = spark.createDataFrame(rows, "digest: string, host: string")
+    got = {
+        r["digest"]: (r["n_docs"], r["n_hosts"], r["hosts"])
+        for r in detect_mirrors(df).collect()
+    }
+    assert got == {
+        "d1": (3, 2, "a.com,b.com"),
+        "d4": (3, 3, "a.com,b.com,c.io"),
+    }
