@@ -3041,6 +3041,38 @@ def q_store_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV k-minimum-values synopsis (Bar-Yossef 2002; Beyer SIGMOD 2007):
+    the cross-round overlap question HLL cannot answer — distinct-count
+    estimates for round-A URLs, round-B URLs, their union AND intersection,
+    from two k=64 sketches of xxhash64 values. Deterministic (hash-based,
+    no rng); oracle = independent Python replication (expected-parquet,
+    xxh64 re-implemented from spec). Full-data pass is one narrow hash
+    projection with per-partition Arrow top-k pruning — no full distinct
+    shuffle (operators/kmv.py)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.kmv import kmv_overlap, kmv_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 31).cast("string"),
+        F.lit("/p"),
+        F.col("doc_id").cast("string"),
+    )
+    a = docs.filter(F.col("doc_id") % 3 != 0).select(url.alias("url"))
+    b = docs.filter(F.col("doc_id") % 2 != 0).select(url.alias("url"))
+    out = kmv_overlap(kmv_sketch(a, "url", k=64), kmv_sketch(b, "url", k=64), k=64)
+    return out.select(
+        F.col("k").cast(BIG).alias("k"),
+        F.round("est_a", 6).alias("est_a"),
+        F.round("est_b", 6).alias("est_b"),
+        F.round("est_union", 6).alias("est_union"),
+        F.round("est_intersect", 6).alias("est_intersect"),
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+    )
+
+
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8: event-time SESSION windows via Spark-native ``session_window``
     — dynamic-length windows that merge while consecutive events arrive
@@ -3145,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r7_mirror_detect": q_r7_mirror_detect,
         "store_zorder_layout": q_store_zorder_layout,
         "stream_session_window": q_stream_session_window,
+        "agg_kmv_overlap": q_agg_kmv_overlap,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -5386,6 +5419,7 @@ FROM r WHERE sample_rank <= 30
         "corpus_bpe_encode",
         "sim_random_projection",
         "agg_cms_freq",
+        "agg_kmv_overlap",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
 

@@ -40,6 +40,7 @@ CASES = {
         E.q_sim_random_projection, "embeddings", G.gen_sim_random_projection,
     ),
     "agg_cms_freq": (E.q_agg_cms_freq, "events", G.gen_agg_cms_freq),
+    "agg_kmv_overlap": (E.q_agg_kmv_overlap, "documents", G.gen_agg_kmv_overlap),
 }
 
 

@@ -1119,3 +1119,55 @@ def test_detect_mirrors_groups_hosts_and_filters_singletons(spark):
         "d1": (3, 2, "a.com,b.com"),
         "d4": (3, 3, "a.com,b.com,c.io"),
     }
+
+
+def test_kmv_sketch_invariants_and_accuracy(spark):
+    """KMV synopsis: (a) sketch is invariant to partitioning and input
+    duplication, (b) merge closure — merging two halves' sketches equals
+    sketching the whole, (c) the distinct estimate lands within 3/sqrt(k)
+    relative error (3x the estimator's standard error) on 20k keys, and
+    the intersection estimate is in the right range."""
+    from delphi_crawler_spark.operators.kmv import (
+        kmv_distinct_estimate,
+        kmv_merge,
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    n, k = 20_000, 256
+    df = spark.range(n).select(F.concat(F.lit("u"), F.col("id")).alias("key"))
+    s1 = kmv_sketch(df.repartition(3), "key", k=k).collect()
+    s2 = kmv_sketch(df.union(df).repartition(17), "key", k=k).collect()
+    assert [r["h"] for r in s1] == [r["h"] for r in s2]
+    assert len(s1) == k
+    assert [r["h"] for r in s1] == sorted(r["h"] for r in s1)
+
+    half_a = df.filter(F.col("key").substr(2, 20).cast("long") < n // 2)
+    half_b = df.filter(F.col("key").substr(2, 20).cast("long") >= n // 2)
+    merged = kmv_merge(
+        kmv_sketch(half_a, "key", k=k), kmv_sketch(half_b, "key", k=k), k=k
+    ).collect()
+    assert [r["h"] for r in merged] == [r["h"] for r in s1]
+
+    est = kmv_distinct_estimate(kmv_sketch(df, "key", k=k), k=k).collect()[0]["est"]
+    assert abs(est - n) / n < 3.0 / (k ** 0.5)
+
+    # overlap: A = [0, 12000), B = [8000, 20000) -> |A∩B| = 4000
+    a = spark.range(12_000).select(F.concat(F.lit("u"), F.col("id")).alias("key"))
+    b = spark.range(8_000, 20_000).select(F.concat(F.lit("u"), F.col("id")).alias("key"))
+    row = kmv_overlap(kmv_sketch(a, "key", k=k), kmv_sketch(b, "key", k=k), k=k).collect()[0]
+    assert abs(row["est_union"] - 20_000) / 20_000 < 3.0 / (k ** 0.5)
+    assert 2_000 < row["est_intersect"] < 6_000
+
+    with pytest.raises(ValueError, match="k >= 2"):
+        kmv_sketch(df, "key", k=1)
+
+
+def test_kmv_small_set_is_exact(spark):
+    """Fewer distinct keys than k: the sketch holds every value and the
+    estimate is the exact distinct count."""
+    from delphi_crawler_spark.operators.kmv import kmv_distinct_estimate, kmv_sketch
+
+    df = spark.createDataFrame([("a",), ("b",), ("c",), ("a",)], "key: string")
+    est = kmv_distinct_estimate(kmv_sketch(df, "key", k=64), k=64).collect()[0]
+    assert est["n_kept"] == 3 and est["est"] == 3.0

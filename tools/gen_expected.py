@@ -682,6 +682,58 @@ def gen_agg_cms_freq(
 
 
 # ==================================================================== driver
+def gen_agg_kmv_overlap(docs: pd.DataFrame, k: int = 64) -> pd.DataFrame:
+    """Independent replication of operators/kmv.py over the synthetic
+    round-A/round-B URL sets — per-value Python loops + the spec formulas
+    (Beyer 2007): pos(h) = double(h)/2^64 + 0.5 (JVM op order), est =
+    (k-1)/pos(kth), union sketch = k smallest of sketch-value union,
+    intersect = (|U ∩ A ∩ B|/|U|)·est_union."""
+    ids = docs["doc_id"].astype("int64").tolist()
+
+    def url(d: int) -> str:
+        return f"https://h{d % 31}/p{d}"
+
+    a_all = sorted({xxh64_str(url(d)) for d in ids if d % 3 != 0})
+    b_all = sorted({xxh64_str(url(d)) for d in ids if d % 2 != 0})
+    sa, sb = a_all[:k], b_all[:k]
+    u = sorted(set(sa) | set(sb))[:k]
+
+    def pos(h: int) -> float:
+        return float(h) / 18446744073709551616.0 + 0.5
+
+    def est(s: list[int]) -> float:
+        return float(len(s)) if len(s) < k else float(k - 1) / pos(s[-1])
+
+    set_a, set_b = set(sa), set(sb)
+    in_both = sum(1 for h in u if h in set_a and h in set_b)
+    n_u = len(u)
+    est_u = est(u)
+    est_int = (in_both / float(n_u)) * est_u if n_u else 0.0
+    jacc = in_both / float(n_u) if n_u else 0.0
+    out = pd.DataFrame(
+        [
+            {
+                "k": k,
+                "est_a": round_half_up6(est(sa)),
+                "est_b": round_half_up6(est(sb)),
+                "est_union": round_half_up6(est_u),
+                "est_intersect": round_half_up6(est_int),
+                "jaccard_est": round_half_up6(jacc),
+            }
+        ]
+    )
+    return out.astype(
+        {
+            "k": "int64",
+            "est_a": "float64",
+            "est_b": "float64",
+            "est_union": "float64",
+            "est_intersect": "float64",
+            "jaccard_est": "float64",
+        }
+    )
+
+
 GENERATORS = {
     "c3_hash_keys": ("documents", gen_c3_hash_keys),
     "text_fingerprint_rolling": ("documents", gen_fingerprint_rolling),
@@ -695,6 +747,7 @@ GENERATORS = {
     "corpus_bpe_encode": ("documents", gen_corpus_bpe_encode),
     "sim_random_projection": ("embeddings", gen_sim_random_projection),
     "agg_cms_freq": ("events", gen_agg_cms_freq),
+    "agg_kmv_overlap": ("documents", gen_agg_kmv_overlap),
 }
 
 
