@@ -3041,6 +3041,31 @@ def q_store_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p16_discovery_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl discovery depth: min hop count from the seed hosts (h0..h9,
+    the same curated set TrustRank uses) along out-links, capped at 12 —
+    the BFS ``depth`` column depth-limited crawls schedule and prune by.
+    Frontier-parallel BFS (each round joins only the newly discovered
+    frontier against the edge list; early exit on an empty frontier).
+    Edge list is a deterministic forward-jump graph over ~100 hosts so
+    depths span the full 0..12 range. Oracle: generated unrolled BFS SQL
+    (materialized CTEs)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.graph import discovery_depth
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.col("l_suppkey") % 97
+    edges = li.select(
+        F.concat(F.lit("h"), s.cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"), (s + F.col("l_partkey") % 5 + 1).cast("string")
+        ).alias("dst"),
+    )
+    seeds = spark.createDataFrame([(f"h{i}",) for i in range(10)], "node string")
+    out = discovery_depth(edges, seeds, max_depth=12)
+    return out.select("node", F.col("depth").cast(BIG).alias("depth"))
+
+
 def q_agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV k-minimum-values synopsis (Bar-Yossef 2002; Beyer SIGMOD 2007):
     the cross-round overlap question HLL cannot answer — distinct-count
@@ -3178,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_zorder_layout": q_store_zorder_layout,
         "stream_session_window": q_stream_session_window,
         "agg_kmv_overlap": q_agg_kmv_overlap,
+        "p16_discovery_depth": q_p16_discovery_depth,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -3300,6 +3326,34 @@ def _linkrank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
     return (
         ",\n".join(parts)
         + f'\nSELECT node, round(pr, 6) AS "rank" FROM r{iters}'
+    )
+
+
+def _depth_oracle_sql(max_depth: int = 12, n_seed_ids: int = 10) -> str:
+    """Unrolled frontier BFS in plain SQL (generated; MATERIALIZED CTEs —
+    each d{k} references d{k-1} twice, so inlining would expand the chain
+    exponentially, the same hazard the HITS oracle documents). Must mirror
+    operators/graph.py:discovery_depth exactly: depth 0 = seeds, round k
+    expands only nodes whose min depth is k-1, min() collapses rediscovery."""
+    seeds = ", ".join(f"('h{i}', 0)" for i in range(n_seed_ids))
+    parts = [
+        "WITH e AS (SELECT DISTINCT 'h' || (l_suppkey % 97) AS s, "
+        "'h' || ((l_suppkey % 97) + (l_partkey % 5) + 1) AS d FROM lineitem)",
+        f"d0 AS MATERIALIZED (SELECT * FROM (VALUES {seeds}) AS t(node, depth))",
+    ]
+    for k in range(1, max_depth + 1):
+        parts.append(
+            f"f{k} AS (SELECT DISTINCT e.d AS node FROM d{k - 1} "
+            f"JOIN e ON e.s = d{k - 1}.node WHERE d{k - 1}.depth = {k - 1})"
+        )
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT node, min(depth) AS depth FROM "
+            f"(SELECT node, depth FROM d{k - 1} "
+            f"UNION ALL SELECT node, {k} FROM f{k}) GROUP BY node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, depth::BIGINT AS depth FROM d{max_depth}"
     )
 
 
@@ -5424,6 +5478,8 @@ FROM r WHERE sample_rank <= 30
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
 
     o["p15_trustrank"] = _trustrank_oracle_sql(iters=5, damping=0.85)
+
+    o["p16_discovery_depth"] = _depth_oracle_sql(max_depth=12)
 
     o["r7_mirror_detect"] = """
 WITH base AS (

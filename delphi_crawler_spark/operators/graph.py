@@ -444,3 +444,55 @@ def trust_rank(
     nodes.unpersist()
     nodes_o.unpersist()
     return trust.select("node", "trust")
+
+
+def discovery_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_depth: int = 10,
+) -> DataFrame:
+    """Crawl discovery depth: minimum hop count from the seed set along
+    out-links — the ``depth`` column every BFS crawler tracks and caps
+    (reference: delphi-crawler walks the maven index linearly and has no
+    depth notion; a web-tier frontier schedules and prunes by it, e.g.
+    depth-capped focused crawls). Returns (node, depth) for nodes
+    reachable within ``max_depth`` hops; unreached nodes are absent.
+
+    Frontier-parallel BFS: each round expands ONLY the nodes first
+    discovered in the previous round (classic frontier optimization), so
+    round k shuffles O(|frontier_k| join edges) — never the full depth
+    table — and the loop exits early when a round discovers nothing new.
+    Depth tables are localCheckpoint-ed so the plan stays O(1) across
+    rounds. Deterministic given edges + seeds.
+    """
+    ew = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .repartition("s")
+        .persist()
+    )
+    depth = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = depth
+    for k in range(1, max_depth + 1):
+        discovered = (
+            frontier.join(ew, frontier["node"] == ew["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+        )
+        fresh = discovered.join(depth, "node", "left_anti").withColumn(
+            "depth", F.lit(k)
+        ).localCheckpoint(eager=True)
+        if fresh.limit(1).count() == 0:
+            break
+        depth = depth.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh
+    ew.unpersist()
+    return depth

@@ -286,3 +286,61 @@ def test_trust_rank_requires_seed_in_graph(spark):
         from delphi_crawler_spark.operators.graph import trust_rank
 
         trust_rank(edges, seeds)
+
+
+def test_discovery_depth_matches_independent_bfs(spark):
+    """Frontier BFS vs an independent Python deque BFS on a random digraph:
+    same (node, min-depth) map, unreachable nodes absent, cap respected."""
+    from collections import deque
+
+    from delphi_crawler_spark.operators.graph import discovery_depth
+
+    rng = random.Random(31)
+    n = 40
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(70)})
+    edges = [(u, v) for u, v in edges if u != v]
+    seed_ids = [0, 1]
+    cap = 6
+
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    want: dict[int, int] = {s: 0 for s in seed_ids}
+    q = deque(seed_ids)
+    while q:
+        u = q.popleft()
+        if want[u] >= cap:
+            continue
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    seeds = spark.createDataFrame([(s,) for s in seed_ids], "node: long")
+    got = {
+        r["node"]: r["depth"]
+        for r in discovery_depth(df, seeds, max_depth=cap).collect()
+    }
+    assert got == want
+
+
+def test_discovery_depth_early_exit_and_cap(spark):
+    """A 3-chain exhausts in 3 rounds regardless of a larger cap (early
+    exit), and a small cap truncates the reachable set."""
+    from delphi_crawler_spark.operators.graph import discovery_depth
+
+    chain = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src: long, dst: long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node: long")
+    full = {
+        r["node"]: r["depth"]
+        for r in discovery_depth(chain, seeds, max_depth=50).collect()
+    }
+    assert full == {0: 0, 1: 1, 2: 2, 3: 3}
+    capped = {
+        r["node"]: r["depth"]
+        for r in discovery_depth(chain, seeds, max_depth=2).collect()
+    }
+    assert capped == {0: 0, 1: 1, 2: 2}
