@@ -330,6 +330,39 @@ def lm_perplexity_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_perplexity(docs, train_pred=F.col("doc_id") % 3 == 0)
 
 
+def zorder_cluster_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering exchange at frontier volume: 2M rows Morton-keyed
+    (pure codegen bit arithmetic), ONE range exchange + partition-local
+    sort into 64 file-sized ranges — the write-side cost the clustered
+    layout pays once to buy footer-stats file skipping on every read."""
+    from delphi_crawler_spark.storage.zorder import morton_key
+
+    d = F.col("id")
+    df = spark.range(FRONTIER_N).select(
+        (d % 65536).alias("x"),
+        ((d * 2654435761) % 65536).alias("y"),
+        d.alias("payload"),
+    )
+    keyed = df.withColumn("_z", morton_key("x", "y", bits=16))
+    return keyed.repartitionByRange(64, "_z").sortWithinPartitions("_z").drop("_z")
+
+
+def kmv_sketch_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV synopsis build over 2M URLs: one narrow xxhash64 projection with
+    per-partition Arrow top-k pruning (<=256 rows leave each partition) —
+    the no-full-distinct-shuffle scale path of operators/kmv.py."""
+    from delphi_crawler_spark.operators.kmv import kmv_sketch
+
+    d = F.col("id")
+    urls = spark.range(FRONTIER_N).select(
+        F.concat(
+            F.lit("https://host"), F.pmod(d * 2654435761, F.lit(4096)),
+            F.lit(".example.com/p/"), d,
+        ).alias("url")
+    )
+    return kmv_sketch(urls, "url", k=256)
+
+
 BENCH_QUERIES = {
     "crawl_schedule": crawl_schedule,
     "bloom_incremental_update": bloom_incremental_update,
@@ -360,6 +393,8 @@ BENCH_QUERIES = {
     "hist_quantile_sketch": hist_sketch_2m,
     "hll_incremental_update": hll_incremental_update,
     "lm_perplexity": lm_perplexity_sf,
+    "zorder_cluster": zorder_cluster_2m,
+    "kmv_sketch": kmv_sketch_2m,
 }
 
 
