@@ -3066,6 +3066,30 @@ def q_p16_discovery_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("depth").cast(BIG).alias("depth"))
 
 
+def q_p17_adaptive_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-adaptive politeness (the public Heritrix delayFactor rule
+    over a percentile instead of the last sample): per-host p95 fetch
+    latency (percentile_disc, same rank convention as the quantile
+    family) → delay = clamp(2×p95, [500 ms, 15 s]) → admissible token
+    rate. One keyed-window shuffle + a pure JVM clamp projection."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.politeness import adaptive_host_delay
+
+    ev = _t(spark, sf_dir, "events")
+    fetches = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias("host"),
+        (F.col("value") * 40 + (F.col("event_id") % 700)).alias("latency_ms"),
+    )
+    out = adaptive_host_delay(fetches)
+    return out.select(
+        "host",
+        F.round("p_latency_ms", 6).alias("p_latency_ms"),
+        F.round("delay_ms", 6).alias("delay_ms"),
+        F.round("rate_per_sec", 6).alias("rate_per_sec"),
+        F.col("n").cast(BIG).alias("n"),
+    )
+
+
 def q_agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV k-minimum-values synopsis (Bar-Yossef 2002; Beyer SIGMOD 2007):
     the cross-round overlap question HLL cannot answer — distinct-count
@@ -3204,6 +3228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_window": q_stream_session_window,
         "agg_kmv_overlap": q_agg_kmv_overlap,
         "p16_discovery_depth": q_p16_discovery_depth,
+        "p17_adaptive_rate": q_p17_adaptive_rate,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -5480,6 +5505,27 @@ FROM r WHERE sample_rank <= 30
     o["p15_trustrank"] = _trustrank_oracle_sql(iters=5, damping=0.85)
 
     o["p16_discovery_depth"] = _depth_oracle_sql(max_depth=12)
+
+    # percentile_disc rank convention shared with the quantile family:
+    # rank = max(1, ceil(q*n)) over null-filtered doubles
+    o["p17_adaptive_rate"] = """
+WITH f AS (
+  SELECT 'h' || (user_id % 50) AS host,
+         (value * 40 + (event_id % 700))::DOUBLE AS v
+  FROM events WHERE value IS NOT NULL),
+n AS (SELECT host, count(*)::BIGINT AS n FROM f GROUP BY host),
+r AS (SELECT host, v, row_number() OVER (PARTITION BY host ORDER BY v) AS rk
+      FROM f),
+p AS (SELECT n.host, r.v AS p_lat, n.n
+      FROM n JOIN r ON r.host = n.host
+         AND r.rk = greatest(1, ceil(0.95 * n.n)::BIGINT)),
+d AS (SELECT host, p_lat,
+             least(15000.0, greatest(500.0, p_lat * 2.0)) AS delay_ms, n
+      FROM p)
+SELECT host, round(p_lat, 6) AS p_latency_ms, round(delay_ms, 6) AS delay_ms,
+       round(1000.0 / delay_ms, 6) AS rate_per_sec, n
+FROM d
+"""
 
     o["r7_mirror_detect"] = """
 WITH base AS (

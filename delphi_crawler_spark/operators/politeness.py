@@ -328,3 +328,53 @@ def apportion_budget(
     )
     out._release_apportion = release  # type: ignore[attr-defined]
     return out
+
+
+def adaptive_host_delay(
+    fetches: DataFrame,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+    delay_factor: float = 2.0,
+    min_delay_ms: float = 500.0,
+    max_delay_ms: float = 15000.0,
+    q: float = 0.95,
+) -> DataFrame:
+    """Adaptive per-host politeness from OBSERVED fetch latency — the
+    public Heritrix crawl-delay rule (``delayFactor`` × fetch duration,
+    clamped to [min, max]) applied to a latency percentile instead of the
+    last sample, so one slow outlier can't freeze a host and one fast
+    response can't unleash a hammering burst. A host serving p95=4 s pages
+    gets an 8 s delay (0.125 req/s); a fast static host clamps at the
+    500 ms floor (2 req/s). The resulting ``rate_per_sec`` feeds
+    ``assign_emission_slots`` as the per-host token rate.
+
+    Returns (host, p_latency_ms, delay_ms, rate_per_sec, n) — one row per
+    host with at least one non-null latency.
+
+    Scale shape: reuses ``exact_quantiles_keyed`` (one hash-partitioned
+    window per host — scales with host COUNT, no driver state, no global
+    sort); the clamp/rate arithmetic is a pure JVM projection. One shuffle
+    total.
+
+    Reference parity: the reference fetches maven artifacts with a fixed
+    throttle (SURVEY §2.4 P1); latency-adaptive delay is the web-tier
+    politeness extension every production crawler ships.
+    """
+    from delphi_crawler_spark.operators.quantiles import exact_quantiles_keyed
+
+    lat = fetches.select(
+        F.col(host_col).alias("host"),
+        F.col(latency_col).alias("_lat"),
+    )
+    p = exact_quantiles_keyed(lat, "_lat", [q], by="host")
+    delay = F.least(
+        F.lit(float(max_delay_ms)),
+        F.greatest(F.lit(float(min_delay_ms)), F.col("value") * F.lit(float(delay_factor))),
+    )
+    return p.select(
+        "host",
+        F.col("value").alias("p_latency_ms"),
+        delay.alias("delay_ms"),
+        (F.lit(1000.0) / delay).alias("rate_per_sec"),
+        "n",
+    )

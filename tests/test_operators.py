@@ -1171,3 +1171,24 @@ def test_kmv_small_set_is_exact(spark):
     df = spark.createDataFrame([("a",), ("b",), ("c",), ("a",)], "key: string")
     est = kmv_distinct_estimate(kmv_sketch(df, "key", k=64), k=64).collect()[0]
     assert est["n_kept"] == 3 and est["est"] == 3.0
+
+
+def test_adaptive_host_delay_clamps_and_percentile(spark):
+    """Heritrix-rule adaptive delay: slow host scales by delay_factor,
+    ultra-slow host clamps at max, fast host clamps at the min floor;
+    p95 uses the family's percentile_disc convention (rank=ceil(.95*n))."""
+    from delphi_crawler_spark.operators.politeness import adaptive_host_delay
+
+    rows = (
+        [("slow", 900.0 + i) for i in range(100)]       # p95 = 994 -> 1988ms
+        + [("glacial", 60_000.0)]                        # 120s -> clamp 15s
+        + [("fast", 10.0 + i) for i in range(10)]        # p95 = 19 -> floor 500
+        + [("slow", None)]                               # nulls drop
+    )
+    df = spark.createDataFrame(rows, "host: string, latency_ms: double")
+    got = {r["host"]: r for r in adaptive_host_delay(df).collect()}
+    assert got["slow"]["p_latency_ms"] == 994.0 and got["slow"]["n"] == 100
+    assert got["slow"]["delay_ms"] == 1988.0
+    assert abs(got["slow"]["rate_per_sec"] - 1000.0 / 1988.0) < 1e-12
+    assert got["glacial"]["delay_ms"] == 15000.0
+    assert got["fast"]["delay_ms"] == 500.0 and got["fast"]["rate_per_sec"] == 2.0
