@@ -3066,6 +3066,38 @@ def q_p16_discovery_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("depth").cast(BIG).alias("depth"))
 
 
+def q_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH index maintenance — the daily-increment path
+    a 100-TB corpus actually runs: new docs (doc_id % 4 == 0) are signed
+    and banded; the PRIOR corpus contributes only its persisted
+    (id, band, bucket) index rows (never re-shingled). Candidates =
+    new×prior equi-join on the index ∪ new×new self-join, then exact
+    n-gram Jaccard verify ≥ 0.5. Oracle: independent per-document Python
+    replication filtered to pairs touching a new doc (expected-parquet)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.dedup_fuzzy import (
+        band_bucket_rows,
+        jaccard_verify,
+        minhash_incremental_candidates,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    prior = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    prior_idx = band_bucket_rows(minhash_signatures(prior), "doc_id")
+    new_idx = band_bucket_rows(minhash_signatures(new), "doc_id")
+    cands = minhash_incremental_candidates(new_idx, prior_idx, "doc_id")
+    return jaccard_verify(cands, docs, threshold=0.5).select(
+        F.col("id_a").cast(BIG).alias("id_a"),
+        F.col("id_b").cast(BIG).alias("id_b"),
+        "jaccard",
+    )
+
+
 def q_p17_adaptive_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latency-adaptive politeness (the public Heritrix delayFactor rule
     over a percentile instead of the last sample): per-host p95 fetch
@@ -3229,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_kmv_overlap": q_agg_kmv_overlap,
         "p16_discovery_depth": q_p16_discovery_depth,
         "p17_adaptive_rate": q_p17_adaptive_rate,
+        "dedup_minhash_incr": q_dedup_minhash_incr,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -5499,6 +5532,7 @@ FROM r WHERE sample_rank <= 30
         "sim_random_projection",
         "agg_cms_freq",
         "agg_kmv_overlap",
+        "dedup_minhash_incr",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
 

@@ -195,6 +195,36 @@ def minhash_lsh_candidates(
     This is the scale path: no cross join anywhere — the shuffle is on
     bucket keys, and hot buckets split under AQE.
     """
+    buckets = band_bucket_rows(signed, id_col, bands, rows_per_band)
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def band_bucket_rows(
+    signed: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """The persistable LSH bucket INDEX: (id, band, bucket) rows, bucket =
+    xxhash64 of the comma-joined signed band slice. This is the table a
+    long-lived dedup index checkpoints — incremental rounds equi-join new
+    docs' bucket rows against it without ever re-shingling the prior
+    corpus (see ``minhash_incremental_candidates``)."""
     band_cols = F.explode(
         F.array(
             *[
@@ -214,25 +244,50 @@ def minhash_lsh_candidates(
             ]
         )
     ).alias("bb")
-    buckets = signed.select(F.col(id_col), band_cols).select(
+    return signed.select(F.col(id_col), band_cols).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+
+
+def minhash_incremental_candidates(
+    new_buckets: DataFrame,
+    prior_buckets: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Delta maintenance of the LSH dedup index: candidate pairs touching
+    at least one NEW document — the daily-increment path a 100-TB corpus
+    actually runs (re-running full-corpus LSH per crawl round is O(corpus)
+    per day; this is O(delta)).
+
+    new×prior: ONE equi-join of the new docs' bucket rows against the
+    persisted (id, band, bucket) index — the prior corpus is never
+    re-shingled, re-signed, or re-banded; its index rows were written once
+    (``band_bucket_rows``) and live in the table store. new×new: the
+    standard self-join within the delta. ID sets must be disjoint.
+    Returns (id_a, id_b) with id_a < id_b, deduped; the union of this
+    result with the prior rounds' pairs equals a from-scratch
+    ``minhash_lsh_candidates`` over the whole corpus (merge==rebuild,
+    pinned by test).
+    """
+    n = new_buckets.alias("n")
+    p = prior_buckets.alias("p")
+    cross = n.join(
+        p,
+        (F.col("n.band") == F.col("p.band")) & (F.col("n.bucket") == F.col("p.bucket")),
+    ).select(
+        F.least(F.col(f"n.{id_col}"), F.col(f"p.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"n.{id_col}"), F.col(f"p.{id_col}")).alias("id_b"),
     )
-    return pairs
+    n2 = new_buckets.alias("m")
+    intra = n.join(
+        n2,
+        (F.col("n.band") == F.col("m.band"))
+        & (F.col("n.bucket") == F.col("m.bucket"))
+        & (F.col(f"n.{id_col}") < F.col(f"m.{id_col}")),
+    ).select(
+        F.col(f"n.{id_col}").alias("id_a"), F.col(f"m.{id_col}").alias("id_b")
+    )
+    return cross.unionByName(intra).dropDuplicates(["id_a", "id_b"])
 
 
 def jaccard_verify(

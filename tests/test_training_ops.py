@@ -967,3 +967,45 @@ def test_random_projection_preserves_distances(spark):
     a = random_projection(emb, out_dim=8, seed=7, as_csv=True).collect()
     b = random_projection(emb, out_dim=8, seed=7, as_csv=True).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_minhash_incremental_merge_equals_rebuild(spark):
+    """Delta LSH maintenance soundness: (prior-round pairs) ∪ (incremental
+    pairs of the new batch against the persisted bucket index) == a
+    from-scratch LSH over the whole corpus. The prior corpus is never
+    re-signed on the incremental path."""
+    from delphi_crawler_spark.operators.dedup_fuzzy import (
+        band_bucket_rows,
+        minhash_incremental_candidates,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank "
+    rows = []
+    for i in range(60):
+        # clusters of 3 near-identical docs so buckets collide across the
+        # prior/new split boundary
+        txt = base * 3 + f"variant {i % 20} tail {i % 3}"
+        rows.append((i, txt))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    prior = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(minhash_signatures(docs)).collect()
+    }
+    prior_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(minhash_signatures(prior)).collect()
+    }
+    prior_idx = band_bucket_rows(minhash_signatures(prior))
+    new_idx = band_bucket_rows(minhash_signatures(new))
+    delta = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_incremental_candidates(new_idx, prior_idx).collect()
+    }
+    assert prior_pairs | delta == full
+    assert all(a % 4 == 0 or b % 4 == 0 for a, b in delta)
+    assert prior_pairs.isdisjoint(delta)

@@ -356,6 +356,63 @@ def gen_dedup_minhash_lsh(
     return pd.DataFrame({"doc_id": keep}).astype({"doc_id": "int64"})
 
 
+def gen_dedup_minhash_incr(
+    docs: pd.DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Independent replication of the incremental-LSH query: same
+    signatures/banding as gen_dedup_minhash_lsh, candidate pairs filtered
+    to those touching a NEW doc (doc_id % 4 == 0), exact Jaccard >= 0.5
+    kept with the pair's rounded score."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, MERSENNE_P, size=num_hashes, dtype=np.uint64)
+    rpb = num_hashes // bands
+
+    ids, sig_list = [], []
+    for r in docs.itertuples():
+        grams = doc_grams(str(r.text).lower().split(), shingle_n)
+        if len(grams):
+            sig = (a[:, None] * grams[None, :] + b[:, None]).min(axis=1)
+        else:
+            sig = np.zeros(num_hashes, dtype=np.uint64)
+        ids.append(int(r.doc_id))
+        sig_list.append(sig.view(np.int64))
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, sig in zip(ids, sig_list):
+        for bi in range(bands):
+            key = ",".join(str(int(v)) for v in sig[bi * rpb : (bi + 1) * rpb])
+            buckets.setdefault((bi, xxh64_str(key)), []).append(did)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                if ms[i] % 4 == 0 or ms[j] % 4 == 0:  # touches a new doc
+                    cand.add((ms[i], ms[j]))
+
+    def gramset(text: str) -> set[str]:
+        words = ws_split(text)
+        n = max(len(words) - (shingle_n - 1), 1)
+        return {" ".join(words[i : i + shingle_n]) for i in range(n)}
+
+    gsets = {int(r.doc_id): gramset(str(r.text)) for r in docs.itertuples()}
+    rows = []
+    for ia, ib in sorted(cand):
+        inter = len(gsets[ia] & gsets[ib])
+        union = len(gsets[ia] | gsets[ib])
+        jac = round_half_up6(inter / max(union, 1))
+        if jac >= threshold:
+            rows.append({"id_a": ia, "id_b": ib, "jaccard": jac})
+    out = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+    return out.astype({"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
+
+
 def gen_dedup_embedding_lsh(
     emb: pd.DataFrame,
     threshold: float = 0.35,
@@ -748,6 +805,7 @@ GENERATORS = {
     "sim_random_projection": ("embeddings", gen_sim_random_projection),
     "agg_cms_freq": ("events", gen_agg_cms_freq),
     "agg_kmv_overlap": ("documents", gen_agg_kmv_overlap),
+    "dedup_minhash_incr": ("documents", gen_dedup_minhash_incr),
 }
 
 
