@@ -3066,6 +3066,42 @@ def q_p16_discovery_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("depth").cast(BIG).alias("depth"))
 
 
+def q_pipeline_adaptive_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed adaptive-politeness round: observed per-host fetch
+    latencies → p95 → Heritrix-rule delay → per-host token RATE
+    (p17_adaptive_rate) broadcast into the REAL token-bucket scheduler
+    (assign_emission_slots, burst 3) over the events frontier, then round
+    admission at 10 s. The full closed loop a production crawler runs:
+    servers that respond slowly get scheduled slower next round. Oracle:
+    the full SQL twin (latency CTE chain unrounded + the emission window
+    with per-host rate join)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.politeness import (
+        adaptive_host_delay,
+        admit_round,
+        assign_emission_slots,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    fetches = ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("host"),
+        (F.col("value") * 40 + (F.col("event_id") % 700)).alias("latency_ms"),
+    )
+    rates = adaptive_host_delay(fetches).select("host", "rate_per_sec").withColumn(
+        "max_burst", F.lit(3)
+    )
+    fr = _events_frontier(spark, sf_dir)
+    slotted = assign_emission_slots(fr, politeness=rates, default_burst=3)
+    out = admit_round(slotted, 10_000)
+    return out.select(
+        "host",
+        "seq",
+        F.col("priority").cast(BIG).alias("priority"),
+        F.col("host_rank").cast(BIG).alias("host_rank"),
+        F.col("emit_ms").cast(BIG).alias("emit_ms"),
+    )
+
+
 def q_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash-LSH index maintenance — the daily-increment path
     a 100-TB corpus actually runs: new docs (doc_id % 4 == 0) are signed
@@ -3262,6 +3298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p16_discovery_depth": q_p16_discovery_depth,
         "p17_adaptive_rate": q_p17_adaptive_rate,
         "dedup_minhash_incr": q_dedup_minhash_incr,
+        "pipeline_adaptive_schedule": q_pipeline_adaptive_schedule,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -5539,6 +5576,37 @@ FROM r WHERE sample_rank <= 30
     o["p15_trustrank"] = _trustrank_oracle_sql(iters=5, damping=0.85)
 
     o["p16_discovery_depth"] = _depth_oracle_sql(max_depth=12)
+
+    # full closed loop: unrounded latency->rate chain joined into the
+    # emission window (burst 3, per-host rate), 10s round admission
+    o["pipeline_adaptive_schedule"] = (
+        """
+WITH f AS (
+  SELECT 'u' || user_id AS host,
+         (value * 40 + (event_id % 700))::DOUBLE AS v
+  FROM events WHERE value IS NOT NULL),
+nn AS (SELECT host, count(*)::BIGINT AS n FROM f GROUP BY host),
+r0 AS (SELECT host, v, row_number() OVER (PARTITION BY host ORDER BY v) AS rk
+       FROM f),
+p AS (SELECT nn.host, r0.v AS p_lat
+      FROM nn JOIN r0 ON r0.host = nn.host
+         AND r0.rk = greatest(1, ceil(0.95 * nn.n)::BIGINT)),
+rt AS (SELECT host, 1000.0 / least(15000.0, greatest(500.0, p_lat * 2.0)) AS rate
+       FROM p),
+s AS ("""
+        + _SLOTTED_SQL
+        + """),
+e AS (SELECT s.host, seq, priority, host_rank,
+             CASE WHEN host_rank <= 3 THEN 0
+                  ELSE CAST(ceil((host_rank - 3) * 1000.0
+                                 / coalesce(rt.rate, 5.0)) AS BIGINT)
+             END AS emit_ms
+      FROM s LEFT JOIN rt ON rt.host = s.host)
+SELECT host, seq, priority::BIGINT AS priority, host_rank::BIGINT AS host_rank,
+       emit_ms
+FROM e WHERE emit_ms < 10000
+"""
+    )
 
     # percentile_disc rank convention shared with the quantile family:
     # rank = max(1, ceil(q*n)) over null-filtered doubles
