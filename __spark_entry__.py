@@ -3066,6 +3066,36 @@ def q_p16_discovery_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("depth").cast(BIG).alias("depth"))
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters + the production KEEP decision: within each
+    transitive cluster keep the highest-quality doc (score = text length,
+    the published keep-longest heuristic; id-asc tiebreak) instead of the
+    smallest-id canonical. Same CC walk as dedup_cluster_cc; the keep rule
+    is one window over the cluster key the size-agg already shuffled on."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.dedup import keep_best_per_cluster
+    from delphi_crawler_spark.operators.dedup_fuzzy import jaccard_verify
+    from delphi_crawler_spark.operators.graph import neardup_clusters
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    dups = jaccard_verify(pairs, docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    clusters = neardup_clusters(docs, dups.select("id_a", "id_b"))
+    scored = clusters.withColumn("score", F.length("text"))
+    out = keep_best_per_cluster(scored)
+    return out.select(
+        "doc_id",
+        F.col("cluster_id").cast(BIG).alias("cluster_id"),
+        F.col("cluster_size").cast(BIG).alias("cluster_size"),
+        F.col("score").cast(BIG).alias("score"),
+        F.col("kept").cast(BIG).alias("kept"),
+    )
+
+
 def q_pipeline_adaptive_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed adaptive-politeness round: observed per-host fetch
     latencies → p95 → Heritrix-rule delay → per-host token RATE
@@ -3299,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p17_adaptive_rate": q_p17_adaptive_rate,
         "dedup_minhash_incr": q_dedup_minhash_incr,
         "pipeline_adaptive_schedule": q_pipeline_adaptive_schedule,
+        "dedup_keep_best": q_dedup_keep_best,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -5026,6 +5057,37 @@ sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM lab GROUP BY clu
 SELECT l.doc_id, l.cluster_id, s.cluster_size,
        (l.doc_id = l.cluster_id)::BIGINT AS is_canonical
 FROM lab l JOIN sz s USING (cluster_id)
+"""
+    )
+
+    # Same CC walk as dedup_cluster_cc, then the keep-longest decision:
+    # row_number over (score desc, doc_id asc) within each cluster
+    o["dedup_keep_best"] = (
+        "WITH RECURSIVE g AS (" + _GRAMS_SQL + "), "
+        """
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1), 6) AS jaccard
+      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+ed AS (SELECT id_a AS u, id_b AS v FROM p WHERE jaccard >= 0.5
+       UNION SELECT id_b, id_a FROM p WHERE jaccard >= 0.5),
+vs AS (SELECT DISTINCT u AS n FROM ed),
+reach(node, label) AS (
+  SELECT n, n FROM vs
+  UNION
+  SELECT ed.v, r.label FROM reach r JOIN ed ON ed.u = r.node),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+lab AS (SELECT d.doc_id::BIGINT AS doc_id,
+               coalesce(c.component, d.doc_id)::BIGINT AS cluster_id,
+               length(d.text)::BIGINT AS score
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM lab GROUP BY cluster_id),
+rk AS (SELECT l.*, s.cluster_size,
+              row_number() OVER (PARTITION BY l.cluster_id
+                                 ORDER BY l.score DESC, l.doc_id ASC) AS rn
+       FROM lab l JOIN sz s USING (cluster_id))
+SELECT doc_id, cluster_id, cluster_size, score, (rn = 1)::BIGINT AS kept
+FROM rk
 """
     )
 

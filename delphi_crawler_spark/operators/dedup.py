@@ -49,3 +49,31 @@ def first_occurrence_dedup(
     )
     # restore the caller's column order
     return out.select(*[f"`{c}`" for c in df.columns])
+
+
+def keep_best_per_cluster(
+    clustered: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """The production dedup DECISION rule: within each near-dup cluster keep
+    the highest-QUALITY document (score desc, id asc tiebreak), not the
+    first-seen/smallest-id one — published corpus pipelines keep the
+    longest or best-scored duplicate (e.g. the C4/Gopher keep-longest
+    heuristic), because near-dup clusters often pair a full page with its
+    truncated or boilerplate-wrapped copies.
+
+    Input is ``neardup_clusters`` output joined with any per-doc score;
+    adds ``kept`` (exactly one per cluster). One window over the cluster
+    key — same shuffle the cluster-size agg already paid, no new exchange
+    shape at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return clustered.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("int")
+    )

@@ -1192,3 +1192,17 @@ def test_adaptive_host_delay_clamps_and_percentile(spark):
     assert abs(got["slow"]["rate_per_sec"] - 1000.0 / 1988.0) < 1e-12
     assert got["glacial"]["delay_ms"] == 15000.0
     assert got["fast"]["delay_ms"] == 500.0 and got["fast"]["rate_per_sec"] == 2.0
+
+
+def test_keep_best_per_cluster_picks_highest_score(spark):
+    """Keep-longest decision rule: exactly one kept per cluster, the max
+    score wins, id-asc breaks score ties."""
+    from delphi_crawler_spark.operators.dedup import keep_best_per_cluster
+
+    rows = [
+        (1, 100, 50), (2, 100, 80), (3, 100, 80),  # cluster 100: 2 wins tie
+        (4, 200, 10),                               # singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, cluster_id: long, score: long")
+    got = {r["doc_id"]: r["kept"] for r in keep_best_per_cluster(df).collect()}
+    assert got == {1: 0, 2: 1, 3: 0, 4: 1}
