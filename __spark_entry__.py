@@ -3066,6 +3066,50 @@ def q_p16_discovery_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("depth").cast(BIG).alias("depth"))
 
 
+def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup by perceptual hash (pHash, Zauner 2010): decode →
+    NN-resize 32² → 2-D DCT → 8×8 low block → median-threshold 63-bit
+    signature → SimHash pigeonhole pair join (hamming ≤ 10). Near-dup
+    images are synthesized deterministically: every 5 consecutive doc_ids
+    share one canonical payload with only the FIRST byte varied, so
+    in-group pHashes sit within a few bits while the sha256 exact digest
+    differs — the case exact dedup cannot catch. Oracle: independent
+    expected-parquet replication (tools/gen_expected.py)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.dedup_fuzzy import simhash_near_dup_pairs
+    from delphi_crawler_spark.operators.multimodal import phash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    canon_id = F.col("doc_id") - F.col("doc_id") % 5
+    canon = docs.select(F.col("doc_id").alias("canon_id"), F.col("text").alias("ct"))
+    vchar = F.element_at(
+        F.array(*[F.lit(c) for c in "abcde"]), (F.col("doc_id") % 5 + 1).cast("int")
+    )
+    media = (
+        docs.select("doc_id", canon_id.alias("canon_id"))
+        .join(canon, "canon_id")
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.concat(F.lit("m://"), F.col("doc_id")).alias("media_ref"),
+            F.lit("image").alias("kind"),
+            F.concat(vchar, F.expr("substring(ct, 2)")).cast("binary").alias("payload"),
+            F.struct(
+                F.lit(64).cast("int").alias("width"),
+                F.lit(64).cast("int").alias("height"),
+            ).alias("meta"),
+        )
+    )
+    sigs = phash_signatures(media).select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "simhash"
+    )
+    pairs = simhash_near_dup_pairs(sigs, max_hamming=10)
+    return pairs.select(
+        F.col("id_a").cast(BIG).alias("id_a"),
+        F.col("id_b").cast(BIG).alias("id_b"),
+        F.col("hamming").cast(BIG).alias("hamming"),
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters + the production KEEP decision: within each
     transitive cluster keep the highest-quality doc (score = text length,
@@ -3330,6 +3374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_incr": q_dedup_minhash_incr,
         "pipeline_adaptive_schedule": q_pipeline_adaptive_schedule,
         "dedup_keep_best": q_dedup_keep_best,
+        "mm_phash_neardup": q_mm_phash_neardup,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -5632,6 +5677,7 @@ FROM r WHERE sample_rank <= 30
         "agg_cms_freq",
         "agg_kmv_overlap",
         "dedup_minhash_incr",
+        "mm_phash_neardup",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
 

@@ -385,3 +385,73 @@ def media_fetch_plan(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (the standard separable 2-D DCT is
+    C @ X @ C.T) — pure numpy, no scipy dependency."""
+    k = np.arange(n, dtype=np.float64)
+    C = np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+    C[0, :] *= 1.0 / np.sqrt(2.0)
+    return C * np.sqrt(2.0 / n)
+
+
+def phash_signatures(
+    media: DataFrame,
+    decode: Callable[[bytes, int | None, int | None], np.ndarray] = fake_decode_raster,
+    size: int = 32,
+    low: int = 8,
+) -> DataFrame:
+    """Perceptual hash (pHash; public algorithm, Zauner 2010 / pHash.org)
+    per image row: decode → nearest-neighbor resize to ``size``² → 2-D
+    DCT-II → top-left ``low``×``low`` block → drop the DC term → bit i =
+    (coefficient > median of the block) → a 63-bit signature in a LONG
+    column named ``simhash`` so the SimHash pigeonhole pair machinery
+    (``dedup_fuzzy.simhash_near_dup_pairs``) applies verbatim: image
+    near-dup = small hamming distance between pHashes, robust to small
+    pixel edits where the sha256 exact digest is not.
+
+    Arrow-batched mapInPandas; the DCT, median threshold, and bit packing
+    are one einsum + vectorized numpy over the whole batch (the per-row
+    part is only the pluggable decode call, same as the rest of the
+    multimodal family). Payloads never shuffle — only (ids, 8-byte hash)
+    leave the stage.
+    """
+    C = _dct_matrix(size)
+    weights = np.left_shift(
+        np.uint64(1), np.arange(low * low - 1, dtype=np.uint64)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            img = pdf[pdf["kind"] == "image"]
+            if len(img) == 0:
+                continue
+            rasters = np.stack(
+                [
+                    resize_raster(
+                        decode(
+                            p if p is not None else b"",
+                            (m or {}).get("width"),
+                            (m or {}).get("height"),
+                        ),
+                        size,
+                        size,
+                    ).astype(np.float64)
+                    for p, m in zip(img["payload"], img["meta"])
+                ]
+            )
+            d = np.einsum("ij,bjk,lk->bil", C, rasters, C)
+            block = d[:, :low, :low].reshape(len(img), low * low)[:, 1:]
+            med = np.median(block, axis=1, keepdims=True)
+            bits = (block > med).astype(np.uint64)
+            sig = (bits * weights[None, :]).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": img["doc_id"],
+                    "media_ref": img["media_ref"],
+                    "simhash": sig.astype(np.int64),
+                }
+            )
+
+    return media.mapInPandas(run, schema="doc_id string, media_ref string, simhash long")

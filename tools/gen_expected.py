@@ -413,6 +413,75 @@ def gen_dedup_minhash_incr(
     return out.astype({"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
 
 
+def gen_mm_phash_neardup(
+    docs: pd.DataFrame,
+    size: int = 32,
+    low: int = 8,
+    max_hamming: int = 10,
+) -> pd.DataFrame:
+    """Independent replication of the pHash near-dup query: the fake-codec
+    byte-tiling raster (part of the synthetic data contract), NN resize +
+    DCT re-derived here (the DCT batch einsum keeps the impl's IEEE op
+    order, the fold_cosine precedent), banding/pairing as per-pair loops
+    with the pigeonhole radius re-checked by exact hamming."""
+    n = size
+
+    k = np.arange(n, dtype=np.float64)
+    C = np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+    C[0, :] *= 1.0 / np.sqrt(2.0)
+    C = C * np.sqrt(2.0 / n)
+
+    ids, rasters = [], []
+    texts = {int(r.doc_id): str(r.text) for r in docs.itertuples()}
+    for did in sorted(texts):
+        canon = texts[did - did % 5]
+        payload = (chr(ord("a") + did % 5) + canon[1:]).encode("utf-8")
+        buf = np.frombuffer(payload or b"\0", dtype=np.uint8)
+        reps = -(-(64 * 64) // len(buf))
+        full = np.tile(buf, reps)[: 64 * 64].reshape(64, 64)
+        yi = (np.arange(size) * 64 // size).clip(0, 63)
+        xi = (np.arange(size) * 64 // size).clip(0, 63)
+        rasters.append(full[yi][:, xi].astype(np.float64))
+        ids.append(did)
+    R = np.stack(rasters)
+    d = np.einsum("ij,bjk,lk->bil", C, R, C)
+    block = d[:, :low, :low].reshape(len(ids), low * low)[:, 1:]
+    med = np.median(block, axis=1, keepdims=True)
+    bits = (block > med).astype(np.uint64)
+    weights = np.left_shift(np.uint64(1), np.arange(low * low - 1, dtype=np.uint64))
+    sigs = (bits * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+    # pigeonhole banding (blocks = max_hamming + 1, 64 bits split with the
+    # first `extra` blocks one bit wider), then exact hamming verify
+    blocks = max_hamming + 1
+    base, extra = divmod(64, blocks)
+    bounds, off = [], 0
+    for i in range(blocks):
+        w = base + (1 if i < extra else 0)
+        bounds.append((off, w))
+        off += w
+    by_bucket: dict[tuple[int, int], list[int]] = {}
+    for idx, s in enumerate(sigs):
+        for bi, (o, w) in enumerate(bounds):
+            ck = int((int(s) >> o) & ((1 << w) - 1))
+            by_bucket.setdefault((bi, ck), []).append(idx)
+    cand = set()
+    for members in by_bucket.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                x, y = members[i], members[j]
+                if ids[x] > ids[y]:
+                    x, y = y, x
+                cand.add((x, y))
+    rows = []
+    for x, y in sorted(cand):
+        h = bin(int(sigs[x]) ^ int(sigs[y])).count("1")
+        if h <= max_hamming:
+            rows.append({"id_a": ids[x], "id_b": ids[y], "hamming": h})
+    out = pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+    return out.astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"})
+
+
 def gen_dedup_embedding_lsh(
     emb: pd.DataFrame,
     threshold: float = 0.35,
@@ -806,6 +875,7 @@ GENERATORS = {
     "agg_cms_freq": ("events", gen_agg_cms_freq),
     "agg_kmv_overlap": ("documents", gen_agg_kmv_overlap),
     "dedup_minhash_incr": ("documents", gen_dedup_minhash_incr),
+    "mm_phash_neardup": ("documents", gen_mm_phash_neardup),
 }
 
 
