@@ -1009,3 +1009,39 @@ def test_minhash_incremental_merge_equals_rebuild(spark):
     assert prior_pairs | delta == full
     assert all(a % 4 == 0 or b % 4 == 0 for a, b in delta)
     assert prior_pairs.isdisjoint(delta)
+
+
+def test_phash_identical_and_perturbed_payloads(spark):
+    """pHash invariants: identical payloads hash identically (hamming 0);
+    a single flipped byte stays within a small hamming radius; a totally
+    different payload lands far away. Signatures use 63 bits (DC dropped)."""
+    from delphi_crawler_spark.operators.multimodal import phash_signatures
+
+    base = (
+        b"lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        b"eiusmod tempor " * 60
+    )
+    variant = b"x" + base[1:]
+    other = b"zebra quantum fjord glyph vex wump kraken onyx " * 90
+    rows = [
+        ("a", "m://a", "image", base, {"width": 64, "height": 64}),
+        ("b", "m://b", "image", base, {"width": 64, "height": 64}),
+        ("c", "m://c", "image", variant, {"width": 64, "height": 64}),
+        ("d", "m://d", "image", other, {"width": 64, "height": 64}),
+        ("e", "m://e", "audio", base, {"width": 64, "height": 64}),  # skipped
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, media_ref string, kind string, payload binary, "
+        "meta struct<width:int, height:int>",
+    )
+    got = {r["doc_id"]: r["simhash"] for r in phash_signatures(df).collect()}
+    assert set(got) == {"a", "b", "c", "d"}  # only images
+    assert got["a"] == got["b"]
+    assert all(0 <= v < (1 << 63) for v in got.values())
+
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+
+    assert ham(got["a"], got["c"]) <= 10   # one flipped byte: tiny radius
+    assert ham(got["a"], got["d"]) > 10    # different content: far away
