@@ -3110,6 +3110,26 @@ def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p18_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-community detection by synchronous label propagation (Raghavan
+    2007, deterministic (count DESC, label ASC) tie-break): 3 rounds over
+    the symmetrized p9 host graph. Communities cap per-community fetch
+    budgets (link rings / mirror farms collapse into one community) and
+    serve as leakage-safe split units above near-dup clusters. Per round:
+    one (node,label) hash-agg + one degree-bounded ranking window — the
+    same cost envelope as one link_rank step."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("h"), (F.col("l_suppkey") % 100).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 103).cast("string")).alias("dst"),
+    )
+    out = label_propagation(edges, iters=3)
+    return out.select("node", "label")
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters + the production KEEP decision: within each
     transitive cluster keep the highest-quality doc (score = text length,
@@ -3375,6 +3395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_adaptive_schedule": q_pipeline_adaptive_schedule,
         "dedup_keep_best": q_dedup_keep_best,
         "mm_phash_neardup": q_mm_phash_neardup,
+        "p18_label_propagation": q_p18_label_propagation,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -3526,6 +3547,34 @@ def _depth_oracle_sql(max_depth: int = 12, n_seed_ids: int = 10) -> str:
         ",\n".join(parts)
         + f"\nSELECT node, depth::BIGINT AS depth FROM d{max_depth}"
     )
+
+
+def _lpa_oracle_sql(iters: int = 3) -> str:
+    """Unrolled synchronous label propagation in plain SQL — must mirror
+    operators/graph.py:label_propagation exactly: symmetrized deduped
+    self-loop-free edges, labels start as node ids, each round every node
+    takes its neighbors' modal label with (count DESC, label ASC)
+    tie-break."""
+    parts = [
+        "WITH e0 AS (SELECT 'h' || (l_suppkey % 100) AS s, "
+        "'h' || (l_partkey % 103) AS d FROM lineitem)",
+        "e AS MATERIALIZED (SELECT DISTINCT s, d FROM "
+        "(SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0) u "
+        "WHERE s <> d)",
+        "l0 AS (SELECT DISTINCT s AS node, s AS label FROM e)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"c{k} AS (SELECT e.d AS node, l.label, count(*) AS cnt "
+            f"FROM e JOIN l{k - 1} l ON e.s = l.node GROUP BY e.d, l.label)"
+        )
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT node, label FROM "
+            f"(SELECT node, label, row_number() OVER "
+            f"(PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn "
+            f"FROM c{k}) t WHERE rn = 1)"
+        )
+    return ",\n".join(parts) + f"\nSELECT node, label FROM l{iters}"
 
 
 def _trustrank_oracle_sql(
@@ -5682,6 +5731,8 @@ FROM r WHERE sample_rank <= 30
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
 
     o["p15_trustrank"] = _trustrank_oracle_sql(iters=5, damping=0.85)
+
+    o["p18_label_propagation"] = _lpa_oracle_sql(iters=3)
 
     o["p16_discovery_depth"] = _depth_oracle_sql(max_depth=12)
 

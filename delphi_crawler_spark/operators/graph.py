@@ -496,3 +496,73 @@ def discovery_depth(
         frontier = fresh
     ew.unpersist()
     return depth
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert & Kumara, Phys. Rev.
+    E 2007) for host-community detection: every node starts with its own
+    id as its label; each round it adopts the label that is most frequent
+    among its neighbors, ties broken by the smallest label — the
+    deterministic synchronous variant, so the result is a pure function of
+    the edge set and the iteration count (the paper's random tie-break and
+    asynchronous order are replaced by (count DESC, label ASC), the same
+    determinism discipline every ranking window in this engine follows).
+    Communities group mutually-linked host neighborhoods: the crawl
+    scheduler uses them to cap per-community fetch budgets (mirror farms
+    and link rings collapse into one community long before pairwise mirror
+    detection fires) and the training-data side uses them as leakage-safe
+    split units one level above near-dup clusters.
+
+    The graph is treated as undirected: edges are symmetrized and
+    self-loops dropped. Isolated nodes cannot occur (every node appears in
+    some edge); a node whose neighbors all carry its own label keeps it.
+
+    Scale shape: per round, one hash-agg on the (node, label) grain — the
+    neighbor-label multiset partially aggregates map-side — and one
+    ranking window per node over its distinct neighbor labels (bounded by
+    degree, never corpus-sized), then one equi-join back to the label
+    table. The symmetrized edge list is repartitioned by ``s`` once and
+    persisted so every round reuses the same co-location; label tables are
+    localCheckpoint-ed each round so the plan stays O(1) in ``iters``. At
+    10^10 nodes each round is O(|E|) shuffle — the same cost envelope as
+    one ``link_rank`` step, with no scalar collect at all.
+
+    Reference has no graph analytics (it walks the maven index linearly,
+    IndexProcessing.scala:76-99); this extends the §2.10 graph family
+    (connected_components / link_rank / hits / trust_rank).
+    """
+    if iters < 1:
+        raise ValueError("label_propagation() needs iters >= 1")
+    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    ew = (
+        fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .repartition("s")
+        .persist()
+    )
+    from pyspark.sql import Window
+
+    nodes = ew.select(F.col("s").alias("node")).distinct().persist()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    for _ in range(iters):
+        counts = (
+            ew.join(labels, ew["s"] == labels["node"])
+            .groupBy(F.col("d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    ew.unpersist()
+    nodes.unpersist()
+    return labels

@@ -344,3 +344,56 @@ def test_discovery_depth_early_exit_and_cap(spark):
         for r in discovery_depth(chain, seeds, max_depth=2).collect()
     }
     assert capped == {0: 0, 1: 1, 2: 2}
+
+
+def test_label_propagation_matches_independent_python(spark):
+    """Synchronous LPA with (count DESC, label ASC) tie-break, replicated
+    independently with dict loops over the symmetrized self-loop-free
+    edge set."""
+    from collections import Counter
+
+    from delphi_crawler_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one edge, a dangling pendant, a self-loop,
+    # and a duplicated directed edge (exercises distinct + symmetrize)
+    raw = [
+        ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+        ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+        ("a3", "b1"), ("b3", "c1"), ("c1", "c1"), ("a1", "a2"),
+        ("a2", "a1"),
+    ]
+    iters = 3
+    adj: dict[str, set] = {}
+    for s, d in raw:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    labels = {n: n for n in adj}
+    for _ in range(iters):
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(labels[m] for m in nbrs)
+            nxt[n] = min(
+                cnt, key=lambda lbl: (-cnt[lbl], lbl)
+            )
+        labels = nxt
+
+    df = spark.createDataFrame(raw, "src: string, dst: string")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iters=iters).collect()
+    }
+    assert got == labels
+    # the bridge does not merge the triangles into one community
+    assert len({got["a1"], got["a2"], got["a3"]} & {got["b1"], got["b2"]}) == 0
+
+
+def test_label_propagation_validates_iters(spark):
+    import pytest as _pytest
+
+    from delphi_crawler_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([("x", "y")], "src: string, dst: string")
+    with _pytest.raises(ValueError):
+        label_propagation(df, iters=0)
