@@ -3130,6 +3130,44 @@ def q_p18_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", "label")
 
 
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs by blocked Levenshtein verify
+    (prefix blocking + exact length-difference prune before the DP —
+    record-linkage classic, cf. Gravano VLDB 2001). Groups of 4
+    consecutive doc_ids share one canonical 200-char text plus a
+    variable-length ' rev x…' suffix, so in-group distances are exactly
+    |i-j| ∈ {1,2,3} while the shared 16-char prefix keeps them in one
+    block — the revision-chain case token-level MinHash smears out.
+    ASCII-only by construction (Spark counts UTF-16 chars, DuckDB bytes)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.dedup_fuzzy import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    canon_id = F.col("doc_id") - F.col("doc_id") % 4
+    canon = docs.select(
+        F.col("doc_id").alias("canon_id"),
+        F.substring("text", 1, 200).alias("ct"),
+    )
+    suffix = F.element_at(
+        F.array(F.lit(""), F.lit("x"), F.lit("xx"), F.lit("xxx")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    pert = (
+        docs.select("doc_id", canon_id.alias("canon_id"))
+        .join(canon, "canon_id")
+        .select(
+            F.col("doc_id").cast(BIG).alias("doc_id"),
+            F.concat(F.col("ct"), F.lit(" rev "), suffix).alias("text"),
+        )
+    )
+    out = edit_distance_pairs(pert, max_dist=3, prefix_len=16, cap_len=512)
+    return out.select(
+        F.col("id_a").cast(BIG).alias("id_a"),
+        F.col("id_b").cast(BIG).alias("id_b"),
+        F.col("dist").cast(BIG).alias("dist"),
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters + the production KEEP decision: within each
     transitive cluster keep the highest-quality doc (score = text length,
@@ -3396,6 +3434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "mm_phash_neardup": q_mm_phash_neardup,
         "p18_label_propagation": q_p18_label_propagation,
+        "dedup_edit_distance": q_dedup_edit_distance,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -5733,6 +5772,21 @@ FROM r WHERE sample_rank <= 30
     o["p15_trustrank"] = _trustrank_oracle_sql(iters=5, damping=0.85)
 
     o["p18_label_propagation"] = _lpa_oracle_sql(iters=3)
+
+    # Same blocking + prune + verify chain as operators/dedup_fuzzy.py:
+    # edit_distance_pairs; ASCII-only input keeps Spark's char-level and
+    # DuckDB's byte-level levenshtein identical.
+    o["dedup_edit_distance"] = """
+WITH c AS (SELECT doc_id AS canon_id, substr(text, 1, 200) AS ct FROM documents),
+t AS (SELECT d.doc_id AS id,
+             c.ct || ' rev ' || repeat('x', (d.doc_id % 4)::INT) AS t
+      FROM documents d JOIN c ON c.canon_id = d.doc_id - d.doc_id % 4),
+b AS (SELECT id, t, substr(t, 1, 16) AS blk FROM t)
+SELECT a.id::BIGINT AS id_a, b2.id::BIGINT AS id_b,
+       levenshtein(a.t, b2.t)::BIGINT AS dist
+FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id
+WHERE abs(len(a.t) - len(b2.t)) <= 3 AND levenshtein(a.t, b2.t) <= 3
+"""
 
     o["p16_discovery_depth"] = _depth_oracle_sql(max_depth=12)
 

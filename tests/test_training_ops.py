@@ -1045,3 +1045,48 @@ def test_phash_identical_and_perturbed_payloads(spark):
 
     assert ham(got["a"], got["c"]) <= 10   # one flipped byte: tiny radius
     assert ham(got["a"], got["d"]) > 10    # different content: far away
+
+
+def test_edit_distance_pairs_blocking_and_verify(spark):
+    """Blocked Levenshtein near-dup: exact distances within a block,
+    length-difference prune, prefix blocking keeps far blocks apart,
+    and the cap bounds the DP input."""
+    import pytest as _pytest
+
+    from delphi_crawler_spark.operators.dedup_fuzzy import edit_distance_pairs
+
+    pre = "shared prefix 16c "  # 18 chars: one block for ids 1..4
+    rows = [
+        (1, pre + "kitten"),
+        (2, pre + "sitting"),          # dist 3 from id 1
+        (3, pre + "kitten"),           # dist 0 from id 1
+        (4, pre + "kitten plus way more than three edits"),  # len-pruned
+        (5, "totally different prefix kitten"),  # other block, never joined
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df, max_dist=3).collect()
+    }
+    assert got == {(1, 2): 3, (1, 3): 0, (2, 3): 3}
+
+    # max_dist=0 degenerates to exact-dup-within-block
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_pairs(df, max_dist=0).collect()
+    }
+    assert exact == {(1, 3)}
+
+    # cap_len: texts identical in the first 10 chars count as dups
+    capped = edit_distance_pairs(
+        spark.createDataFrame(
+            [(1, "aaaaaaaaaa-X"), (2, "aaaaaaaaaa-Y")], "doc_id: long, text: string"
+        ),
+        max_dist=0,
+        prefix_len=4,
+        cap_len=10,
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in capped] == [(1, 2, 0)]
+
+    with _pytest.raises(ValueError):
+        edit_distance_pairs(df, max_dist=-1)
