@@ -3168,6 +3168,48 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s12_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON feed ingestion with malformed-record
+    quarantine (S-family twin of s1's '|'-record parse): JSON bodies are
+    synthesized from documents — doc_id%17==4 truncated (malformed →
+    all-null + is_valid false), doc_id%13==6 missing the lang field
+    (valid, null lang). Parse is JVM from_json (Jackson in codegen);
+    validity = the contractually-present id field parsed non-null."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.sources.scan import parse_json_records
+
+    docs = _t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit('{"id": '),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 13 == 6, F.lit("")).otherwise(
+            F.concat(F.lit(', "lang": "'), F.col("lang"), F.lit('"'))
+        ),
+        F.lit(', "n": '),
+        F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    raw = docs.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 17 == 4,
+            F.substring(body, F.lit(1), F.length(body) - F.lit(5)),
+        )
+        .otherwise(body)
+        .alias("body"),
+    )
+    out = parse_json_records(
+        raw, "body", "id BIGINT, lang STRING, n BIGINT", required="id"
+    )
+    return out.select(
+        "doc_id",
+        F.col("id").cast(BIG).alias("id"),
+        "lang",
+        F.col("n").cast(BIG).alias("n"),
+        "is_valid",
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters + the production KEEP decision: within each
     transitive cluster keep the highest-quality doc (score = text length,
@@ -3435,6 +3477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash_neardup": q_mm_phash_neardup,
         "p18_label_propagation": q_p18_label_propagation,
         "dedup_edit_distance": q_dedup_edit_distance,
+        "s12_json_ingest": q_s12_json_ingest,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -5786,6 +5829,27 @@ SELECT a.id::BIGINT AS id_a, b2.id::BIGINT AS id_b,
        levenshtein(a.t, b2.t)::BIGINT AS dist
 FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id
 WHERE abs(len(a.t) - len(b2.t)) <= 3 AND levenshtein(a.t, b2.t) <= 3
+"""
+
+    # Same synthesized bodies; DuckDB's json_valid/json_extract twin the
+    # PERMISSIVE from_json semantics (malformed -> all-null + invalid,
+    # missing field -> null field, still valid).
+    o["s12_json_ingest"] = """
+WITH b0 AS (SELECT doc_id,
+        '{"id": ' || doc_id
+        || CASE WHEN doc_id % 13 = 6 THEN '' ELSE ', "lang": "' || lang || '"' END
+        || ', "n": ' || n_chars || '}' AS body
+      FROM documents),
+b AS (SELECT doc_id,
+        CASE WHEN doc_id % 17 = 4 THEN substr(body, 1, len(body) - 5)
+             ELSE body END AS body
+      FROM b0)
+SELECT doc_id::BIGINT AS doc_id,
+       CASE WHEN json_valid(body) THEN CAST(json_extract(body, '$.id') AS BIGINT) END AS id,
+       CASE WHEN json_valid(body) THEN json_extract_string(body, '$.lang') END AS lang,
+       CASE WHEN json_valid(body) THEN CAST(json_extract(body, '$.n') AS BIGINT) END AS n,
+       json_valid(body) AS is_valid
+FROM b
 """
 
     o["p16_discovery_depth"] = _depth_oracle_sql(max_depth=12)

@@ -76,3 +76,44 @@ def preflight(spark: SparkSession, paths: list[str]) -> None:
     spark.sql("SELECT 1").collect()
     for p in paths:
         spark.read.parquet(p).schema  # raises on missing/corrupt
+
+
+def parse_json_records(
+    df: DataFrame,
+    json_col: str,
+    schema: str,
+    required: str,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Semi-structured ingestion: parse a JSON-string column into typed
+    fields with explicit malformed-record semantics — the JSON twin of
+    ``parse_index_records`` (reference skips malformed ``|``-records with
+    a warning, IndexProcessing.scala:45-48; a web-tier crawler ingests
+    JSON API feeds / JSON-LD the same way: typed on success, flagged and
+    quarantined on failure, never dropped silently).
+
+    ``schema`` is a DDL string (e.g. ``"id BIGINT, lang STRING"``).
+    Semantics pinned by the oracle + tests:
+    - malformed JSON → every parsed field null, ``is_valid`` false;
+    - well-formed JSON missing a field → that field null, row still valid;
+    - validity = the ``required`` field parsed non-null (Spark's
+      PERMISSIVE ``from_json`` returns an all-null struct for corrupt
+      input, so a contractually-always-present field is the validity
+      probe — the same trick the reference's ``u``-field split relies on).
+
+    Scale shape: ``from_json`` is a JVM expression (Jackson inside
+    whole-stage codegen) — no Python, no shuffle; the scan's column
+    pruning reaches the raw string column only. ``keep`` carries
+    pass-through columns (defaults to all non-JSON columns).
+    """
+    parsed = F.from_json(F.col(json_col), schema)
+    carry = keep if keep is not None else [c for c in df.columns if c != json_col]
+    out = df.select(*carry, parsed.alias("_p"))
+    field_names = [f.strip().split()[0] for f in schema.split(",")]
+    if required not in field_names:
+        raise ValueError(f"required field {required!r} not in schema {schema!r}")
+    return out.select(
+        *carry,
+        *[F.col(f"_p.{name}").alias(name) for name in field_names],
+        F.col(f"_p.{required}").isNotNull().alias("is_valid"),
+    )

@@ -1206,3 +1206,31 @@ def test_keep_best_per_cluster_picks_highest_score(spark):
     df = spark.createDataFrame(rows, "doc_id: long, cluster_id: long, score: long")
     got = {r["doc_id"]: r["kept"] for r in keep_best_per_cluster(df).collect()}
     assert got == {1: 0, 2: 1, 3: 0, 4: 1}
+
+
+def test_parse_json_records_semantics(spark):
+    """Malformed -> all-null + invalid; missing field -> null field but
+    valid; pass-through columns carried; bad required name rejected."""
+    import pytest as _pytest
+
+    from delphi_crawler_spark.sources.scan import parse_json_records
+
+    rows = [
+        (1, '{"id": 7, "lang": "en", "n": 3}'),
+        (2, '{"id": 8, "n": 4}'),           # missing lang: valid
+        (3, '{"id": 9, "lang": "de"'),       # truncated: malformed
+        (4, "not json at all"),              # malformed
+        (5, None),                            # null body: malformed
+    ]
+    df = spark.createDataFrame(rows, "k: long, body: string")
+    out = parse_json_records(df, "body", "id BIGINT, lang STRING, n BIGINT", "id")
+    got = {r["k"]: (r["id"], r["lang"], r["n"], r["is_valid"]) for r in out.collect()}
+    assert got[1] == (7, "en", 3, True)
+    assert got[2] == (8, None, 4, True)
+    assert got[3] == (None, None, None, False)
+    assert got[4] == (None, None, None, False)
+    assert got[5] == (None, None, None, False)
+    assert set(out.columns) == {"k", "id", "lang", "n", "is_valid"}
+
+    with _pytest.raises(ValueError):
+        parse_json_records(df, "body", "id BIGINT", "nope")
