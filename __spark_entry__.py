@@ -3210,6 +3210,25 @@ def q_s12_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table: sample-trained
+    init + 2 full-corpus refinement rounds whose centroid update is an
+    EXACT decimal(28,6) hash-agg (order-independent at any partition
+    count). Output is integer-only (vec_id, cluster_id, cluster_n).
+    Oracle: independent per-row numpy + python-Decimal replication
+    (tools/gen_expected.py)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.semantic import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _cent = kmeans_lloyd(emb, n_clusters=8, iters=2)
+    w = Window.partitionBy("cluster_id")
+    return assigned.select(
+        F.col("vec_id").cast(BIG).alias("vec_id"),
+        F.col("cluster_id").cast(BIG).alias("cluster_id"),
+    ).withColumn("cluster_n", F.count(F.lit(1)).over(w).cast(BIG))
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters + the production KEEP decision: within each
     transitive cluster keep the highest-quality doc (score = text length,
@@ -3478,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p18_label_propagation": q_p18_label_propagation,
         "dedup_edit_distance": q_dedup_edit_distance,
         "s12_json_ingest": q_s12_json_ingest,
+        "sim_kmeans_lloyd": q_sim_kmeans_lloyd,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -5809,6 +5829,7 @@ FROM r WHERE sample_rank <= 30
         "agg_kmv_overlap",
         "dedup_minhash_incr",
         "mm_phash_neardup",
+        "sim_kmeans_lloyd",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
 

@@ -168,3 +168,98 @@ def semantic_dedup(
             F.col("n_dup_lower").isNull().alias("keep"),
         )
     )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 10_000,
+    init_iters: int = 5,
+    seed: int = 42,
+):
+    """Distributed Lloyd refinement of spherical k-means (Lloyd 1982):
+    ``train_centroids`` fits the coarse quantizer on a fixed-size
+    deterministic sample; this runs ``iters`` FULL-CORPUS rounds — the
+    step a 10^9+-vector curation pipeline needs when the sample-trained
+    centroids drift from the true mass distribution (cluster-balanced
+    sampling, SemDeDup cells, IVF lists all sharpen with it).
+
+    Returns ``(assignments, centroids)``: the assignment DataFrame
+    ``(id_col, cluster_id)`` under the FINAL centroids, and the final
+    (k × dim) unit-row numpy matrix.
+
+    **Determinism at any partition count** (the property every oracle-
+    checked operator here holds): per-row float math (normalize, round,
+    dot) happens in numpy inside Arrow batches — no cross-row float
+    reduction ever runs on the JVM. The centroid update — the one
+    genuinely cross-row sum — accumulates the 6-dp-rounded components as
+    ``decimal(28,6)``, which Spark sums EXACTLY and order-independently
+    (integer arithmetic under the hood), so the new centroids are a pure
+    function of the assignment, not of partitioning or scan order. A
+    plain double sum here would make every downstream assignment drift
+    with the shuffle layout.
+
+    Scale shape: per round, one narrow Arrow pass over a broadcast
+    (k × dim) matrix (no corpus shuffle) + one posexplode'd hash-agg on
+    the (cluster, pos) grain — k·dim groups, partially aggregated
+    map-side, so the shuffle moves O(partitions · k · dim) partials, not
+    the corpus. The driver materializes only the (k × dim) sum table
+    (bounded by model size, like graph.py's scalar collects). Empty
+    clusters keep their previous centroid (the ``_kmeans`` convention).
+    """
+    if iters < 0:
+        raise ValueError("kmeans_lloyd() needs iters >= 0")
+    spark = emb.sparkSession
+    cent = train_centroids(
+        emb, n_clusters, id_col, vec_col, sample_size, init_iters, seed
+    )
+    dim = cent.shape[1]
+    vecs = emb.select(id_col, vec_col).persist()
+
+    def _nearest_udf(bc):
+        @F.pandas_udf(IntegerType())
+        def nearest(v: pd.Series) -> pd.Series:
+            c = bc.value
+            m = _normalize(np.stack(v.map(np.asarray).to_list()).astype(np.float64))
+            return pd.Series((m @ c.T).argmax(1).astype(np.int32))
+
+        return nearest
+
+    @F.pandas_udf("array<double>")
+    def norm6(v: pd.Series) -> pd.Series:
+        m = _normalize(np.stack(v.map(np.asarray).to_list()).astype(np.float64))
+        return pd.Series(list(np.round(m, 6)))
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cent)
+        parts = (
+            vecs.withColumn("cluster_id", _nearest_udf(bc)(F.col(vec_col)))
+            .withColumn("nv", norm6(F.col(vec_col)))
+            .select("cluster_id", F.posexplode("nv").alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(28,6)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        sums = {(r["cluster_id"], r["pos"]): r["s"] for r in parts}
+        counts = {r["cluster_id"]: r["n"] for r in parts}
+        new = cent.copy()
+        for c in range(len(cent)):
+            n = counts.get(c)
+            if n:
+                mean = np.array(
+                    [float(sums[(c, p)]) / n for p in range(dim)], dtype=np.float64
+                )
+                new[c] = mean / max(np.linalg.norm(mean), 1e-12)
+        cent = new
+    bc = spark.sparkContext.broadcast(cent)
+    assigned = vecs.withColumn("cluster_id", _nearest_udf(bc)(F.col(vec_col))).select(
+        F.col(id_col), F.col("cluster_id").cast("int").alias("cluster_id")
+    )
+    vecs.unpersist()
+    return assigned, cent

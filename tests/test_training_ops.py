@@ -1090,3 +1090,39 @@ def test_edit_distance_pairs_blocking_and_verify(spark):
 
     with _pytest.raises(ValueError):
         edit_distance_pairs(df, max_dist=-1)
+
+
+def test_kmeans_lloyd_partition_invariant_and_improves(spark):
+    """The exact-decimal centroid update makes assignments a pure function
+    of the data: identical at 1 and 7 partitions. And each Lloyd round
+    cannot decrease the spherical objective (mean cosine to the assigned
+    centroid)."""
+    import numpy as np
+
+    from delphi_crawler_spark.operators.semantic import kmeans_lloyd
+    from delphi_crawler_spark.operators.similarity import _normalize
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    a1, c1 = kmeans_lloyd(emb.repartition(1), n_clusters=6, iters=2)
+    a7, c7 = kmeans_lloyd(emb.repartition(7), n_clusters=6, iters=2)
+    got1 = {r["vec_id"]: r["cluster_id"] for r in a1.collect()}
+    got7 = {r["vec_id"]: r["cluster_id"] for r in a7.collect()}
+    assert got1 == got7
+    assert np.allclose(c1, c7, rtol=0, atol=0)  # bit-identical centroids
+
+    pdf = emb.toPandas()
+    m = _normalize(
+        np.stack(pdf["embedding"].map(np.asarray).to_list()).astype(np.float64)
+    )
+
+    def objective(cent):
+        return float((m @ cent.T).max(1).mean())
+
+    _, c0 = kmeans_lloyd(emb, n_clusters=6, iters=0)
+    assert objective(c1) >= objective(c0) - 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmeans_lloyd(emb, n_clusters=6, iters=-1)

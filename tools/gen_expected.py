@@ -636,6 +636,82 @@ def gen_dedup_semantic(
     )
 
 
+def gen_sim_kmeans_lloyd(
+    emb: pd.DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    sample_size: int = 10_000,
+    init_iters: int = 5,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Independent replication of operators/semantic.py:kmeans_lloyd —
+    per-row loops for the assignment, python-Decimal accumulation for the
+    centroid update (twin of Spark's exact decimal(28,6) sum: each
+    6-dp-rounded double quantizes through its shortest repr, HALF_UP,
+    exactly like the JVM's BigDecimal.valueOf cast)."""
+    ids = emb["vec_id"].astype("int64").to_numpy()
+    m = np.stack([np.asarray(v) for v in emb["embedding"].to_list()]).astype(
+        np.float64
+    )
+
+    def normalize(x):
+        return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+    order = sorted(range(len(ids)), key=lambda i: (xxh64_long(int(ids[i])), int(ids[i])))
+    mat = normalize(m[order[:sample_size]])
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
+    for _ in range(init_iters):
+        assign = (mat @ centroids.T).argmax(1)
+        for c in range(len(centroids)):
+            pts = mat[assign == c]
+            if len(pts):
+                centroids[c] = pts.mean(0)
+        centroids = normalize(centroids)
+
+    mn = normalize(m)
+    nm6 = np.round(mn, 6)
+    q6 = Decimal("0.000001")
+    dim = m.shape[1]
+    for _ in range(iters):
+        assign = (mn @ centroids.T).argmax(1)
+        new = centroids.copy()
+        for c in range(len(centroids)):
+            idx = np.nonzero(assign == c)[0]
+            if len(idx) == 0:
+                continue
+            mean = np.array(
+                [
+                    float(
+                        sum(
+                            (
+                                Decimal(repr(float(nm6[i, p]))).quantize(
+                                    q6, rounding=ROUND_HALF_UP
+                                )
+                                for i in idx
+                            ),
+                            Decimal(0),
+                        )
+                    )
+                    / len(idx)
+                    for p in range(dim)
+                ],
+                dtype=np.float64,
+            )
+            new[c] = mean / max(np.linalg.norm(mean), 1e-12)
+        centroids = new
+    final = (mn @ centroids.T).argmax(1).astype(np.int64)
+    counts = np.bincount(final, minlength=n_clusters)
+    out = pd.DataFrame(
+        {
+            "vec_id": ids.astype("int64"),
+            "cluster_id": final,
+            "cluster_n": counts[final].astype("int64"),
+        }
+    )
+    return out.astype({"vec_id": "int64", "cluster_id": "int64", "cluster_n": "int64"})
+
+
 def gen_agg_hll_distinct(docs: pd.DataFrame, p: int = 12) -> pd.DataFrame:
     """Independent HLL replication: per-value python-int bit_length ranks
     over the independent xxh64 (not Spark's JVM hash, not the numpy fold),
@@ -876,6 +952,7 @@ GENERATORS = {
     "agg_kmv_overlap": ("documents", gen_agg_kmv_overlap),
     "dedup_minhash_incr": ("documents", gen_dedup_minhash_incr),
     "mm_phash_neardup": ("documents", gen_mm_phash_neardup),
+    "sim_kmeans_lloyd": ("embeddings", gen_sim_kmeans_lloyd),
 }
 
 
