@@ -3229,6 +3229,24 @@ def q_sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("cluster_n", F.count(F.lit(1)).over(w).cast(BIG))
 
 
+def q_sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset over the embeddings table
+    (Gonzalez 1985 / Sener & Savarese 2018): 16 maximally-spread vectors,
+    each round one narrow Arrow pass + a TakeOrdered top-1 — the
+    diversity-selection primitive for annotation budgets and eval seeds.
+    Oracle: independent per-row numpy replication (tools/gen_expected.py)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.coreset import kcenter_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kcenter_select(emb, k=16)
+    return out.select(
+        F.col("sel_rank").cast(BIG).alias("sel_rank"),
+        F.col("vec_id").cast(BIG).alias("vec_id"),
+        "dist6",
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters + the production KEEP decision: within each
     transitive cluster keep the highest-quality doc (score = text length,
@@ -3498,6 +3516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_distance": q_dedup_edit_distance,
         "s12_json_ingest": q_s12_json_ingest,
         "sim_kmeans_lloyd": q_sim_kmeans_lloyd,
+        "sim_kcenter_coreset": q_sim_kcenter_coreset,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -5830,6 +5849,7 @@ FROM r WHERE sample_rank <= 30
         "dedup_minhash_incr",
         "mm_phash_neardup",
         "sim_kmeans_lloyd",
+        "sim_kcenter_coreset",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
 

@@ -1126,3 +1126,36 @@ def test_kmeans_lloyd_partition_invariant_and_improves(spark):
 
     with _pytest.raises(ValueError):
         kmeans_lloyd(emb, n_clusters=6, iters=-1)
+
+
+def test_kcenter_select_coverage_curve_and_dedup_exclusion(spark):
+    """Farthest-point properties: seed is the min id, the dist6 curve is
+    non-increasing, no id repeats (exact duplicates never re-enter), and
+    crafted geometry picks the far corners first."""
+    import pytest as _pytest
+
+    from delphi_crawler_spark.operators.coreset import kcenter_select
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),   # exact dup of seed
+        (3, [0.0, 1.0, 0.0]),   # orthogonal: dist 1
+        (4, [-1.0, 0.0, 0.0]),  # antipodal: dist 2
+        (5, [0.9, 0.1, 0.0]),   # near seed
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = kcenter_select(df, k=4).collect()
+    order = [(r["sel_rank"], r["vec_id"]) for r in got]
+    assert order[0] == (1, 1)
+    assert order[1] == (2, 4)   # antipodal picked first (dist 2)
+    assert order[2] == (3, 3)   # then the orthogonal one
+    dists = [r["dist6"] for r in got[1:]]
+    assert dists == sorted(dists, reverse=True)
+    assert len({r["vec_id"] for r in got}) == len(got)
+
+    # k larger than the point set: stops after all points
+    all_got = kcenter_select(df, k=50).collect()
+    assert len(all_got) == 5
+
+    with _pytest.raises(ValueError):
+        kcenter_select(df, k=0)

@@ -712,6 +712,38 @@ def gen_sim_kmeans_lloyd(
     return out.astype({"vec_id": "int64", "cluster_id": "int64", "cluster_n": "int64"})
 
 
+def gen_sim_kcenter_coreset(emb: pd.DataFrame, k: int = 16) -> pd.DataFrame:
+    """Independent replication of operators/coreset.py:kcenter_select —
+    per-row loops, same 6-dp rounding before the (dist DESC, id ASC)
+    argmax, seed = min id, selected ids excluded."""
+    ids = emb["vec_id"].astype("int64").to_numpy()
+    m = np.stack([np.asarray(v) for v in emb["embedding"].to_list()]).astype(
+        np.float64
+    )
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    n = len(ids)
+    if n == 0:
+        return pd.DataFrame(columns=["sel_rank", "vec_id", "dist6"]).astype(
+            {"sel_rank": "int64", "vec_id": "int64", "dist6": "float64"}
+        )
+    seed_i = int(np.argmin(ids))
+    picked = [(1, int(ids[seed_i]), None)]
+    sel = {seed_i}
+    mind = np.round(1.0 - mn @ mn[seed_i], 6)
+    for r in range(2, k + 1):
+        if len(sel) == n:
+            break
+        best = min(
+            (i for i in range(n) if i not in sel),
+            key=lambda i: (-mind[i], int(ids[i])),
+        )
+        picked.append((r, int(ids[best]), float(mind[best])))
+        sel.add(best)
+        mind = np.minimum(mind, np.round(1.0 - mn @ mn[best], 6))
+    out = pd.DataFrame(picked, columns=["sel_rank", "vec_id", "dist6"])
+    return out.astype({"sel_rank": "int64", "vec_id": "int64", "dist6": "float64"})
+
+
 def gen_agg_hll_distinct(docs: pd.DataFrame, p: int = 12) -> pd.DataFrame:
     """Independent HLL replication: per-value python-int bit_length ranks
     over the independent xxh64 (not Spark's JVM hash, not the numpy fold),
@@ -953,6 +985,7 @@ GENERATORS = {
     "dedup_minhash_incr": ("documents", gen_dedup_minhash_incr),
     "mm_phash_neardup": ("documents", gen_mm_phash_neardup),
     "sim_kmeans_lloyd": ("embeddings", gen_sim_kmeans_lloyd),
+    "sim_kcenter_coreset": ("embeddings", gen_sim_kcenter_coreset),
 }
 
 
