@@ -150,12 +150,28 @@ class TableStore:
             "bytes": self._dir_bytes(table, part),
         }
 
-    def _commit(self, table: str, parts: list[dict]) -> str:
+    _SPEC_CARRY = object()
+
+    def _current_spec(self, table: str) -> dict | None:
+        mani = self._current_snap(table)
+        if mani is None:
+            return None
+        with open(os.path.join(self._tdir(table), mani)) as f:
+            return json.load(f).get("spec")
+
+    def _commit(self, table: str, parts: list[dict], spec=_SPEC_CARRY) -> str:
         """Write a manifest naming ``parts`` and atomically point ``_current``
-        at it — the single commit point of every write path."""
+        at it — the single commit point of every write path. The table's
+        current partition spec (see ``set_partition_spec``) is carried
+        forward unless a new one is passed explicitly."""
+        if spec is TableStore._SPEC_CARRY:
+            spec = self._current_spec(table)
         mani = f"mani-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}.json"
+        doc = {"format": 2, "parts": parts}
+        if spec:
+            doc["spec"] = spec
         with open(os.path.join(self._tdir(table), mani), "w") as f:
-            json.dump({"format": 2, "parts": parts}, f)
+            json.dump(doc, f)
         tmp = self._current_file(table) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             f.write(mani)
@@ -189,10 +205,106 @@ class TableStore:
         return out
 
     def read(self, table: str) -> DataFrame:
-        paths = [
-            os.path.join(self._tdir(table), p["path"]) for p in self.parts(table)
-        ]
-        return self._read_paths(table, paths)
+        """Current-table scan. Parts written through the hidden-partition
+        spec path (``append_bucketed``) drop their physical bucket column
+        here, so the logical schema is spec-independent — the Iceberg
+        hidden-partitioning contract that makes ``set_partition_spec``
+        evolution invisible to readers."""
+        frames = []
+        for p in self.parts(table):
+            f = self.spark.read.parquet(os.path.join(self._tdir(table), p["path"]))
+            sp = p.get("spec")
+            if sp and sp["name"] in f.columns:
+                f = f.drop(sp["name"])
+            frames.append(f)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
+    # -------------------------------------------- partition-spec evolution
+    @staticmethod
+    def _spec_bucket(spec: dict, expr):
+        """The spec's transform: bucket(n) = pmod(xxhash64(col), n) — the
+        same JVM hash at write and prune time, foldable over literals so
+        prune filters constant-fold into partition pruning."""
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.xxhash64(expr), F.lit(spec["buckets"])).cast("int")
+
+    def partition_spec(self, table: str) -> dict | None:
+        """The table's current partition spec, or None (Iceberg
+        ``table.spec()`` analogue)."""
+        return self._current_spec(table)
+
+    def set_partition_spec(self, table: str, col: str, buckets: int) -> dict:
+        """Declare (or EVOLVE) the table's partition spec: bucket(col, n).
+        Iceberg partition-spec-evolution semantics — a metadata-only
+        commit: existing parts keep the layout (and recorded spec) they
+        were written with; only writes after this use the new spec. Reads
+        stay correct across the boundary because every part is pruned
+        under its OWN recorded spec (``prune_read``) and the physical
+        bucket column never reaches the logical schema (``read``)."""
+        if buckets < 1:
+            raise ValueError("set_partition_spec() needs buckets >= 1")
+        spec = {"col": col, "buckets": int(buckets), "name": f"{col}_b{buckets}"}
+        parts = self.parts(table) if self.exists(table) else []
+        os.makedirs(self._tdir(table), exist_ok=True)
+        self._commit(table, parts, spec=spec)
+        return spec
+
+    def append_bucketed(
+        self, table: str, df: DataFrame, round_no: int | None = None
+    ) -> str:
+        """Append under the table's current spec: the physical bucket
+        column is computed here (hidden from readers), the part directory
+        is hive-partitioned by it, and the part entry records the spec it
+        was written with — the manifest metadata prune_read needs after
+        any number of spec evolutions."""
+        spec = self._current_spec(table)
+        if spec is None:
+            raise ValueError(
+                f"table {table!r} has no partition spec; call set_partition_spec first"
+            )
+        from pyspark.sql import functions as F
+
+        dfb = df.withColumn(spec["name"], self._spec_bucket(spec, F.col(spec["col"])))
+        part = self._write_part(table, dfb, partition_by=[spec["name"]])
+        entry = self._part_entry(table, part, round_no)
+        entry["spec"] = spec
+        return self._commit(table, self.parts(table) + [entry])
+
+    def prune_read(self, table: str, value) -> DataFrame:
+        """Point-lookup scan with per-part spec-aware pruning (Iceberg
+        split planning across spec evolutions): each part is filtered on
+        ITS OWN recorded bucket transform of ``value`` — a foldable
+        literal, so Spark prunes the part's directories before listing
+        files — then the exact key filter applies on top. Parts written
+        before any spec fall back to the key filter alone (parquet
+        row-group pushdown still applies). At 10^10 rows this turns a
+        frontier host lookup into O(files-in-one-bucket) per part instead
+        of O(table)."""
+        from pyspark.sql import functions as F
+
+        frames = []
+        key_col = None
+        for p in self.parts(table):
+            f = self.spark.read.parquet(os.path.join(self._tdir(table), p["path"]))
+            sp = p.get("spec")
+            if sp:
+                key_col = sp["col"]
+                f = f.where(
+                    F.col(sp["name"]) == self._spec_bucket(sp, F.lit(value))
+                ).drop(sp["name"])
+            frames.append(f)
+        if key_col is None:
+            key_col = (self._current_spec(table) or {}).get("col")
+        if key_col is None:
+            raise ValueError(f"table {table!r} has no partition spec to prune on")
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out.where(F.col(key_col) == F.lit(value))
 
     def read_parts(self, table: str, round_no: int) -> DataFrame:
         """Scan only the parts tagged with ``round_no`` — manifest-level

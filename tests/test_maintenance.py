@@ -364,3 +364,60 @@ def test_zorder_layout_skips_box_queries_unclustered_does_not(spark, tmp_path):
     assert [(r["x"], r["y"], r["payload"]) for r in a] == [
         (r["x"], r["y"], r["payload"]) for r in b
     ]
+
+
+# ----------------------------------------------------- partition-spec evolution
+def test_partition_spec_evolution_reads_and_prunes(spark, tmp_path):
+    """Iceberg-style spec evolution: parts written under bucket(host, 4)
+    and, after evolve, bucket(host, 8) — read() hides both physical
+    bucket columns, prune_read prunes each part under ITS OWN spec and
+    returns exactly the key's rows across the boundary."""
+    store = TableStore(spark, str(tmp_path / "specs"))
+    t = "frontier_b"
+
+    rows1 = [(f"h{i % 10}", i) for i in range(100)]
+    rows2 = [(f"h{i % 10}", 100 + i) for i in range(100)]
+    df1 = spark.createDataFrame(rows1, "host: string, seq: long")
+    df2 = spark.createDataFrame(rows2, "host: string, seq: long")
+
+    store.set_partition_spec(t, "host", 4)
+    store.append_bucketed(t, df1, round_no=1)
+    store.set_partition_spec(t, "host", 8)  # metadata-only evolution
+    store.append_bucketed(t, df2, round_no=2)
+
+    # logical schema is spec-free, all rows present
+    full = store.read(t)
+    assert set(full.columns) == {"host", "seq"}
+    assert full.count() == 200
+
+    # per-part recorded specs differ across the boundary
+    specs = [p["spec"]["buckets"] for p in store.parts(t)]
+    assert sorted(specs) == [4, 8]
+
+    got = sorted(r["seq"] for r in store.prune_read(t, "h3").collect())
+    want = sorted([i for i in range(100) if i % 10 == 3]
+                  + [100 + i for i in range(100) if i % 10 == 3])
+    assert got == want
+
+    # the prune is real: each branch carries a PartitionFilters entry on
+    # its own bucket column (constant-folded literal, pre-scan)
+    plan = store.prune_read(t, "h3")._jdf.queryExecution().executedPlan().toString()
+    assert "host_b4" in plan and "host_b8" in plan
+
+    # appends without a spec still refuse loudly
+    store2 = TableStore(spark, str(tmp_path / "specs2"))
+    with pytest.raises(ValueError):
+        store2.append_bucketed("nospec", df1)
+
+
+def test_partition_spec_survives_unrelated_commits(spark, tmp_path):
+    """The spec is manifest metadata: plain appends/snapshots carry it
+    forward, so an evolve is never silently lost."""
+    store = TableStore(spark, str(tmp_path / "specs3"))
+    t = "tbl"
+    df = spark.createDataFrame([("h1", 1)], "host: string, seq: long")
+    store.set_partition_spec(t, "host", 4)
+    store.append_bucketed(t, df)
+    store.append(t, df.withColumn("seq", F.lit(2)))  # plain append, no spec path
+    assert store.partition_spec(t) == {"col": "host", "buckets": 4, "name": "host_b4"}
+    assert store.read(t).count() == 2
