@@ -363,6 +363,37 @@ def kmv_sketch_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_sketch(urls, "url", k=256)
 
 
+def label_propagation_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LPA, 3 rounds over a 2M-edge host graph (100k hosts,
+    power-law-ish fan-out): per round one (node,label) hash-agg + a
+    degree-bounded ranking window."""
+    from delphi_crawler_spark.operators.graph import label_propagation
+
+    d = F.col("id")
+    edges = spark.range(2_000_000).select(
+        F.concat(F.lit("h"), F.pmod(d * 2654435761, F.lit(100_000))).alias("src"),
+        F.concat(F.lit("h"), F.pmod(d * d + d, F.lit(100_000))).alias("dst"),
+    )
+    return label_propagation(edges, iters=3)
+
+
+def kmeans_lloyd_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd refinement: 2 full-corpus rounds over 200k
+    synthetic 32-dim vectors (k=8) — narrow Arrow assignment passes + the
+    exact decimal(28,6) centroid hash-agg."""
+    from delphi_crawler_spark.operators.semantic import kmeans_lloyd
+
+    vecs = spark.range(200_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda x: F.sin(F.col("id") * x.cast("double") * 0.7),
+        ).alias("embedding"),
+    )
+    assigned, _ = kmeans_lloyd(vecs, n_clusters=8, iters=2, sample_size=10_000)
+    return assigned
+
+
 BENCH_QUERIES = {
     "crawl_schedule": crawl_schedule,
     "bloom_incremental_update": bloom_incremental_update,
@@ -395,6 +426,8 @@ BENCH_QUERIES = {
     "lm_perplexity": lm_perplexity_sf,
     "zorder_cluster": zorder_cluster_2m,
     "kmv_sketch": kmv_sketch_2m,
+    "label_propagation": label_propagation_2m,
+    "kmeans_lloyd": kmeans_lloyd_200k,
 }
 
 
