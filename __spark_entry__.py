@@ -3247,6 +3247,29 @@ def q_sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DSIR data-selection loop (Xie et al. 2023): importance
+    weights (target = lang 'en') feeding a per-source k=10 importance-
+    proportional sample via the log-domain Efraimidis-Spirakis race —
+    weights never exponentiate, so extreme ratios cannot overflow and the
+    oracle twin shares every transcendental (ln on md5 uniforms + the
+    rounded avg_logratio)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.corpus import dsir_select
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text", "lang", "source"
+    )
+    out = dsir_select(docs, F.col("lang") == "en", "source", k=10)
+    return out.select(
+        "source",
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        F.col("n_tokens").cast(BIG).alias("n_tokens"),
+        "avg_logratio",
+        F.col("sel_rank").cast(BIG).alias("sel_rank"),
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters + the production KEEP decision: within each
     transitive cluster keep the highest-quality doc (score = text length,
@@ -3517,6 +3540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s12_json_ingest": q_s12_json_ingest,
         "sim_kmeans_lloyd": q_sim_kmeans_lloyd,
         "sim_kcenter_coreset": q_sim_kcenter_coreset,
+        "pipeline_dsir_select": q_pipeline_dsir_select,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -5455,6 +5479,40 @@ SELECT t.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_tokens,
        round(sum(w.lr) / count(*), 6) + 0.0 AS avg_logratio
 FROM tok2 t JOIN w ON w.term = t.term
 GROUP BY t.doc_id
+"""
+
+    # Composition of the corpus_importance_weights twin with the log-domain
+    # Efraimidis-Spirakis race (key = ln(-ln u) - avg_logratio orders
+    # exactly like -ln(u)/exp(avg_logratio)).
+    o["pipeline_dsir_select"] = """
+WITH tok AS (
+  SELECT doc_id, (lang = 'en') AS is_target,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+tok2 AS (SELECT * FROM tok WHERE term <> ''),
+raw AS (SELECT term, count(*) AS rc,
+               sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc
+        FROM tok2 GROUP BY term),
+tot AS (SELECT sum(rc)::DOUBLE AS r_tot, sum(tc)::DOUBLE AS t_tot,
+               count(*)::DOUBLE AS vocab FROM raw),
+w AS (SELECT term, ln((tc + 1.0) / (t_tot + vocab)) - ln((rc + 1.0) / (r_tot + vocab)) AS lr
+      FROM raw CROSS JOIN tot),
+iw AS (SELECT t.doc_id, count(*) AS n_tokens,
+              round(sum(w.lr) / count(*), 6) + 0.0 AS avg_logratio
+       FROM tok2 t JOIN w ON w.term = t.term GROUP BY t.doc_id),
+base AS (SELECT d.source, d.doc_id, iw.n_tokens, iw.avg_logratio
+         FROM documents d JOIN iw ON iw.doc_id = d.doc_id),
+kx AS (SELECT source, doc_id, n_tokens, avg_logratio,
+              ln(-ln((CAST(('0x' || substr(md5(source || ':' || doc_id), 1, 12)) AS BIGINT) + 1.0)
+                     / 281474976710657.0)) - avg_logratio AS key
+       FROM base),
+r AS (SELECT source, doc_id, n_tokens, avg_logratio,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY key ASC, doc_id ASC) AS sel_rank
+      FROM kx)
+SELECT source, doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS n_tokens,
+       avg_logratio, sel_rank::BIGINT AS sel_rank
+FROM r WHERE sel_rank <= 10
 """
 
     o["trap_patterns"] = """

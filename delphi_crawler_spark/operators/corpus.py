@@ -441,3 +441,49 @@ def token_budget_select(
     )
     out._release_budget = release  # type: ignore[attr-defined]
     return out
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: Column,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 30,
+) -> DataFrame:
+    """The DSIR selection step (Xie et al. 2023): sample ``k`` documents
+    per group with probability proportional to ``exp(avg_logratio)`` — the
+    per-document importance ratio ``importance_weights`` computes — via
+    Efraimidis-Spirakis order sampling IN THE LOG DOMAIN. The E-S race key
+    ``-ln(u)/w`` with ``w = exp(r)`` orders identically to
+    ``ln(-ln(u)) - r`` (log is monotone on positive keys), so the ratio
+    never needs exponentiating: no overflow for extreme log-ratios and no
+    cross-engine ``exp`` parity risk — the only transcendentals are the
+    same ``ln``-on-md5-uniform the weighted sampler already pins against
+    DuckDB, plus the already-rounded ``avg_logratio``.
+
+    Docs with zero tokens have no defined ratio and are excluded (the
+    inner join to the weight table — mirroring the weight>0 exclusion of
+    ``group_weighted_sample``). Deterministic: u is the md5 of
+    (group, id), ranks tie-break on id.
+
+    Scale shape: ``importance_weights``'s token hash-aggs + vocab join,
+    then ONE id-keyed equi-join back to (group, id) and one k-bounded
+    per-group window — no new corpus-sized shuffle beyond the join.
+    """
+    if k < 1:
+        raise ValueError("dsir_select() needs k >= 1")
+    iw = importance_weights(docs, target, id_col, text_col)
+    base = docs.select(F.col(group_col), F.col(id_col)).join(iw, id_col)
+    hkey = F.md5(
+        F.concat_ws(":", F.col(group_col).cast("string"), F.col(id_col).cast("string"))
+    )
+    v = F.conv(F.substring(hkey, 1, 12), 16, 10).cast("double")
+    u = (v + 1.0) / 281474976710657.0  # 2^48 + 1: u in (0,1], exact in a double
+    key = F.log(-F.log(u)) - F.col("avg_logratio")
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        base.withColumn("sel_rank", F.row_number().over(w))
+        .where(F.col("sel_rank") <= k)
+        .select(group_col, id_col, "n_tokens", "avg_logratio", "sel_rank")
+    )

@@ -1159,3 +1159,37 @@ def test_kcenter_select_coverage_curve_and_dedup_exclusion(spark):
 
     with _pytest.raises(ValueError):
         kcenter_select(df, k=0)
+
+
+def test_dsir_select_race_semantics(spark):
+    """Log-domain E-S race: k bound per group, token-less docs excluded,
+    and a doc with an overwhelming importance ratio wins its group."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from delphi_crawler_spark.operators.corpus import dsir_select
+
+    rows = [
+        # group g1: doc 1 is pure target-language vocabulary, docs 2-3 raw
+        (1, "alpha alpha alpha alpha alpha alpha alpha alpha", "t", "g1"),
+        (2, "beta gamma delta beta gamma delta beta gamma", "r", "g1"),
+        (3, "gamma delta beta gamma delta beta gamma delta", "r", "g1"),
+        (4, "", "r", "g1"),          # token-less: excluded
+        (5, "beta beta gamma", "r", "g2"),
+        (6, "delta delta gamma", "r", "g2"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string"
+    )
+    out = dsir_select(docs, F.col("lang") == "t", "source", k=2).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], []).append(r)
+    assert all(len(v) <= 2 for v in by_group.values())
+    assert 4 not in {r["doc_id"] for r in out}
+    g1 = sorted(by_group["g1"], key=lambda r: r["sel_rank"])
+    assert g1[0]["doc_id"] == 1  # overwhelming ratio wins the race
+    assert [r["sel_rank"] for r in g1] == list(range(1, len(g1) + 1))
+
+    with _pytest.raises(ValueError):
+        dsir_select(docs, F.col("lang") == "t", "source", k=0)
