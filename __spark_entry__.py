@@ -3270,6 +3270,22 @@ def q_pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed PCA over the embeddings table: decimal-exact
+    covariance accumulation (order-independent at any partition count),
+    driver-side eigh with deterministic sign fixing, Arrow projection onto
+    the top 4 axes. Oracle: independent per-row numpy + python-Decimal
+    replication (tools/gen_expected.py)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.similarity import pca_fit_transform
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out, _evals = pca_fit_transform(emb, n_components=4)
+    return out.select(
+        F.col("vec_id").cast(BIG).alias("vec_id"), "pc1", "pc2", "pc3", "pc4"
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters + the production KEEP decision: within each
     transitive cluster keep the highest-quality doc (score = text length,
@@ -3541,6 +3557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans_lloyd": q_sim_kmeans_lloyd,
         "sim_kcenter_coreset": q_sim_kcenter_coreset,
         "pipeline_dsir_select": q_pipeline_dsir_select,
+        "sim_pca_project": q_sim_pca_project,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -5908,6 +5925,7 @@ FROM r WHERE sample_rank <= 30
         "mm_phash_neardup",
         "sim_kmeans_lloyd",
         "sim_kcenter_coreset",
+        "sim_pca_project",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
 

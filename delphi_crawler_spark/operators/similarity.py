@@ -308,3 +308,102 @@ def random_projection(
     schema = "id long, proj string" if as_csv else "id long, proj array<double>"
     out = emb.select(id_col, vec_col).mapInPandas(project, schema=schema)
     return out.select(F.col("id").alias(id_col), "proj")
+
+
+def pca_fit_transform(
+    emb: DataFrame,
+    n_components: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Exact distributed PCA (Pearson 1901 / the covariance-eigh route):
+    fit the population covariance of the embedding column ACROSS THE
+    CLUSTER, eigendecompose on the driver (dim × dim — model-sized), and
+    project every vector onto the top ``n_components`` axes. The
+    curation uses: whitening before cosine thresholds, compact indexes
+    (a data-adapted alternative to the JL projection above), and drift
+    monitoring via explained-variance over crawl rounds.
+
+    Returns ``(projections, eigvals)``: a DataFrame
+    (id_col, pc1..pc{m}) with 6-dp-rounded scores, and the full
+    eigenvalue vector (descending numpy array) for explained-variance
+    readouts.
+
+    **Exactness discipline** (same contract as ``kmeans_lloyd``): the only
+    cross-row reductions — Σ x_i·x_j and Σ x_i — accumulate as
+    decimal(28,12)/decimal(28,6) over 6-dp-rounded components, so the
+    fitted covariance is a pure function of the data at ANY partition
+    count; the eigendecomposition runs once on the driver over those
+    exact sums (LAPACK on identical bits is identical), eigenvector signs
+    are fixed deterministically (largest-|component| entry positive,
+    lowest index on ties), and the per-row projection is numpy inside
+    Arrow batches. A double-sum covariance would drift with the shuffle
+    layout and flip near-degenerate eigenvectors run to run.
+
+    Scale shape: ONE pass emits the (i<=j) product grain via a row-local
+    double posexplode — dim(dim+1)/2 narrow rows per vector feeding a
+    dim²-group hash-agg that partially aggregates map-side, so the
+    shuffle carries O(partitions · dim²) partials, never O(n · dim²).
+    The driver holds only the (dim × dim) sum table. O(n·dim²) multiply
+    work is inherent to covariance; it runs inside whole-stage codegen.
+    """
+    if n_components < 1:
+        raise ValueError("pca_fit_transform() needs n_components >= 1")
+    spark = emb.sparkSession
+
+    @F.pandas_udf("array<double>")
+    def r6(v: pd.Series) -> pd.Series:
+        m = np.stack(v.map(np.asarray).to_list()).astype(np.float64)
+        return pd.Series(list(np.round(m, 6)))
+
+    base = emb.select(F.col(id_col).alias("id"), r6(F.col(vec_col)).alias("nv"))
+    e1 = base.select("id", "nv", F.posexplode("nv").alias("i", "vi"))
+    pairs = (
+        e1.select("i", "vi", F.posexplode("nv").alias("j", "vj"))
+        .where(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum((F.col("vi") * F.col("vj")).cast("decimal(28,12)")).alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    sums = (
+        e1.groupBy("i")
+        .agg(F.sum(F.col("vi").cast("decimal(28,6)")).alias("s1"))
+        .collect()
+    )
+    if not pairs:
+        raise ValueError("pca_fit_transform() needs a non-empty input")
+    dim = max(r["j"] for r in pairs) + 1
+    n = next(r["n"] for r in pairs)
+    mu = np.zeros(dim)
+    for r in sums:
+        mu[r["i"]] = float(r["s1"]) / n
+    cov = np.zeros((dim, dim))
+    for r in pairs:
+        v = float(r["s2"]) / n - mu[r["i"]] * mu[r["j"]]
+        cov[r["i"], r["j"]] = v
+        cov[r["j"], r["i"]] = v
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals = evals[order]
+    comps = evecs[:, order][:, :n_components]  # dim × m
+    # deterministic sign: the largest-|entry| component of each axis is
+    # positive (ties -> lowest index wins, argmax convention)
+    for c in range(comps.shape[1]):
+        if comps[np.argmax(np.abs(comps[:, c])), c] < 0:
+            comps[:, c] = -comps[:, c]
+    bc = spark.sparkContext.broadcast(comps)
+    bc_mu = spark.sparkContext.broadcast(mu)
+
+    @F.pandas_udf("array<double>")
+    def project(v: pd.Series) -> pd.Series:
+        w = bc.value
+        m = np.round(
+            np.stack(v.map(np.asarray).to_list()).astype(np.float64), 6
+        ) - bc_mu.value
+        return pd.Series(list(np.round(m @ w, 6)))
+    out = emb.select(F.col(id_col), project(F.col(vec_col)).alias("_pc"))
+    cols = [F.col("_pc")[i].alias(f"pc{i + 1}") for i in range(n_components)]
+    return out.select(F.col(id_col), *cols), evals

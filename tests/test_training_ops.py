@@ -1193,3 +1193,29 @@ def test_dsir_select_race_semantics(spark):
 
     with _pytest.raises(ValueError):
         dsir_select(docs, F.col("lang") == "t", "source", k=0)
+
+
+def test_pca_partition_invariant_and_spectral_sanity(spark):
+    """Decimal-exact covariance: projections bit-identical at 1 vs 7
+    partitions; eigenvalues descending and non-negative (covariance is
+    PSD up to rounding); projected scores are centered."""
+    import numpy as np
+
+    from delphi_crawler_spark.operators.similarity import pca_fit_transform
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out1, ev1 = pca_fit_transform(emb.repartition(1), n_components=3)
+    out7, ev7 = pca_fit_transform(emb.repartition(7), n_components=3)
+    rows1 = {r["vec_id"]: (r["pc1"], r["pc2"], r["pc3"]) for r in out1.collect()}
+    rows7 = {r["vec_id"]: (r["pc1"], r["pc2"], r["pc3"]) for r in out7.collect()}
+    assert rows1 == rows7
+    assert np.array_equal(ev1, ev7)
+    assert all(ev1[i] >= ev1[i + 1] for i in range(len(ev1) - 1))
+    assert ev1[0] > 0 and ev1[-1] > -1e-9
+    m = np.array(list(rows1.values()))
+    assert np.abs(m.mean(0)).max() < 1e-3  # centered (6-dp rounding slack)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pca_fit_transform(emb, n_components=0)

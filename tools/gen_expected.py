@@ -744,6 +744,66 @@ def gen_sim_kcenter_coreset(emb: pd.DataFrame, k: int = 16) -> pd.DataFrame:
     return out.astype({"sel_rank": "int64", "vec_id": "int64", "dist6": "float64"})
 
 
+def gen_sim_pca_project(emb: pd.DataFrame, n_components: int = 4) -> pd.DataFrame:
+    """Independent replication of operators/similarity.py:pca_fit_transform
+    — per-row Decimal accumulation of the (i<=j) product sums and the
+    component sums (twin of the decimal(28,12)/decimal(28,6) casts:
+    shortest-repr quantize, HALF_UP), then the same eigh + sign fix +
+    centered projection."""
+    ids = emb["vec_id"].astype("int64").to_numpy()
+    m = np.stack([np.asarray(v) for v in emb["embedding"].to_list()]).astype(
+        np.float64
+    )
+    nm6 = np.round(m, 6)
+    n, dim = nm6.shape
+    q6 = Decimal("0.000001")
+    q12 = Decimal("0.000000000001")
+    mu = np.array(
+        [
+            float(
+                sum(
+                    (
+                        Decimal(repr(float(nm6[r, i]))).quantize(
+                            q6, rounding=ROUND_HALF_UP
+                        )
+                        for r in range(n)
+                    ),
+                    Decimal(0),
+                )
+            )
+            / n
+            for i in range(dim)
+        ],
+        dtype=np.float64,
+    )
+    cov = np.zeros((dim, dim))
+    for i in range(dim):
+        for j in range(i, dim):
+            s = sum(
+                (
+                    Decimal(repr(float(nm6[r, i] * nm6[r, j]))).quantize(
+                        q12, rounding=ROUND_HALF_UP
+                    )
+                    for r in range(n)
+                ),
+                Decimal(0),
+            )
+            v = float(s) / n - mu[i] * mu[j]
+            cov[i, j] = v
+            cov[j, i] = v
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    comps = evecs[:, order][:, :n_components]
+    for c in range(comps.shape[1]):
+        if comps[np.argmax(np.abs(comps[:, c])), c] < 0:
+            comps[:, c] = -comps[:, c]
+    proj = np.round((nm6 - mu) @ comps, 6)
+    out = pd.DataFrame({"vec_id": ids.astype("int64")})
+    for c in range(n_components):
+        out[f"pc{c + 1}"] = proj[:, c].astype("float64")
+    return out
+
+
 def gen_agg_hll_distinct(docs: pd.DataFrame, p: int = 12) -> pd.DataFrame:
     """Independent HLL replication: per-value python-int bit_length ranks
     over the independent xxh64 (not Spark's JVM hash, not the numpy fold),
@@ -986,6 +1046,7 @@ GENERATORS = {
     "mm_phash_neardup": ("documents", gen_mm_phash_neardup),
     "sim_kmeans_lloyd": ("embeddings", gen_sim_kmeans_lloyd),
     "sim_kcenter_coreset": ("embeddings", gen_sim_kcenter_coreset),
+    "sim_pca_project": ("embeddings", gen_sim_pca_project),
 }
 
 
