@@ -600,3 +600,117 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= F.lit(max_dist))
         .select("id_a", "id_b", "dist")
     )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle: int = 2,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join via prefix filtering — the
+    All-Pairs / PPJoin candidate principle (Bayardo WWW'07; Xiao WWW'08)
+    in the MapReduce shape of Vernica et al., SIGMOD 2010. Returns every
+    pair (id_a < id_b) whose word-``shingle``-gram sets have Jaccard >=
+    ``threshold``, with the exact ``jaccard`` (6 dp). Unlike the MinHash
+    path (``minhash_lsh_dedup``) there are NO probabilistic misses: the
+    candidate filter is provably lossless and the verify step is exact.
+
+    Why it is lossless: under any global token total order, if
+    J(A,B) >= t then i = |A∩B| >= ceil(t*|A|) (since |B| >= i forces
+    i >= t*(|A|+|B|-i) >= t*|A|), and the MINIMUM shared token must sit
+    inside A's first |A| - ceil(t*|A|) + 1 tokens — were it outside, all
+    shared tokens would fit in the ceil(t*|A|)-1 suffix slots,
+    contradicting i >= ceil(t*|A|). Symmetrically for B, so probing the
+    per-doc prefixes with a token equi-join finds every qualifying pair.
+
+    Scale shape (the Vernica map-reduce plan, as Catalyst operators):
+    one hash-agg for global document frequency; one (df asc, tok asc)
+    array_sort per doc — rarest-first ordering puts LOW-df tokens in the
+    prefixes, so the candidate equi-join's per-token buckets stay small
+    by construction (the frequent tokens that would explode the join
+    live in the suffixes that never join); a token equi-join over
+    prefixes only; the exact length prune ``t*na <= nb <= na/t``; then
+    one verify join pulling the two sorted arrays and an
+    ``array_intersect`` in the JVM. Nothing all-pairs, nothing driver-
+    side; residual hot prefix tokens are AQE skew-join territory.
+
+    Float hygiene: prefix length and the length prune subtract a 1e-9
+    guard before ceil/compare so binary rounding of ``t*n`` (e.g.
+    0.7*10 = 7.000000000000001) can only LENGTHEN a prefix or ADMIT a
+    borderline candidate — completeness is never lost and the exact
+    verify discards any extras.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("set_similarity_join() needs 0 < threshold <= 1")
+    if shingle < 1:
+        raise ValueError("set_similarity_join() needs shingle >= 1")
+    words = F.split(F.col(text_col), r"\s+")
+    if shingle == 1:
+        grams = words
+    else:
+        n_words = F.size(words)
+        slices = [
+            F.slice(words, j + 1, F.greatest(n_words - F.lit(shingle - 1), F.lit(0)))
+            for j in range(shingle)
+        ]
+        grams = slices[0]
+        for s in slices[1:]:
+            grams = F.zip_with(grams, s, lambda a, b: F.concat(a, F.lit(" "), b))
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(grams)).alias("tok"),
+        )
+        .filter((F.col("tok") != "") & F.col("tok").isNotNull())
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("tdf"))
+    arrs = (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("tdf", "tok"))).alias("ranked"))
+        .select(
+            "doc_id",
+            F.transform("ranked", lambda s: s["tok"]).alias("toks"),
+            F.size("ranked").alias("n"),
+        )
+    )
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+        + F.lit(1)
+    ).cast("int")
+    pe = arrs.select(
+        "doc_id", "n", F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("tok")
+    )
+    eps = F.lit(1e-9)
+    cand = (
+        pe.alias("a")
+        .join(pe.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("b.n") >= F.lit(threshold) * F.col("a.n") - eps)
+            & (F.col("a.n") >= F.lit(threshold) * F.col("b.n") - eps)
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    a_side = arrs.select(
+        F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"), F.col("n").alias("na")
+    )
+    b_side = arrs.select(
+        F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter).cast("double")
+    return (
+        cand.join(a_side, "id_a")
+        .join(b_side, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1219,3 +1219,52 @@ def test_pca_partition_invariant_and_spectral_sanity(spark):
 
     with _pytest.raises(ValueError):
         pca_fit_transform(emb, n_components=0)
+
+
+def test_set_similarity_join_matches_bruteforce(spark):
+    """Prefix-filter completeness: the optimized plan must equal the
+    all-pairs baseline exactly, including at the float edge t=0.7 with
+    10-token sets where ceil(0.7*10) rounds up in binary and a naive
+    prefix would be one token short."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from delphi_crawler_spark.operators.dedup_fuzzy import set_similarity_join
+
+    vocab = [f"w{i:02d}" for i in range(14)]
+    rows = []
+    # 10-token sets engineered so several pairs share exactly 7 tokens:
+    # J = 7/13 (<0.7) and others share 8.5-ish… use overlapping windows.
+    for i in range(12):
+        toks = [vocab[(i + j) % 14] for j in range(10)]
+        rows.append((i, " ".join(toks)))
+    # identical pair (J = 1.0) and a disjoint doc
+    rows.append((100, rows[0][1]))
+    rows.append((101, "zz1 zz2 zz3"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for t in (0.5, 0.7):
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in set_similarity_join(
+                df, threshold=t, shingle=1
+            ).collect()
+        }
+        sets = {i: set(s.split()) for i, s in rows}
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= t:
+                want.add((a, b, round(inter / union, 6)))
+        assert got == want, f"t={t}: {got ^ want}"
+
+    # the exact float-edge: two 10-token sets sharing exactly 7 tokens has
+    # J = 7/13 >= 0.5; with prefix ceil(0.5*10)=5 they must still be found
+    a = " ".join(vocab[0:10])
+    b = " ".join(vocab[3:13])
+    df2 = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    out = set_similarity_join(df2, threshold=0.5, shingle=1).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+    assert abs(out[0]["jaccard"] - round(7 / 13, 6)) < 1e-12
