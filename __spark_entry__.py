@@ -3482,6 +3482,27 @@ def q_dedup_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-span media↔caption pairing (north-rule input shape):
+    each media span paired with the NEAREST text span by offset, preceding
+    preferred on ties — LAION-style alt-text harvesting generalized to
+    span sequences. Zero-shuffle plan: two JVM array folds (forward +
+    reversed) stitched per-row, one explode. Docs whose spans hold media
+    but no text emit null captions (counted, not dropped)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.links import caption_pairs
+
+    out = caption_pairs(_synth_spans_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        "media_ref",
+        F.col("media_off").cast(BIG).alias("media_off"),
+        "caption",
+        F.col("caption_off").cast(BIG).alias("caption_off"),
+        F.col("dist").cast(BIG).alias("dist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -3629,6 +3650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_sessionize": q_evt_sessionize,
         "evt_asof_join": q_evt_asof_join,
         "dedup_setsim_join": q_dedup_setsim_join,
+        "mm_caption_pairs": q_mm_caption_pairs,
     }
 
 
@@ -6119,6 +6141,51 @@ FROM inter
 JOIN sz sa ON sa.doc_id = ia
 JOIN sz sb ON sb.doc_id = ib
 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+"""
+
+    # Window twin of the fold-based caption pairing over the shared A2/A4
+    # span synthesis (kind = word length mod 3, offset = word index):
+    # nearest preceding / following text span per media span, preceding
+    # wins distance ties, docs with no text spans keep null captions.
+    o["mm_caption_pairs"] = r"""
+WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+           FROM documents WHERE text IS NOT NULL),
+s AS (SELECT doc_id,
+             unnest(range(0, len(ws)))::BIGINT AS off,
+             unnest(ws) AS wtext
+      FROM w),
+k AS (SELECT doc_id, off, wtext,
+             CASE len(wtext) % 3 WHEN 0 THEN 'text'
+                                 WHEN 1 THEN 'link'
+                                 ELSE 'media' END AS kind
+      FROM s),
+p AS (SELECT *,
+        last_value(CASE WHEN kind = 'text' THEN off END IGNORE NULLS)
+          OVER (PARTITION BY doc_id ORDER BY off ROWS UNBOUNDED PRECEDING)
+          AS prev_off,
+        last_value(CASE WHEN kind = 'text' THEN wtext END IGNORE NULLS)
+          OVER (PARTITION BY doc_id ORDER BY off ROWS UNBOUNDED PRECEDING)
+          AS prev_txt,
+        first_value(CASE WHEN kind = 'text' THEN off END IGNORE NULLS)
+          OVER (PARTITION BY doc_id ORDER BY off
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_off,
+        first_value(CASE WHEN kind = 'text' THEN wtext END IGNORE NULLS)
+          OVER (PARTITION BY doc_id ORDER BY off
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_txt
+      FROM k)
+SELECT doc_id::BIGINT AS doc_id,
+       'm://' || off AS media_ref,
+       off AS media_off,
+       CASE WHEN prev_off IS NOT NULL
+                 AND (next_off IS NULL OR off - prev_off <= next_off - off)
+            THEN prev_txt ELSE next_txt END AS caption,
+       CASE WHEN prev_off IS NOT NULL
+                 AND (next_off IS NULL OR off - prev_off <= next_off - off)
+            THEN prev_off ELSE next_off END AS caption_off,
+       abs(off - CASE WHEN prev_off IS NOT NULL
+                           AND (next_off IS NULL OR off - prev_off <= next_off - off)
+                      THEN prev_off ELSE next_off END) AS dist
+FROM p WHERE kind = 'media'
 """
 
     return o

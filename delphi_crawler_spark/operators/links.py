@@ -620,3 +620,116 @@ def anchor_context_agg(docs: DataFrame) -> DataFrame:
             F.min("ctx").alias("sample_ctx"),
         )
     )
+
+
+def caption_pairs(docs: DataFrame) -> DataFrame:
+    """One row per MEDIA span paired with its caption: the text of the
+    NEAREST text span in the same document by span offset, preceding span
+    preferred on distance ties (the image-alt/figure-caption pairing every
+    interleaved text+media training corpus needs — LAION-style alt-text
+    harvesting generalized to span sequences; north-rule input shape).
+    Documents with media but no text spans emit the pair with null
+    caption so downstream filters can count uncaptioned media.
+
+    Like ``anchor_context`` this never explodes-then-windows: two JVM
+    array folds per document — a forward fold carrying the last text span
+    (nearest preceding) and a fold over ``reverse(spans)`` carrying the
+    next one — are stitched by a per-row ``map_from_entries`` lookup on
+    media offset, then ONE explode emits the pairs. O(spans) per row, no
+    shuffle at all; the span-sequence invariant (array order = document
+    order) is what makes the fold equal to the sort-based plan.
+
+    Returns (doc_id, media_ref, media_off, caption, caption_off, dist).
+    """
+    intN = F.lit(None).cast("int")
+    strN = F.lit(None).cast("string")
+    empty = F.slice(
+        F.array(
+            F.struct(
+                F.lit(0).cast("int").alias("m_off"),
+                F.lit("").alias("media_ref"),
+                intN.alias("t_off"),
+                strN.alias("t_txt"),
+            )
+        ),
+        1,
+        0,
+    )
+
+    def fold(arr):
+        acc0 = F.struct(intN.alias("off"), strN.alias("txt"), empty.alias("out"))
+        step = lambda acc, s: F.struct(  # noqa: E731
+            F.when(s["kind"] == "text", s["offset"]).otherwise(acc["off"]).alias("off"),
+            F.when(s["kind"] == "text", s["text"]).otherwise(acc["txt"]).alias("txt"),
+            F.when(
+                s["kind"] == "media",
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            s["offset"].alias("m_off"),
+                            s["media_ref"].alias("media_ref"),
+                            acc["off"].alias("t_off"),
+                            acc["txt"].alias("t_txt"),
+                        )
+                    ),
+                ),
+            )
+            .otherwise(acc["out"])
+            .alias("out"),
+        )
+        return F.aggregate(arr, acc0, step)["out"]
+
+    # order by offset first (like render_spans): the folds then see document
+    # order even if a producer shuffled the array
+    ordered = F.array_sort(
+        F.col("spans"),
+        lambda l, r: F.when(l["offset"] < r["offset"], F.lit(-1))
+        .when(l["offset"] > r["offset"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    fwd = fold(ordered)
+    rev = fold(F.reverse(ordered))
+    nmap = F.map_from_entries(
+        F.transform(
+            rev,
+            lambda s: F.struct(
+                s["m_off"].alias("key"),
+                F.struct(s["t_off"].alias("off"), s["t_txt"].alias("txt")).alias("value"),
+            ),
+        )
+    )
+    pairs = F.transform(
+        fwd,
+        lambda s: F.struct(
+            s["m_off"].alias("media_off"),
+            s["media_ref"].alias("media_ref"),
+            s["t_off"].alias("prev_off"),
+            s["t_txt"].alias("prev_txt"),
+            F.element_at(nmap, s["m_off"])["off"].alias("next_off"),
+            F.element_at(nmap, s["m_off"])["txt"].alias("next_txt"),
+        ),
+    )
+    row = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id",
+        F.col("p.media_ref").alias("media_ref"),
+        F.col("p.media_off").alias("media_off"),
+        "p.prev_off",
+        "p.prev_txt",
+        "p.next_off",
+        "p.next_txt",
+    )
+    use_prev = F.col("prev_off").isNotNull() & (
+        F.col("next_off").isNull()
+        | (F.col("media_off") - F.col("prev_off") <= F.col("next_off") - F.col("media_off"))
+    )
+    caption_off = F.when(use_prev, F.col("prev_off")).otherwise(F.col("next_off"))
+    caption = F.when(use_prev, F.col("prev_txt")).otherwise(F.col("next_txt"))
+    return row.select(
+        "doc_id",
+        "media_ref",
+        "media_off",
+        caption.alias("caption"),
+        caption_off.alias("caption_off"),
+        F.abs(F.col("media_off") - caption_off).alias("dist"),
+    )

@@ -444,3 +444,37 @@ def test_bm25_requires_terms(spark):
     docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         bm25_topk(docs, [])
+
+
+def test_caption_pairs_nearest_tie_and_null_semantics(spark):
+    """Caption pairing: nearest text span wins, preceding preferred on
+    exact distance ties, docs without text spans keep null captions, and
+    array order does not matter (offset order is re-established)."""
+    from delphi_crawler_spark.operators.links import caption_pairs
+
+    def sp(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    spans1 = [  # media at 2: text at 0 (d=2) vs text at 4 (d=2) -> tie -> prev
+        sp("media", "", "m://2", 2),
+        sp("text", "left", None, 0),
+        sp("text", "right", None, 4),
+        # media at 5: nearest is right (d=1)
+        sp("media", "", "m://5", 5),
+        # media at 1: nearest is left (d=1)
+        sp("media", "", "m://1", 1),
+    ]
+    spans2 = [sp("media", "", "m://0", 0), sp("link", "http://x", None, 1)]
+    df = spark.createDataFrame(
+        [(1, spans1), (2, spans2)],
+        "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    rows = {
+        (r["doc_id"], r["media_ref"]): (r["caption"], r["caption_off"], r["dist"])
+        for r in caption_pairs(df).collect()
+    }
+    assert rows[(1, "m://2")] == ("left", 0, 2)  # tie -> preceding
+    assert rows[(1, "m://5")] == ("right", 4, 1)
+    assert rows[(1, "m://1")] == ("left", 0, 1)
+    assert rows[(2, "m://0")] == (None, None, None)  # no text spans
+    assert len(rows) == 4
