@@ -3482,6 +3482,69 @@ def q_dedup_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p19_opic_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC frontier importance (Abiteboul WWW'03) — the crawl-native
+    alternative to PageRank for priority: cash distributes along out-edges
+    each round (dangling via the virtual page, uniformly), history banks
+    it, importance = (history+cash)/(k+1). 4 synchronous rounds over the
+    p9 host graph; per round one keyed join + hash-agg + scalar dangling
+    aggregate, localCheckpoint lineage truncation."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.graph import opic_importance
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("h"), (F.col("l_suppkey") % 100).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 103).cast("string")).alias("dst"),
+    )
+    out = opic_importance(edges, iters=4)
+    return out.select(
+        "node",
+        F.round("cash", 6).alias("cash"),
+        F.round("history", 6).alias("history"),
+        F.round("importance", 6).alias("importance"),
+    )
+
+
+def _opic_oracle_sql(iters: int = 4) -> str:
+    """Unrolled OPIC in plain SQL (generated like _trustrank_oracle_sql) —
+    must mirror operators/graph.py:opic_importance exactly: distinct
+    unweighted edges, share = 1/outdeg, dangling cash spread uniformly,
+    history accumulates the cash distributed each round."""
+    parts = [
+        "WITH e AS (SELECT DISTINCT 'h' || (l_suppkey % 100) AS s, "
+        "'h' || (l_partkey % 103) AS d FROM lineitem)",
+        "outd AS (SELECT s, count(*)::DOUBLE AS od FROM e GROUP BY s)",
+        "sh AS (SELECT e.s, e.d, 1.0 / outd.od AS share FROM e JOIN outd USING (s))",
+        "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "no_ AS (SELECT nodes.node, (src.s IS NOT NULL) AS has_out FROM nodes "
+        "LEFT JOIN (SELECT DISTINCT s FROM e) src ON src.s = nodes.node)",
+        "r0 AS (SELECT node, has_out, 1.0 / nn.n AS cash, 0.0 AS hist "
+        "FROM no_ CROSS JOIN nn)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"d{k} AS (SELECT coalesce(sum(cash), 0) AS dang FROM r{k} WHERE NOT has_out)"
+        )
+        parts.append(
+            f"c{k} AS (SELECT sh.d AS node, sum(r.cash * sh.share) AS c "
+            f"FROM r{k} r JOIN sh ON sh.s = r.node GROUP BY sh.d)"
+        )
+        parts.append(
+            f"r{k + 1} AS MATERIALIZED (SELECT r.node, r.has_out, "
+            f"coalesce(c{k}.c, 0) + d{k}.dang / nn.n AS cash, "
+            f"r.hist + r.cash AS hist "
+            f"FROM r{k} r CROSS JOIN nn CROSS JOIN d{k} "
+            f"LEFT JOIN c{k} ON c{k}.node = r.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, round(cash, 6) AS cash, round(hist, 6) AS history, "
+        f"round((hist + cash) / {iters + 1}.0, 6) AS importance FROM r{iters}"
+    )
+
+
 def q_mm_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved-span media↔caption pairing (north-rule input shape):
     each media span paired with the NEAREST text span by offset, preceding
@@ -3651,6 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_asof_join": q_evt_asof_join,
         "dedup_setsim_join": q_dedup_setsim_join,
         "mm_caption_pairs": q_mm_caption_pairs,
+        "p19_opic_importance": q_p19_opic_importance,
     }
 
 
@@ -6187,5 +6251,7 @@ SELECT doc_id::BIGINT AS doc_id,
                       THEN prev_off ELSE next_off END) AS dist
 FROM p WHERE kind = 'media'
 """
+
+    o["p19_opic_importance"] = _opic_oracle_sql(iters=4)
 
     return o

@@ -566,3 +566,90 @@ def label_propagation(
     ew.unpersist()
     nodes.unpersist()
     return labels
+
+
+def opic_importance(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+) -> DataFrame:
+    """OPIC — the on-line page importance computation designed FOR crawl
+    frontiers (Abiteboul, Preda & Cobena, WWW 2003): each node holds
+    ``cash``; every round it distributes its cash equally over its
+    out-edges (dangling nodes through the virtual page, i.e. uniformly
+    over all N nodes — the standard virtual-node collapse) and banks the
+    distributed amount into ``history``. The importance estimate after k
+    rounds is ``(history + cash) / (k + 1)`` — total cash is invariant
+    at 1 per round, so the denominator is exact. Unlike PageRank this
+    needs no damping parameter and, in its on-line form, updates as pages
+    are CRAWLED rather than on a frozen snapshot — the batch-synchronous
+    rounds here are the deterministic testable core of that scheduler
+    signal (the reference's analogue is priority-by-discovery ordering;
+    OPIC is what replaces it when link evidence accumulates).
+
+    Scale shape: identical to ``link_rank`` — the share-normalized edge
+    list is deduped, repartitioned by source and persisted once; each
+    round shuffles only the narrow (node, cash) table, the incoming-cash
+    sum partial-aggregates map-side, the dangling term is a scalar
+    aggregate, and localCheckpoint truncates lineage so the plan is O(1)
+    across rounds.
+    """
+    if iters < 1:
+        raise ValueError("opic_importance() needs iters >= 1")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    outd = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    shares = (
+        e.join(outd, "s")
+        .select("s", "d", (F.lit(1.0) / F.col("od")).alias("share"))
+        .repartition("s")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    has_out = e.select(F.col("s").alias("node")).distinct().withColumn(
+        "_has_out", F.lit(True)
+    )
+    state = (
+        nodes.join(has_out, "node", "left")
+        .select(
+            "node",
+            F.coalesce("_has_out", F.lit(False)).alias("has_out"),
+            F.lit(1.0 / n).alias("cash"),
+            F.lit(0.0).alias("hist"),
+        )
+        .persist()
+    )
+    for _ in range(iters):
+        dangling = state.where(~F.col("has_out")).agg(
+            F.coalesce(F.sum("cash"), F.lit(0.0))
+        ).collect()[0][0]
+        incoming = (
+            state.join(shares, state["node"] == shares["s"])
+            .select(F.col("d").alias("node"), (F.col("cash") * F.col("share")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        state = (
+            state.join(incoming, "node", "left")
+            .select(
+                "node",
+                "has_out",
+                (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n)).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    shares.unpersist()
+    nodes.unpersist()
+    return state.select(
+        "node",
+        "cash",
+        F.col("hist").alias("history"),
+        ((F.col("hist") + F.col("cash")) / F.lit(float(iters + 1))).alias("importance"),
+    )

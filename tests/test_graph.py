@@ -397,3 +397,36 @@ def test_label_propagation_validates_iters(spark):
     df = spark.createDataFrame([("x", "y")], "src: string, dst: string")
     with _pytest.raises(ValueError):
         label_propagation(df, iters=0)
+
+
+def test_opic_cash_invariant_and_hand_computed(spark):
+    """OPIC invariants: total cash stays 1 every round (so importance sums
+    to 1), and a hand-computed 3-node chain matches exactly."""
+    from delphi_crawler_spark.operators.graph import opic_importance
+
+    # a -> b -> c, c dangling; n=3
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["src", "dst"]
+    )
+    out = {r["node"]: r for r in opic_importance(edges, iters=2).collect()}
+    # round 1: cash a=1/9 (c's 1/3 dangling /3), b=1/3+1/9, c=1/3+1/9
+    #          hist all 1/3
+    # round 2: dangling = c = 4/9 -> each gets 4/27
+    #   a = 4/27; b = a_cash(1/9) + 4/27; c = b_cash(4/9) + 4/27
+    #   hist: a=1/3+1/9, b=1/3+4/9, c=1/3+4/9
+    exp = {
+        "a": (4 / 27, 1 / 3 + 1 / 9),
+        "b": (1 / 9 + 4 / 27, 1 / 3 + 4 / 9),
+        "c": (4 / 9 + 4 / 27, 1 / 3 + 4 / 9),
+    }
+    for node, (cash, hist) in exp.items():
+        assert abs(out[node]["cash"] - cash) < 1e-12, node
+        assert abs(out[node]["history"] - hist) < 1e-12, node
+        assert abs(out[node]["importance"] - (cash + hist) / 3) < 1e-12, node
+    assert abs(sum(r["cash"] for r in out.values()) - 1.0) < 1e-12
+    assert abs(sum(r["importance"] for r in out.values()) - 1.0) < 1e-12
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        opic_importance(edges, iters=0)
