@@ -3482,6 +3482,25 @@ def q_dedup_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact neighborhood function N(t) over the p9 host graph (Palmer
+    KDD'02 ANF): how many (u,v) pairs are within distance t, plus the
+    effective diameter — the connectivity telemetry that tells a crawl
+    whether its discovered host graph is one blob or islands. Iterated
+    sparse closure (keyed equi-join + distinct per round); the sketched
+    HyperANF twin (graph.hyperanf_neighborhood, Boldi WWW'11) is the
+    10^10-node path, pinned against this exact version in pytest."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.graph import neighborhood_function
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("h"), (F.col("l_suppkey") % 100).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 103).cast("string")).alias("dst"),
+    )
+    return neighborhood_function(edges, max_t=3)
+
+
 def q_p19_opic_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPIC frontier importance (Abiteboul WWW'03) — the crawl-native
     alternative to PageRank for priority: cash distributes along out-edges
@@ -3715,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_setsim_join": q_dedup_setsim_join,
         "mm_caption_pairs": q_mm_caption_pairs,
         "p19_opic_importance": q_p19_opic_importance,
+        "graph_neighborhood": q_graph_neighborhood,
     }
 
 
@@ -6253,5 +6273,30 @@ FROM p WHERE kind = 'media'
 """
 
     o["p19_opic_importance"] = _opic_oracle_sql(iters=4)
+
+    # Unrolled iterated sparse closure: r{k+1} = r{k} ∪ (r{k} ⋈ e), UNION
+    # dedupes. frac and the 0.9 effective-diameter test are IEEE double ops
+    # mirroring graph.py:neighborhood_function exactly (no rounding).
+    o["graph_neighborhood"] = """
+WITH e AS (SELECT DISTINCT 'h' || (l_suppkey % 100) AS s,
+                  'h' || (l_partkey % 103) AS d FROM lineitem),
+nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+r0 AS (SELECT node AS u, node AS v FROM nodes),
+r1 AS (SELECT u, v FROM r0 UNION SELECT r0.u, e.d AS v FROM r0 JOIN e ON r0.v = e.s),
+r2 AS (SELECT u, v FROM r1 UNION SELECT r1.u, e.d AS v FROM r1 JOIN e ON r1.v = e.s),
+r3 AS (SELECT u, v FROM r2 UNION SELECT r2.u, e.d AS v FROM r2 JOIN e ON r2.v = e.s),
+counts AS (
+  SELECT 0::BIGINT AS t, (SELECT count(*) FROM r0)::BIGINT AS n_pairs
+  UNION ALL SELECT 1, (SELECT count(*) FROM r1)
+  UNION ALL SELECT 2, (SELECT count(*) FROM r2)
+  UNION ALL SELECT 3, (SELECT count(*) FROM r3)),
+mx AS (SELECT n_pairs AS m FROM counts WHERE t = 3),
+ed AS (SELECT min(t)::BIGINT AS eff_diameter FROM counts
+       WHERE CAST(n_pairs AS DOUBLE) >= 0.9 * CAST((SELECT m FROM mx) AS DOUBLE))
+SELECT c.t, c.n_pairs,
+       CAST(c.n_pairs AS DOUBLE) / CAST((SELECT m FROM mx) AS DOUBLE) AS frac,
+       (SELECT eff_diameter FROM ed) AS eff_diameter
+FROM counts c
+"""
 
     return o

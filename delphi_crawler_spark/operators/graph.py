@@ -40,10 +40,18 @@ needs.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "neardup_clusters", "link_rank", "hits"]
+__all__ = [
+    "connected_components",
+    "neardup_clusters",
+    "link_rank",
+    "hits",
+    "neighborhood_function",
+    "hyperanf_neighborhood",
+]
 
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
@@ -653,3 +661,156 @@ def opic_importance(
         F.col("hist").alias("history"),
         ((F.col("hist") + F.col("cash")) / F.lit(float(iters + 1))).alias("importance"),
     )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_t: int = 4,
+    eff_frac: float = 0.9,
+) -> DataFrame:
+    """EXACT neighborhood function N(t) = #{(u,v): dist(u,v) <= t} for
+    t = 0..max_t, plus the effective diameter (smallest t whose N(t)
+    reaches ``eff_frac`` of N(max_t)) — the graph-telemetry a crawl uses
+    to judge how connected its discovered host graph is (Palmer KDD'02
+    ANF; Boldi & Vigna WWW'11 HyperANF is the sketched scale path, see
+    ``hyperanf_neighborhood``).
+
+    Exact semantics by iterated sparse closure: reach_t = reach_{t-1} ∪
+    (reach_{t-1} ⋈ edges), distinct-deduped each round — keyed equi-joins
+    and hash-aggs only, localCheckpoint lineage truncation, per-round
+    counts are scalar aggregates. The pair table is O(N(t)) — exact is
+    for analysis-sized graphs (hosts, not URLs); at web scale the
+    HyperANF twin holds per-node registers instead of pairs.
+
+    Returns one row per t: (t, n_pairs, frac, eff_diameter).
+    """
+    if max_t < 1:
+        raise ValueError("neighborhood_function() needs max_t >= 1")
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct().persist()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    reach = nodes.select(
+        F.col("node").alias("u"), F.col("node").alias("v")
+    ).localCheckpoint(eager=True)
+    counts = [reach.count()]
+    for _ in range(max_t):
+        expanded = (
+            reach.join(e, reach["v"] == e["s"])
+            .select("u", F.col("d").alias("v"))
+        )
+        reach = reach.union(expanded).distinct().localCheckpoint(eager=True)
+        counts.append(reach.count())
+    e.unpersist()
+    n_max = counts[-1]
+    eff_d = next(t for t, c in enumerate(counts) if c >= eff_frac * n_max)
+    # plain IEEE double division (no rounding) so a SQL twin computing
+    # the same integer-count ratio is bit-identical
+    rows = [(t, c, c / n_max, eff_d) for t, c in enumerate(counts)]
+    return spark.createDataFrame(
+        rows, "t long, n_pairs long, frac double, eff_diameter long"
+    )
+
+
+def hyperanf_neighborhood(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_t: int = 4,
+    p: int = 12,
+) -> DataFrame:
+    """HyperANF (Boldi, Rosa & Vigna, WWW 2011): the neighborhood function
+    at web scale — each node carries an HLL sketch of its reachable set;
+    one round is B_t(u) = B_{t-1}(u) ∪ ⋃_{u→v} B_{t-1}(v), realized as a
+    register-wise MAX merge (exact for HLL, the same property the seen-set
+    telemetry relies on, operators/hll.py). State is O(nodes * 2^p) bytes
+    instead of O(pairs): p=12 is 4 KiB/node; web graphs run p=7.
+
+    Spark shape: registers are a binary column; each round is one keyed
+    equi-join (edge dst side) + one groupBy(node) Arrow applyInPandas
+    doing ``np.maximum.reduce`` over the stacked register matrix (a
+    vectorized C loop, no per-row python), then a register-summing scalar
+    pass for the N(t) estimate. Deterministic: xxhash64 node hashing, no
+    rng anywhere. Estimates are Flajolet-corrected like operators/hll.py
+    (shared ``HLL`` math).
+
+    Returns (t, est_pairs) for t = 0..max_t.
+    """
+    import pandas as pd
+
+    from delphi_crawler_spark.operators.hll import HLL, hll_fold
+
+    if max_t < 1:
+        raise ValueError("hyperanf_neighborhood() needs max_t >= 1")
+    spark = edges.sparkSession
+    m = 1 << p
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct().persist()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+
+    def init_regs(batches):
+        # singleton sketches, batch-vectorized: the shared hll_fold rank
+        # kernel over the whole batch, scattered into a (rows x m) uint8
+        # matrix in one fancy-index assignment — no per-row Python
+        for pdf in batches:
+            h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
+            idx, ranks = hll_fold(p, h)
+            mat = np.zeros((len(h), m), dtype=np.uint8)
+            mat[np.arange(len(h)), idx] = ranks
+            yield pd.DataFrame(
+                {"node": pdf["node"], "regs": [r.tobytes() for r in mat]}
+            )
+
+    regs = (
+        nodes.select("node", F.xxhash64("node").cast("long").alias("h"))
+        .mapInPandas(init_regs, "node string, regs binary")
+        .localCheckpoint(eager=True)
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.frombuffer(b"".join(pdf["regs"]), dtype=np.uint8).reshape(
+            len(pdf), m
+        )
+        return pd.DataFrame(
+            {"node": [pdf["node"].iloc[0]], "regs": [np.maximum.reduce(mat).tobytes()]}
+        )
+
+    def est_total(pdf_iter):
+        for pdf in pdf_iter:
+            tot = 0.0
+            for b in pdf["regs"]:
+                h = HLL(p=p, regs=np.frombuffer(b, dtype=np.uint8).copy())
+                tot += h.estimate()
+            yield pd.DataFrame({"part_est": [tot]})
+
+    def estimate(r: DataFrame) -> float:
+        return (
+            r.select("regs")
+            .mapInPandas(est_total, "part_est double")
+            .agg(F.sum("part_est"))
+            .collect()[0][0]
+        )
+
+    out_rows = [(0, estimate(regs))]
+    for t in range(1, max_t + 1):
+        contrib = (
+            e.join(regs, e["d"] == regs["node"])
+            .select(F.col("s").alias("node"), "regs")
+        )
+        regs = (
+            regs.unionByName(contrib)
+            .groupBy("node")
+            .applyInPandas(merge_group, "node string, regs binary")
+            .localCheckpoint(eager=True)
+        )
+        out_rows.append((t, estimate(regs)))
+    e.unpersist()
+    return spark.createDataFrame(out_rows, "t long, est_pairs double")

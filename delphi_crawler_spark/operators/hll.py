@@ -40,6 +40,35 @@ def _alpha(m: int) -> float:
     return _ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
 
 
+def hll_fold(p: int, hashed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-key HLL fold: for each 64-bit hash return its
+    register index (top p bits) and rank (1 + leading zeros of the
+    remaining 64-p bits, capped at 64-p+1). Shared by ``HLL.add_many``
+    (scatter-max into one register array) and per-node sketch builders
+    (``graph.hyperanf_neighborhood`` scatters row-wise) — numpy only, no
+    per-row Python."""
+    h = hashed.astype(np.uint64, copy=False)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)).astype(np.uint64)  # wraps mod 2^64
+    # leading zeros of `rest` within 64 bits; rest==0 -> full width
+    nbits = np.uint64(64)
+    lz = np.full(len(h), 64 - p, dtype=np.uint64)
+    nz = rest != 0
+    # floor(log2) via float conversion is unsafe at 64 bits; numpy lacks
+    # clz, so split into 32-bit halves (exact in float64) and combine.
+    r = rest[nz]
+    hi = (r >> np.uint64(32)).astype(np.uint32)
+    use_hi = hi != 0
+    top32 = np.where(
+        use_hi, hi, (r & np.uint64(0xFFFFFFFF)).astype(np.uint64).astype(np.uint32)
+    )
+    # clz32 exactly via float64 (32-bit values are exact in float64)
+    log2 = np.floor(np.log2(top32.astype(np.float64))).astype(np.uint64)
+    clz = np.where(use_hi, np.uint64(31) - log2, np.uint64(63) - log2)
+    lz[nz] = np.minimum(clz, nbits - np.uint64(p))
+    return idx, (lz + np.uint64(1)).astype(np.uint8)
+
+
 @dataclass
 class HLL:
     """A max-mergeable HyperLogLog segment (2^p uint8 registers)."""
@@ -59,26 +88,7 @@ class HLL:
         remaining 64-p bits (capped at 64-p+1 when those bits are zero)."""
         if len(hashed) == 0:
             return
-        h = hashed.astype(np.uint64, copy=False)
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        rest = (h << np.uint64(self.p)).astype(np.uint64)  # wraps mod 2^64
-        # leading zeros of `rest` within 64 bits; rest==0 -> full width
-        nbits = np.uint64(64)
-        lz = np.full(len(h), 64 - self.p, dtype=np.uint64)
-        nz = rest != 0
-        # floor(log2) via float conversion is unsafe at 64 bits; use
-        # bit_length through repeated shifts: log2 = 63 - clz. numpy lacks
-        # clz, so compute via frexp on the high 53 bits + exact fallback.
-        r = rest[nz]
-        # split: high 32 bits nonzero -> clz in [0,32); else shift left 32
-        hi = (r >> np.uint64(32)).astype(np.uint32)
-        use_hi = hi != 0
-        top32 = np.where(use_hi, hi, (r & np.uint64(0xFFFFFFFF)).astype(np.uint64).astype(np.uint32))
-        # clz32 exactly via float64 (32-bit values are exact in float64)
-        log2 = np.floor(np.log2(top32.astype(np.float64))).astype(np.uint64)
-        clz = np.where(use_hi, np.uint64(31) - log2, np.uint64(63) - log2)
-        lz[nz] = np.minimum(clz, nbits - np.uint64(self.p))
-        rank = (lz + np.uint64(1)).astype(np.uint8)
+        idx, rank = hll_fold(self.p, hashed)
         np.maximum.at(self.regs, idx, rank)
 
     def merge(self, other: "HLL") -> "HLL":

@@ -430,3 +430,59 @@ def test_opic_cash_invariant_and_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         opic_importance(edges, iters=0)
+
+
+def test_neighborhood_function_hand_graph(spark):
+    """Exact N(t) on a 4-chain a->b->c->d: N(0)=4 (self pairs), N(1)=7,
+    N(2)=9, N(3)=10; effective diameter at 0.9 is 2 (9 >= 0.9*10)."""
+    from delphi_crawler_spark.operators.graph import neighborhood_function
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    rows = {r["t"]: r for r in neighborhood_function(edges, max_t=3).collect()}
+    assert [rows[t]["n_pairs"] for t in range(4)] == [4, 7, 9, 10]
+    assert rows[3]["frac"] == 1.0
+    assert abs(rows[1]["frac"] - 0.7) < 1e-12
+    assert all(rows[t]["eff_diameter"] == 2 for t in range(4))
+
+
+def test_neighborhood_function_validates_and_dedups(spark):
+    """Duplicate and reverse edges do not change the closure; max_t < 1 is
+    rejected loudly."""
+    import pytest as _pytest
+
+    from delphi_crawler_spark.operators.graph import neighborhood_function
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a")], ["src", "dst"]
+    )
+    rows = {r["t"]: r for r in neighborhood_function(edges, max_t=2).collect()}
+    # directed closure: {aa, bb} then + {ab, ba}; t=2 adds nothing new
+    assert [rows[t]["n_pairs"] for t in range(3)] == [2, 4, 4]
+    with _pytest.raises(ValueError):
+        neighborhood_function(edges, max_t=0)
+
+
+def test_hyperanf_tracks_exact_neighborhood(spark):
+    """HyperANF estimates stay within the p=12 error envelope (~5%) of the
+    exact neighborhood function on a ~120-node host graph, and the run is
+    deterministic (xxhash64 node hashing, no rng)."""
+    from delphi_crawler_spark.operators.graph import (
+        hyperanf_neighborhood,
+        neighborhood_function,
+    )
+
+    # two rings bridged at one point: distances actually grow with t
+    edges = [(f"h{i}", f"h{(i + 1) % 60}") for i in range(60)]
+    edges += [(f"g{i}", f"g{(i + 1) % 60}") for i in range(60)]
+    edges.append(("h0", "g0"))
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    exact = {r["t"]: r["n_pairs"] for r in neighborhood_function(e, max_t=3).collect()}
+    est1 = {r["t"]: r["est_pairs"] for r in hyperanf_neighborhood(e, max_t=3, p=12).collect()}
+    est2 = {r["t"]: r["est_pairs"] for r in hyperanf_neighborhood(e, max_t=3, p=12).collect()}
+    assert est1 == est2  # bit-identical across runs
+    for t in range(4):
+        assert abs(est1[t] - exact[t]) / exact[t] < 0.05, (t, est1[t], exact[t])
+    # monotone in t (register max-merge can only grow estimates)
+    assert est1[0] <= est1[1] <= est1[2] <= est1[3]
