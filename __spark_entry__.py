@@ -3501,6 +3501,126 @@ def q_graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(edges, max_t=3)
 
 
+def q_p20_ucb_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploration/exploitation host scheduling (UCB1, Auer 2002): each
+    event is one pull of its host with an integer percent reward; hosts
+    rank by mean + 1.5*sqrt(ln(N)/n) so under-sampled hosts lead the next
+    round. One exact-integer hash-agg + broadcast scalar total + JVM
+    score; ln/sqrt under the 6-dp rounding policy."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.bandit import ucb_host_priority
+
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias("host"),
+        (F.col("event_id") % 101).cast("bigint").alias("reward_num"),
+    )
+    return ucb_host_priority(obs, scale=100, c=1.5)
+
+
+def q_f7_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-page robots compliance: meta robots noindex/nofollow directives
+    (token-exact on the comma-split content) + per-anchor rel=nofollow
+    accounting — the page-level half of REP the robots.txt gate (f6)
+    cannot see. Pure JVM regexp projection, no shuffle; HTML synthesized
+    deterministically around documents rows."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.robots import meta_robots_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = F.element_at(
+        F.array(
+            F.lit(""),
+            F.lit('<meta name="robots" content="noindex">'),
+            F.lit('<meta name="robots" content="nofollow">'),
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    a1 = F.concat(
+        F.lit('<a href="https://x.example.com/p'),
+        F.col("doc_id").cast("string"),
+        F.lit('">x</a>'),
+    )
+    a2 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit('<a href="https://y.example.com/q'),
+            F.col("doc_id").cast("string"),
+            F.lit('" rel="nofollow">y</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), meta, F.lit("</head><body>"),
+        a1, a2, F.lit("<p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    return meta_robots_gate(
+        docs.select(F.col("doc_id").cast(BIG).alias("doc_id"), html.alias("html"))
+    )
+
+
+def q_r8_conditional_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl revalidation planning (RFC 9110 §13.1 validator precedence:
+    ETag beats If-Modified-Since, no validator means full fetch): LEFT
+    join frontier candidates to stored validators, per-(host, mode) counts
+    + the byte volume conditional fetches could save. One equi-join (dim
+    side broadcast-able) + one hash-agg."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.recrawl import conditional_fetch_plan
+
+    od = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://h"), (F.col("o_custkey") % 40).cast("string"),
+        F.lit(".example.com/o/"), F.col("o_orderkey").cast("string"),
+    )
+    frontier = od.select(
+        url.alias("url"),
+        F.concat(F.lit("h"), (F.col("o_custkey") % 40).cast("string")).alias("host"),
+    )
+    stored = od.where(F.col("o_orderkey") % 3 != 2).select(
+        url.alias("url"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(F.lit('W/"'), F.col("o_orderkey").cast("string"), F.lit('"')),
+        ).alias("etag"),
+        F.when(
+            F.col("o_orderkey") % 3 == 1, F.col("o_orderdate").cast("string")
+        ).alias("last_modified"),
+        (F.col("o_orderkey") % 5000).cast("bigint").alias("content_len"),
+    )
+    out = conditional_fetch_plan(frontier, stored)
+    return out.select(
+        "host", "mode",
+        F.col("n_urls").cast(BIG).alias("n_urls"),
+        F.col("revalidatable_bytes").cast(BIG).alias("revalidatable_bytes"),
+    )
+
+
+def q_text_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-learned boilerplate: 5-word segments repeating in ≥50% (and
+    ≥2) of a host's docs are site template (Onion / CC-Net common-line
+    idea, per host). A synthesized 5-word cookie banner is prepended to
+    3/4 of each host's docs (host = doc_id%21, coprime with the banner
+    cycle so every host has both). One distinct-segment explode + two
+    keyed hash-aggs; grain O(docs × segments/doc)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.scrub import template_segments
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 21).cast("string"))
+    banner = F.concat(F.lit("cookie banner notice host h"),
+                      (F.col("doc_id") % 21).cast("string"))
+    text2 = F.when(
+        F.col("doc_id") % 4 < 3, F.concat(banner, F.lit(" "), F.col("text"))
+    ).otherwise(F.col("text"))
+    prepared = docs.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        host.alias("host"),
+        text2.alias("text"),
+    )
+    return template_segments(prepared, seg_words=5, min_ratio=0.5, min_docs=2)
+
+
 def q_p19_opic_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPIC frontier importance (Abiteboul WWW'03) — the crawl-native
     alternative to PageRank for priority: cash distributes along out-edges
@@ -3735,6 +3855,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_caption_pairs": q_mm_caption_pairs,
         "p19_opic_importance": q_p19_opic_importance,
         "graph_neighborhood": q_graph_neighborhood,
+        "p20_ucb_priority": q_p20_ucb_priority,
+        "f7_meta_robots": q_f7_meta_robots,
+        "r8_conditional_fetch": q_r8_conditional_fetch,
+        "text_template_lines": q_text_template_lines,
     }
 
 
@@ -6297,6 +6421,108 @@ SELECT c.t, c.n_pairs,
        CAST(c.n_pairs AS DOUBLE) / CAST((SELECT m FROM mx) AS DOUBLE) AS frac,
        (SELECT eff_diameter FROM ed) AS eff_diameter
 FROM counts c
+"""
+
+    # Exact-integer reward sums; ln/sqrt under the shared 6-dp policy.
+    # Rank is over the ROUNDED ucb on both sides (ties → host asc).
+    o["p20_ucb_priority"] = """
+WITH obs AS (SELECT 'h' || (user_id % 50) AS host, (event_id % 101)::BIGINT AS rn
+             FROM events),
+st AS (SELECT host, count(*)::BIGINT AS n_obs, sum(rn)::BIGINT AS s
+       FROM obs GROUP BY host),
+tot AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS n_total FROM st),
+sc AS (SELECT host, n_obs,
+         round(CAST(s AS DOUBLE) / (100.0 * n_obs), 6) AS mean_reward,
+         round(CAST(s AS DOUBLE) / (100.0 * n_obs)
+               + 1.5 * sqrt(ln(n_total) / n_obs), 6) AS ucb
+       FROM st CROSS JOIN tot)
+SELECT host, n_obs, mean_reward, ucb,
+       row_number() OVER (ORDER BY ucb DESC, host ASC)::BIGINT AS rank
+FROM sc
+"""
+
+    o["f7_meta_robots"] = """
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id,
+    '<html><head>'
+    || ['', '<meta name="robots" content="noindex">',
+        '<meta name="robots" content="nofollow">',
+        '<meta name="robots" content="noindex, nofollow">'][(doc_id % 4 + 1)::INT]
+    || '</head><body>'
+    || '<a href="https://x.example.com/p' || doc_id || '">x</a>'
+    || CASE WHEN doc_id % 3 = 0
+            THEN '<a href="https://y.example.com/q' || doc_id || '" rel="nofollow">y</a>'
+            ELSE '' END
+    || '<p>' || text || '</p></body></html>' AS html
+  FROM documents),
+p AS (
+  SELECT doc_id, html,
+    lower(coalesce(regexp_extract(html, '<meta name="robots" content="([^"]*)"', 1), '')) AS robots_content,
+    len(regexp_extract_all(html, '<a href="[^"]*"')) AS n_links,
+    len(regexp_extract_all(html, '<a href="[^"]*" rel="nofollow"')) AS n_nofollow
+  FROM d),
+f AS (
+  SELECT doc_id, robots_content,
+    list_contains(list_transform(string_split(robots_content, ','), x -> trim(x)), 'noindex') AS noindex,
+    list_contains(list_transform(string_split(robots_content, ','), x -> trim(x)), 'nofollow') AS nofollow,
+    n_links, n_nofollow
+  FROM p)
+SELECT doc_id, robots_content, noindex, nofollow,
+       n_links::BIGINT AS n_links,
+       (CASE WHEN nofollow THEN 0 ELSE n_links - n_nofollow END)::BIGINT AS n_follow_links,
+       (CASE WHEN noindex THEN 'noindex' ELSE 'index' END) || '+'
+         || (CASE WHEN nofollow THEN 'nofollow' ELSE 'follow' END) AS action
+FROM f
+"""
+
+    o["r8_conditional_fetch"] = """
+WITH fr AS (
+  SELECT 'https://h' || (o_custkey % 40) || '.example.com/o/' || o_orderkey AS url,
+         'h' || (o_custkey % 40) AS host
+  FROM orders),
+st AS (
+  SELECT 'https://h' || (o_custkey % 40) || '.example.com/o/' || o_orderkey AS url,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'W/"' || o_orderkey || '"' END AS etag,
+         CASE WHEN o_orderkey % 3 = 1 THEN o_orderdate::VARCHAR END AS last_modified,
+         (o_orderkey % 5000)::BIGINT AS content_len
+  FROM orders WHERE o_orderkey % 3 <> 2),
+j AS (
+  SELECT fr.host,
+         CASE WHEN st.etag IS NOT NULL THEN 'etag'
+              WHEN st.last_modified IS NOT NULL THEN 'ims'
+              ELSE 'full' END AS mode,
+         CASE WHEN st.etag IS NOT NULL OR st.last_modified IS NOT NULL
+              THEN coalesce(st.content_len, 0) ELSE 0 END AS save_b
+  FROM fr LEFT JOIN st USING (url))
+SELECT host, mode, count(*)::BIGINT AS n_urls,
+       sum(save_b)::BIGINT AS revalidatable_bytes
+FROM j GROUP BY host, mode
+"""
+
+    # Segment starts replicate Spark's sequence(0, size-1, 5) exactly:
+    # 1-based starts 1, 6, 11, ... <= len(ws); tail segments stay partial.
+    o["text_template_lines"] = """
+WITH d AS (
+  SELECT doc_id, 'h' || (doc_id % 21) AS host,
+    CASE WHEN doc_id % 4 < 3
+         THEN 'cookie banner notice host h' || (doc_id % 21) || ' ' || text
+         ELSE text END AS t
+  FROM documents),
+w AS (SELECT doc_id, host, string_split_regex(trim(t), '\\s+') AS ws FROM d),
+segs AS (
+  SELECT doc_id, host,
+    list_distinct([array_to_string(ws[i:i+4], ' ')
+                   for i in range(1, len(ws) + 1, 5)]) AS sg
+  FROM w),
+e AS (SELECT DISTINCT host, doc_id, seg
+      FROM segs, unnest(sg) AS u(seg) WHERE seg <> ''),
+hd AS (SELECT host, count(DISTINCT doc_id)::BIGINT AS host_docs FROM d GROUP BY host),
+sc AS (SELECT host, seg AS segment, count(DISTINCT doc_id)::BIGINT AS n_docs
+       FROM e GROUP BY host, seg)
+SELECT sc.host, segment, n_docs, hd.host_docs,
+       CAST(n_docs AS DOUBLE) / host_docs AS doc_ratio
+FROM sc JOIN hd USING (host)
+WHERE n_docs >= 2 AND CAST(n_docs AS DOUBLE) >= 0.5 * host_docs
 """
 
     return o

@@ -227,3 +227,54 @@ def host_quality_prior(
             6,
         ).alias("prior"),
     )
+
+
+def conditional_fetch_plan(
+    frontier: DataFrame,
+    stored: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Plan HTTP revalidation for a recrawl round: decide per candidate
+    whether the fetch can be conditional (If-None-Match on a stored ETag,
+    else If-Modified-Since on a stored Last-Modified) or must be full —
+    the standard validator precedence from RFC 9110 §13.1 (ETag is the
+    strong validator; IMS is the fallback). A 304 costs headers only, so
+    the per-(host, mode) plan also carries the byte volume a fully-valid
+    cache would save — the number a recrawl budgeter trades off against
+    politeness capacity.
+
+    Inputs: ``frontier`` (url, host) — this round's recrawl candidates;
+    ``stored`` (url, etag nullable, last_modified nullable, content_len).
+    One LEFT broadcast-able equi-join on url (stored validators are the
+    dimension side in a focused recrawl; at full-corpus recrawl both sides
+    shuffle on the url key they already share) + one (host, mode)
+    hash-agg. Modes: 'etag' / 'ims' / 'full' (no validators or never
+    stored). Output: (host, mode, n_urls, revalidatable_bytes) where bytes
+    count only conditional rows.
+    """
+    s = stored.select(
+        F.col(url_col).alias("_u"),
+        "etag",
+        "last_modified",
+        F.col("content_len").cast("bigint").alias("_len"),
+    )
+    joined = frontier.join(s, frontier[url_col] == s["_u"], "left")
+    mode = (
+        F.when(F.col("etag").isNotNull(), F.lit("etag"))
+        .when(F.col("last_modified").isNotNull(), F.lit("ims"))
+        .otherwise(F.lit("full"))
+    )
+    return (
+        joined.select(
+            "host",
+            mode.alias("mode"),
+            F.when(mode != "full", F.coalesce(F.col("_len"), F.lit(0)))
+            .otherwise(F.lit(0))
+            .alias("_save"),
+        )
+        .groupBy("host", "mode")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum("_save").cast("bigint").alias("revalidatable_bytes"),
+        )
+    )

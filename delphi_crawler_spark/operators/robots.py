@@ -395,3 +395,56 @@ def sitemap_urls_from_robots(
         lines.select("host", "line_no", url.alias("sitemap_url"))
         .filter(F.col("sitemap_url") != "")
     )
+
+
+def meta_robots_gate(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document robots META directives + link-level rel=nofollow
+    accounting — the in-page half of robots compliance (robots.txt is the
+    per-host half, ``robots_filter``). Honors the public REP meta
+    conventions (<meta name="robots" content="noindex, nofollow">, and
+    rel="nofollow" on individual anchors, Google/Bing published semantics):
+
+    - ``noindex``  → the page's text must not enter the corpus/index;
+    - ``nofollow`` (meta) → none of its outlinks may enter the frontier;
+    - rel="nofollow" on an anchor → only that link is excluded.
+
+    Output per doc: robots_content (raw attr, '' when absent), noindex,
+    nofollow booleans, n_links / n_follow_links (anchors the frontier may
+    accept), and ``action`` ('index'/'noindex' + 'follow'/'nofollow') for
+    the downstream gate.
+
+    Pure JVM projection: one regexp_extract for the meta tag, token-exact
+    membership test on the comma-split content (substring matching would
+    wrongly fire 'noindex' inside 'noindexfoo'), regexp_extract_all sizes
+    for anchor counts. No shuffle, RE2-compatible patterns so a SQL twin
+    replicates byte-for-byte.
+    """
+    html = F.col(html_col)
+    content = F.lower(
+        F.regexp_extract(html, '<meta name="robots" content="([^"]*)"', 1)
+    )
+    toks = F.transform(F.split(content, ","), lambda t: F.trim(t))
+    noindex = F.array_contains(toks, "noindex")
+    nofollow_meta = F.array_contains(toks, "nofollow")
+    n_links = F.size(F.regexp_extract_all(html, F.lit("<a href=\"[^\"]*\""), 0))
+    n_nofollow = F.size(
+        F.regexp_extract_all(html, F.lit("<a href=\"[^\"]*\" rel=\"nofollow\""), 0)
+    )
+    n_follow = F.when(nofollow_meta, F.lit(0)).otherwise(n_links - n_nofollow)
+    return docs.select(
+        F.col(id_col),
+        content.alias("robots_content"),
+        noindex.alias("noindex"),
+        nofollow_meta.alias("nofollow"),
+        n_links.cast("bigint").alias("n_links"),
+        n_follow.cast("bigint").alias("n_follow_links"),
+        F.concat(
+            F.when(noindex, F.lit("noindex")).otherwise(F.lit("index")),
+            F.lit("+"),
+            F.when(nofollow_meta, F.lit("nofollow")).otherwise(F.lit("follow")),
+        ).alias("action"),
+    )

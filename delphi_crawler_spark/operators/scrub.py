@@ -185,3 +185,76 @@ def boilerplate_strip(
             "n_lines_total": F.size(lines).cast("long"),
         }
     )
+
+
+def template_segments(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 5,
+    min_ratio: float = 0.5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate discovery: fixed-width word segments that
+    repeat across most documents of a host are site template (nav bars,
+    footers, cookie banners), not content — the cross-document frequency
+    idea behind Onion's duplicate-paragraph cleaning (Pomikálek 2011) and
+    CC-Net's per-shard dedup of common lines, applied per host. Unlike
+    ``boilerplate_strip`` (rule-per-line, single doc), this learns the
+    template FROM the corpus, so it catches site-specific furniture no
+    static rule knows.
+
+    Segmentation is deterministic: the whitespace-token stream is cut into
+    non-overlapping ``seg_words``-word segments (tail shorter than
+    ``seg_words`` kept). A segment is template for a host when it appears
+    in ≥ ``min_ratio`` of that host's docs and ≥ ``min_docs`` docs.
+
+    Spark shape: one explode of per-doc DISTINCT segments (array_distinct
+    before the explode, so a segment repeated inside one doc counts once)
+    → one (host, segment) partial-aggregating hash-agg + one (host) doc
+    count — grain O(docs × segments/doc), the same explode grain the
+    n-gram dedup family already carries; no joins wider than host. Output:
+    (host, segment, n_docs, host_docs, doc_ratio), template rows only.
+    """
+    if seg_words < 1:
+        raise ValueError(f"seg_words must be >= 1: {seg_words}")
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(ws) - 1, F.lit(0)),
+        F.lit(seg_words),
+    )
+    segs = F.array_distinct(
+        F.transform(
+            starts, lambda i: F.array_join(F.slice(ws, i + 1, seg_words), " ")
+        )
+    )
+    per_doc = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("_doc"),
+        F.explode(segs).alias("segment"),
+    ).where(F.col("segment") != "")
+    host_docs = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count_distinct(F.col(id_col)).alias("host_docs")
+    )
+    seg_counts = per_doc.groupBy("host", "segment").agg(
+        F.count_distinct("_doc").alias("n_docs")
+    )
+    return (
+        seg_counts.join(host_docs, "host")
+        .where(
+            (F.col("n_docs") >= F.lit(int(min_docs)))
+            & (
+                F.col("n_docs").cast("double")
+                >= F.lit(float(min_ratio)) * F.col("host_docs")
+            )
+        )
+        .select(
+            "host",
+            "segment",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("host_docs").cast("bigint").alias("host_docs"),
+            (F.col("n_docs").cast("double") / F.col("host_docs")).alias("doc_ratio"),
+        )
+    )

@@ -1,0 +1,126 @@
+"""Round-4 continuation operators: UCB host scheduling, meta-robots gate,
+conditional revalidation planning, corpus-learned template segments."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_ucb_host_priority_hand_computed(spark):
+    """3 hosts with different pull counts: the under-sampled host outranks
+    a higher-mean heavily-sampled one exactly when the UCB math says so."""
+    from delphi_crawler_spark.operators.bandit import ucb_host_priority
+
+    # a: 8 pulls, mean 0.50; b: 1 pull, reward 0.20; c: 3 pulls, mean 0.90
+    rows = [("a", 50)] * 8 + [("b", 20)] + [("c", 90)] * 3
+    obs = spark.createDataFrame(rows, ["host", "reward_num"])
+    out = {r["host"]: r for r in ucb_host_priority(obs, c=1.5).collect()}
+    n_total = 12.0
+    exp = {
+        "a": 0.50 + 1.5 * math.sqrt(math.log(n_total) / 8),
+        "b": 0.20 + 1.5 * math.sqrt(math.log(n_total) / 1),
+        "c": 0.90 + 1.5 * math.sqrt(math.log(n_total) / 3),
+    }
+    for h, e in exp.items():
+        assert abs(out[h]["ucb"] - round(e, 6)) < 1e-9, h
+    # b (one pull, low mean) must outrank a via the exploration bonus
+    ranked = sorted(out.values(), key=lambda r: r["rank"])
+    assert [r["host"] for r in ranked] == ["b", "c", "a"]
+    assert out["a"]["n_obs"] == 8 and out["a"]["mean_reward"] == 0.5
+    with pytest.raises(ValueError):
+        ucb_host_priority(obs, scale=0)
+
+
+def test_meta_robots_gate_directives_and_links(spark):
+    """Token-exact directive parsing: 'noindexfoo' does not fire noindex;
+    meta nofollow zeroes follow-links; rel=nofollow drops only itself."""
+    from delphi_crawler_spark.operators.robots import meta_robots_gate
+
+    mk = (
+        '<html><head>{meta}</head><body>'
+        '<a href="https://a/1">1</a><a href="https://a/2" rel="nofollow">2</a>'
+        "</body></html>"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, mk.format(meta='<meta name="robots" content="noindex, nofollow">')),
+            (2, mk.format(meta='<meta name="robots" content="NOFOLLOW">')),
+            (3, mk.format(meta='<meta name="robots" content="noindexfoo">')),
+            (4, mk.format(meta="")),
+        ],
+        ["doc_id", "html"],
+    )
+    out = {r["doc_id"]: r for r in meta_robots_gate(docs).collect()}
+    assert out[1]["noindex"] and out[1]["nofollow"]
+    assert out[1]["action"] == "noindex+nofollow"
+    assert out[1]["n_follow_links"] == 0
+    # case-insensitive content
+    assert not out[2]["noindex"] and out[2]["nofollow"]
+    assert out[2]["n_follow_links"] == 0
+    # substring must not fire
+    assert not out[3]["noindex"] and not out[3]["nofollow"]
+    assert out[3]["n_links"] == 2 and out[3]["n_follow_links"] == 1
+    # no meta tag at all
+    assert out[4]["robots_content"] == "" and out[4]["action"] == "index+follow"
+    assert out[4]["n_follow_links"] == 1
+
+
+def test_conditional_fetch_plan_precedence_and_bytes(spark):
+    """ETag beats IMS when both stored; unseen URLs plan full fetches with
+    zero revalidatable bytes."""
+    from delphi_crawler_spark.operators.recrawl import conditional_fetch_plan
+
+    frontier = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h1"), ("u3", "h1"), ("u4", "h2")],
+        ["url", "host"],
+    )
+    stored = spark.createDataFrame(
+        [
+            ("u1", 'W/"x"', "2026-01-01", 100),  # both -> etag wins
+            ("u2", None, "2026-01-02", 70),      # ims only
+            ("u3", None, None, 50),              # stored but no validators -> full
+        ],
+        ["url", "etag", "last_modified", "content_len"],
+    )
+    out = {
+        (r["host"], r["mode"]): r
+        for r in conditional_fetch_plan(frontier, stored).collect()
+    }
+    assert out[("h1", "etag")]["n_urls"] == 1
+    assert out[("h1", "etag")]["revalidatable_bytes"] == 100
+    assert out[("h1", "ims")]["revalidatable_bytes"] == 70
+    # u3: stored, no validators -> full fetch, bytes not counted
+    assert out[("h1", "full")]["n_urls"] == 1
+    assert out[("h1", "full")]["revalidatable_bytes"] == 0
+    # u4: never stored
+    assert out[("h2", "full")]["n_urls"] == 1
+
+
+def test_template_segments_learns_banner_only(spark):
+    """A 5-word banner shared by 3/4 docs of a host is template; unique
+    content segments are not; per-doc repetition counts once."""
+    from delphi_crawler_spark.operators.scrub import template_segments
+
+    banner = "cookie banner notice host h0"
+    docs = spark.createDataFrame(
+        [
+            (0, "h0", banner + " alpha beta gamma delta epsilon"),
+            (1, "h0", banner + " zeta eta theta iota kappa"),
+            # banner twice in one doc: distinct-per-doc must count it once
+            (2, "h0", banner + " " + banner),
+            (3, "h0", "lambda mu nu xi omicron"),
+            (4, "h1", "pi rho sigma tau upsilon"),
+        ],
+        ["doc_id", "host", "text"],
+    )
+    out = template_segments(docs, seg_words=5, min_ratio=0.5, min_docs=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["host"], r["segment"]) == ("h0", banner)
+    assert r["n_docs"] == 3 and r["host_docs"] == 4
+    assert abs(r["doc_ratio"] - 0.75) < 1e-12
+    with pytest.raises(ValueError):
+        template_segments(docs, seg_words=0)
