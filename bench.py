@@ -394,6 +394,44 @@ def kmeans_lloyd_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+def ucb_priority_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 host scheduling over a 2M-pull observation log (100k hosts):
+    one exact-integer hash-agg + broadcast scalar total + JVM score, then
+    a rank window over the 100k host-stats rows."""
+    from delphi_crawler_spark.operators.bandit import ucb_host_priority
+
+    d = F.col("id")
+    obs = spark.range(2_000_000).select(
+        F.concat(F.lit("h"), F.pmod(d * 2654435761, F.lit(100_000))).alias("host"),
+        F.pmod(d * 48271, F.lit(101)).alias("reward_num"),
+    )
+    return ucb_host_priority(obs)
+
+
+def template_segments_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-learned template discovery over 200k synthetic docs across
+    2k hosts (banner on 3/4 of docs): distinct-segment explode feeding two
+    keyed hash-aggs — the O(docs × segments/doc) grain at bench scale."""
+    from delphi_crawler_spark.operators.scrub import template_segments
+
+    d = F.col("id")
+    host = F.concat(F.lit("h"), F.pmod(d, F.lit(2_000)))
+    body = F.concat(
+        F.lit("w"), (d % 97).cast("string"), F.lit(" x"), (d % 89).cast("string"),
+        F.lit(" y"), (d % 83).cast("string"), F.lit(" z"), (d % 79).cast("string"),
+        F.lit(" q"), (d % 73).cast("string"), F.lit(" r"), (d % 71).cast("string"),
+        F.lit(" s"), (d % 67).cast("string"), F.lit(" t"), (d % 61).cast("string"),
+    )
+    text = F.when(
+        d % 4 < 3,
+        F.concat(F.lit("cookie banner notice host "), host, F.lit(" "), body),
+    ).otherwise(body)
+    docs = spark.range(200_000).select(
+        d.alias("doc_id"), host.alias("host"), text.alias("text")
+    )
+    return template_segments(docs, seg_words=5, min_ratio=0.5, min_docs=2)
+
+
 BENCH_QUERIES = {
     "crawl_schedule": crawl_schedule,
     "bloom_incremental_update": bloom_incremental_update,
@@ -428,6 +466,8 @@ BENCH_QUERIES = {
     "kmv_sketch": kmv_sketch_2m,
     "label_propagation": label_propagation_2m,
     "kmeans_lloyd": kmeans_lloyd_200k,
+    "ucb_priority": ucb_priority_2m,
+    "template_segments": template_segments_200k,
 }
 
 
