@@ -3501,6 +3501,24 @@ def q_graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(edges, max_t=3)
 
 
+def q_graph_hyperanf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF (Boldi WWW'11) over the same host graph as
+    graph_neighborhood: per-node HLL registers (p=12), per-round edge
+    equi-join + register MAX-merge — O(nodes·2^p) state, the 10^10-node
+    path where the exact pair closure cannot exist. N(t) is an exact
+    int64 sum of per-node micro-estimates (order-independent). Oracle:
+    expected-parquet from an independent Python HLL/xxh64 replication."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.graph import hyperanf_neighborhood
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("h"), (F.col("l_suppkey") % 100).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 103).cast("string")).alias("dst"),
+    )
+    return hyperanf_neighborhood(edges, max_t=3, p=12)
+
+
 def q_p20_ucb_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploration/exploitation host scheduling (UCB1, Auer 2002): each
     event is one pull of its host with an integer percent reward; hosts
@@ -3859,6 +3877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f7_meta_robots": q_f7_meta_robots,
         "r8_conditional_fetch": q_r8_conditional_fetch,
         "text_template_lines": q_text_template_lines,
+        "graph_hyperanf": q_graph_hyperanf,
     }
 
 
@@ -6178,6 +6197,7 @@ FROM r WHERE sample_rank <= 30
         "sim_kmeans_lloyd",
         "sim_kcenter_coreset",
         "sim_pca_project",
+        "graph_hyperanf",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
 

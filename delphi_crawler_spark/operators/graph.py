@@ -739,8 +739,16 @@ def hyperanf_neighborhood(
     rng anywhere. Estimates are Flajolet-corrected like operators/hll.py
     (shared ``HLL`` math).
 
+    Exactness discipline: N(t) = Σ_nodes estimate(node) would be a float
+    sum whose value depends on partition order; instead each per-node
+    estimate is rounded half-up to integer MICROS (floor(e·1e6 + 0.5)) and
+    summed as exact int64 — order-independent, so reruns and the
+    independent expected-parquet oracle (tools/gen_expected.py) agree
+    bit-for-bit. est_pairs = micros / 1e6.
+
     Returns (t, est_pairs) for t = 0..max_t.
     """
+    import math
     import pandas as pd
 
     from delphi_crawler_spark.operators.hll import HLL, hll_fold
@@ -784,20 +792,23 @@ def hyperanf_neighborhood(
         )
 
     def est_total(pdf_iter):
+        # per-partition exact int64 sum of per-node micro-estimates; the
+        # inner work per row is a C-level 2^p-vector op (HLL.estimate)
         for pdf in pdf_iter:
-            tot = 0.0
+            tot = 0
             for b in pdf["regs"]:
                 h = HLL(p=p, regs=np.frombuffer(b, dtype=np.uint8).copy())
-                tot += h.estimate()
-            yield pd.DataFrame({"part_est": [tot]})
+                tot += int(math.floor(h.estimate() * 1e6 + 0.5))
+            yield pd.DataFrame({"part_micros": pd.array([tot], dtype="int64")})
 
     def estimate(r: DataFrame) -> float:
-        return (
+        micros = (
             r.select("regs")
-            .mapInPandas(est_total, "part_est double")
-            .agg(F.sum("part_est"))
+            .mapInPandas(est_total, "part_micros long")
+            .agg(F.sum("part_micros"))
             .collect()[0][0]
         )
+        return int(micros) / 1e6
 
     out_rows = [(0, estimate(regs))]
     for t in range(1, max_t + 1):

@@ -43,6 +43,7 @@ CASES = {
     "agg_kmv_overlap": (E.q_agg_kmv_overlap, "documents", G.gen_agg_kmv_overlap),
     "dedup_minhash_incr": (E.q_dedup_minhash_incr, "documents", G.gen_dedup_minhash_incr),
     "mm_phash_neardup": (E.q_mm_phash_neardup, "documents", G.gen_mm_phash_neardup),
+    "graph_hyperanf": (E.q_graph_hyperanf, "lineitem", G.gen_graph_hyperanf),
 }
 
 

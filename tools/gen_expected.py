@@ -1028,6 +1028,61 @@ def gen_agg_kmv_overlap(docs: pd.DataFrame, k: int = 64) -> pd.DataFrame:
     )
 
 
+def gen_graph_hyperanf(li: pd.DataFrame, max_t: int = 3, p: int = 12) -> pd.DataFrame:
+    """Independent HyperANF replication over the p9 host graph: per-node
+    singleton HLL from the independent xxh64 (python-int bit_length rank,
+    like gen_agg_hll_distinct), per-round register max over the edge list,
+    per-node Flajolet estimate in the impl's IEEE op order (np.exp2 +
+    np.sum on the same 2^p float64 array — the fold_cosine precedent),
+    rounded half-up to integer micros and summed exactly, matching
+    operators/graph.py:hyperanf_neighborhood's order-independent N(t)."""
+    import math
+
+    m = 1 << p
+    src = ("h" + (li["l_suppkey"] % 100).astype(str)).tolist()
+    dst = ("h" + (li["l_partkey"] % 103).astype(str)).tolist()
+    edges = sorted(set(zip(src, dst)))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+
+    regs: dict[str, np.ndarray] = {}
+    for nd in nodes:
+        h = xxh64_str(nd)
+        idx = h >> (64 - p)
+        rest = (h << p) & ((1 << 64) - 1)
+        lz = 64 - rest.bit_length() if rest else 64
+        rank = min(lz, 64 - p) + 1
+        a = np.zeros(m, dtype=np.uint8)
+        a[idx] = rank
+        regs[nd] = a
+
+    def node_estimate(r: np.ndarray) -> float:
+        mf = float(m)
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+        e = alpha * mf * mf / float(np.sum(np.exp2(-r.astype(np.float64))))
+        if e <= 2.5 * mf:
+            zeros = int(np.count_nonzero(r == 0))
+            if zeros:
+                return mf * math.log(mf / zeros)
+        return e
+
+    def total(cur: dict[str, np.ndarray]) -> float:
+        micros = sum(
+            int(math.floor(node_estimate(cur[nd]) * 1e6 + 0.5)) for nd in nodes
+        )
+        return micros / 1e6
+
+    rows = [(0, total(regs))]
+    for t in range(1, max_t + 1):
+        nxt = {nd: regs[nd].copy() for nd in nodes}
+        for s, d in edges:
+            np.maximum(nxt[s], regs[d], out=nxt[s])
+        regs = nxt
+        rows.append((t, total(regs)))
+    return pd.DataFrame(rows, columns=["t", "est_pairs"]).astype(
+        {"t": "int64", "est_pairs": "float64"}
+    )
+
+
 GENERATORS = {
     "c3_hash_keys": ("documents", gen_c3_hash_keys),
     "text_fingerprint_rolling": ("documents", gen_fingerprint_rolling),
@@ -1047,6 +1102,7 @@ GENERATORS = {
     "sim_kmeans_lloyd": ("embeddings", gen_sim_kmeans_lloyd),
     "sim_kcenter_coreset": ("embeddings", gen_sim_kcenter_coreset),
     "sim_pca_project": ("embeddings", gen_sim_pca_project),
+    "graph_hyperanf": ("lineitem", gen_graph_hyperanf),
 }
 
 
@@ -1060,6 +1116,7 @@ def main(sfs=("0.001", "0.01")) -> None:
             "documents": pd.read_parquet(f"{sf_dir}/documents.parquet"),
             "embeddings": pd.read_parquet(f"{sf_dir}/embeddings.parquet"),
             "events": pd.read_parquet(f"{sf_dir}/events.parquet"),
+            "lineitem": pd.read_parquet(f"{sf_dir}/lineitem.parquet"),
         }
         for name, (table, fn) in GENERATORS.items():
             df = fn(tables[table])
