@@ -3501,6 +3501,41 @@ def q_graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(edges, max_t=3)
 
 
+def q_c1d_rel_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical identity folding: groups of 3 consecutive doc_ids
+    share one canonical target (the group head); 1/3 of docs omit the tag
+    (identity = own url), heads self-declare. One JVM regexp projection +
+    one canonical_url hash-agg — the REP signal that collapses page
+    variants before any content-based dedup runs."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.links import rel_canonical_resolve
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 13).cast("string"),
+        F.lit(".example.com/p"), F.col("doc_id").cast("string"),
+    )
+    head = F.col("doc_id") - F.col("doc_id") % 3
+    canon_url = F.concat(
+        F.lit("https://h"), (head % 13).cast("string"),
+        F.lit(".example.com/p"), head.cast("string"),
+    )
+    tag = F.when(
+        F.col("doc_id") % 3 != 1,
+        F.concat(F.lit('<link rel="canonical" href="'), canon_url, F.lit('">')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), tag, F.lit("</head><body><p>"),
+        F.col("text"), F.lit("</p></body></html>"),
+    )
+    prepared = docs.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        url.alias("url"),
+        html.alias("html"),
+    )
+    return rel_canonical_resolve(prepared)
+
+
 def q_graph_hyperanf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperANF (Boldi WWW'11) over the same host graph as
     graph_neighborhood: per-node HLL registers (p=12), per-round edge
@@ -3878,6 +3913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r8_conditional_fetch": q_r8_conditional_fetch,
         "text_template_lines": q_text_template_lines,
         "graph_hyperanf": q_graph_hyperanf,
+        "c1d_rel_canonical": q_c1d_rel_canonical,
     }
 
 
@@ -6543,6 +6579,26 @@ SELECT sc.host, segment, n_docs, hd.host_docs,
        CAST(n_docs AS DOUBLE) / host_docs AS doc_ratio
 FROM sc JOIN hd USING (host)
 WHERE n_docs >= 2 AND CAST(n_docs AS DOUBLE) >= 0.5 * host_docs
+"""
+
+    o["c1d_rel_canonical"] = """
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id,
+    'https://h' || (doc_id % 13) || '.example.com/p' || doc_id AS url,
+    CASE WHEN doc_id % 3 <> 1
+         THEN 'https://h' || ((doc_id - doc_id % 3) % 13) || '.example.com/p'
+              || (doc_id - doc_id % 3)
+         ELSE '' END AS href
+  FROM documents),
+p AS (
+  SELECT doc_id, url,
+    CASE WHEN href = '' THEN url ELSE href END AS canonical_url,
+    CASE WHEN href = '' THEN 'none'
+         WHEN href = url THEN 'self' ELSE 'cross' END AS rel
+  FROM d),
+s AS (SELECT canonical_url, count(*)::BIGINT AS n_aliases FROM p GROUP BY canonical_url)
+SELECT p.doc_id, p.url, p.canonical_url, p.rel, s.n_aliases
+FROM p JOIN s USING (canonical_url)
 """
 
     return o

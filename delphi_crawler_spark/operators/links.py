@@ -733,3 +733,49 @@ def caption_pairs(docs: DataFrame) -> DataFrame:
         caption_off.alias("caption_off"),
         F.abs(F.col("media_off") - caption_off).alias("dist"),
     )
+
+
+def rel_canonical_resolve(
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold duplicate page identities along <link rel="canonical"> — the
+    page's own declaration of which URL is the real one (the public REP
+    canonicalization signal; Google/Bing published semantics). A crawl
+    that ignores it stores every print/mobile/tracking variant as a
+    separate document; a training pipeline then dedups what the site
+    already told us was one page.
+
+    Per doc: canonical_url = declared href when present else own url;
+    rel = 'none' (no tag) / 'self' (declares itself) / 'cross' (points
+    elsewhere). n_aliases = how many docs fold into the same canonical
+    identity — the dedup cluster size this signal alone produces (the
+    redirect-chain and content-digest signals compose on top:
+    ``redirects.resolve_redirects``, ``dedup_fuzzy``).
+
+    Shape: one JVM regexp projection (no Python), then ONE hash-agg on
+    canonical_url joined back — the same single-shuffle grain as the
+    first-occurrence dedup. Canonical targets at web scale are skewed
+    (site front pages); the agg is partial-aggregating so hot targets
+    combine map-side.
+    """
+    href = F.regexp_extract(
+        F.col(html_col), '<link rel="canonical" href="([^"]*)"', 1
+    )
+    per_doc = docs.select(
+        F.col(id_col),
+        F.col(url_col).alias("url"),
+        F.coalesce(F.nullif(href, F.lit("")), F.col(url_col)).alias("canonical_url"),
+        F.when(href == "", F.lit("none"))
+        .when(href == F.col(url_col), F.lit("self"))
+        .otherwise(F.lit("cross"))
+        .alias("rel"),
+    )
+    sizes = per_doc.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_aliases")
+    )
+    return per_doc.join(sizes, "canonical_url").select(
+        id_col, "url", "canonical_url", "rel", F.col("n_aliases").cast("bigint").alias("n_aliases")
+    )

@@ -124,3 +124,30 @@ def test_template_segments_learns_banner_only(spark):
     assert abs(r["doc_ratio"] - 0.75) < 1e-12
     with pytest.raises(ValueError):
         template_segments(docs, seg_words=0)
+
+
+def test_rel_canonical_resolve_folds_identities(spark):
+    """Cross/self/none classification and alias-cluster sizes: two docs
+    declaring the same canonical target plus the self-declaring target
+    fold into one identity of size 3."""
+    from delphi_crawler_spark.operators.links import rel_canonical_resolve
+
+    def page(tag):
+        return f"<html><head>{tag}</head><body>x</body></html>"
+
+    c = '<link rel="canonical" href="https://a/main">'
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a/main", page(c)),            # self
+            (2, "https://a/main?utm=x", page(c)),      # cross -> main
+            (3, "https://a/print/main", page(c)),      # cross -> main
+            (4, "https://a/other", page("")),          # none
+        ],
+        ["doc_id", "url", "html"],
+    )
+    out = {r["doc_id"]: r for r in rel_canonical_resolve(docs).collect()}
+    assert out[1]["rel"] == "self" and out[1]["n_aliases"] == 3
+    assert out[2]["rel"] == "cross" and out[2]["canonical_url"] == "https://a/main"
+    assert out[3]["n_aliases"] == 3
+    assert out[4]["rel"] == "none" and out[4]["canonical_url"] == "https://a/other"
+    assert out[4]["n_aliases"] == 1
