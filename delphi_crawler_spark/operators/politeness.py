@@ -378,3 +378,94 @@ def adaptive_host_delay(
         (F.lit(1000.0) / delay).alias("rate_per_sec"),
         "n",
     )
+
+
+def ip_queue_slots(
+    candidates: DataFrame,
+    host_ip: DataFrame,
+    politeness: DataFrame | None = None,
+    default_rate: float = DEFAULT_RATE,
+    default_burst: int = DEFAULT_BURST,
+) -> DataFrame:
+    """Queue-by-IP politeness: co-hosted vhosts share ONE token bucket.
+
+    Hostname-grained politeness under-throttles shared infrastructure — a
+    thousand vhosts on one server each get their own budget and the box
+    gets hammered at 1000x the intended rate. The public countermeasure
+    (Heritrix ``IPQueueAssignmentPolicy``, Nutch ``partition.url.mode=
+    byIP``) keys the work queue by resolved IP instead of hostname.
+
+    Semantics: ``queue_key = ip`` when the host resolves (``host_ip`` dim:
+    host → ip), else the host itself (unresolved hosts degrade to
+    host-grained politeness, never to unthrottled). The shared budget is
+    the MOST CONSERVATIVE of the member hosts' budgets — min rate, min
+    burst — so folding queues can only slow a queue down, never speed it
+    up past any member's declared limit. Within a queue the scheduling
+    order is the same host-level total order (priority DESC, discovery_ts,
+    seq), so two URLs of one host keep their relative order when their
+    queues merge (FIFO-per-host is preserved inside FIFO-per-IP).
+
+    Output: candidates + ``queue_key``, ``n_cohosts`` (hosts sharing the
+    queue), ``queue_rank`` (1-based position in the merged queue) and
+    ``emit_ms`` (token-bucket slot at the queue grain).
+
+    Scale shape: the host→ip dim is hosts-sized (broadcast); the budget
+    fold is one tiny hash-agg on ip; the only frontier-sized exchange is
+    the window on queue_key — same single shuffle as
+    ``assign_emission_slots``, just a coarser key. Queue-by-IP
+    concentrates skew (one hot IP = many hot hosts), which is exactly when
+    shared-budget correctness matters most; ``prune_pending_topk`` composes
+    upstream unchanged because per-host top-cap is a superset of any
+    merged-queue top-cap.
+
+    Reference parity: the reference throttles one upstream (Maven Central,
+    Configuration.scala:80) and never needs multi-host queue assignment;
+    this is the web-tier generalization of P1 (SURVEY §2.4/§2.10).
+    """
+    dim = host_ip.select("host", "ip")
+    if politeness is not None:
+        budgets = dim.join(
+            politeness.select("host", "rate_per_sec", "max_burst"), "host", "left"
+        )
+    else:
+        budgets = dim.withColumn(
+            "rate_per_sec", F.lit(None).cast("double")
+        ).withColumn("max_burst", F.lit(None).cast("int"))
+    budgets = budgets.select(
+        "host",
+        "ip",
+        F.coalesce("rate_per_sec", F.lit(default_rate)).alias("rate_per_sec"),
+        F.coalesce("max_burst", F.lit(default_burst)).alias("max_burst"),
+    )
+    per_ip = budgets.groupBy("ip").agg(
+        F.min("rate_per_sec").alias("rate_per_sec"),
+        F.min("max_burst").alias("max_burst"),
+        F.count_distinct(F.col("host")).alias("n_cohosts"),
+    )
+    keyed = (
+        candidates.join(F.broadcast(budgets.select("host", "ip")), "host", "left")
+        .withColumn("queue_key", F.coalesce("ip", F.col("host")))
+        .drop("ip")
+        .join(
+            F.broadcast(per_ip.withColumnRenamed("ip", "queue_key")),
+            "queue_key",
+            "left",
+        )
+        .withColumn("rate_per_sec", F.coalesce("rate_per_sec", F.lit(default_rate)))
+        .withColumn("max_burst", F.coalesce("max_burst", F.lit(default_burst)))
+        .withColumn("n_cohosts", F.coalesce("n_cohosts", F.lit(1)).cast("bigint"))
+    )
+    w = Window.partitionBy("queue_key").orderBy(*schedule_order_cols())
+    ranked = keyed.withColumn("queue_rank", F.row_number().over(w))
+    return ranked.withColumn(
+        "emit_ms",
+        F.when(
+            F.col("queue_rank") <= F.col("max_burst"), F.lit(0).cast("long")
+        ).otherwise(
+            F.ceil(
+                (F.col("queue_rank") - F.col("max_burst")).cast("double")
+                * 1000.0
+                / F.col("rate_per_sec")
+            ).cast("long")
+        ),
+    ).drop("rate_per_sec", "max_burst")

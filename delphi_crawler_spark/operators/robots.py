@@ -448,3 +448,65 @@ def meta_robots_gate(
             F.when(nofollow_meta, F.lit("nofollow")).otherwise(F.lit("follow")),
         ).alias("action"),
     )
+
+
+def robots_cache_plan(
+    frontier: DataFrame,
+    cache: DataFrame,
+    now_ms: int,
+    ttl_ms: int = 86_400_000,
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-host robots.txt refresh plan for the upcoming round — which
+    hosts can schedule against the cached rule set and which must spend a
+    fetch slot on ``/robots.txt`` first.
+
+    RFC 9309 §2.4 (public REP spec): crawlers MAY cache robots.txt up to
+    24 hours (the default ``ttl_ms``) and MUST NOT use a stale copy
+    indefinitely; a server error on the last fetch means the rules are
+    unknown, so a 5xx-cached host is re-fetched regardless of age (until
+    then §2.3.1.4 says assume complete disallow — the gate downstream, not
+    this planner, enforces that).
+
+    Output one row per DISTINCT frontier host: ``n_pending`` (URLs waiting
+    behind the decision), ``age_ms`` (now - fetched, -1 when never
+    fetched) and ``action``::
+
+        fetch      no cached copy exists
+        refresh    cached copy is stale (age >= ttl) or last fetch was 5xx
+        use-cache  fresh successful copy — schedule immediately
+
+    Scale shape: the frontier collapses to host grain with one
+    partial-aggregating hash-agg (map-side combine makes this cheap even
+    at 10^10 pending URLs); the cache dim is hosts-sized and
+    broadcast-joined. No frontier-sized shuffle beyond the host agg.
+
+    Reference parity: the reference polls one index with no robots
+    protocol at all; this closes the fetch-planning half of F6
+    (``robots_filter`` is the rule-evaluation half) for the web tier.
+    """
+    hosts = (
+        frontier.select(F.col(host_col).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pending"))
+    )
+    dim = cache.select(
+        "host",
+        F.col("fetched_ms").cast("long").alias("fetched_ms"),
+        F.col("status").cast("int").alias("status"),
+    )
+    joined = hosts.join(F.broadcast(dim), "host", "left")
+    age = F.lit(int(now_ms)) - F.col("fetched_ms")
+    action = (
+        F.when(F.col("fetched_ms").isNull(), F.lit("fetch"))
+        .when(
+            (age >= F.lit(int(ttl_ms))) | (F.col("status") >= 500), F.lit("refresh")
+        )
+        .otherwise(F.lit("use-cache"))
+    )
+    return joined.select(
+        "host",
+        "n_pending",
+        F.coalesce(age, F.lit(-1)).cast("long").alias("age_ms"),
+        action.alias("action"),
+    )

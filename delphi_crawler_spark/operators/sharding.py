@@ -69,3 +69,56 @@ def shard_plan(
             "weight_share"
         ),
     )
+
+
+def archive_offsets(
+    records: DataFrame,
+    id_col: str,
+    length_col: str,
+    n_shards: int,
+    header_bytes: int = 0,
+) -> DataFrame:
+    """Byte-exact placement manifest for packed-archive shard writes — the
+    (shard, offset, length) index a WARC-style store needs so readers can
+    random-access one record without scanning the shard (the public
+    WARC/CDX pattern: concatenated records + an offset index).
+
+    Each record goes to ``shard_id(id)`` (same deterministic md5 routing
+    as ``shard_plan`` — a rebuilt corpus reproduces identical placement);
+    within a shard records are laid out in ``id`` order and
+    ``offset`` = header_bytes + Σ lengths of all earlier records (an
+    EXCLUSIVE running sum, so the first record starts at the header
+    boundary). ``rec_index`` is the 0-based position. Determinism makes
+    the manifest itself mergeable: an incremental append computes its
+    offsets from the previous manifest's per-shard byte totals.
+
+    Scale shape: one exchange on the uniform shard key, then a
+    per-shard window (running sum + row_number share the single sort).
+    No Python, no driver state; shard count caps partition width so the
+    window never sees skew beyond corpus/n_shards.
+
+    Reference parity: the reference upserts into ElasticSearch and keeps
+    no byte-addressed archive; this is the write-side complement of
+    ``shard_plan`` for the training-data tier (SURVEY §2.10).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    assigned = records.select(
+        F.col(id_col).alias("rec_id"),
+        F.col(length_col).cast("bigint").alias("rec_len"),
+        shard_id(F.col(id_col), n_shards),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard_id").orderBy("rec_id")
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    return assigned.select(
+        "rec_id",
+        "shard_id",
+        (F.row_number().over(w) - 1).cast("bigint").alias("rec_index"),
+        (
+            F.lit(int(header_bytes))
+            + F.coalesce(F.sum("rec_len").over(prior), F.lit(0))
+        ).cast("bigint").alias("offset"),
+        "rec_len",
+    )

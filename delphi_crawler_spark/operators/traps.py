@@ -65,3 +65,63 @@ def trap_patterns(
         )
         .select("host", "pattern", "n_urls", "host_urls", "share", "is_trap")
     )
+
+
+# Public soft-404 heuristic phrases (the crawl-literature standard set —
+# e.g. Bar-Yossef WWW'04 "Sic transit gloria telae" detects soft 404s by
+# error-page content signatures). Fixed substrings, matched on lowercased
+# text, so a SQL twin replicates with plain position() — no regex dialect.
+SOFT404_PHRASES = (
+    "page not found",
+    "404 not found",
+    "does not exist",
+    "no longer available",
+    "cannot be found",
+)
+
+
+def soft404_flags(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    status_col: str = "status",
+    body_col: str = "body",
+    min_chars: int = 400,
+) -> DataFrame:
+    """Classify fetched pages as ``ok`` / ``hard-404`` / ``soft-404`` — the
+    error pages served with HTTP 200 that poison both the frontier (their
+    links are navigation chrome) and the corpus (boilerplate error text
+    duplicated across thousands of URLs).
+
+    A page is a soft-404 when the status says success but the content says
+    error: any known error phrase in the body, OR a stub body (< min_chars)
+    that mentions "404". Real 404/410 responses are ``hard-404`` (their
+    correct handling is frontier removal, not content scoring). Output per
+    page: phrase_hit, stub_404 booleans and the ``verdict``.
+
+    Scale shape: pure JVM projection (lower + instr + length — codegen'd,
+    no Python, no shuffle); composes with ``trap_patterns`` (URL-space
+    hygiene) and ``template_segments`` (host boilerplate) as the
+    content-side frontier gate.
+
+    Reference parity: the reference's upstream never serves soft errors
+    (Maven index is authoritative); this is web-tier fetch classification
+    (SURVEY §2.10), sibling of ``recrawl.classify_fetch``.
+    """
+    low = F.lower(F.col(body_col))
+    phrase_hit = F.lit(False)
+    for p in SOFT404_PHRASES:
+        phrase_hit = phrase_hit | (F.instr(low, p) > 0)
+    stub_404 = (F.length(low) < F.lit(int(min_chars))) & (F.instr(low, "404") > 0)
+    status = F.col(status_col)
+    verdict = (
+        F.when(status.isin(404, 410), F.lit("hard-404"))
+        .when((status == 200) & (phrase_hit | stub_404), F.lit("soft-404"))
+        .otherwise(F.lit("ok"))
+    )
+    return pages.select(
+        F.col(id_col),
+        status.cast("int").alias("status"),
+        phrase_hit.alias("phrase_hit"),
+        stub_404.alias("stub_404"),
+        verdict.alias("verdict"),
+    )

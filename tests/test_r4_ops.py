@@ -151,3 +151,97 @@ def test_rel_canonical_resolve_folds_identities(spark):
     assert out[3]["n_aliases"] == 3
     assert out[4]["rel"] == "none" and out[4]["canonical_url"] == "https://a/other"
     assert out[4]["n_aliases"] == 1
+
+
+def test_ip_queue_slots_shared_budget(spark):
+    """Two hosts on one IP fold into one queue with the min budget; an
+    unresolved host keeps its own key and the defaults."""
+    from delphi_crawler_spark.operators.politeness import ip_queue_slots
+
+    fr = spark.createDataFrame(
+        [("a", 0, 1, 1), ("a", 0, 2, 2), ("b", 0, 3, 3), ("b", 0, 4, 4), ("x", 0, 5, 5)],
+        ["host", "priority", "discovery_ts", "seq"],
+    )
+    host_ip = spark.createDataFrame([("a", "ip1"), ("b", "ip1")], ["host", "ip"])
+    pol = spark.createDataFrame(
+        [("a", 1.0, 1), ("b", 4.0, 3)], ["host", "rate_per_sec", "max_burst"]
+    )
+    out = {r["seq"]: r for r in ip_queue_slots(fr, host_ip, pol).collect()}
+    # merged queue ip1 ranks by (priority desc, ts, seq): seqs 1,2,3,4
+    assert [out[s]["queue_key"] for s in (1, 2, 3, 4)] == ["ip1"] * 4
+    assert [out[s]["queue_rank"] for s in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    assert out[1]["n_cohosts"] == 2
+    # min budget: burst=1, rate=1.0 -> slots 0, 1000, 2000, 3000
+    assert [out[s]["emit_ms"] for s in (1, 2, 3, 4)] == [0, 1000, 2000, 3000]
+    # unresolved host: own queue, default 5/s burst 5 -> slot 0
+    assert out[5]["queue_key"] == "x" and out[5]["emit_ms"] == 0
+    assert out[5]["n_cohosts"] == 1
+
+
+def test_robots_cache_plan_actions(spark):
+    """fetch (no row) / refresh (stale) / refresh (5xx even if fresh) /
+    use-cache (fresh 200) all classified; age_ms exact."""
+    from delphi_crawler_spark.operators.robots import robots_cache_plan
+
+    fr = spark.createDataFrame(
+        [("h1",), ("h1",), ("h2",), ("h3",), ("h4",)], ["host"]
+    )
+    cache = spark.createDataFrame(
+        [("h2", 0, 200), ("h3", 90_000_000, 503), ("h4", 95_000_000, 200)],
+        ["host", "fetched_ms", "status"],
+    )
+    out = {r["host"]: r for r in robots_cache_plan(fr, cache, now_ms=100_000_000).collect()}
+    assert out["h1"]["action"] == "fetch" and out["h1"]["age_ms"] == -1
+    assert out["h1"]["n_pending"] == 2
+    assert out["h2"]["action"] == "refresh"  # age 100M >= 86.4M TTL
+    assert out["h3"]["action"] == "refresh"  # fresh but 5xx
+    assert out["h4"]["action"] == "use-cache" and out["h4"]["age_ms"] == 5_000_000
+
+
+def test_archive_offsets_exclusive_cumsum(spark):
+    """Offsets are header + exclusive running sums in id order per shard;
+    routing matches shard_id; rerun is bit-identical."""
+    from delphi_crawler_spark.operators.sharding import archive_offsets
+
+    recs = spark.createDataFrame(
+        [(i, 100 + i) for i in range(20)], ["rec_id", "nbytes"]
+    )
+    rows = archive_offsets(recs, "rec_id", "nbytes", n_shards=3, header_bytes=16).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["shard_id"], r["rec_index"])):
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for shard, rs in by_shard.items():
+        off = 16
+        for i, r in enumerate(rs):
+            assert r["rec_index"] == i
+            assert r["offset"] == off
+            off += r["rec_len"]
+        assert [r["rec_id"] for r in rs] == sorted(r["rec_id"] for r in rs)
+    again = archive_offsets(recs, "rec_id", "nbytes", n_shards=3, header_bytes=16).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError):
+        archive_offsets(recs, "rec_id", "nbytes", n_shards=0)
+
+
+def test_soft404_flags_verdicts(spark):
+    """Phrase hit, short-stub 404, hard 404/410, and clean 200 verdicts."""
+    from delphi_crawler_spark.operators.traps import soft404_flags
+
+    pages = spark.createDataFrame(
+        [
+            (1, 200, "Sorry, this Page Not Found anywhere."),
+            (2, 200, "error 404"),
+            (3, 200, "x" * 500 + " 404 " + "y" * 10),  # long, only digit hit
+            (4, 404, "gone"),
+            (5, 410, "gone forever"),
+            (6, 200, "perfectly fine article text"),
+        ],
+        ["doc_id", "status", "body"],
+    )
+    out = {r["doc_id"]: r for r in soft404_flags(pages).collect()}
+    assert out[1]["verdict"] == "soft-404" and out[1]["phrase_hit"]
+    assert out[2]["verdict"] == "soft-404" and out[2]["stub_404"] and not out[2]["phrase_hit"]
+    assert out[3]["verdict"] == "ok"  # 404 mention but body too long for a stub
+    assert out[4]["verdict"] == "hard-404"
+    assert out[5]["verdict"] == "hard-404"
+    assert out[6]["verdict"] == "ok" and not out[6]["phrase_hit"]
