@@ -3860,6 +3860,69 @@ def q_trap_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
     return soft404_flags(pages)
 
 
+def q_p22_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window politeness compliance audit: per host, worst burst
+    and violation count of "≤4 fetches in any 5 s window" over a dense
+    synthetic fetch log ((event_id*137) mod 100000 ms). RANGE frame (not
+    ROWS) so simultaneous fetches count each other; one host exchange
+    shared by window and final agg."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.politeness import rate_compliance_audit
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("host"),
+        ((F.col("event_id") * 137) % 100000).alias("ts_ms"),
+    )
+    return rate_compliance_audit(log, window_ms=5000, max_per_window=4)
+
+
+def q_p23_retry_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9110 Retry-After host gating: error events become 429/503
+    responses carrying retry_after seconds; per host the MAX deadline
+    wins, hosts without signals are immediately eligible. Signal filter
+    prunes the success majority before the one host hash-agg."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.politeness import retry_after_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    is_err = F.col("event_type") == "error"
+    results = ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("host"),
+        (F.col("event_id") % 100000).alias("ts_ms"),
+        F.when(is_err, F.when(F.col("event_id") % 2 == 0, F.lit(503)).otherwise(F.lit(429)))
+        .otherwise(F.lit(200))
+        .alias("status"),
+        F.when(is_err, F.col("event_id") % 60)
+        .otherwise(F.lit(None).cast("long"))
+        .alias("retry_after_s"),
+    )
+    return retry_after_schedule(results, now_ms=50_000)
+
+
+def q_p24_age_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Starvation-free frontier aging (URLFrontier/Heritrix wait-cost
+    rule): +1 effective priority per 7 days pending (cap 3) as of
+    2024-02-01, then the host-window re-rank. January discovery times
+    give boosts 0..3 including the cap; pure JVM projection + the same
+    single window exchange the static scheduler pays."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.politeness import age_boosted_priority
+
+    fr = _events_frontier(spark, sf_dir)
+    out = age_boosted_priority(
+        fr, now_ms=1_706_745_600_000, aging_ms=604_800_000, max_boost=3, ts_unit="ts"
+    )
+    return out.select(
+        "host",
+        "seq",
+        F.col("priority").cast(BIG).alias("priority"),
+        F.col("age_boost").cast(BIG).alias("age_boost"),
+        F.col("eff_priority").cast(BIG).alias("eff_priority"),
+        F.col("host_rank").cast(BIG).alias("host_rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -4020,6 +4083,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_robots_cache": q_f8_robots_cache,
         "s12_archive_offsets": q_s12_archive_offsets,
         "trap_soft404": q_trap_soft404,
+        "p22_rate_audit": q_p22_rate_audit,
+        "p23_retry_after": q_p23_retry_after,
+        "p24_age_boost": q_p24_age_boost,
     }
 
 
@@ -6787,6 +6853,54 @@ SELECT doc_id, status::INT AS status, phrase_hit, stub_404,
        WHEN status = 200 AND (phrase_hit OR stub_404) THEN 'soft-404'
        ELSE 'ok' END AS verdict
 FROM f
+"""
+
+    o["p22_rate_audit"] = """
+WITH log AS (
+  SELECT 'u' || user_id AS host, (event_id * 137) % 100000 AS ts_ms FROM events),
+w AS (
+  SELECT host, COUNT(*) OVER (PARTITION BY host ORDER BY ts_ms
+           RANGE BETWEEN 4999 PRECEDING AND CURRENT ROW) AS in_window
+  FROM log)
+SELECT host, COUNT(*)::BIGINT AS n_fetches, MAX(in_window)::BIGINT AS max_in_window,
+       SUM(CASE WHEN in_window > 4 THEN 1 ELSE 0 END)::BIGINT AS n_violations
+FROM w GROUP BY host
+"""
+
+    o["p23_retry_after"] = """
+WITH res AS (
+  SELECT 'u' || user_id AS host, (event_id % 100000) AS ts_ms,
+    CASE WHEN event_type = 'error'
+         THEN CASE WHEN event_id % 2 = 0 THEN 503 ELSE 429 END
+         ELSE 200 END AS status,
+    CASE WHEN event_type = 'error' THEN event_id % 60 ELSE NULL END AS retry_after_s
+  FROM events),
+sig AS (
+  SELECT host, COUNT(*)::BIGINT AS n_throttle_signals,
+         MAX(ts_ms + retry_after_s * 1000) AS next_eligible_ms
+  FROM res WHERE status IN (429, 503) AND retry_after_s IS NOT NULL
+  GROUP BY host)
+SELECT h.host,
+  COALESCE(s.n_throttle_signals, 0)::BIGINT AS n_throttle_signals,
+  COALESCE(s.next_eligible_ms, 0)::BIGINT AS next_eligible_ms,
+  (COALESCE(s.next_eligible_ms, 0) <= 50000) AS eligible_now
+FROM (SELECT DISTINCT host FROM res) h LEFT JOIN sig s USING (host)
+"""
+
+    o["p24_age_boost"] = """
+WITH fr AS (
+  SELECT 'u' || user_id AS host, (event_id % 3)::BIGINT AS priority,
+         ts AS discovery_ts, event_id::BIGINT AS seq
+  FROM events),
+b AS (
+  SELECT *, GREATEST(LEAST(CAST(FLOOR((1706745600000 - epoch_ms(discovery_ts))
+            / 604800000) AS INT), 3), 0) AS age_boost
+  FROM fr)
+SELECT host, seq, priority, age_boost::BIGINT AS age_boost,
+  (priority + age_boost)::BIGINT AS eff_priority,
+  ROW_NUMBER() OVER (PARTITION BY host
+    ORDER BY (priority + age_boost) DESC, discovery_ts ASC, seq ASC)::BIGINT AS host_rank
+FROM b
 """
 
     return o

@@ -469,3 +469,151 @@ def ip_queue_slots(
             ).cast("long")
         ),
     ).drop("rate_per_sec", "max_burst")
+
+
+def rate_compliance_audit(
+    fetch_log: DataFrame,
+    window_ms: int,
+    max_per_window: int,
+    host_col: str = "host",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Post-hoc politeness audit: did the EMITTED fetch stream actually
+    respect "at most k requests per host in any sliding w-ms window"?
+    The scheduler promises it (token bucket); production crawlers verify
+    it from the fetch log, because retries, redirects and clock skew all
+    inject fetches the scheduler never slotted.
+
+    Per fetch, the in-window load is the count of same-host fetches in
+    ``(ts - window_ms, ts]`` — a RANGE frame (not ROWS: simultaneous
+    fetches at one timestamp must all count each other). Output per host:
+    ``n_fetches``, ``max_in_window`` (the worst observed burst) and
+    ``n_violations`` (fetches whose window exceeded the budget) — zero
+    violations is the compliance certificate.
+
+    Scale shape: one hash exchange on host, per-host sort shared by the
+    RANGE window and the final agg (the agg re-groups the already
+    host-clustered stream, partial-aggregating). Pure JVM.
+
+    Reference parity: the reference trusts its Akka throttle end-to-end;
+    an audited politeness trail is the web-tier operational requirement
+    (SURVEY §2.10), dual of ``assign_emission_slots``.
+    """
+    w = (
+        Window.partitionBy(F.col(host_col))
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-(int(window_ms) - 1), 0)
+    )
+    loaded = fetch_log.select(
+        F.col(host_col).alias("host"), F.col(ts_col).cast("long").alias("ts_ms")
+    ).withColumn("in_window", F.count(F.lit(1)).over(w))
+    return loaded.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.max("in_window").cast("bigint").alias("max_in_window"),
+        F.sum(
+            F.when(F.col("in_window") > F.lit(int(max_per_window)), 1).otherwise(0)
+        ).cast("bigint").alias("n_violations"),
+    )
+
+
+def retry_after_schedule(
+    results: DataFrame,
+    now_ms: int,
+    host_col: str = "host",
+    ts_col: str = "ts_ms",
+    status_col: str = "status",
+    retry_after_col: str = "retry_after_s",
+) -> DataFrame:
+    """Server-directed host gating from ``Retry-After`` (RFC 9110 §10.2.3):
+    a 429/503 carrying the header is an explicit contract — do not contact
+    this host before ts + retry_after. The host's next eligible time is
+    the MAX such deadline over all its throttle signals (later promises
+    supersede earlier ones regardless of log order), and a host with no
+    signal is eligible immediately.
+
+    Output per host: ``n_throttle_signals``, ``next_eligible_ms`` (0 when
+    never throttled) and ``eligible_now`` vs the supplied clock — the
+    frontier left-joins this dim and defers ineligible hosts before
+    emission slotting (it composes upstream of ``assign_emission_slots``
+    exactly like the robots gate).
+
+    Scale shape: one partial-aggregating hash-agg on host over the
+    signal-filtered log (the filter prunes the huge success majority
+    before the exchange). Pure JVM.
+
+    Reference parity: none in the reference (Maven Central never 429s it);
+    this is the header-driven half of host backoff —
+    ``host_backoff_schedule`` infers delays from failures, this one obeys
+    delays the server stated.
+    """
+    sig = results.select(
+        F.col(host_col).alias("host"),
+        F.col(ts_col).cast("long").alias("ts_ms"),
+        F.col(status_col).cast("int").alias("status"),
+        F.col(retry_after_col).cast("long").alias("retry_after_s"),
+    ).filter(
+        F.col("status").isin(429, 503) & F.col("retry_after_s").isNotNull()
+    )
+    hosts = results.select(F.col(host_col).alias("host")).distinct()
+    agg = sig.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_throttle_signals"),
+        F.max(F.col("ts_ms") + F.col("retry_after_s") * 1000).alias(
+            "next_eligible_ms"
+        ),
+    )
+    return hosts.join(agg, "host", "left").select(
+        "host",
+        F.coalesce("n_throttle_signals", F.lit(0)).cast("bigint").alias(
+            "n_throttle_signals"
+        ),
+        F.coalesce("next_eligible_ms", F.lit(0)).cast("bigint").alias(
+            "next_eligible_ms"
+        ),
+        (F.coalesce("next_eligible_ms", F.lit(0)) <= F.lit(int(now_ms))).alias(
+            "eligible_now"
+        ),
+    )
+
+
+def age_boosted_priority(
+    frontier: DataFrame,
+    now_ms: int,
+    aging_ms: int,
+    max_boost: int = 3,
+    ts_unit: str = "ms",
+) -> DataFrame:
+    """Starvation-free frontier priority: a pending URL gains +1 effective
+    priority per ``aging_ms`` waited, capped at ``max_boost`` — the public
+    frontier-aging rule (URLFrontier / Heritrix wait-cost policies) that
+    guarantees every admitted URL is eventually scheduled even under a
+    constant stream of higher-priority arrivals (bounded bypass: once at
+    the cap, only same-or-higher base priorities can pass it).
+
+    Adds ``age_boost``, ``eff_priority`` and re-ranks per host by
+    (eff_priority DESC, discovery_ts ASC, seq ASC) into ``host_rank`` —
+    the drop-in replacement for the static rank inside
+    ``assign_emission_slots``.
+
+    Scale shape: the boost is a pure JVM projection; the re-rank is the
+    same single host-window exchange the static scheduler already pays.
+    ``ts_unit='ms'`` treats discovery_ts as epoch-ms long; ``'ts'`` casts
+    a timestamp column via unix_millis.
+    """
+    disc = (
+        # NTZ parquet timestamps: LTZ cast under the engine's pinned UTC
+        # session tz is value-preserving (same idiom as events.sessionize)
+        F.unix_millis(F.col("discovery_ts").cast("timestamp_ltz"))
+        if ts_unit == "ts"
+        else F.col("discovery_ts").cast("long")
+    )
+    boost = F.least(
+        F.floor((F.lit(int(now_ms)) - disc) / F.lit(int(aging_ms))).cast("int"),
+        F.lit(int(max_boost)),
+    )
+    boosted = frontier.withColumn(
+        "age_boost", F.greatest(boost, F.lit(0))
+    ).withColumn("eff_priority", F.col("priority") + F.col("age_boost"))
+    w = Window.partitionBy("host").orderBy(
+        F.col("eff_priority").desc(), F.col("discovery_ts").asc(), F.col("seq").asc()
+    )
+    return boosted.withColumn("host_rank", F.row_number().over(w))

@@ -245,3 +245,69 @@ def test_soft404_flags_verdicts(spark):
     assert out[4]["verdict"] == "hard-404"
     assert out[5]["verdict"] == "hard-404"
     assert out[6]["verdict"] == "ok" and not out[6]["phrase_hit"]
+
+
+def test_rate_compliance_audit_range_window(spark):
+    """Simultaneous fetches count each other (RANGE not ROWS); window edge
+    at exactly window_ms apart does NOT co-count."""
+    from delphi_crawler_spark.operators.politeness import rate_compliance_audit
+
+    log = spark.createDataFrame(
+        # h1: burst of 3 at t=0 (two simultaneous), one more at 4999 (in
+        # window), one at 5000 (out: window is (t-4999, t])
+        [("h1", 0), ("h1", 0), ("h1", 100), ("h1", 4999), ("h1", 5000),
+         ("h2", 0), ("h2", 10_000)],
+        ["host", "ts_ms"],
+    )
+    out = {r["host"]: r for r in rate_compliance_audit(log, 5000, 3).collect()}
+    assert out["h1"]["n_fetches"] == 5
+    assert out["h1"]["max_in_window"] == 4  # 0,0,100,4999
+    assert out["h1"]["n_violations"] == 1   # only the rank-4 fetch at 4999
+    assert out["h2"]["max_in_window"] == 1 and out["h2"]["n_violations"] == 0
+
+
+def test_retry_after_schedule_max_deadline(spark):
+    """MAX deadline wins regardless of log order; success rows and
+    header-less errors are not signals; unlisted hosts eligible."""
+    from delphi_crawler_spark.operators.politeness import retry_after_schedule
+
+    res = spark.createDataFrame(
+        [
+            ("h1", 1000, 503, 10),    # deadline 11000
+            ("h1", 5000, 429, 2),     # deadline 7000 (earlier, loses)
+            ("h1", 9000, 200, None),  # success, ignored
+            ("h2", 0, 503, None),     # 5xx without header: not a signal
+            ("h3", 0, 200, None),
+        ],
+        "host string, ts_ms long, status int, retry_after_s long",
+    )
+    out = {r["host"]: r for r in retry_after_schedule(res, now_ms=10_000).collect()}
+    assert out["h1"]["next_eligible_ms"] == 11_000 and not out["h1"]["eligible_now"]
+    assert out["h1"]["n_throttle_signals"] == 2
+    assert out["h2"]["n_throttle_signals"] == 0 and out["h2"]["eligible_now"]
+    assert out["h3"]["next_eligible_ms"] == 0 and out["h3"]["eligible_now"]
+
+
+def test_age_boosted_priority_cap_and_rerank(spark):
+    """Boost floors at per-aging_ms steps, caps at max_boost, never
+    negative; an old low-priority URL overtakes a fresh higher one."""
+    from delphi_crawler_spark.operators.politeness import age_boosted_priority
+
+    fr = spark.createDataFrame(
+        [
+            ("h", 3, 10_000, 1),  # fresh (age 0): eff 3
+            ("h", 1, 0, 2),       # age 10_000 = 10 steps -> capped +3: eff 4
+            ("h", 2, 7_000, 3),   # age 3000 -> +3 steps? 3000/1000=3: eff 5
+            ("h", 0, 10_500, 4),  # future discovery (clock skew): boost 0
+        ],
+        "host string, priority int, discovery_ts long, seq long",
+    )
+    out = {
+        r["seq"]: r
+        for r in age_boosted_priority(fr, now_ms=10_000, aging_ms=1000, max_boost=3).collect()
+    }
+    assert out[1]["age_boost"] == 0 and out[1]["eff_priority"] == 3
+    assert out[2]["age_boost"] == 3 and out[2]["eff_priority"] == 4
+    assert out[3]["age_boost"] == 3 and out[3]["eff_priority"] == 5
+    assert out[4]["age_boost"] == 0 and out[4]["eff_priority"] == 0
+    assert [out[s]["host_rank"] for s in (3, 2, 1, 4)] == [1, 2, 3, 4]
