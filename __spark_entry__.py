@@ -3923,6 +3923,80 @@ def q_p24_age_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g2_pld_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLD-grain web-graph contraction (Common Crawl host→PLD reduction):
+    host edges fold to registrable-domain pairs via the codegen PSL
+    match, intra-domain navigation edges dropped, one hash-agg emits
+    (n_links, n_src_hosts). Hosts synthesized with known PLDs (www/api/
+    cdn subdomains of siteK.com + github.io private-registry users) so
+    the oracle derives domains directly while the engine runs the real
+    suffix matcher."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.graph import pld_graph_contract
+
+    docs = _t(spark, sf_dir, "documents")
+    sa = (F.col("doc_id") % 23).cast("string")
+    da = ((F.col("doc_id") * 7) % 23).cast("string")
+    src = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("www.site"), sa, F.lit(".com")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("api.site"), sa, F.lit(".com")))
+        .otherwise(F.concat(F.lit("u"), (F.col("doc_id") % 31).cast("string"), F.lit(".github.io")))
+    )
+    dst = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.lit("www.site"), da, F.lit(".com"))
+    ).otherwise(F.concat(F.lit("cdn.site"), da, F.lit(".com")))
+    edges = docs.select(src.alias("src_host"), dst.alias("dst_host"))
+    return pld_graph_contract(edges)
+
+
+def q_r9_sitemap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap <lastmod> incremental recrawl plan (sitemaps.org protocol):
+    fetch-new / refetch (stale or lastmod absent) / skip per sitemap URL.
+    One url equi-join + JVM action projection; the skip majority never
+    reaches the fetcher."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.recrawl import sitemap_delta_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://s/p"), F.col("doc_id").cast("string"))
+    sitemap = docs.select(
+        url.alias("url"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise((F.col("doc_id") % 100) * 1000)
+        .alias("lastmod_ms"),
+    )
+    store = docs.filter(F.col("doc_id") % 3 != 0).select(
+        url.alias("url"), ((F.col("doc_id") % 70) * 1000).alias("fetched_ms")
+    )
+    return sitemap_delta_plan(sitemap, store)
+
+
+def q_f9_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-semantics blocklist gate: blocked entry bans host + all
+    subdomains via the bounded suffix-chain explode + broadcast equi-join
+    (never LIKE). Longest match wins deterministically; near-miss hosts
+    ('notblockedK.com') must stay clean — the case substring matching
+    gets wrong."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.domains import blocklist_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    k7 = (F.col("doc_id") % 7).cast("string")
+    k11 = (F.col("doc_id") % 11).cast("string")
+    host = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("a.b.blocked"), k7, F.lit(".com")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("blocked"), k7, F.lit(".com")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("notblocked"), k7, F.lit(".com")))
+        .otherwise(F.concat(F.lit("x.sub"), k11, F.lit(".org")))
+    )
+    frontier = docs.select(F.col("doc_id").cast(BIG).alias("doc_id"), host.alias("host"))
+    blocked = spark.createDataFrame(
+        [("blocked0.com",), ("blocked1.com",), ("blocked2.com",), ("sub3.org",), ("b.blocked4.com",)],
+        ["domain"],
+    )
+    return blocklist_gate(frontier, blocked)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -4086,6 +4160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p22_rate_audit": q_p22_rate_audit,
         "p23_retry_after": q_p23_retry_after,
         "p24_age_boost": q_p24_age_boost,
+        "g2_pld_contract": q_g2_pld_contract,
+        "r9_sitemap_delta": q_r9_sitemap_delta,
+        "f9_blocklist_gate": q_f9_blocklist_gate,
     }
 
 
@@ -6901,6 +6978,63 @@ SELECT host, seq, priority, age_boost::BIGINT AS age_boost,
   ROW_NUMBER() OVER (PARTITION BY host
     ORDER BY (priority + age_boost) DESC, discovery_ts ASC, seq ASC)::BIGINT AS host_rank
 FROM b
+"""
+
+    o["g2_pld_contract"] = """
+WITH e AS (
+  SELECT
+    CASE WHEN doc_id % 3 = 0 THEN 'www.site' || (doc_id % 23) || '.com'
+         WHEN doc_id % 3 = 1 THEN 'api.site' || (doc_id % 23) || '.com'
+         ELSE 'u' || (doc_id % 31) || '.github.io' END AS src_host,
+    CASE WHEN doc_id % 3 IN (0, 1) THEN 'site' || (doc_id % 23) || '.com'
+         ELSE 'u' || (doc_id % 31) || '.github.io' END AS src_domain,
+    'site' || ((doc_id * 7) % 23) || '.com' AS dst_domain
+  FROM documents)
+SELECT src_domain, dst_domain, COUNT(*)::BIGINT AS n_links,
+       COUNT(DISTINCT src_host)::BIGINT AS n_src_hosts
+FROM e WHERE src_domain <> dst_domain
+GROUP BY src_domain, dst_domain
+"""
+
+    o["r9_sitemap_delta"] = """
+WITH sm AS (
+  SELECT 'https://s/p' || doc_id AS url,
+         CASE WHEN doc_id % 5 = 0 THEN NULL
+              ELSE (doc_id % 100) * 1000 END AS lastmod_ms
+  FROM documents),
+st AS (
+  SELECT 'https://s/p' || doc_id AS url, (doc_id % 70) * 1000 AS fetched_ms
+  FROM documents WHERE doc_id % 3 <> 0)
+SELECT sm.url,
+  COALESCE(sm.lastmod_ms, -1)::BIGINT AS lastmod_ms,
+  COALESCE(st.fetched_ms, -1)::BIGINT AS fetched_ms,
+  CASE WHEN st.fetched_ms IS NULL THEN 'fetch-new'
+       WHEN sm.lastmod_ms IS NULL OR sm.lastmod_ms > st.fetched_ms THEN 'refetch'
+       ELSE 'skip' END AS action
+FROM sm LEFT JOIN st USING (url)
+"""
+
+    o["f9_blocklist_gate"] = """
+WITH h AS (
+  SELECT doc_id::BIGINT AS doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN 'a.b.blocked' || (doc_id % 7) || '.com'
+         WHEN doc_id % 4 = 1 THEN 'blocked' || (doc_id % 7) || '.com'
+         WHEN doc_id % 4 = 2 THEN 'notblocked' || (doc_id % 7) || '.com'
+         ELSE 'x.sub' || (doc_id % 11) || '.org' END AS host
+  FROM documents),
+s AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(string_split(host, '.')) + 1),
+    k -> array_to_string(string_split(host, '.')[len(string_split(host, '.')) - k + 1
+         : len(string_split(host, '.'))], '.'))) AS sfx
+  FROM h),
+m AS (
+  SELECT doc_id, sfx,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+           ORDER BY length(sfx) DESC, sfx DESC) AS rn
+  FROM s
+  WHERE sfx IN ('blocked0.com','blocked1.com','blocked2.com','sub3.org','b.blocked4.com'))
+SELECT h.doc_id, h.host, m.sfx AS matched_suffix, m.sfx IS NOT NULL AS is_blocked
+FROM h LEFT JOIN (SELECT doc_id, sfx FROM m WHERE rn = 1) m USING (doc_id)
 """
 
     return o

@@ -432,6 +432,28 @@ def template_segments_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return template_segments(docs, seg_words=5, min_ratio=0.5, min_docs=2)
 
 
+def ip_queue_schedule_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queue-by-IP politeness over a 2M-URL frontier: 100k hosts folded
+    onto 8k IPs (12.5 vhosts/IP) — broadcast host→ip dim + per-IP
+    min-budget fold, then the single queue_key window. The coarser key
+    concentrates rows ~12x per window partition vs host-grain P1."""
+    from delphi_crawler_spark.operators.politeness import ip_queue_slots
+
+    d = F.col("id")
+    fr = spark.range(2_000_000).select(
+        F.concat(F.lit("h"), F.pmod(d * 2654435761, F.lit(100_000))).alias("host"),
+        F.pmod(d, F.lit(10)).cast("int").alias("priority"),
+        (d * 37 % 1_000_000).alias("discovery_ts"),
+        d.alias("seq"),
+    )
+    hosts = spark.range(100_000).select(F.concat(F.lit("h"), F.col("id")).alias("host"))
+    host_ip = hosts.select(
+        "host",
+        F.concat(F.lit("ip"), F.pmod(F.xxhash64("host"), F.lit(8_000))).alias("ip"),
+    )
+    return ip_queue_slots(fr, host_ip)
+
+
 BENCH_QUERIES = {
     "crawl_schedule": crawl_schedule,
     "bloom_incremental_update": bloom_incremental_update,
@@ -468,6 +490,7 @@ BENCH_QUERIES = {
     "kmeans_lloyd": kmeans_lloyd_200k,
     "ucb_priority": ucb_priority_2m,
     "template_segments": template_segments_200k,
+    "ip_queue_schedule": ip_queue_schedule_2m,
 }
 
 

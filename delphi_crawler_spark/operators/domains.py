@@ -60,3 +60,54 @@ def registrable_domain(host: Column) -> Column:
         .when(n >= 2, tail(2))  # unknown TLD: ICANN default suffix = 1 label
         .otherwise(h)
     )
+
+
+def blocklist_gate(frontier, blocked, host_col: str = "host"):
+    """Suffix-semantics blocklist: a blocked entry ``example.com`` bans the
+    exact host AND every subdomain (``a.b.example.com``) — the matching
+    rule every public crawler blocklist (ad-block style, crawler opt-out
+    lists) uses. Substring/LIKE matching is both wrong (``notexample.com``
+    must NOT match) and unscalable (no equi-join); the correct shape is
+    the bounded SUFFIX CHAIN: a host of n labels has exactly n candidate
+    suffixes, so explode them and equi-join the (small, broadcast)
+    blocklist.
+
+    Output: one row per frontier row — ``is_blocked`` and
+    ``matched_suffix`` (the LONGEST matching entry, deterministic; null
+    when clean). Downstream gates filter ``~is_blocked``; keeping blocked
+    rows visible (not silently dropping) is the audit requirement.
+
+    Scale shape: suffix explode is narrow (≤ label-count rows per host,
+    web hosts ~3-6); the join is a broadcast equi-join on the suffix
+    string; the longest-match fold is one max(struct) hash-agg on the
+    frontier key, re-joined broadcast-left. No frontier-sized shuffle
+    when the hit set is small (the usual case).
+
+    Reference parity: none needed by the reference (single trusted
+    upstream); web-tier legal/ethical gating, sibling of the robots gate.
+
+    ``blocked``: DataFrame with column ``domain`` (lowercase registrable
+    or deeper suffixes).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401 (signature clarity)
+
+    labels = F.split(F.lower(F.col(host_col)), r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda k: F.concat_ws(".", F.slice(labels, -k, k)),
+    )
+    keyed = frontier.withColumn("__sfx", suffixes)
+    hits = (
+        keyed.select(F.col(host_col).alias("__h"), F.explode("__sfx").alias("sfx"))
+        .join(F.broadcast(blocked.select(F.col("domain").alias("sfx"))), "sfx")
+        .groupBy("__h")
+        .agg(F.max(F.struct(F.length("sfx").alias("l"), F.col("sfx"))).alias("m"))
+        .select("__h", F.col("m.sfx").alias("matched_suffix"))
+    )
+    return (
+        keyed.drop("__sfx")
+        .join(F.broadcast(hits), F.col(host_col) == F.col("__h"), "left")
+        .drop("__h")
+        .withColumn("is_blocked", F.col("matched_suffix").isNotNull())
+    )

@@ -278,3 +278,58 @@ def conditional_fetch_plan(
             F.sum("_save").cast("bigint").alias("revalidatable_bytes"),
         )
     )
+
+
+def sitemap_delta_plan(
+    sitemap: DataFrame,
+    store: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Incremental recrawl plan from sitemap <lastmod> vs the stored fetch
+    time — the sitemaps-protocol contract (sitemaps.org; RFC-adjacent
+    public spec) that lets a crawler skip the unchanged majority of a
+    site without touching it:
+
+    - ``fetch-new``  — URL in the sitemap, never stored;
+    - ``refetch``    — stored copy older than lastmod, OR lastmod absent
+      (freshness unprovable: the spec makes lastmod optional, and a
+      planner that "skips" unverifiable URLs silently goes stale);
+    - ``skip``       — stored copy at or after lastmod — no fetch needed.
+
+    Output per sitemap URL: action, ``lastmod_ms`` (-1 when absent),
+    ``fetched_ms`` (-1 when new) — store-only URLs are deletion
+    candidates for ``snapshot_diff``, not this planner's rows.
+
+    Scale shape: one equi-join on url (sort-merge at corpus scale; the
+    store side is the big one and arrives bucketed by url_hash from the
+    table layout) + a pure JVM action projection. The skip majority
+    never reaches the fetcher — the whole point.
+
+    Reference parity: the reference re-reads its full index each round;
+    lastmod-delta planning is the web-tier incremental path (SURVEY
+    §2.10), composing with ``conditional_fetch_plan`` (ETag/IMS) for the
+    URLs this planner does send to fetch.
+    """
+    sm = sitemap.select(
+        F.col(url_col).alias("url"),
+        F.col("lastmod_ms").cast("long").alias("lastmod_ms"),
+    )
+    st = store.select(
+        F.col(url_col).alias("url"),
+        F.col("fetched_ms").cast("long").alias("fetched_ms"),
+    )
+    j = sm.join(st, "url", "left")
+    action = (
+        F.when(F.col("fetched_ms").isNull(), F.lit("fetch-new"))
+        .when(
+            F.col("lastmod_ms").isNull() | (F.col("lastmod_ms") > F.col("fetched_ms")),
+            F.lit("refetch"),
+        )
+        .otherwise(F.lit("skip"))
+    )
+    return j.select(
+        "url",
+        F.coalesce("lastmod_ms", F.lit(-1)).cast("long").alias("lastmod_ms"),
+        F.coalesce("fetched_ms", F.lit(-1)).cast("long").alias("fetched_ms"),
+        action.alias("action"),
+    )

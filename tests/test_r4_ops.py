@@ -311,3 +311,65 @@ def test_age_boosted_priority_cap_and_rerank(spark):
     assert out[3]["age_boost"] == 3 and out[3]["eff_priority"] == 5
     assert out[4]["age_boost"] == 0 and out[4]["eff_priority"] == 0
     assert [out[s]["host_rank"] for s in (3, 2, 1, 4)] == [1, 2, 3, 4]
+
+
+def test_pld_graph_contract_folds_and_drops_intra(spark):
+    """Subdomains fold to one PLD, intra-domain edges drop, n_src_hosts
+    counts distinct linking hosts."""
+    from delphi_crawler_spark.operators.graph import pld_graph_contract
+
+    edges = spark.createDataFrame(
+        [
+            ("www.a.com", "www.b.com"),
+            ("api.a.com", "cdn.b.com"),   # same PLD pair, different hosts
+            ("www.a.com", "img.b.com"),   # repeat host
+            ("www.a.com", "api.a.com"),   # intra-domain: dropped
+            ("u1.github.io", "www.a.com"),
+        ],
+        ["src_host", "dst_host"],
+    )
+    out = {(r["src_domain"], r["dst_domain"]): r for r in pld_graph_contract(edges).collect()}
+    assert out[("a.com", "b.com")]["n_links"] == 3
+    assert out[("a.com", "b.com")]["n_src_hosts"] == 2
+    assert out[("u1.github.io", "a.com")]["n_links"] == 1
+    assert ("a.com", "a.com") not in out
+
+
+def test_sitemap_delta_plan_actions(spark):
+    """fetch-new / refetch (stale + lastmod-absent) / skip, with exact
+    sentinel -1 fills."""
+    from delphi_crawler_spark.operators.recrawl import sitemap_delta_plan
+
+    sm = spark.createDataFrame(
+        [("u1", 100), ("u2", 100), ("u3", None), ("u4", 100)],
+        "url string, lastmod_ms long",
+    )
+    st = spark.createDataFrame(
+        [("u2", 50), ("u3", 500), ("u4", 100)], "url string, fetched_ms long"
+    )
+    out = {r["url"]: r for r in sitemap_delta_plan(sm, st).collect()}
+    assert out["u1"]["action"] == "fetch-new" and out["u1"]["fetched_ms"] == -1
+    assert out["u2"]["action"] == "refetch"    # 100 > 50
+    assert out["u3"]["action"] == "refetch" and out["u3"]["lastmod_ms"] == -1
+    assert out["u4"]["action"] == "skip"       # lastmod == fetched
+
+
+def test_blocklist_gate_suffix_semantics(spark):
+    """Subdomains of a blocked entry are blocked; lookalike substrings are
+    not; longest matching suffix wins."""
+    from delphi_crawler_spark.operators.domains import blocklist_gate
+
+    fr = spark.createDataFrame(
+        [(1, "bad.com"), (2, "a.b.bad.com"), (3, "notbad.com"),
+         (4, "deep.evil.bad.com"), (5, "clean.org")],
+        ["seq", "host"],
+    )
+    blocked = spark.createDataFrame(
+        [("bad.com",), ("evil.bad.com",)], ["domain"]
+    )
+    out = {r["seq"]: r for r in blocklist_gate(fr, blocked).collect()}
+    assert out[1]["is_blocked"] and out[1]["matched_suffix"] == "bad.com"
+    assert out[2]["is_blocked"] and out[2]["matched_suffix"] == "bad.com"
+    assert not out[3]["is_blocked"] and out[3]["matched_suffix"] is None
+    assert out[4]["matched_suffix"] == "evil.bad.com"  # longest wins
+    assert not out[5]["is_blocked"]
