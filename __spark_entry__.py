@@ -3997,6 +3997,35 @@ def q_f9_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_gate(frontier, blocked)
 
 
+def q_c1e_dust_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST parameter learning (Bar-Yossef WWW'07): per (host, param),
+    classify query parameters as content-irrelevant from digest evidence
+    over residual groups (URLs differing ONLY in that param). Synthetic
+    URL space: id drives content (relevant); utm and sess never do
+    (irrelevant). JVM higher-order explode + two hash-aggs sharing one
+    grain prefix — evidence linear in fetched URLs, no pair joins."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.dust import dust_param_relevance
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 5).cast("string"), F.lit(".com"))
+    base = F.concat(F.lit("https://"), host, F.lit("/p"), (d % 20).cast("string"))
+    params = F.create_map(
+        F.lit("id"), (d % 7).cast("string"),
+        F.lit("utm"), (d % 3).cast("string"),
+        F.lit("sess"), (d % 8).cast("string"),
+    )
+    digest = F.md5(
+        F.concat(host, F.lit("|"), (d % 20).cast("string"), F.lit("|"), (d % 7).cast("string"))
+    )
+    pages = docs.select(
+        host.alias("host"), base.alias("base"),
+        params.alias("params"), digest.alias("digest"),
+    )
+    return dust_param_relevance(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -4163,6 +4192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_pld_contract": q_g2_pld_contract,
         "r9_sitemap_delta": q_r9_sitemap_delta,
         "f9_blocklist_gate": q_f9_blocklist_gate,
+        "c1e_dust_params": q_c1e_dust_params,
     }
 
 
@@ -7035,6 +7065,50 @@ m AS (
   WHERE sfx IN ('blocked0.com','blocked1.com','blocked2.com','sub3.org','b.blocked4.com'))
 SELECT h.doc_id, h.host, m.sfx AS matched_suffix, m.sfx IS NOT NULL AS is_blocked
 FROM h LEFT JOIN (SELECT doc_id, sfx FROM m WHERE rn = 1) m USING (doc_id)
+"""
+
+    # DUST parameter relevance: the three params have literal names, so the
+    # per-param residual (URL minus that param, others sorted by name:
+    # id < sess < utm) is written out explicitly instead of via map ops.
+    o["c1e_dust_params"] = """
+WITH pages AS (
+  SELECT 'h' || (doc_id % 5) || '.com' AS host,
+         'https://h' || (doc_id % 5) || '.com/p' || (doc_id % 20) AS base,
+         (doc_id % 7)::VARCHAR AS v_id,
+         (doc_id % 3)::VARCHAR AS v_utm,
+         (doc_id % 8)::VARCHAR AS v_sess,
+         md5('h' || (doc_id % 5) || '.com|' || (doc_id % 20) || '|' || (doc_id % 7)) AS digest
+  FROM documents),
+exploded AS (
+  SELECT host, 'id' AS param,
+         base || '?sess=' || v_sess || '&utm=' || v_utm AS residual, digest
+  FROM pages
+  UNION ALL
+  SELECT host, 'sess', base || '?id=' || v_id || '&utm=' || v_utm, digest
+  FROM pages
+  UNION ALL
+  SELECT host, 'utm', base || '?id=' || v_id || '&sess=' || v_sess, digest
+  FROM pages),
+grp AS (
+  SELECT host, param, residual,
+         COUNT(*) AS n_urls, COUNT(DISTINCT digest) AS n_digests
+  FROM exploded GROUP BY host, param, residual),
+ev AS (
+  SELECT host, param,
+         SUM(CASE WHEN n_urls > 1 THEN 1 ELSE 0 END) AS n_groups_multi,
+         SUM(CASE WHEN n_urls > 1 AND n_digests = 1 THEN 1 ELSE 0 END) AS n_groups_clean
+  FROM grp GROUP BY host, param)
+SELECT host, param,
+       n_groups_multi::BIGINT AS n_groups_multi,
+       n_groups_clean::BIGINT AS n_groups_clean,
+       CASE WHEN n_groups_multi > 0
+            THEN ROUND(n_groups_clean / n_groups_multi, 6)
+            ELSE 0.0 END AS clean_ratio,
+       (n_groups_multi >= 2
+        AND CASE WHEN n_groups_multi > 0
+                 THEN ROUND(n_groups_clean / n_groups_multi, 6)
+                 ELSE 0.0 END >= 0.95) AS irrelevant
+FROM ev
 """
 
     return o

@@ -373,3 +373,71 @@ def test_blocklist_gate_suffix_semantics(spark):
     assert not out[3]["is_blocked"] and out[3]["matched_suffix"] is None
     assert out[4]["matched_suffix"] == "evil.bad.com"  # longest wins
     assert not out[5]["is_blocked"]
+
+
+def test_dust_param_relevance_learns_irrelevant_params(spark):
+    """DUST rule learning (Bar-Yossef WWW'07): a param whose multi-member
+    residual groups always share one digest is irrelevant; one
+    counter-example group (digest changes with the param) marks it
+    relevant; params with no multi-member evidence are never marked
+    irrelevant; param ORDER in the residual is normalized (sorted)."""
+    from delphi_crawler_spark.operators.dust import dust_param_relevance
+
+    rows = [
+        # host A: ?sess= never changes content (two clean groups of 2),
+        # ?id= does (one dirty group).
+        ("a.com", "https://a.com/p1", {"id": "1", "sess": "x"}, "D1"),
+        ("a.com", "https://a.com/p1", {"id": "1", "sess": "y"}, "D1"),
+        ("a.com", "https://a.com/p2", {"id": "2", "sess": "x"}, "D2"),
+        ("a.com", "https://a.com/p2", {"id": "2", "sess": "y"}, "D2"),
+        ("a.com", "https://a.com/p3", {"id": "7", "sess": "x"}, "D7"),
+        ("a.com", "https://a.com/p3", {"id": "8", "sess": "x"}, "D8"),
+        # host B: same param name sess IS content-bearing there — evidence
+        # is per-host, so B's verdict must not leak into A's.
+        ("b.com", "https://b.com/q", {"sess": "1"}, "B1"),
+        ("b.com", "https://b.com/q", {"sess": "2"}, "B2"),
+        ("b.com", "https://b.com/q2", {"sess": "1"}, "B3"),
+        ("b.com", "https://b.com/q2", {"sess": "2"}, "B4"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "host string, base string, params map<string,string>, digest string"
+    )
+    out = {
+        (r["host"], r["param"]): r
+        for r in dust_param_relevance(pages, min_groups=2).collect()
+    }
+
+    sess_a = out[("a.com", "sess")]
+    assert sess_a["n_groups_multi"] == 2 and sess_a["n_groups_clean"] == 2
+    assert sess_a["irrelevant"]
+
+    id_a = out[("a.com", "id")]
+    # residual for id strips id and keeps sess: p1/sess=x + p2/sess=x are
+    # different bases, so multi groups are (p3, sess=x) only — dirty.
+    assert id_a["n_groups_multi"] == 1 and id_a["n_groups_clean"] == 0
+    assert not id_a["irrelevant"]
+
+    sess_b = out[("b.com", "sess")]
+    assert sess_b["n_groups_multi"] == 2 and sess_b["n_groups_clean"] == 0
+    assert not sess_b["irrelevant"]
+
+
+def test_dust_residual_normalizes_param_order(spark):
+    """?a=1&b=2 and ?b=2&a=1 collapse to one residual group: map literals
+    with reversed insertion order land in the same group for a third
+    param's evidence."""
+    from delphi_crawler_spark.operators.dust import dust_param_relevance
+
+    pages = spark.createDataFrame(
+        [
+            ("h.com", "https://h.com/p", {"a": "1", "b": "2", "t": "x"}, "D"),
+            ("h.com", "https://h.com/p", {"b": "2", "a": "1", "t": "y"}, "D"),
+        ],
+        "host string, base string, params map<string,string>, digest string",
+    )
+    out = {
+        r["param"]: r
+        for r in dust_param_relevance(pages, min_groups=1).collect()
+    }
+    assert out["t"]["n_groups_multi"] == 1 and out["t"]["n_groups_clean"] == 1
+    assert out["t"]["irrelevant"]
