@@ -4026,6 +4026,31 @@ def q_c1e_dust_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dust_param_relevance(pages)
 
 
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (LBFS SOSP'01 / FastCDC ATC'16
+    lineage): corpus-wide duplicated-chunk table over shift-resistant
+    md5-gated cut points. Pure JVM higher-order expressions; chunk text
+    is digested before the shuffle so only (digest, len) pairs
+    aggregate."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.cdc import cdc_chunk_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_chunk_stats(docs, window=8, mask_hex="0", min_occurrences=2)
+
+
+def q_dedup_cdc_doc_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc passage-duplication ratio from CDC chunks: share of a
+    doc's chunk characters whose digest occurs in >1 document — the
+    decision signal for passage-level dedup policy. Two hash-aggs + one
+    semi-join sharing the digest grain."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.cdc import cdc_doc_dup_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_doc_dup_ratio(docs, window=8, mask_hex="0")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -4193,6 +4218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r9_sitemap_delta": q_r9_sitemap_delta,
         "f9_blocklist_gate": q_f9_blocklist_gate,
         "c1e_dust_params": q_c1e_dust_params,
+        "dedup_cdc_chunks": q_dedup_cdc_chunks,
+        "dedup_cdc_doc_ratio": q_dedup_cdc_doc_ratio,
     }
 
 
@@ -7109,6 +7136,59 @@ SELECT host, param,
                  THEN ROUND(n_groups_clean / n_groups_multi, 6)
                  ELSE 0.0 END >= 0.95) AS irrelevant
 FROM ev
+"""
+
+    # CDC chunking: cut AFTER position i (1-based, i in [8, n-1]) iff
+    # md5 of the trailing 8-char window starts with '0'. DuckDB's
+    # range(a, b) is end-exclusive = Spark's sequence(a, b-1) guard.
+    _CDC_CHUNKS_SQL = """
+WITH b AS (
+  SELECT doc_id, text,
+         length(text) AS n,
+         list_filter(range(8, length(text)),
+                     i -> md5(substr(text, i - 7, 8)) LIKE '0%') AS cands
+  FROM documents
+  WHERE text IS NOT NULL),
+bb AS (
+  SELECT doc_id, text,
+         list_concat(list_concat([0], cands), [n]) AS bounds
+  FROM b),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(bounds)),
+                k -> substr(text, bounds[k] + 1, bounds[k + 1] - bounds[k]))) AS chunk
+  FROM bb)
+SELECT doc_id, md5(chunk) AS chunk_digest,
+       length(chunk)::BIGINT AS chunk_len
+FROM ch WHERE length(chunk) > 0
+"""
+
+    o["dedup_cdc_chunks"] = f"""
+WITH chunks AS ({_CDC_CHUNKS_SQL})
+SELECT chunk_digest, chunk_len,
+       COUNT(*)::BIGINT AS n_occurrences,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+FROM chunks
+GROUP BY chunk_digest, chunk_len
+HAVING COUNT(*) >= 2
+"""
+
+    o["dedup_cdc_doc_ratio"] = f"""
+WITH chunks AS ({_CDC_CHUNKS_SQL}),
+shared AS (
+  SELECT chunk_digest FROM chunks
+  GROUP BY chunk_digest HAVING COUNT(DISTINCT doc_id) > 1),
+tot AS (
+  SELECT doc_id, SUM(chunk_len)::BIGINT AS total_chars
+  FROM chunks GROUP BY doc_id),
+dup AS (
+  SELECT c.doc_id, SUM(c.chunk_len)::BIGINT AS dup_chars
+  FROM chunks c SEMI JOIN shared s ON c.chunk_digest = s.chunk_digest
+  GROUP BY c.doc_id)
+SELECT t.doc_id, t.total_chars,
+       COALESCE(d.dup_chars, 0)::BIGINT AS dup_chars,
+       ROUND(COALESCE(d.dup_chars, 0) / t.total_chars, 6) AS dup_ratio
+FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
 """
 
     return o

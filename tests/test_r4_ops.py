@@ -441,3 +441,74 @@ def test_dust_residual_normalizes_param_order(spark):
     }
     assert out["t"]["n_groups_multi"] == 1 and out["t"]["n_groups_clean"] == 1
     assert out["t"]["irrelevant"]
+
+
+def test_cdc_chunks_shift_resistance(spark):
+    """The CDC property: inserting a prefix only perturbs chunks near
+    the edit — the tail of the document keeps its chunk digests, unlike
+    fixed-size chunking where every downstream boundary moves."""
+    from delphi_crawler_spark.operators.cdc import cdc_chunks
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    body = "".join(rng.choice("abcdefgh ") for _ in range(2000))
+    edited = "INSERTED-PREFIX-" + body
+    df = spark.createDataFrame([(1, body), (2, edited)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["chunks"]
+        for r in df.select(
+            "doc_id", cdc_chunks("text").alias("chunks")
+        ).collect()
+    }
+    d1 = [hashlib.md5(c.encode()).hexdigest() for c in out[1]]
+    d2 = [hashlib.md5(c.encode()).hexdigest() for c in out[2]]
+    # reassembly is lossless
+    assert "".join(out[1]) == body and "".join(out[2]) == edited
+    # the overwhelming majority of original chunks survive the edit
+    shared = set(d1) & set(d2)
+    assert len(shared) >= 0.9 * len(d1), (len(shared), len(d1))
+    # and the suffix of the chunk streams is literally identical
+    k = 0
+    while k < min(len(d1), len(d2)) and d1[-1 - k] == d2[-1 - k]:
+        k += 1
+    assert k >= len(d1) - 3
+
+
+def test_cdc_chunks_short_text_and_min_len(spark):
+    """Texts shorter than window+1 come back as one whole chunk; empty
+    text yields no chunks; min_len suppresses cut points closer than
+    min_len to the previous kept cut (chunks except the last are >= min_len)."""
+    from delphi_crawler_spark.operators.cdc import cdc_chunks
+    import random
+
+    rng = random.Random(11)
+    long = "".join(rng.choice("abcdefgh ") for _ in range(3000))
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, ""), (3, long)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["c0"], r["c32"])
+        for r in df.select(
+            "doc_id",
+            cdc_chunks("text").alias("c0"),
+            cdc_chunks("text", min_len=32).alias("c32"),
+        ).collect()
+    }
+    assert out[1] == (["tiny"], ["tiny"])
+    assert out[2] == ([], [])
+    c0, c32 = out[3]
+    assert "".join(c0) == long and "".join(c32) == long
+    assert all(len(c) >= 32 for c in c32[:-1])
+    # min_len=32 must not produce MORE cuts than the raw rule
+    assert len(c32) <= len(c0)
+    # kept cuts are a subsequence of raw cuts: every c32 boundary is a c0 boundary
+    raw_bounds = set()
+    pos = 0
+    for c in c0:
+        pos += len(c)
+        raw_bounds.add(pos)
+    pos = 0
+    for c in c32:
+        pos += len(c)
+        assert pos in raw_bounds
