@@ -4026,6 +4026,38 @@ def q_c1e_dust_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dust_param_relevance(pages)
 
 
+def q_p25_wfq_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted fair queueing across hosts (SFQ for batch arrivals):
+    virtual finish time k/w per host-local rank k, global emission rank
+    by ascending vfinish — proportional interleave, per-host FIFO
+    preserved. Global rank via attach_global_seq (no partitionless
+    window)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.politeness import wfq_order
+
+    ev = _t(spark, sf_dir, "events")
+    frontier = ev.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string")).alias("host"),
+        F.col("event_id").cast("bigint").alias("seq"),
+    )
+    weights = (
+        ev.select((F.col("user_id") % 50).alias("h"))
+        .distinct()
+        .select(
+            F.concat(F.lit("u"), F.col("h").cast("string")).alias("host"),
+            ((F.col("h") % 4) + 1).cast("double").alias("weight"),
+        )
+    )
+    out = wfq_order(frontier, weights)
+    return out.select(
+        "host",
+        "seq",
+        "weight",
+        F.round(F.col("vfinish"), 6).alias("vfinish"),
+        F.col("emit_seq").cast("bigint").alias("emit_seq"),
+    )
+
+
 def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup (LBFS SOSP'01 / FastCDC ATC'16
     lineage): corpus-wide duplicated-chunk table over shift-resistant
@@ -4220,6 +4252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1e_dust_params": q_c1e_dust_params,
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
         "dedup_cdc_doc_ratio": q_dedup_cdc_doc_ratio,
+        "p25_wfq_schedule": q_p25_wfq_schedule,
     }
 
 
@@ -7189,6 +7222,26 @@ SELECT t.doc_id, t.total_chars,
        COALESCE(d.dup_chars, 0)::BIGINT AS dup_chars,
        ROUND(COALESCE(d.dup_chars, 0) / t.total_chars, 6) AS dup_ratio
 FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
+"""
+
+    # WFQ: vfinish = host-local rank / weight; global rank orders by the
+    # raw double (IEEE-identical k/w in both engines), host+seq tiebreak.
+    o["p25_wfq_schedule"] = """
+WITH fr AS (
+  SELECT 'u' || (user_id % 50) AS host, event_id::BIGINT AS seq FROM events),
+wt AS (
+  SELECT DISTINCT 'u' || (user_id % 50) AS host,
+         ((user_id % 50) % 4 + 1)::DOUBLE AS weight
+  FROM events),
+k AS (
+  SELECT fr.host, fr.seq, wt.weight,
+         ROW_NUMBER() OVER (PARTITION BY fr.host ORDER BY fr.seq) AS k
+  FROM fr JOIN wt ON fr.host = wt.host),
+v AS (
+  SELECT host, seq, weight, k / weight AS vf FROM k)
+SELECT host, seq, weight, ROUND(vf, 6) AS vfinish,
+       ROW_NUMBER() OVER (ORDER BY vf, host, seq)::BIGINT AS emit_seq
+FROM v
 """
 
     return o

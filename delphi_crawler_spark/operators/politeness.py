@@ -617,3 +617,64 @@ def age_boosted_priority(
         F.col("eff_priority").desc(), F.col("discovery_ts").asc(), F.col("seq").asc()
     )
     return boosted.withColumn("host_rank", F.row_number().over(w))
+
+
+def wfq_order(
+    frontier: DataFrame,
+    weights: DataFrame,
+    host_col: str = "host",
+    seq_col: str = "seq",
+    weight_col: str = "weight",
+    cost_col: str | None = None,
+) -> DataFrame:
+    """Weighted fair queueing across hosts (start-time fair queueing for a
+    batch arrival: Demers/Keshav/Shenker SIGCOMM'89, Goyal SIGCOMM'96):
+    the k-th request of host h (in host-local ``seq`` order) gets virtual
+    finish time ``F = C_k / w_h`` where ``C_k`` is the cumulative cost of
+    h's first k requests (unit cost unless ``cost_col``) and ``w_h`` is
+    h's weight. Emitting by ascending ``F`` interleaves hosts
+    proportionally to their weights — the fairness guarantee a frontier
+    needs so one high-priority megahost cannot monopolize fetch slots
+    while (unlike a hard round-robin) still giving weighted preference.
+
+    Complements the quota-based ``apportion_budget`` (how MANY per host
+    per round) by fixing the ORDER within the round; with equal weights
+    it degrades to exact round-robin, preserving per-host FIFO (P3).
+
+    Hosts missing from ``weights`` (or with null/non-positive weight)
+    default to weight 1.
+
+    Scale shape: one host-partitioned window (cumulative cost), one join
+    on host (AQE picks broadcast when the weight side is small), and the
+    global emission rank via ``attach_global_seq`` — range partition +
+    partition-local sort, NO partitionless window, parallelism-invariant
+    because (vfinish, host, seq) is a total order. Returns the frame with
+    ``weight``, ``vfinish`` (double) and ``emit_seq`` (1-based global
+    rank); ``release()`` hook attached as ``_release_wfq``.
+    """
+    from delphi_crawler_spark.operators.ordering import attach_global_seq
+
+    w = Window.partitionBy(host_col).orderBy(F.col(seq_col).asc())
+    if cost_col is None:
+        cum = F.row_number().over(w).cast("double")
+    else:
+        cum = (
+            F.sum(F.col(cost_col).cast("double"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        )
+    wt = F.col(weight_col).cast("double")
+    safe_w = F.when(wt.isNotNull() & (wt > 0), wt).otherwise(F.lit(1.0))
+    # one weight per host even if the weight table carries duplicates
+    # (max wins, deterministic) — a duplicated dim row must never
+    # multiply frontier rows.
+    dim = weights.groupBy(host_col).agg(F.max(wt).alias(weight_col))
+    joined = frontier.join(dim, host_col, "left").select(
+        *[F.col(c) for c in frontier.columns],
+        safe_w.alias("weight"),
+    )
+    vf = joined.withColumn("vfinish", cum / F.col("weight"))
+    ranked, release = attach_global_seq(
+        vf, order=["vfinish", host_col, seq_col], seq_col="emit_seq"
+    )
+    ranked._release_wfq = release  # type: ignore[attr-defined]
+    return ranked

@@ -512,3 +512,37 @@ def test_cdc_chunks_short_text_and_min_len(spark):
     for c in c32:
         pos += len(c)
         assert pos in raw_bounds
+
+
+def test_wfq_proportional_interleave(spark):
+    """WFQ with weights 3:1 gives the heavy host ~3/4 of every prefix;
+    per-host FIFO is preserved; hosts missing from the weight table (or
+    with bad weights) default to 1; duplicate weight rows don't multiply
+    frontier rows."""
+    from delphi_crawler_spark.operators.politeness import wfq_order
+
+    rows = [("a", i) for i in range(120)] + [("b", 1000 + i) for i in range(120)]
+    rows += [("c", 2000 + i) for i in range(40)]  # not in weight table
+    frontier = spark.createDataFrame(rows, ["host", "seq"])
+    weights = spark.createDataFrame(
+        [("a", 3.0), ("b", 1.0), ("b", 1.0), ("x", -5.0)], ["host", "weight"]
+    )
+    out = wfq_order(frontier, weights)
+    rowsc = out.orderBy("emit_seq").collect()
+    assert len(rowsc) == 280  # duplicate dim row didn't multiply
+    # fairness: in the first 4k emissions restricted to {a,b}, a gets ~3k
+    ab = [r for r in rowsc if r["host"] in ("a", "b")]
+    for k in (40, 80, 120):
+        prefix = ab[:k]
+        na = sum(1 for r in prefix if r["host"] == "a")
+        assert abs(na - 0.75 * k) <= 2, (k, na)
+    # per-host FIFO: seq increases within each host along emit order
+    for h in ("a", "b", "c"):
+        seqs = [r["seq"] for r in rowsc if r["host"] == h]
+        assert seqs == sorted(seqs)
+    # default weight for c is 1.0 and negative weight never propagates
+    assert all(r["weight"] == 1.0 for r in rowsc if r["host"] == "c")
+    # equal-weight degradation: b (w=1) and c (w=1) alternate in their
+    # joint substream while both have pending work
+    bc = [r["host"] for r in rowsc if r["host"] in ("b", "c")][:80]
+    assert bc.count("b") == 40 and bc.count("c") == 40
