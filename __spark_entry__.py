@@ -4058,6 +4058,27 @@ def q_p25_wfq_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_r10_refresh_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho & Garcia-Molina freshness-optimal revisit allocation: exact
+    discrete greedy over marginal freshness gains (concave F ⇒ top-B
+    gains = optimum). 500 pages, 9 distinct Poisson rates, budget 400,
+    ≤8 visits/page. Non-proportional: fastest-changing pages get fewer
+    visits than mid-rate ones."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.recrawl import refresh_allocation
+
+    ev = _t(spark, sf_dir, "events")
+    pages = (
+        ev.select((F.col("user_id") % 500).alias("u"))
+        .distinct()
+        .select(
+            F.concat(F.lit("u"), F.col("u").cast("string")).alias("url"),
+            (((F.col("u") % 9) + 1).cast("double") / F.lit(2.0)).alias("change_rate"),
+        )
+    )
+    return refresh_allocation(pages, budget=400, max_per_page=8)
+
+
 def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup (LBFS SOSP'01 / FastCDC ATC'16
     lineage): corpus-wide duplicated-chunk table over shift-resistant
@@ -4253,6 +4274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
         "dedup_cdc_doc_ratio": q_dedup_cdc_doc_ratio,
         "p25_wfq_schedule": q_p25_wfq_schedule,
+        "r10_refresh_allocation": q_r10_refresh_allocation,
     }
 
 
@@ -7242,6 +7264,39 @@ v AS (
 SELECT host, seq, weight, ROUND(vf, 6) AS vfinish,
        ROW_NUMBER() OVER (ORDER BY vf, host, seq)::BIGINT AS emit_seq
 FROM v
+"""
+
+    # Refresh allocation: greedy top-B marginal freshness gains,
+    # gain = F(lam,k) - F(lam,k-1), F(lam,f) = (f/lam)(1 - exp(-lam/f)).
+    o["r10_refresh_allocation"] = """
+WITH pages AS (
+  SELECT DISTINCT 'u' || (user_id % 500) AS url,
+         (((user_id % 500) % 9) + 1)::DOUBLE / 2.0 AS lam
+  FROM events),
+cand AS (
+  SELECT url, lam, k::DOUBLE AS kd, k
+  FROM pages, unnest(range(1, 9)) AS t(k)),
+g AS (
+  SELECT url, lam, k,
+         ROUND((kd / lam) * (1 - exp(-lam / kd))
+               - CASE WHEN k = 1 THEN 0.0
+                      ELSE ((kd - 1) / lam) * (1 - exp(-lam / (kd - 1))) END,
+               9) AS gain
+  FROM cand),
+taken AS (
+  SELECT url, k,
+         ROW_NUMBER() OVER (ORDER BY gain DESC, url ASC, k ASC) AS rn
+  FROM g),
+alloc AS (
+  SELECT url, COUNT(*)::BIGINT AS visits
+  FROM taken WHERE rn <= 400 GROUP BY url)
+SELECT p.url, p.lam AS change_rate,
+       COALESCE(a.visits, 0)::BIGINT AS visits,
+       CASE WHEN COALESCE(a.visits, 0) > 0
+            THEN ROUND((COALESCE(a.visits, 0) / p.lam)
+                       * (1 - exp(-p.lam / COALESCE(a.visits, 0))), 6)
+            ELSE 0.0 END AS freshness
+FROM pages p LEFT JOIN alloc a ON p.url = a.url
 """
 
     return o

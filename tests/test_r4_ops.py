@@ -546,3 +546,49 @@ def test_wfq_proportional_interleave(spark):
     # joint substream while both have pending work
     bc = [r["host"] for r in rowsc if r["host"] in ("b", "c")][:80]
     assert bc.count("b") == 40 and bc.count("c") == 40
+
+
+def test_refresh_allocation_greedy_optimal_and_nonproportional(spark):
+    """Cho & Garcia-Molina structure: (1) sum(visits) == budget exactly;
+    (2) the allocation matches a brute-force greedy oracle; (3) it is
+    NON-proportional — the fastest-changing page gets no more visits
+    than a mid-rate page when the budget is tight; (4) lam <= 0 pages
+    are excluded with visits 0."""
+    import math
+
+    from delphi_crawler_spark.operators.recrawl import refresh_allocation
+
+    rates = [0.1, 0.5, 1.0, 2.0, 8.0, 32.0, 0.0, -1.0]
+    pages = spark.createDataFrame(
+        [(f"p{i}", r) for i, r in enumerate(rates)], ["url", "change_rate"]
+    )
+    budget, kmax = 10, 6
+    out = {
+        r["url"]: r
+        for r in refresh_allocation(pages, budget=budget, max_per_page=kmax).collect()
+    }
+
+    def fresh(lam, f):
+        return 0.0 if f == 0 else (f / lam) * (1 - math.exp(-lam / f))
+
+    # brute-force greedy over the same candidate space
+    cands = []
+    for i, lam in enumerate(rates):
+        if lam <= 0:
+            continue
+        for k in range(1, kmax + 1):
+            cands.append(
+                (round(fresh(lam, k) - fresh(lam, k - 1), 9), f"p{i}", k)
+            )
+    cands.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want: dict[str, int] = {}
+    for _, u, _k in cands[:budget]:
+        want[u] = want.get(u, 0) + 1
+    for i, lam in enumerate(rates):
+        u = f"p{i}"
+        expect = 0 if lam <= 0 else want.get(u, 0)
+        assert out[u]["visits"] == expect, (u, lam, out[u]["visits"], expect)
+        assert abs(out[u]["freshness"] - round(fresh(lam, out[u]["visits"]), 6)) < 1e-9 or lam <= 0
+    assert sum(r["visits"] for r in out.values()) == budget
+    # non-proportionality: lam=32 gets fewer visits than lam=1
+    assert out["p5"]["visits"] < out["p2"]["visits"]
