@@ -4079,6 +4079,27 @@ def q_r10_refresh_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refresh_allocation(pages, budget=400, max_per_page=8)
 
 
+def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
+    terms (deterministic: count desc, term asc): the tokenizer-fit
+    signal. Explode → broadcast vocab join → one per-doc hash-agg."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.corpus import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = (
+        toks.groupBy("term")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("term").asc())
+        .limit(40)
+        .select("term")
+    )
+    return vocab_coverage(docs, vocab)
+
+
 def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup (LBFS SOSP'01 / FastCDC ATC'16
     lineage): corpus-wide duplicated-chunk table over shift-resistant
@@ -4275,6 +4296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cdc_doc_ratio": q_dedup_cdc_doc_ratio,
         "p25_wfq_schedule": q_p25_wfq_schedule,
         "r10_refresh_allocation": q_r10_refresh_allocation,
+        "corpus_vocab_coverage": q_corpus_vocab_coverage,
     }
 
 
@@ -7297,6 +7319,28 @@ SELECT p.url, p.lam AS change_rate,
                        * (1 - exp(-p.lam / COALESCE(a.visits, 0))), 6)
             ELSE 0.0 END AS freshness
 FROM pages p LEFT JOIN alloc a ON p.url = a.url
+"""
+
+    o["corpus_vocab_coverage"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents),
+toks2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+vocab AS (
+  SELECT token FROM toks2 GROUP BY token
+  ORDER BY COUNT(*) DESC, token ASC LIMIT 40),
+flagged AS (
+  SELECT t.doc_id, t.token, v.token IS NOT NULL AS in_vocab
+  FROM toks2 t LEFT JOIN vocab v ON t.token = v.token)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_tokens,
+       SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END)::BIGINT AS n_oov,
+       ROUND(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) / COUNT(*), 6) AS oov_rate,
+       COUNT(DISTINCT token)::BIGINT AS n_types,
+       COUNT(DISTINCT CASE WHEN in_vocab THEN NULL ELSE token END)::BIGINT AS n_oov_types,
+       ROUND(COUNT(DISTINCT token) / COUNT(*), 6) AS type_token_ratio
+FROM flagged
+GROUP BY doc_id
 """
 
     return o

@@ -487,3 +487,51 @@ def dsir_select(
         .where(F.col("sel_rank") <= k)
         .select(group_col, id_col, "n_tokens", "avg_logratio", "sel_rank")
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Per-doc vocabulary coverage vs a reference vocab — the
+    tokenizer-fit signal of a training-data pipeline (high OOV rate ⇒
+    the doc is mis-languaged, mis-encoded, or out-of-domain for the
+    tokenizer; type/token ratio adds a lexical-diversity prior).
+
+    Output per doc (docs with ≥1 token): ``n_tokens`` (occurrences),
+    ``n_oov`` (occurrences not in vocab), ``oov_rate``, ``n_types``
+    (distinct tokens), ``n_oov_types``, ``type_token_ratio``.
+
+    Scale shape: one explode → one join against the vocab dim (hinted
+    broadcast — tokenizer vocabs are ≤ a few hundred k terms; drop the
+    hint for corpus-derived mega-vocabs and AQE falls back to shuffle)
+    → one per-doc hash-agg with map-side partials. Tokenization is the
+    house rule: ``split(lower(trim(text)), '\\s+')`` — pure JVM.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    dim = vocab.select(F.col(term_col).alias("token")).distinct().withColumn(
+        "_in_vocab", F.lit(1)
+    )
+    flagged = toks.join(F.broadcast(dim), "token", "left")
+    oov = F.col("_in_vocab").isNull()
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(oov, 1).otherwise(0)).alias("n_oov"),
+        F.count_distinct("token").alias("n_types"),
+        F.count_distinct(F.when(oov, F.col("token"))).alias("n_oov_types"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.col("n_oov_types").cast("bigint").alias("n_oov_types"),
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+    )

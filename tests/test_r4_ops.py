@@ -592,3 +592,33 @@ def test_refresh_allocation_greedy_optimal_and_nonproportional(spark):
     assert sum(r["visits"] for r in out.values()) == budget
     # non-proportionality: lam=32 gets fewer visits than lam=1
     assert out["p5"]["visits"] < out["p2"]["visits"]
+
+
+def test_vocab_coverage_counts(spark):
+    """OOV occurrences vs types, case folding, blank handling, and docs
+    with all-OOV text."""
+    from delphi_crawler_spark.operators.corpus import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat and the DOG and the cat"),
+            (2, "zzz qqq zzz"),
+            (3, "   cat   "),
+        ],
+        ["doc_id", "text"],
+    )
+    vocab = spark.createDataFrame([("cat",), ("dog",), ("the",)], ["term"])
+    out = {r["doc_id"]: r for r in vocab_coverage(docs, vocab).collect()}
+
+    r1 = out[1]  # tokens: the cat and the dog and the cat
+    assert r1["n_tokens"] == 8 and r1["n_oov"] == 2  # 'and' twice
+    assert r1["n_types"] == 4 and r1["n_oov_types"] == 1
+    assert abs(r1["oov_rate"] - 0.25) < 1e-9
+    assert abs(r1["type_token_ratio"] - 0.5) < 1e-9
+
+    r2 = out[2]
+    assert r2["n_tokens"] == 3 and r2["n_oov"] == 3 and r2["n_oov_types"] == 2
+    assert r2["oov_rate"] == 1.0
+
+    r3 = out[3]  # trim + blank-split discipline
+    assert r3["n_tokens"] == 1 and r3["n_oov"] == 0
