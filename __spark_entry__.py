@@ -4079,6 +4079,62 @@ def q_r10_refresh_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refresh_allocation(pages, budget=400, max_per_page=8)
 
 
+def q_g3_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k=15, 8 synchronous peel rounds) of a planted-farm graph:
+    a sparse 256-node random part (md5-derived endpoints, 1/4 of events)
+    that cascades away over ~5 rounds, plus a 16-node fully-linked farm
+    (degree 15) that survives — the link-farm density signal. Fixpoint
+    is order-independent (Batagelj), so the identically unrolled SQL
+    twin matches converged or not."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.graph import kcore_membership
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    sparse = ev.filter(F.col("event_id") % 4 == 0).select(
+        F.concat(F.lit("r"), F.substring(F.md5(F.concat(F.lit("s"), eid)), 1, 2)).alias("src"),
+        F.concat(F.lit("r"), F.substring(F.md5(F.concat(F.lit("d"), eid)), 1, 2)).alias("dst"),
+    )
+    farm = ev.select(
+        F.concat(F.lit("f"), F.substring(F.md5(F.concat(F.lit("a"), eid)), 1, 1)).alias("src"),
+        F.concat(F.lit("f"), F.substring(F.md5(F.concat(F.lit("b"), eid)), 1, 1)).alias("dst"),
+    )
+    return kcore_membership(sparse.unionByName(farm), k=15, max_iter=8)
+
+
+def _kcore_oracle_sql(k: int = 22, iters: int = 8) -> str:
+    """Unrolled synchronous k-core peeling — must mirror
+    operators/graph.py:kcore_membership exactly: symmetrized deduped
+    self-loop-free edges; each round keeps nodes with surviving degree
+    >= k and filters edges to kept endpoints."""
+    parts = [
+        "WITH e0x AS ("
+        "SELECT 'r' || substr(md5('s' || event_id), 1, 2) AS s, "
+        "'r' || substr(md5('d' || event_id), 1, 2) AS d "
+        "FROM events WHERE event_id % 4 = 0 "
+        "UNION ALL "
+        "SELECT 'f' || substr(md5('a' || event_id), 1, 1), "
+        "'f' || substr(md5('b' || event_id), 1, 1) FROM events)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT s, d FROM "
+        "(SELECT s, d FROM e0x UNION ALL SELECT d AS s, s AS d FROM e0x) u "
+        "WHERE s <> d)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"dg{i} AS (SELECT s, count(*) AS deg FROM e{i} GROUP BY s)"
+        )
+        parts.append(f"n{i} AS (SELECT s FROM dg{i} WHERE deg >= {int(k)})")
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.s, e.d FROM e{i} e "
+            f"JOIN n{i} a ON e.s = a.s JOIN n{i} b ON e.d = b.s)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT s AS node, count(*)::BIGINT AS core_degree "
+        f"FROM e{iters} GROUP BY s"
+    )
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4297,6 +4353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p25_wfq_schedule": q_p25_wfq_schedule,
         "r10_refresh_allocation": q_r10_refresh_allocation,
         "corpus_vocab_coverage": q_corpus_vocab_coverage,
+        "g3_kcore": q_g3_kcore,
     }
 
 
@@ -7342,5 +7399,7 @@ SELECT doc_id,
 FROM flagged
 GROUP BY doc_id
 """
+
+    o["g3_kcore"] = _kcore_oracle_sql(k=15, iters=8)
 
     return o

@@ -866,3 +866,67 @@ def pld_graph_contract(
         F.count(F.lit(1)).alias("n_links"),
         F.count_distinct(F.col("_src_host")).alias("n_src_hosts"),
     )
+
+
+def kcore_membership(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 16,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core of the (undirected) host graph via iterative peeling
+    (Batagelj & Zaveršnik 2003; the synchronous distributed variant of
+    Montresor, De Pellegrini & Miorandi 2011): repeatedly delete every
+    node whose degree in the SURVIVING subgraph is < k until a fixpoint.
+    What survives is the maximal subgraph with minimum degree ≥ k — the
+    standard density signal for link-farm / spam-cluster detection (a
+    farm's mutually-linked hosts sit in a high core; organically linked
+    hosts fall out after a few peels) and for picking well-embedded seed
+    hosts. Output: ``(node, core_degree)`` for k-core members, with the
+    node's degree inside the core.
+
+    Determinism: the fixpoint of peeling is unique (independent of
+    removal order — Batagelj's theorem), and running a fixed
+    ``max_iter`` of synchronous rounds is also a pure function of the
+    edge set, so results match an identically-unrolled oracle whether or
+    not convergence happened first (post-fixpoint rounds are no-ops).
+
+    Scale shape: edges are symmetrized, de-duplicated and self-loop-
+    free; each round is one hash-agg (degrees, map-side partials) + two
+    left-semi joins on the surviving node set, with ``localCheckpoint``
+    truncating lineage so the plan stays O(1) in rounds. The only
+    driver values are two scalar counts per round for the convergence
+    test. Peeling converges in O(degeneracy) synchronous rounds on real
+    web graphs (≪ max_iter).
+
+    Reference has no graph analytics; extends the §2.10 family
+    (connected_components / link_rank / label_propagation).
+    """
+    if k < 1:
+        raise ValueError("kcore_membership() needs k >= 1")
+    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = (
+        fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .repartition("s")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= F.lit(int(k))).select("s")
+        n_nodes, n_keep = deg.count(), keep.count()
+        if n_keep == n_nodes:
+            break
+        e = (
+            e.join(keep, "s", "left_semi")
+            .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+        if n_keep == 0:
+            break
+    return e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )

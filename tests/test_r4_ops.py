@@ -622,3 +622,29 @@ def test_vocab_coverage_counts(spark):
 
     r3 = out[3]  # trim + blank-split discipline
     assert r3["n_tokens"] == 1 and r3["n_oov"] == 0
+
+
+def test_kcore_peeling_cascade(spark):
+    """k-core semantics: a 4-clique survives k=3; a pendant chain hanging
+    off it peels away over multiple CASCADING rounds (each removal drops
+    the next node below k); core degrees are degrees inside the core."""
+    from delphi_crawler_spark.operators.graph import kcore_membership
+
+    clique = [("c1", "c2"), ("c1", "c3"), ("c1", "c4"),
+              ("c2", "c3"), ("c2", "c4"), ("c3", "c4")]
+    # triangle chain: t1 attached to clique via 2 edges, degree 3 at
+    # first, but depends on t2/t3 which peel first -> cascade
+    tail = [("c1", "t1"), ("c2", "t1"), ("t1", "t2"), ("t2", "t3")]
+    edges = spark.createDataFrame(clique + tail, ["src", "dst"])
+    out = {r["node"]: r["core_degree"] for r in
+           kcore_membership(edges, k=3, max_iter=10).collect()}
+    assert out == {"c1": 3, "c2": 3, "c3": 3, "c4": 3}
+
+    # k larger than any degree -> empty core
+    assert kcore_membership(edges, k=10, max_iter=4).count() == 0
+
+    # whole graph already a k-core -> unchanged, one round, symmetric
+    out2 = {r["node"]: r["core_degree"] for r in
+            kcore_membership(spark.createDataFrame(clique, ["src", "dst"]),
+                             k=2, max_iter=4).collect()}
+    assert out2 == {"c1": 3, "c2": 3, "c3": 3, "c4": 3}
