@@ -4135,6 +4135,34 @@ def _kcore_oracle_sql(k: int = 22, iters: int = 8) -> str:
     )
 
 
+_CACHE_NOW_MS = 1_700_003_600_000  # pinned batch "now" for r11
+
+
+def q_r11_http_cache_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9111 freshness planning: max-age > Expires−Date > 10%
+    heuristic (capped 24 h) > stale-on-arrival; action ∈ use_cache /
+    revalidate / refetch. Pure JVM integer projection, zero shuffle."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.recrawl import http_cache_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    date_ms = F.lit(_CACHE_NOW_MS) - (d % 3600) * 1000
+    cached = docs.select(
+        F.concat(F.lit("https://h"), (d % 9).cast("string"), F.lit(".com/p"), d.cast("string")).alias("url"),
+        F.concat(F.lit("h"), (d % 9).cast("string"), F.lit(".com")).alias("host"),
+        date_ms.cast("bigint").alias("date_ms"),
+        F.when(d % 3 == 0, (d % 1000).cast("bigint")).alias("max_age_s"),
+        F.when(d % 3 == 1, (date_ms + (d % 2000) * 1000).cast("bigint")).alias("expires_ms"),
+        F.when(d % 2 == 0, (date_ms - (d % 50) * 86400000).cast("bigint")).alias("last_modified_ms"),
+        F.when(d % 7 == 0, (d % 120).cast("bigint")).alias("age_s"),
+        (d % 13 == 0).alias("no_store"),
+        (d % 17 == 0).alias("no_cache"),
+        (d % 5 != 0).alias("has_validator"),
+    )
+    return http_cache_plan(cached, now_ms=_CACHE_NOW_MS)
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4354,6 +4382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r10_refresh_allocation": q_r10_refresh_allocation,
         "corpus_vocab_coverage": q_corpus_vocab_coverage,
         "g3_kcore": q_g3_kcore,
+        "r11_http_cache_plan": q_r11_http_cache_plan,
     }
 
 
@@ -7401,5 +7430,41 @@ GROUP BY doc_id
 """
 
     o["g3_kcore"] = _kcore_oracle_sql(k=15, iters=8)
+
+    o["r11_http_cache_plan"] = """
+WITH c AS (
+  SELECT 'https://h' || (doc_id % 9) || '.com/p' || doc_id AS url,
+         'h' || (doc_id % 9) || '.com' AS host,
+         (1700003600000 - (doc_id % 3600) * 1000)::BIGINT AS date_ms,
+         CASE WHEN doc_id % 3 = 0 THEN (doc_id % 1000)::BIGINT END AS max_age_s,
+         CASE WHEN doc_id % 3 = 1
+              THEN (1700003600000 - (doc_id % 3600) * 1000 + (doc_id % 2000) * 1000)::BIGINT END AS expires_ms,
+         CASE WHEN doc_id % 2 = 0
+              THEN (1700003600000 - (doc_id % 3600) * 1000 - (doc_id % 50) * 86400000)::BIGINT END AS last_modified_ms,
+         CASE WHEN doc_id % 7 = 0 THEN (doc_id % 120)::BIGINT END AS age_s,
+         doc_id % 13 = 0 AS no_store,
+         doc_id % 17 = 0 AS no_cache,
+         doc_id % 5 <> 0 AS has_validator
+  FROM documents),
+p AS (
+  SELECT url, host, no_store, has_validator,
+         (CASE WHEN no_store OR no_cache THEN 0
+               WHEN max_age_s IS NOT NULL THEN max_age_s
+               WHEN expires_ms IS NOT NULL
+                 THEN GREATEST(FLOOR((expires_ms - date_ms) / 1000), 0)
+               WHEN last_modified_ms IS NOT NULL
+                 THEN GREATEST(LEAST(FLOOR((date_ms - last_modified_ms) / 10000), 86400), 0)
+               ELSE 0 END)::BIGINT AS freshness_lifetime_s,
+         (GREATEST(FLOOR((1700003600000 - date_ms) / 1000), 0)
+          + COALESCE(age_s, 0))::BIGINT AS current_age_s
+  FROM c)
+SELECT url, host, freshness_lifetime_s, current_age_s,
+       current_age_s < freshness_lifetime_s AS fresh,
+       CASE WHEN no_store THEN 'refetch'
+            WHEN current_age_s < freshness_lifetime_s THEN 'use_cache'
+            WHEN has_validator THEN 'revalidate'
+            ELSE 'refetch' END AS action
+FROM p
+"""
 
     return o

@@ -431,3 +431,71 @@ def refresh_allocation(
         .otherwise(F.lit(0.0))
         .alias("freshness"),
     )
+
+
+def http_cache_plan(
+    cached: DataFrame,
+    now_ms: int,
+    heuristic_cap_s: int = 86400,
+    heuristic_frac_denom: int = 10,
+) -> DataFrame:
+    """Per-URL cache freshness decision (RFC 9111 §4.2): decides whether a
+    recrawl candidate needs ANY request at all — upstream of
+    ``conditional_fetch_plan`` (which picks the validator once a request
+    is needed). Freshness lifetime precedence:
+
+    1. ``no_store``/``no_cache`` ⇒ lifetime 0 (always revalidate/refetch);
+    2. ``Cache-Control: max-age`` (``max_age_s``) if present;
+    3. ``Expires − Date`` if an Expires timestamp is present (clamped ≥0);
+    4. the §4.2.2 heuristic: 10% of (Date − Last-Modified), capped
+       (``heuristic_cap_s``, default 24 h — the common implementation cap);
+    5. no signal at all ⇒ 0 (stale on arrival).
+
+    ``current_age_s = max(0, (now − Date)/1000) + Age`` (the simplified
+    §4.2.3 age calculation for a single-hop cache). ``fresh`` iff
+    ``current_age < lifetime``. Action: ``no_store`` ⇒ refetch; fresh ⇒
+    ``use_cache``; stale with a validator ⇒ ``revalidate``; else
+    ``refetch``.
+
+    All integer millisecond/second math in JVM expressions (floor
+    divisions exact below 2^53) — zero Python, zero shuffle: the plan is
+    a pure projection, so it composes into any frontier scan for free.
+
+    Input columns: ``url``, ``host``, ``date_ms``, ``max_age_s?``,
+    ``expires_ms?``, ``last_modified_ms?``, ``age_s?``, ``no_store``
+    (bool), ``no_cache`` (bool), ``has_validator`` (bool).
+    """
+    date = F.col("date_ms").cast("bigint")
+    lm = F.col("last_modified_ms").cast("bigint")
+    exp = F.col("expires_ms").cast("bigint")
+    heuristic = F.least(
+        F.floor((date - lm) / F.lit(1000 * int(heuristic_frac_denom))).cast("bigint"),
+        F.lit(int(heuristic_cap_s)),
+    )
+    lifetime = (
+        F.when(F.col("no_store") | F.col("no_cache"), F.lit(0))
+        .when(F.col("max_age_s").isNotNull(), F.col("max_age_s").cast("bigint"))
+        .when(exp.isNotNull(), F.greatest(F.floor((exp - date) / 1000).cast("bigint"), F.lit(0)))
+        .when(lm.isNotNull(), F.greatest(heuristic, F.lit(0)))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    age = (
+        F.greatest(F.floor((F.lit(int(now_ms)) - date) / 1000).cast("bigint"), F.lit(0))
+        + F.coalesce(F.col("age_s").cast("bigint"), F.lit(0))
+    ).cast("bigint")
+    fresh = age < lifetime
+    action = (
+        F.when(F.col("no_store"), F.lit("refetch"))
+        .when(fresh, F.lit("use_cache"))
+        .when(F.col("has_validator"), F.lit("revalidate"))
+        .otherwise(F.lit("refetch"))
+    )
+    return cached.select(
+        "url",
+        "host",
+        lifetime.alias("freshness_lifetime_s"),
+        age.alias("current_age_s"),
+        fresh.alias("fresh"),
+        action.alias("action"),
+    )

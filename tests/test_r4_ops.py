@@ -648,3 +648,41 @@ def test_kcore_peeling_cascade(spark):
             kcore_membership(spark.createDataFrame(clique, ["src", "dst"]),
                              k=2, max_iter=4).collect()}
     assert out2 == {"c1": 3, "c2": 3, "c3": 3, "c4": 3}
+
+
+def test_http_cache_plan_rfc9111_precedence(spark):
+    """Hand-computed RFC 9111 cases: max-age beats Expires beats the 10%
+    heuristic (capped); no-store always refetches even when 'fresh';
+    no-cache zeroes the lifetime but allows revalidation; stale without
+    a validator refetches; negative Expires clamps to 0."""
+    from delphi_crawler_spark.operators.recrawl import http_cache_plan
+
+    now = 1_000_000_000_000
+    rows = [
+        # url, host, date, max_age, expires, lm, age, no_store, no_cache, validator
+        ("u1", "h", now - 50_000, 100, now + 999_000, None, None, False, False, True),   # max-age wins: age 50 < 100 -> fresh
+        ("u2", "h", now - 50_000, 30, None, None, None, False, False, True),            # max-age 30 < age 50 -> revalidate
+        ("u3", "h", now - 50_000, None, now + 10_000, None, None, False, False, True),  # expires-date = 60s > 50 -> fresh
+        ("u4", "h", now - 50_000, None, now - 60_000, None, None, False, False, False), # expires in past -> clamp 0 -> refetch (no validator)
+        ("u5", "h", now - 50_000, None, None, now - 50_000 - 2_000_000, None, False, False, True),  # heuristic 200s > 50 -> fresh
+        ("u6", "h", now - 50_000, None, None, now - 50_000 - 864_000_000_000, None, False, False, True),  # heuristic capped at 86400
+        ("u7", "h", now - 50_000, 100, None, None, 80, False, False, True),             # age header: 50+80=130 > 100 -> revalidate
+        ("u8", "h", now - 50_000, 100, None, None, None, True, False, True),            # no-store -> refetch
+        ("u9", "h", now - 50_000, 100, None, None, None, False, True, True),            # no-cache -> lifetime 0 -> revalidate
+        ("u10", "h", now - 50_000, None, None, None, None, False, False, True),         # no signal -> lifetime 0 -> revalidate
+    ]
+    schema = ("url string, host string, date_ms long, max_age_s long, "
+              "expires_ms long, last_modified_ms long, age_s long, "
+              "no_store boolean, no_cache boolean, has_validator boolean")
+    out = {r["url"]: r for r in http_cache_plan(
+        spark.createDataFrame(rows, schema), now_ms=now).collect()}
+    assert out["u1"]["action"] == "use_cache" and out["u1"]["fresh"]
+    assert out["u2"]["action"] == "revalidate"
+    assert out["u3"]["action"] == "use_cache"
+    assert out["u4"]["action"] == "refetch" and out["u4"]["freshness_lifetime_s"] == 0
+    assert out["u5"]["action"] == "use_cache" and out["u5"]["freshness_lifetime_s"] == 200
+    assert out["u6"]["freshness_lifetime_s"] == 86400
+    assert out["u7"]["action"] == "revalidate" and out["u7"]["current_age_s"] == 130
+    assert out["u8"]["action"] == "refetch"
+    assert out["u9"]["action"] == "revalidate" and out["u9"]["freshness_lifetime_s"] == 0
+    assert out["u10"]["action"] == "revalidate"
