@@ -4163,6 +4163,37 @@ def q_r11_http_cache_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return http_cache_plan(cached, now_ms=_CACHE_NOW_MS)
 
 
+def q_pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail routing (Wenzek LREC'20): per-language
+    perplexity terciles over the bigram-LM scores — head = cleanest
+    third, the slice CCNet keeps by default. Composes bigram_perplexity
+    with one per-lang NTILE window (deterministic: rounded avg_nll,
+    doc_id tiebreak)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.lm import bigram_perplexity
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text", "lang"
+    )
+    scored = bigram_perplexity(
+        docs.select("doc_id", "text"), train_pred=F.col("doc_id") % 3 == 0
+    )
+    j = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_nll").asc(), F.col("doc_id").asc()
+    )
+    b = F.ntile(3).over(w)
+    return j.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        "lang",
+        "avg_nll",
+        F.when(b == 1, F.lit("head"))
+        .when(b == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4383,6 +4414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_coverage": q_corpus_vocab_coverage,
         "g3_kcore": q_g3_kcore,
         "r11_http_cache_plan": q_r11_http_cache_plan,
+        "pipeline_ccnet_buckets": q_pipeline_ccnet_buckets,
     }
 
 
@@ -7465,6 +7497,20 @@ SELECT url, host, freshness_lifetime_s, current_age_s,
             WHEN has_validator THEN 'revalidate'
             ELSE 'refetch' END AS action
 FROM p
+"""
+
+    # CCNet buckets compose the perplexity oracle as a CTE: the rounded
+    # avg_nll is the (deterministic) tercile sort key in both engines.
+    o["pipeline_ccnet_buckets"] = f"""
+WITH base AS ({o["text_lm_perplexity"]}),
+l AS (
+  SELECT b.doc_id, d.lang, b.avg_nll
+  FROM base b JOIN documents d ON b.doc_id = d.doc_id)
+SELECT doc_id, lang, avg_nll,
+       CASE NTILE(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM l
 """
 
     return o

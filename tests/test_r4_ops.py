@@ -686,3 +686,23 @@ def test_http_cache_plan_rfc9111_precedence(spark):
     assert out["u8"]["action"] == "refetch"
     assert out["u9"]["action"] == "revalidate" and out["u9"]["freshness_lifetime_s"] == 0
     assert out["u10"]["action"] == "revalidate"
+
+
+def test_ccnet_buckets_tercile_structure(spark):
+    """Per-language terciles: bucket sizes differ by at most 1 within
+    each language; lower avg_nll always lands in an earlier-or-equal
+    bucket; languages are bucketed independently."""
+    import __spark_entry__ as entry
+
+    out = entry.q_pipeline_ccnet_buckets(spark, "/root/testdata/sf0.001").collect()
+    order = {"head": 0, "middle": 1, "tail": 2}
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang) >= 2
+    for lang, rows in by_lang.items():
+        sizes = [sum(1 for r in rows if r["bucket"] == b) for b in order]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        rows.sort(key=lambda r: (r["avg_nll"], r["doc_id"]))
+        buckets = [order[r["bucket"]] for r in rows]
+        assert buckets == sorted(buckets), lang
