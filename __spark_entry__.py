@@ -4194,6 +4194,24 @@ def q_pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_store_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (Iceberg/Delta optimize): per
+    partition, pack sub-threshold files into target-size bins via one
+    sorted window cumulative sum (next-fit on sorted stream); lone
+    candidates and right-sized files are left alone."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.storage.compaction import compaction_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    manifest = docs.select(
+        F.concat(F.lit("p"), (d % 7).cast("string")).alias("part"),
+        F.concat(F.lit("f"), d.cast("string")).alias("file_id"),
+        (((d * 37) % 150) * 10000).cast("bigint").alias("size_bytes"),
+    )
+    return compaction_plan(manifest, target_bytes=1_000_000)
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4415,6 +4433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_kcore": q_g3_kcore,
         "r11_http_cache_plan": q_r11_http_cache_plan,
         "pipeline_ccnet_buckets": q_pipeline_ccnet_buckets,
+        "store_compaction_plan": q_store_compaction_plan,
     }
 
 
@@ -7511,6 +7530,32 @@ SELECT doc_id, lang, avg_nll,
             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
        END AS bucket
 FROM l
+"""
+
+    o["store_compaction_plan"] = """
+WITH m AS (
+  SELECT 'p' || (doc_id % 7) AS part,
+         'f' || doc_id AS file_id,
+         (((doc_id * 37) % 150) * 10000)::BIGINT AS size_bytes
+  FROM documents),
+c AS (
+  SELECT part, file_id, size_bytes,
+         size_bytes < 500000 AS is_candidate
+  FROM m),
+w AS (
+  SELECT part, file_id, size_bytes, is_candidate,
+         SUM(CASE WHEN is_candidate THEN size_bytes ELSE 0 END)
+           OVER (PARTITION BY part ORDER BY size_bytes DESC, file_id ASC
+                 ROWS UNBOUNDED PRECEDING)
+           - CASE WHEN is_candidate THEN size_bytes ELSE 0 END AS run_excl,
+         SUM(CASE WHEN is_candidate THEN 1 ELSE 0 END)
+           OVER (PARTITION BY part) AS n_cand
+  FROM c)
+SELECT part, file_id, size_bytes, is_candidate,
+       (CASE WHEN is_candidate AND n_cand >= 2
+             THEN FLOOR(run_excl / 1000000)
+             ELSE -1 END)::BIGINT AS compact_group
+FROM w
 """
 
     return o

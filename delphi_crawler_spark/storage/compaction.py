@@ -1,0 +1,90 @@
+"""Small-file compaction planning — the lakehouse maintenance pass.
+
+A 10^10-URL frontier appended in per-round batches accumulates small
+parquet files fast (one file per partition per round); scan cost then
+degrades from task-scheduling overhead and poor columnar compression
+long before data volume is the problem. Iceberg/Delta solve it with a
+bin-packing "optimize" pass; this module computes that plan as a pure
+DataFrame query over the file manifest, so the rewrite itself stays an
+ordinary partitioned read→write of the planned groups.
+
+Policy (deterministic, oracle-able):
+- only files smaller than ``small_bytes`` (default target/2) are
+  candidates — rewriting an already-right-sized file is wasted IO;
+- within a table partition, candidates are ordered by (size desc,
+  file_id asc) and packed by exclusive running sum into bins of
+  ``target_bytes`` (next-fit on a sorted stream — within 2× of optimal
+  bin count, and unlike first-fit it is expressible as ONE window
+  cumulative sum, no iteration);
+- singleton groups (one candidate alone in its bin with nothing else in
+  the partition bin) still compact iff the partition has ≥2 candidates
+  overall — compacting a lone small file rewrites bytes for nothing.
+
+Scale shape: the manifest is tiny relative to data (one row per file),
+but the plan still avoids any driver collect: one window over
+(partition) — the natural manifest grain — and one broadcast-joinable
+per-partition count. Output one row per candidate file with its
+``compact_group``; non-candidates carry group -1.
+
+Reference parity: none (Elasticsearch hides segment merges); this is
+the §2.10 lakehouse-operations superset next to ``storage/zorder.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    target_bytes: int,
+    small_bytes: int | None = None,
+    partition_col: str = "part",
+    file_col: str = "file_id",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """Per-file compaction assignment over a file manifest.
+
+    Output: (part, file_id, size_bytes, is_candidate, compact_group)
+    where ``compact_group`` numbers bins within each partition from 0
+    and is -1 for files left alone (right-sized files, and partitions
+    with fewer than 2 candidates).
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be > 0")
+    small = int(small_bytes) if small_bytes is not None else int(target_bytes) // 2
+    part = F.col(partition_col)
+    size = F.col(size_col).cast("bigint")
+    m = manifest.select(
+        part.alias("part"),
+        F.col(file_col).alias("file_id"),
+        size.alias("size_bytes"),
+        (size < F.lit(small)).alias("is_candidate"),
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy(F.col("size_bytes").desc(), F.col("file_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # exclusive running sum over candidates only: inclusive - self
+    run_incl = F.sum(
+        F.when(F.col("is_candidate"), F.col("size_bytes")).otherwise(F.lit(0))
+    ).over(w)
+    run_excl = run_incl - F.when(
+        F.col("is_candidate"), F.col("size_bytes")
+    ).otherwise(F.lit(0))
+    n_cand = F.sum(F.when(F.col("is_candidate"), 1).otherwise(0)).over(
+        Window.partitionBy("part")
+    )
+    grp = F.floor(run_excl / F.lit(int(target_bytes))).cast("bigint")
+    return m.select(
+        "part",
+        "file_id",
+        "size_bytes",
+        "is_candidate",
+        F.when(F.col("is_candidate") & (n_cand >= 2), grp)
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("compact_group"),
+    )

@@ -706,3 +706,43 @@ def test_ccnet_buckets_tercile_structure(spark):
         rows.sort(key=lambda r: (r["avg_nll"], r["doc_id"]))
         buckets = [order[r["bucket"]] for r in rows]
         assert buckets == sorted(buckets), lang
+
+
+def test_compaction_plan_bin_packing(spark):
+    """Bins respect the target (each group's size sum <= target + one
+    file overshoot, and >= target/2 utilization for all but the last
+    bin); right-sized files and lone candidates stay out; partitions
+    pack independently."""
+    from delphi_crawler_spark.storage.compaction import compaction_plan
+
+    rows = (
+        [("a", f"a{i}", 300) for i in range(10)]   # 10 small files of 300
+        + [("a", "big", 5000)]                     # right-sized, left alone
+        + [("b", "lone", 10)]                      # lone candidate -> -1
+        + [("c", "c1", 400), ("c", "c2", 400), ("c", "c3", 400)]
+    )
+    out = compaction_plan(
+        spark.createDataFrame(rows, ["part", "file_id", "size_bytes"]),
+        target_bytes=1000,
+    ).collect()
+    by = {(r["part"], r["file_id"]): r for r in out}
+    assert by[("a", "big")]["compact_group"] == -1
+    assert not by[("a", "big")]["is_candidate"]
+    assert by[("b", "lone")]["compact_group"] == -1
+
+    # partition a: 10 x 300 packed at 1000 -> exclusive cumsum bins
+    groups: dict[int, int] = {}
+    for i in range(10):
+        g = by[("a", f"a{i}")]["compact_group"]
+        assert g >= 0
+        groups[g] = groups.get(g, 0) + 300
+    # every bin's fill is within one file of the target
+    for g, tot in groups.items():
+        assert tot <= 1000 + 300
+    assert len(groups) == 3  # 3000 bytes / 1000 target
+
+    # partition c packs independently: exclusive sums 0/400/800 all
+    # floor to bin 0 -> one bin of 1200 (<= target + one file overshoot,
+    # the next-fit guarantee)
+    cg = {by[("c", f"c{i}")]["compact_group"] for i in (1, 2, 3)}
+    assert cg == {0}
