@@ -454,6 +454,35 @@ def ip_queue_schedule_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ip_queue_slots(fr, host_ip)
 
 
+def cdc_gear_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastCDC gear-hash chunk dedup over 200k synthetic docs (~650 B
+    each, ~125 MB of text; 30% share a 320-B passage): the O(1)/byte
+    vectorized rolling hash in mapInPandas, then the (digest,len)-only
+    hash-agg — chunk bytes never shuffle. This is the 100-TB CDC path;
+    the md5-gated JVM twin (dedup_cdc_chunks) is the oracle-parity
+    variant."""
+    from delphi_crawler_spark.operators.cdc import gear_chunk_stats
+
+    d = F.col("id")
+    seg = F.concat(
+        F.lit("tok"), (d % 997).cast("string"), F.lit(" mid"),
+        (d % 821).cast("string"), F.lit(" end"), (d % 613).cast("string"),
+        F.lit(" pad padding filler words go here to lengthen the line "),
+    )
+    shared = F.lit(
+        "this is a shared boilerplate passage that appears verbatim across "
+        "many documents of the corpus and should deduplicate at chunk grain "
+        "regardless of what surrounds it because content defined chunking "
+        "realigns cut points after any local edit upstream of the passage "
+        "which fixed size chunking fundamentally cannot do at all "
+    )
+    text = F.when(d % 10 < 3, F.concat(seg, shared, seg)).otherwise(
+        F.concat(seg, seg, seg)
+    )
+    docs = spark.range(200_000).select(d.alias("doc_id"), text.alias("text"))
+    return gear_chunk_stats(docs, bits=8, min_len=64, max_len=1024)
+
+
 BENCH_QUERIES = {
     "crawl_schedule": crawl_schedule,
     "bloom_incremental_update": bloom_incremental_update,
@@ -491,6 +520,7 @@ BENCH_QUERIES = {
     "ucb_priority": ucb_priority_2m,
     "template_segments": template_segments_200k,
     "ip_queue_schedule": ip_queue_schedule_2m,
+    "cdc_gear_chunks": cdc_gear_200k,
 }
 
 

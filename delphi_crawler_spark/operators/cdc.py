@@ -169,3 +169,123 @@ def cdc_doc_dup_ratio(
         ).alias("dup_ratio"),
     )
     return out
+
+
+def _gear_table() -> "np.ndarray":
+    """Deterministic 256-entry gear table: splitmix64 of the byte value
+    (Steele/Lea mixing constants — public domain), vectorized uint64."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        x = (np.arange(256, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(1)
+        z = x.copy()
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def _gear_hash_bytes(data: bytes, table) -> "np.ndarray":
+    """Rolling gear hash at every byte position, fully vectorized: the
+    gear recurrence h_{i} = (h_{i-1} << 1) + gear[b_i] unrolls to
+    h_i = Σ_{j=0}^{63} gear[b_{i-j}] << j (older bytes shift out of the
+    64-bit lane automatically), so 64 shifted vector adds replace the
+    per-byte sequential loop — O(1) amortized per byte with numpy
+    constants, the FastCDC-class fast path."""
+    import numpy as np
+
+    b = np.frombuffer(data, dtype=np.uint8)
+    g = table[b]
+    h = np.zeros(len(b), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(64):
+            if j >= len(b):
+                break
+            h[j:] += g[: len(b) - j if j else len(b)] << np.uint64(j)
+    return h
+
+
+def gear_cut_points(data: bytes, table, bits: int = 8,
+                    min_len: int = 64, max_len: int = 1024) -> list[int]:
+    """FastCDC-style cut offsets (exclusive byte positions) for one
+    document: cut after byte i when the gear hash's low ``bits`` are
+    zero (expected chunk 2^bits bytes), suppressed below ``min_len``
+    since the previous cut, with a forced cut at ``max_len``."""
+    import numpy as np
+
+    n = len(data)
+    if n == 0:
+        return []
+    h = _gear_hash_bytes(data, table)
+    mask = np.uint64((1 << bits) - 1)
+    cand = np.flatnonzero((h & mask) == 0) + 1  # cut AFTER position i
+    cuts: list[int] = []
+    last = 0
+    ci = 0
+    m = len(cand)
+    while last < n:
+        # next natural cut at >= last+min_len, else forced at last+max_len
+        while ci < m and cand[ci] < last + min_len:
+            ci += 1
+        nxt = int(cand[ci]) if ci < m else n
+        forced = last + max_len
+        cut = min(nxt, forced, n)
+        if cut <= last:
+            cut = min(last + max_len, n)
+        cuts.append(cut)
+        last = cut
+    return cuts
+
+
+def gear_chunk_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 8,
+    min_len: int = 64,
+    max_len: int = 1024,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Corpus duplicated-chunk table on the GEAR fast path: same output
+    contract as ``cdc_chunk_stats`` but O(1)/byte hashing (64 shifted
+    vector adds per Arrow batch) instead of one md5 per position — the
+    variant to run at 100 TB. The md5-gated variant stays as the
+    engine-portable oracle twin; this one is pinned by property tests
+    (losslessness, min/max bounds, shift resistance) instead of SQL.
+
+    Chunking operates on UTF-8 BYTES (multibyte-safe: chunks are byte
+    slices, digested directly), emitted from ``mapInPandas`` as
+    (doc_id, digest, len) — chunk bytes never leave the executor."""
+    import hashlib
+
+    import pandas as pd
+
+    schema = "doc_id long, chunk_digest string, chunk_len long"
+
+    def emit(batches):
+        table = _gear_table()
+        for pdf in batches:
+            ids, digs, lens = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                data = txt.encode("utf-8")
+                last = 0
+                for cut in gear_cut_points(data, table, bits, min_len, max_len):
+                    ids.append(did)
+                    digs.append(hashlib.md5(data[last:cut]).hexdigest())
+                    lens.append(cut - last)
+                    last = cut
+            yield pd.DataFrame(
+                {"doc_id": ids, "chunk_digest": digs, "chunk_len": lens}
+            )
+
+    ch = docs.select(id_col, text_col).mapInPandas(emit, schema=schema)
+    return (
+        ch.groupBy("chunk_digest", "chunk_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= F.lit(int(min_occurrences)))
+    )

@@ -746,3 +746,65 @@ def test_compaction_plan_bin_packing(spark):
     # the next-fit guarantee)
     cg = {by[("c", f"c{i}")]["compact_group"] for i in (1, 2, 3)}
     assert cg == {0}
+
+
+def test_gear_cdc_cut_properties():
+    """Driver-side properties of the FastCDC gear path: lossless
+    reassembly, min/max chunk bounds (except the final chunk's min),
+    shift resistance (suffix chunks survive a prefix edit), and
+    determinism of the splitmix gear table."""
+    import random
+
+    from delphi_crawler_spark.operators.cdc import (
+        _gear_table,
+        gear_cut_points,
+    )
+
+    table = _gear_table()
+    assert len(set(table.tolist())) == 256  # injective enough / no zeros
+    rng = random.Random(3)
+    data = bytes(rng.randrange(256) for _ in range(20000))
+    cuts = gear_cut_points(data, table, bits=8, min_len=64, max_len=1024)
+    assert cuts[-1] == len(data)
+    last = 0
+    for i, c in enumerate(cuts):
+        ln = c - last
+        assert ln <= 1024
+        if i < len(cuts) - 1:
+            assert ln >= 64
+        last = c
+    # shift resistance: prepend 17 bytes; chunk boundary SET of the tail
+    # realigns (suffix cut offsets shifted by 17 reappear)
+    edited = bytes(rng.randrange(256) for _ in range(17)) + data
+    cuts2 = gear_cut_points(edited, table, bits=8, min_len=64, max_len=1024)
+    tail1 = {c for c in cuts if c > 2048}
+    tail2 = {c - 17 for c in cuts2 if c - 17 > 2048}
+    shared = tail1 & tail2
+    assert len(shared) >= 0.8 * len(tail1), (len(shared), len(tail1))
+
+
+def test_gear_chunk_stats_spark(spark):
+    """End-to-end gear chunking through mapInPandas: duplicated passages
+    across docs surface as shared digests; unique text does not."""
+    import random
+
+    from delphi_crawler_spark.operators.cdc import gear_chunk_stats
+
+    rng = random.Random(9)
+    shared_passage = "".join(rng.choice("abcdefgh ") for _ in range(3000))
+    uniq = lambda: "".join(rng.choice("qrstuvwx ") for _ in range(1500))
+    docs = spark.createDataFrame(
+        [
+            (1, uniq() + shared_passage + uniq()),
+            (2, uniq() + shared_passage),
+            (3, uniq()),
+        ],
+        ["doc_id", "text"],
+    )
+    out = gear_chunk_stats(docs, bits=6, min_len=16, max_len=256).collect()
+    assert len(out) > 0
+    # every reported duplicate chunk is genuinely multi-doc or multi-occ
+    assert all(r["n_occurrences"] >= 2 for r in out)
+    both = [r for r in out if r["n_docs"] >= 2]
+    # the shared passage yields many cross-doc chunks
+    assert sum(r["chunk_len"] for r in both) >= 0.5 * 3000
