@@ -4212,6 +4212,19 @@ def q_store_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(manifest, target_bytes=1_000_000)
 
 
+def q_evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase within 72 h): per-step
+    filtered min-aggs joined on the shared user key — no per-user sort,
+    no UDF. Epoch-microsecond outputs keep it engine-exact."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.events import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(
+        ev, steps=["view", "click", "purchase"], window_s=72 * 3600
+    )
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4434,6 +4447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_http_cache_plan": q_r11_http_cache_plan,
         "pipeline_ccnet_buckets": q_pipeline_ccnet_buckets,
         "store_compaction_plan": q_store_compaction_plan,
+        "evt_funnel": q_evt_funnel,
     }
 
 
@@ -7556,6 +7570,37 @@ SELECT part, file_id, size_bytes, is_candidate,
              THEN FLOOR(run_excl / 1000000)
              ELSE -1 END)::BIGINT AS compact_group
 FROM w
+"""
+
+    o["evt_funnel"] = """
+WITH base AS (
+  SELECT user_id, event_type AS t, epoch_us(ts) AS us FROM events),
+users AS (SELECT DISTINCT user_id FROM base),
+s1 AS (
+  SELECT user_id, MIN(us) AS step1_us FROM base WHERE t = 'view'
+  GROUP BY user_id),
+s2 AS (
+  SELECT b.user_id, MIN(b.us) AS step2_us
+  FROM base b JOIN s1 ON b.user_id = s1.user_id
+  WHERE b.t = 'click' AND b.us > s1.step1_us
+    AND b.us <= s1.step1_us + 259200000000
+  GROUP BY b.user_id),
+s3 AS (
+  SELECT b.user_id, MIN(b.us) AS step3_us
+  FROM base b JOIN s1 ON b.user_id = s1.user_id
+              JOIN s2 ON b.user_id = s2.user_id
+  WHERE b.t = 'purchase' AND b.us > s2.step2_us
+    AND b.us <= s1.step1_us + 259200000000
+  GROUP BY b.user_id)
+SELECT u.user_id, s1.step1_us, s2.step2_us, s3.step3_us,
+       (CASE WHEN s3.step3_us IS NOT NULL THEN 3
+             WHEN s2.step2_us IS NOT NULL THEN 2
+             WHEN s1.step1_us IS NOT NULL THEN 1
+             ELSE 0 END)::INT AS step_reached
+FROM users u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
 """
 
     return o

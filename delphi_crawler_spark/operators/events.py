@@ -120,3 +120,77 @@ def asof_join(
     for c in right_payload:
         out = out.withColumn(c + suffix, F.col("__carry").getField(c))
     return out.drop("__carry")
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    window_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: for each user, the earliest completion of
+    ``steps`` in strict order — step k must be the FIRST matching event
+    strictly after the chosen step k−1, and every step must fall within
+    ``window_s`` seconds of step 1. The greedy earliest-step choice is
+    the standard funnel semantics (and is optimal for fixed step 1: an
+    earlier intermediate event never shrinks what remains reachable).
+
+    Output: one row per user seen in ``events`` — ``step_reached``
+    (0..len(steps)) and ``step{k}_us`` epoch-microsecond timestamps
+    (null once the funnel broke). Microsecond integers keep the result
+    engine-exact.
+
+    Scale shape: one filtered min-agg per step (each over only that
+    step's event type — the filter prunes the shuffle to the funnel
+    events) joined back on the user key; all joins share the user-hash
+    partitioning, so at N steps the cost is N small keyed aggs, not a
+    per-user sort. Ties inside one microsecond collapse to the same min
+    — deterministic either way.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_steps() needs >= 2 steps")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("_type"),
+        us.alias("_us"),
+    )
+    users = base.select("user_id").distinct()
+    horizon = int(window_s) * 1_000_000
+
+    t1 = (
+        base.filter(F.col("_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("step1_us"))
+    )
+    out = users.join(t1, "user_id", "left")
+    prev = "step1_us"
+    for k, step in enumerate(steps[1:], start=2):
+        col = f"step{k}_us"
+        cand = base.filter(F.col("_type") == step).select(
+            "user_id", F.col("_us").alias("_cand")
+        )
+        tk = (
+            out.select("user_id", "step1_us", F.col(prev).alias("_prev"))
+            .filter(F.col("_prev").isNotNull())
+            .join(cand, "user_id")
+            .filter(
+                (F.col("_cand") > F.col("_prev"))
+                & (F.col("_cand") <= F.col("step1_us") + F.lit(horizon))
+            )
+            .groupBy("user_id")
+            .agg(F.min("_cand").alias(col))
+        )
+        out = out.join(tk, "user_id", "left")
+        prev = col
+    # ascending wrap ⇒ the OUTERMOST test is the highest step, so the
+    # deepest non-null step wins
+    reached = F.lit(0)
+    for k in range(1, len(steps) + 1):
+        reached = F.when(F.col(f"step{k}_us").isNotNull(), F.lit(k)).otherwise(
+            reached
+        )
+    cols = ["user_id"] + [f"step{k}_us" for k in range(1, len(steps) + 1)]
+    return out.select(*cols, reached.cast("int").alias("step_reached"))

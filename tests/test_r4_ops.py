@@ -808,3 +808,38 @@ def test_gear_chunk_stats_spark(spark):
     both = [r for r in out if r["n_docs"] >= 2]
     # the shared passage yields many cross-doc chunks
     assert sum(r["chunk_len"] for r in both) >= 0.5 * 3000
+
+
+def test_funnel_steps_order_and_window(spark):
+    """Strict-order funnel: out-of-order events don't count; the window
+    anchors at step 1; the earliest qualifying event per step wins; a
+    deeper step requires all earlier steps."""
+    from datetime import datetime
+
+    from delphi_crawler_spark.operators.events import funnel_steps
+
+    T = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1 full funnel in order
+        (1, T(0), "view"), (1, T(5), "click"), (1, T(9), "purchase"),
+        # u2: click BEFORE view -> stops at view
+        (2, T(5), "click"), (2, T(10), "view"),
+        # u3: purchase outside the window from the view
+        (3, T(0), "view"), (3, T(5), "click"), (3, T(40), "purchase"),
+        # u4: no funnel events at all
+        (4, T(1), "error"),
+        # u5: two clicks; the EARLIEST after view anchors step 2
+        (5, T(0), "view"), (5, T(2), "click"), (5, T(8), "click"),
+        (5, T(3), "purchase"),  # after click@2? purchase at minute 3 > 2 -> full funnel
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["user_id"]: r for r in funnel_steps(
+        ev, steps=["view", "click", "purchase"], window_s=30 * 60).collect()}
+    assert out[1]["step_reached"] == 3
+    assert out[2]["step_reached"] == 1 and out[2]["step2_us"] is None
+    assert out[3]["step_reached"] == 2
+    assert out[4]["step_reached"] == 0 and out[4]["step1_us"] is None
+    r5 = out[5]
+    assert r5["step_reached"] == 3
+    # earliest click (minute 2) anchors, purchase at minute 3 qualifies
+    assert (r5["step3_us"] - r5["step2_us"]) == 60_000_000
