@@ -4225,6 +4225,35 @@ def q_evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_store_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file-skipping effectiveness, clustered vs append-order
+    layout over the same 500-file manifest: range predicates prune
+    ~(1 − selectivity) of clustered files and almost nothing of the
+    overlapping append layout — the number that justifies clustering."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.storage.zorder import zone_map_prune_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    clustered = docs.select(
+        F.lit("clustered").alias("layout"),
+        F.concat(F.lit("f"), d.cast("string")).alias("file_id"),
+        (d * 100).cast("bigint").alias("min_key"),
+        (d * 100 + 99).cast("bigint").alias("max_key"),
+    )
+    appendord = docs.select(
+        F.lit("append").alias("layout"),
+        F.concat(F.lit("f"), d.cast("string")).alias("file_id"),
+        ((d * 7919) % 40000).cast("bigint").alias("min_key"),
+        (((d * 7919) % 40000) + 9000).cast("bigint").alias("max_key"),
+    )
+    preds = spark.createDataFrame(
+        [("p1", 0, 999), ("p2", 10000, 10999), ("p3", 0, 24999), ("p4", 49000, 49999)],
+        "pred_id string, lo long, hi long",
+    )
+    return zone_map_prune_stats(clustered.unionByName(appendord), preds)
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4448,6 +4477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_ccnet_buckets": q_pipeline_ccnet_buckets,
         "store_compaction_plan": q_store_compaction_plan,
         "evt_funnel": q_evt_funnel,
+        "store_prune_stats": q_store_prune_stats,
     }
 
 
@@ -7601,6 +7631,33 @@ FROM users u
 LEFT JOIN s1 ON u.user_id = s1.user_id
 LEFT JOIN s2 ON u.user_id = s2.user_id
 LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+    o["store_prune_stats"] = """
+WITH man AS (
+  SELECT 'clustered' AS layout, 'f' || doc_id AS file_id,
+         (doc_id * 100)::BIGINT AS min_key,
+         (doc_id * 100 + 99)::BIGINT AS max_key
+  FROM documents
+  UNION ALL
+  SELECT 'append', 'f' || doc_id,
+         ((doc_id * 7919) % 40000)::BIGINT,
+         (((doc_id * 7919) % 40000) + 9000)::BIGINT
+  FROM documents),
+preds AS (
+  SELECT * FROM (VALUES ('p1', 0, 999), ('p2', 10000, 10999),
+                        ('p3', 0, 24999), ('p4', 49000, 49999))
+         v(pred_id, lo, hi)),
+j AS (
+  SELECT m.layout, p.pred_id,
+         (m.min_key <= p.hi AND m.max_key >= p.lo) AS scanned
+  FROM man m CROSS JOIN preds p)
+SELECT layout, pred_id,
+       COUNT(*)::BIGINT AS n_files,
+       SUM(CASE WHEN scanned THEN 1 ELSE 0 END)::BIGINT AS n_scanned,
+       (COUNT(*) - SUM(CASE WHEN scanned THEN 1 ELSE 0 END))::BIGINT AS n_skipped,
+       ROUND((COUNT(*) - SUM(CASE WHEN scanned THEN 1 ELSE 0 END)) / COUNT(*), 6) AS skip_ratio
+FROM j GROUP BY layout, pred_id
 """
 
     return o

@@ -129,3 +129,47 @@ def files_touched_by_box(
             continue
         touched += 1
     return touched, total
+
+
+def zone_map_prune_stats(
+    manifest: DataFrame,
+    predicates: DataFrame,
+    layout_col: str = "layout",
+    min_col: str = "min_key",
+    max_col: str = "max_key",
+) -> DataFrame:
+    """File-skipping effectiveness of a layout's zone maps (the min/max
+    per-file stats every parquet/Iceberg manifest carries): for each
+    range predicate ``[lo, hi]``, a file must be scanned iff
+    ``min_key <= hi AND max_key >= lo`` — otherwise the scan planner
+    prunes it without opening it. The skip ratio per (layout, predicate)
+    is THE number that justifies clustering work (``zorder_key``,
+    ``compaction_plan``): a clustered layout skips ~(1 - selectivity) of
+    files, an append-order layout with wide overlapping ranges skips
+    ~nothing for the same data.
+
+    Inputs: ``manifest`` (layout, file_id, min_key, max_key) and
+    ``predicates`` (pred_id, lo, hi). Predicates are a handful of rows —
+    broadcast cross join against the manifest, then one (layout, pred)
+    hash-agg. Pure JVM comparisons.
+    """
+    p = predicates.select("pred_id", "lo", "hi")
+    j = manifest.crossJoin(F.broadcast(p))
+    scanned = (F.col(min_col) <= F.col("hi")) & (F.col(max_col) >= F.col("lo"))
+    return (
+        j.groupBy(layout_col, "pred_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(F.when(scanned, 1).otherwise(0)).cast("bigint").alias("n_scanned"),
+        )
+        .select(
+            layout_col,
+            "pred_id",
+            "n_files",
+            "n_scanned",
+            (F.col("n_files") - F.col("n_scanned")).cast("bigint").alias("n_skipped"),
+            F.round(
+                (F.col("n_files") - F.col("n_scanned")) / F.col("n_files"), 6
+            ).alias("skip_ratio"),
+        )
+    )

@@ -843,3 +843,29 @@ def test_funnel_steps_order_and_window(spark):
     assert r5["step_reached"] == 3
     # earliest click (minute 2) anchors, purchase at minute 3 qualifies
     assert (r5["step3_us"] - r5["step2_us"]) == 60_000_000
+
+
+def test_zone_map_prune_stats_layout_contrast(spark):
+    """Overlap math: a disjoint clustered layout prunes everything
+    outside the predicate range; a fully-overlapping layout scans
+    everything; boundary touch counts as scanned."""
+    from delphi_crawler_spark.storage.zorder import zone_map_prune_stats
+
+    man = spark.createDataFrame(
+        [("c", "f0", 0, 99), ("c", "f1", 100, 199), ("c", "f2", 200, 299),
+         ("o", "f0", 0, 299), ("o", "f1", 0, 299), ("o", "f2", 0, 299)],
+        ["layout", "file_id", "min_key", "max_key"],
+    )
+    preds = spark.createDataFrame(
+        [("q1", 150, 160), ("q2", 99, 100), ("q3", 300, 400)],
+        ["pred_id", "lo", "hi"],
+    )
+    out = {(r["layout"], r["pred_id"]): r
+           for r in zone_map_prune_stats(man, preds).collect()}
+    assert out[("c", "q1")]["n_scanned"] == 1       # only f1
+    assert out[("c", "q2")]["n_scanned"] == 2       # boundary touch: f0 AND f1
+    assert out[("c", "q3")]["n_scanned"] == 0       # out of range entirely
+    assert out[("c", "q3")]["skip_ratio"] == 1.0
+    for q in ("q1", "q2"):
+        assert out[("o", q)]["n_scanned"] == 3      # overlap layout never prunes
+    assert out[("o", "q3")]["n_scanned"] == 0
