@@ -4254,6 +4254,45 @@ def q_store_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zone_map_prune_stats(clustered.unionByName(appendord), preds)
 
 
+def q_sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode (Jégou TPAMI'11): m=8 × K=16
+    codebooks ⇒ 4 bytes/vector instead of 256 — the compressed ANN
+    representation. Deterministic hash-ordered training sample, seeded
+    per-subspace Lloyd, one Arrow encode pass. Oracle: expected-parquet
+    from an independent per-vector replication (tools/gen_expected.py)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m_subspaces=8, n_codes=16)
+    return pq_encode(emb, books)
+
+
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10: exact query subvectors vs
+    quantized corpus codes via broadcast lookup tables — the scan
+    streams 4-byte codes, never raw vectors. Ties (identical codes)
+    break by vec_id."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.similarity import (
+        pq_adc_topk,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m_subspaces=8, n_codes=16)
+    out = pq_adc_topk(emb, _queries_df(spark, sf_dir), books, k=10)
+    return out.select(
+        F.col("query_id").cast(BIG).alias("query_id"),
+        F.col("rank").cast(BIG).alias("rank"),
+        F.col("vec_id").cast(BIG).alias("vec_id"),
+        "adc_dist",
+    )
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4478,6 +4517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_compaction_plan": q_store_compaction_plan,
         "evt_funnel": q_evt_funnel,
         "store_prune_stats": q_store_prune_stats,
+        "sim_pq_encode": q_sim_pq_encode,
+        "sim_pq_topk": q_sim_pq_topk,
     }
 
 
@@ -6798,6 +6839,8 @@ FROM r WHERE sample_rank <= 30
         "sim_kcenter_coreset",
         "sim_pca_project",
         "graph_hyperanf",
+        "sim_pq_encode",
+        "sim_pq_topk",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
 

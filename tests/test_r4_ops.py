@@ -869,3 +869,37 @@ def test_zone_map_prune_stats_layout_contrast(spark):
     for q in ("q1", "q2"):
         assert out[("o", q)]["n_scanned"] == 3      # overlap layout never prunes
     assert out[("o", "q3")]["n_scanned"] == 0
+
+
+def test_pq_encode_and_adc_sanity(spark):
+    """PQ structure: codes are m=8 values in [0,16); reconstruction error
+    is small for unit vectors (avg well under the 2.0 max for unit
+    vectors); ADC top-1 for each query is the query itself (its own
+    quantized code minimizes the asymmetric distance) on sf0.001."""
+    from delphi_crawler_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(emb, m_subspaces=8, n_codes=16)
+    assert books.shape == (8, 16, 8)
+    enc = pq_encode(emb, books).collect()
+    assert len(enc) == emb.count()
+    errs = []
+    for r in enc:
+        parts = [int(c) for c in r["codes"].split("-")]
+        assert len(parts) == 8 and all(0 <= c < 16 for c in parts)
+        errs.append(r["recon_err"])
+    assert sum(errs) / len(errs) < 1.0
+
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = pq_adc_topk(emb, q, books, k=3).collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in top if r["rank"] == 1}
+    # the query's own code minimizes ADC except when another vector
+    # shares its code AND a smaller vec_id — allow at most 2 such ties
+    self_hits = sum(1 for qid, vid in top1.items() if qid == vid)
+    assert self_hits >= len(top1) - 2, top1

@@ -1083,6 +1083,94 @@ def gen_graph_hyperanf(li: pd.DataFrame, max_t: int = 3, p: int = 12) -> pd.Data
     )
 
 
+def _pq_train_books(
+    emb: pd.DataFrame, m_sub: int = 8, n_codes: int = 16,
+    sample_size: int = 10_000, iters: int = 5, seed: int = 42,
+):
+    """Shared-parameter PQ codebook replication (seed, sample order and
+    the expanded distance form are the operator's identity, like hash
+    seeds elsewhere); the encode/ADC pipeline below is per-document."""
+    ids = emb["vec_id"].astype("int64").to_numpy()
+    vecs = emb["embedding"].to_list()
+    m = np.stack([np.asarray(v) for v in vecs]).astype(np.float64)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    order = sorted(range(len(ids)), key=lambda i: (xxh64_long(int(ids[i])), int(ids[i])))
+    mat = mn[order[:sample_size]]
+    d = mat.shape[1]
+    dsub = d // m_sub
+    k = min(n_codes, len(mat))
+    books = []
+    for j in range(m_sub):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        rng = np.random.default_rng(seed + j)
+        cb = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(iters):
+            assign = (-2.0 * sub @ cb.T + (cb**2).sum(1)).argmin(1)
+            for c in range(k):
+                pts = sub[assign == c]
+                if len(pts):
+                    cb[c] = pts.mean(0)
+        books.append(cb)
+    return ids, mn, np.stack(books)
+
+
+def gen_sim_pq_encode(emb: pd.DataFrame) -> pd.DataFrame:
+    ids, mn, books = _pq_train_books(emb)
+    m_sub, _k, dsub = books.shape
+    rows = []
+    for i in range(len(ids)):
+        codes, err = [], 0.0
+        for j in range(m_sub):
+            sub = mn[i, j * dsub : (j + 1) * dsub]
+            cb = books[j]
+            c = int((-2.0 * sub @ cb.T + (cb**2).sum(1)).argmin())
+            codes.append(c)
+            err += float(((sub - cb[c]) ** 2).sum())
+        rows.append(
+            {
+                "vec_id": int(ids[i]),
+                "codes": "-".join(str(c) for c in codes),
+                "recon_err": float(np.round(err, 6)),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"vec_id": "int64", "codes": "string", "recon_err": "float64"}
+    )
+
+
+def gen_sim_pq_topk(emb: pd.DataFrame, k: int = 10) -> pd.DataFrame:
+    ids, mn, books = _pq_train_books(emb)
+    m_sub, kk, dsub = books.shape
+    codes = np.zeros((len(ids), m_sub), dtype=np.int64)
+    for i in range(len(ids)):
+        for j in range(m_sub):
+            sub = mn[i, j * dsub : (j + 1) * dsub]
+            cb = books[j]
+            codes[i, j] = (-2.0 * sub @ cb.T + (cb**2).sum(1)).argmin()
+    rows = []
+    for qi in range(len(ids)):
+        if ids[qi] >= 8:
+            continue
+        lut = np.zeros((m_sub, kk))
+        for j in range(m_sub):
+            qsub = mn[qi, j * dsub : (j + 1) * dsub]
+            lut[j] = ((qsub[None, :] - books[j]) ** 2).sum(-1)
+        scored = []
+        for i in range(len(ids)):
+            adc = 0.0
+            for j in range(m_sub):
+                adc += lut[j, codes[i, j]]
+            scored.append((float(np.round(adc, 6)), int(ids[i])))
+        scored.sort(key=lambda t: (t[0], t[1]))
+        for rank, (adc, vid) in enumerate(scored[:k], start=1):
+            rows.append(
+                {"query_id": int(ids[qi]), "rank": rank, "vec_id": vid, "adc_dist": adc}
+            )
+    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "adc_dist"]).astype(
+        {"query_id": "int64", "rank": "int64", "vec_id": "int64", "adc_dist": "float64"}
+    )
+
+
 GENERATORS = {
     "c3_hash_keys": ("documents", gen_c3_hash_keys),
     "text_fingerprint_rolling": ("documents", gen_fingerprint_rolling),
@@ -1103,6 +1191,8 @@ GENERATORS = {
     "sim_kcenter_coreset": ("embeddings", gen_sim_kcenter_coreset),
     "sim_pca_project": ("embeddings", gen_sim_pca_project),
     "graph_hyperanf": ("lineitem", gen_graph_hyperanf),
+    "sim_pq_encode": ("embeddings", gen_sim_pq_encode),
+    "sim_pq_topk": ("embeddings", gen_sim_pq_topk),
 }
 
 
