@@ -4293,6 +4293,41 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_span_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence invariant audit over deterministically corrupted
+    interleaved spans: docs %7 get decreasing offsets, %11 lose media
+    refs, %13 get an unknown kind — the audit must localize each
+    violation class. Zero-shuffle in-cell JVM folds."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.links import span_integrity_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    words = F.split(F.col("text"), r"\s+")
+    neg = d % 7 == 0
+    nomedia = d % 11 == 0
+    badkind = d % 13 == 0
+    spans = F.transform(
+        words,
+        lambda w, i: F.struct(
+            F.when(badkind & (i == 0), F.lit("weird"))
+            .when(F.length(w) % 3 == 0, F.lit("text"))
+            .when(F.length(w) % 3 == 1, F.lit("link"))
+            .otherwise(F.lit("media"))
+            .alias("kind"),
+            w.alias("text"),
+            F.when(
+                (~nomedia) & (F.length(w) % 3 == 2),
+                F.concat(F.lit("m://"), i.cast("string")),
+            ).alias("media_ref"),
+            F.when(neg, -i).otherwise(i).cast("int").alias("offset"),
+        ),
+    )
+    return span_integrity_audit(
+        docs.select(d.cast(BIG).alias("doc_id"), spans.alias("spans"))
+    )
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4519,6 +4554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_prune_stats": q_store_prune_stats,
         "sim_pq_encode": q_sim_pq_encode,
         "sim_pq_topk": q_sim_pq_topk,
+        "mm_span_integrity": q_mm_span_integrity,
     }
 
 
@@ -7701,6 +7737,42 @@ SELECT layout, pred_id,
        (COUNT(*) - SUM(CASE WHEN scanned THEN 1 ELSE 0 END))::BIGINT AS n_skipped,
        ROUND((COUNT(*) - SUM(CASE WHEN scanned THEN 1 ELSE 0 END)) / COUNT(*), 6) AS skip_ratio
 FROM j GROUP BY layout, pred_id
+"""
+
+    o["mm_span_integrity"] = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+sp AS (
+  SELECT doc_id,
+         list_transform(range(len(ws)), i -> struct_pack(
+           kind := CASE WHEN doc_id % 13 = 0 AND i = 0 THEN 'weird'
+                        WHEN length(ws[i + 1]) % 3 = 0 THEN 'text'
+                        WHEN length(ws[i + 1]) % 3 = 1 THEN 'link'
+                        ELSE 'media' END,
+           media_ref := CASE WHEN doc_id % 11 <> 0
+                              AND length(ws[i + 1]) % 3 = 2
+                             THEN 'm://' || i END,
+           off := CASE WHEN doc_id % 7 = 0 THEN -i ELSE i END)) AS spans
+  FROM w)
+SELECT doc_id::BIGINT AS doc_id,
+       len(spans)::BIGINT AS n_spans,
+       (CASE WHEN len(spans) >= 2
+             THEN len(list_filter(range(2, len(spans) + 1),
+                      k -> spans[k].off <= spans[k - 1].off))
+             ELSE 0 END)::BIGINT AS n_offset_viol,
+       len(list_filter(spans,
+           s -> s.kind NOT IN ('text', 'link', 'media')))::BIGINT AS n_kind_viol,
+       len(list_filter(spans,
+           s -> (s.kind = 'media') <> (s.media_ref IS NOT NULL)))::BIGINT AS n_mediaref_viol,
+       (CASE WHEN len(spans) >= 2
+             THEN len(list_filter(range(2, len(spans) + 1),
+                      k -> spans[k].off <= spans[k - 1].off))
+             ELSE 0 END) = 0
+       AND len(list_filter(spans,
+           s -> s.kind NOT IN ('text', 'link', 'media'))) = 0
+       AND len(list_filter(spans,
+           s -> (s.kind = 'media') <> (s.media_ref IS NOT NULL))) = 0 AS is_valid
+FROM sp
 """
 
     return o

@@ -779,3 +779,52 @@ def rel_canonical_resolve(
     return per_doc.join(sizes, "canonical_url").select(
         id_col, "url", "canonical_url", "rel", F.col("n_aliases").cast("bigint").alias("n_aliases")
     )
+
+
+def span_integrity_audit(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Per-document audit of the interleaved-span invariant (the
+    north-rule input contract: ``spans:array<struct<kind,text,media_ref,
+    offset>>`` with meaningful order): counts of (1) non-increasing
+    adjacent offsets, (2) unknown kinds (∉ {text, link, media}), and
+    (3) media_ref mismatches (a media span must carry a ref; a non-media
+    span must not). ``is_valid`` gates ingestion — the engine's analogue
+    of the reference's span-sequence equality check (jar-then-pom
+    identity, MavenArtifact.scala:21) as a data-quality operator.
+
+    Zero shuffle: three in-cell JVM higher-order passes per row; compose
+    it into any scan for free and aggregate violations at whatever grain
+    the monitoring sink wants."""
+    s = F.col(spans_col)
+    n = F.size(s)
+    offs = F.transform(s, lambda e: e["offset"])
+    off_viol = F.when(
+        n >= 2,
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.slice(offs, 1, n - 1),
+                    F.slice(offs, 2, n - 1),
+                    lambda a, b: b <= a,
+                ),
+                lambda x: x,
+            )
+        ),
+    ).otherwise(F.lit(0))
+    kind_viol = F.size(
+        F.filter(s, lambda e: ~e["kind"].isin("text", "link", "media"))
+    )
+    ref_viol = F.size(
+        F.filter(
+            s, lambda e: (e["kind"] == "media") != e["media_ref"].isNotNull()
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_spans"),
+        off_viol.cast("bigint").alias("n_offset_viol"),
+        kind_viol.cast("bigint").alias("n_kind_viol"),
+        ref_viol.cast("bigint").alias("n_mediaref_viol"),
+        (
+            (off_viol == 0) & (kind_viol == 0) & (ref_viol == 0)
+        ).alias("is_valid"),
+    )

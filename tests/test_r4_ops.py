@@ -903,3 +903,30 @@ def test_pq_encode_and_adc_sanity(spark):
     # shares its code AND a smaller vec_id — allow at most 2 such ties
     self_hits = sum(1 for qid, vid in top1.items() if qid == vid)
     assert self_hits >= len(top1) - 2, top1
+
+
+def test_span_integrity_audit_localizes_violations(spark):
+    """Hand-built spans: a clean doc validates; each corruption class is
+    counted in its own column and only there; single-span docs can't
+    have offset violations."""
+    from delphi_crawler_spark.operators.links import span_integrity_audit
+
+    schema = ("doc_id long, spans array<struct<kind string, text string, "
+              "media_ref string, offset int>>")
+    mk = lambda k, t, r, o: {"kind": k, "text": t, "media_ref": r, "offset": o}
+    rows = [
+        (1, [mk("text", "a", None, 0), mk("media", "b", "m://1", 1),
+             mk("link", "c", None, 2)]),                        # clean
+        (2, [mk("text", "a", None, 2), mk("text", "b", None, 1),
+             mk("text", "c", None, 1)]),                        # 2 offset viol
+        (3, [mk("media", "a", None, 0), mk("text", "b", "m://x", 1)]),  # 2 ref viol
+        (4, [mk("weird", "a", None, 0)]),                       # kind viol, single span
+    ]
+    out = {r["doc_id"]: r for r in span_integrity_audit(
+        spark.createDataFrame(rows, schema)).collect()}
+    assert out[1]["is_valid"] and out[1]["n_spans"] == 3
+    assert (out[1]["n_offset_viol"], out[1]["n_kind_viol"], out[1]["n_mediaref_viol"]) == (0, 0, 0)
+    assert out[2]["n_offset_viol"] == 2 and out[2]["n_kind_viol"] == 0
+    assert not out[2]["is_valid"]
+    assert out[3]["n_mediaref_viol"] == 2 and out[3]["n_offset_viol"] == 0
+    assert out[4]["n_kind_viol"] == 1 and out[4]["n_offset_viol"] == 0
