@@ -4328,6 +4328,27 @@ def q_mm_span_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g4_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + clustering coefficient over the
+    planted-farm graph (g3's input): degree-ordered orientation bounds
+    the wedge intermediate at Σ d_out² — the farm clique lights up near
+    coefficient 1.0, the sparse random part near 0."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.graph import triangle_counts
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    sparse = ev.filter(F.col("event_id") % 4 == 0).select(
+        F.concat(F.lit("r"), F.substring(F.md5(F.concat(F.lit("s"), eid)), 1, 2)).alias("src"),
+        F.concat(F.lit("r"), F.substring(F.md5(F.concat(F.lit("d"), eid)), 1, 2)).alias("dst"),
+    )
+    farm = ev.select(
+        F.concat(F.lit("f"), F.substring(F.md5(F.concat(F.lit("a"), eid)), 1, 1)).alias("src"),
+        F.concat(F.lit("f"), F.substring(F.md5(F.concat(F.lit("b"), eid)), 1, 1)).alias("dst"),
+    )
+    return triangle_counts(sparse.unionByName(farm))
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4555,6 +4576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_encode": q_sim_pq_encode,
         "sim_pq_topk": q_sim_pq_topk,
         "mm_span_integrity": q_mm_span_integrity,
+        "g4_triangles": q_g4_triangles,
     }
 
 
@@ -7773,6 +7795,42 @@ SELECT doc_id::BIGINT AS doc_id,
        AND len(list_filter(spans,
            s -> (s.kind = 'media') <> (s.media_ref IS NOT NULL))) = 0 AS is_valid
 FROM sp
+"""
+
+    o["g4_triangles"] = """
+WITH e0x AS (
+  SELECT 'r' || substr(md5('s' || event_id), 1, 2) AS a,
+         'r' || substr(md5('d' || event_id), 1, 2) AS b
+  FROM events WHERE event_id % 4 = 0
+  UNION ALL
+  SELECT 'f' || substr(md5('a' || event_id), 1, 1),
+         'f' || substr(md5('b' || event_id), 1, 1) FROM events),
+und AS (
+  SELECT DISTINCT a, b FROM
+  (SELECT a, b FROM e0x UNION ALL SELECT b, a FROM e0x) u(a, b)
+  WHERE a <> b),
+deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
+e AS (
+  SELECT u.a, u.b FROM und u
+  JOIN deg da ON u.a = da.a
+  JOIN deg db ON u.b = db.a
+  WHERE da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)),
+closed AS (
+  SELECT w1.a AS p, w1.b AS x, w2.b AS y
+  FROM e w1 JOIN e w2 ON w1.a = w2.a AND w1.b <> w2.b
+  JOIN e c ON c.a = w1.b AND c.b = w2.b),
+tri AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT p AS node FROM closed
+    UNION ALL SELECT x FROM closed
+    UNION ALL SELECT y FROM closed) t(node)
+  GROUP BY node)
+SELECT d.a AS node, d.deg::BIGINT AS degree,
+       COALESCE(t.n_tri, 0)::BIGINT AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN ROUND(2.0 * COALESCE(t.n_tri, 0) / (d.deg * (d.deg - 1.0)), 6)
+            ELSE 0.0 END AS clustering_coeff
+FROM deg d LEFT JOIN tri t ON d.a = t.node
 """
 
     return o

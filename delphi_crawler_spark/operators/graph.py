@@ -930,3 +930,84 @@ def kcore_membership(
     return e.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient via the
+    degree-ordered orientation (the MapReduce-era standard: Suri &
+    Vassilvitskii WWW'11 / Cohen 2009): orient each undirected edge from
+    its lower-(degree, id) endpoint to the higher one, enumerate wedges
+    only at each edge's SMALLER endpoint, and close them with one join
+    back to the oriented edge set. Every triangle is found exactly once,
+    and the wedge intermediate is Σ d_out² with d_out ≤ O(√|E|) for any
+    graph — the skew bound that makes this feasible where naive
+    wedge-at-every-node explodes on power-law hubs (a 10^7-degree host
+    would otherwise emit 10^14 wedges).
+
+    Clustering coefficient = 2·T / (d·(d−1)) (0 where d < 2) — the
+    link-farm tell: spam rings sit near 1.0 at high degree, organic hubs
+    near 0. Output: (node, degree, n_triangles, clustering_coeff).
+
+    Scale shape: one degree hash-agg, two joins to attach endpoint
+    degrees, one self-join on the wedge pivot, one membership join, and
+    a final 3-way-union count — all keyed equi-joins on node/edge keys,
+    no iteration.
+    """
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # attach degrees to both endpoints, orient low -> high
+    e = (
+        und.join(deg.withColumnRenamed("a", "a").withColumnRenamed("deg", "da"), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("db")), "b"
+        )
+        .where(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+    )
+    # wedges at the smaller endpoint: (a -> b), (a -> c), b < c in the
+    # orientation's total order is implied by joining closure b -> c
+    w1 = e.select(F.col("a").alias("p"), F.col("b").alias("x"))
+    w2 = e.select(F.col("a").alias("p"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "p").where(F.col("x") != F.col("y"))
+    closed = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
+    )
+    tri_nodes = (
+        closed.select(F.col("p").alias("node"))
+        .unionByName(closed.select(F.col("x").alias("node")))
+        .unionByName(closed.select(F.col("y").alias("node")))
+    )
+    per_node = tri_nodes.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    d = F.col("deg").cast("double")
+    return (
+        deg.select(F.col("a").alias("node"), "deg")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0 * F.coalesce(F.col("n_triangles"), F.lit(0)) / (d * (d - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )

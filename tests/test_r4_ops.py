@@ -930,3 +930,24 @@ def test_span_integrity_audit_localizes_violations(spark):
     assert not out[2]["is_valid"]
     assert out[3]["n_mediaref_viol"] == 2 and out[3]["n_offset_viol"] == 0
     assert out[4]["n_kind_viol"] == 1 and out[4]["n_offset_viol"] == 0
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 has C(3,2)=3 triangles per node, coefficient 1.0; a path has
+    none; a K4 plus one pendant gives the pendant 0 and its anchor a
+    reduced coefficient; every triangle counted exactly once."""
+    from delphi_crawler_spark.operators.graph import triangle_counts
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    pend = [("a", "p")]
+    path = [("x", "y"), ("y", "z")]
+    out = {r["node"]: r for r in triangle_counts(
+        spark.createDataFrame(k4 + pend + path, ["src", "dst"])).collect()}
+    for n in ("b", "c", "d"):
+        assert out[n]["n_triangles"] == 3 and out[n]["clustering_coeff"] == 1.0
+    # a: degree 4, still 3 triangles -> 2*3/(4*3) = 0.5
+    assert out["a"]["n_triangles"] == 3 and out["a"]["clustering_coeff"] == 0.5
+    assert out["p"]["n_triangles"] == 0 and out["p"]["clustering_coeff"] == 0.0
+    assert out["y"]["n_triangles"] == 0 and out["y"]["degree"] == 2
+    # global triangle count: sum/3 == 4 (K4's triangles)
+    assert sum(r["n_triangles"] for r in out.values()) == 12
