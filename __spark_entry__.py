@@ -4349,6 +4349,27 @@ def q_g4_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(sparse.unionByName(farm))
 
 
+def q_stream_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming reservoir
+    (streaming/stateful.py:streaming_group_sample): per-key bottom-k by
+    md5(key|seq) — mergeable, replayable, uniform; streaming ≡ batch
+    pinned by test_streaming_stateful.py parity."""
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.concat(F.lit("g"), (F.col("user_id") % 25).cast("string")).alias("key"),
+        F.col("event_id").cast("bigint").alias("seq"),
+    ).withColumn(
+        "rank_hex",
+        F.md5(F.concat(F.col("key"), F.lit("|"), F.col("seq").cast("string"))),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("rank_hex").asc(), F.col("seq").asc())
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 7)
+        .select("key", "seq", "rank_hex")
+    )
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4577,6 +4598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_topk": q_sim_pq_topk,
         "mm_span_integrity": q_mm_span_integrity,
         "g4_triangles": q_g4_triangles,
+        "stream_group_sample": q_stream_group_sample,
     }
 
 
@@ -7831,6 +7853,18 @@ SELECT d.a AS node, d.deg::BIGINT AS degree,
             THEN ROUND(2.0 * COALESCE(t.n_tri, 0) / (d.deg * (d.deg - 1.0)), 6)
             ELSE 0.0 END AS clustering_coeff
 FROM deg d LEFT JOIN tri t ON d.a = t.node
+"""
+
+    o["stream_group_sample"] = """
+WITH keyed AS (
+  SELECT 'g' || (user_id % 25) AS key, event_id::BIGINT AS seq,
+         md5('g' || (user_id % 25) || '|' || event_id) AS rank_hex
+  FROM events),
+r AS (
+  SELECT key, seq, rank_hex,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY rank_hex, seq) AS rk
+  FROM keyed)
+SELECT key, seq, rank_hex FROM r WHERE rk <= 7
 """
 
     return o

@@ -279,3 +279,89 @@ def streaming_hist_segments(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_GS_STATE = StructType(
+    [
+        StructField("ranks", ArrayType(StringType())),
+        StructField("seqs", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+_GS_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("seq", LongType()),
+        StructField("rank_hex", StringType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def _gs_rank(key: str, seq: int) -> str:
+    import hashlib
+
+    return hashlib.md5(f"{key}|{seq}".encode()).hexdigest()
+
+
+def _make_gs_func(k: int):
+    def fold(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        kstr = key[0]
+        if state.exists:
+            ranks, seqs, n = state.get
+            pool = list(zip(list(ranks), list(seqs)))
+        else:
+            pool, n = [], 0
+        for pdf in pdfs:
+            for seq in pdf["seq"]:
+                s = int(seq)
+                pool.append((_gs_rank(kstr, s), s))
+                n += 1
+        pool.sort()  # (rank_hex asc, seq asc) — md5 collisions tie-break by seq
+        pool = pool[: int(k)]
+        state.update(([r for r, _ in pool], [s for _, s in pool], n))
+        yield pd.DataFrame(
+            {
+                "key": [kstr] * len(pool),
+                "seq": [s for _, s in pool],
+                "rank_hex": [r for r, _ in pool],
+                "n_seen": [n] * len(pool),
+            }
+        )
+
+    return fold
+
+
+def streaming_group_sample(
+    stream: DataFrame,
+    k: int,
+    key_col: str = "key",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Stateful streaming per-key uniform sample of size k — the
+    DETERMINISTIC reservoir: keep the k items with the smallest
+    ``md5(key|seq)``. Bottom-k priority sampling is uniform over any
+    prefix (each item's rank is an i.i.d. hash draw), mergeable, and —
+    unlike the classic rng reservoir — replayable: the stream's
+    cumulative sample after any number of micro-batches is byte-equal to
+    the batch bottom-k over the union of those batches (the property the
+    parity test pins), so checkpoint recovery and reprocessing converge
+    to the identical sample. Same rank rule as the batch samplers
+    (md5-rank windows, ``operators/sampling.py``).
+
+    State per key is exactly k (rank, seq) pairs + one counter —
+    bounded forever; emission each micro-batch is the current reservoir
+    snapshot tagged with ``n_seen`` (take the max-n_seen rows per key
+    downstream)."""
+    renamed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(seq_col).cast("long").alias("seq"),
+    )
+    return renamed.groupBy("key").applyInPandasWithState(
+        _make_gs_func(k),
+        outputStructType=_GS_OUT,
+        stateStructType=_GS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -216,3 +216,64 @@ def test_streaming_hist_segments_parity_with_batch(spark, tmp_path):
         ).collect()
     }
     assert sq == bq
+
+
+def test_streaming_group_sample_parity_with_batch(spark, tmp_path):
+    """Deterministic bottom-k reservoir: the cumulative streaming sample
+    after 3 micro-batches equals the batch bottom-k over the union —
+    byte-equal seqs per key — and state never exceeds k per key."""
+    import pandas as pd
+
+    from delphi_crawler_spark.streaming.stateful import (
+        _gs_rank,
+        streaming_group_sample,
+    )
+
+    rows = [{"seq": i, "key": f"g{i % 5}"} for i in range(900)]
+    pdf = pd.DataFrame(rows)
+    drop = tmp_path / "gsdrop"
+    os.makedirs(drop)
+    for b in range(3):
+        pdf[(pdf["seq"] >= 300 * b) & (pdf["seq"] < 300 * (b + 1))].to_parquet(
+            str(drop / f"b{b}.parquet")
+        )
+
+    stream = (
+        spark.readStream.schema("seq long, key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    k = 7
+    q = (
+        streaming_group_sample(stream, k=k)
+        .writeStream.format("memory")
+        .queryName("gs_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "gsckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got_rows = spark.sql(
+        "SELECT key, seq, n_seen FROM gs_out"
+    ).collect()
+    # final snapshot per key = rows at that key's max n_seen
+    max_seen: dict[str, int] = {}
+    for r in got_rows:
+        max_seen[r["key"]] = max(max_seen.get(r["key"], 0), r["n_seen"])
+    final: dict[str, list[int]] = {}
+    for r in got_rows:
+        if r["n_seen"] == max_seen[r["key"]]:
+            final.setdefault(r["key"], []).append(r["seq"])
+
+    # batch twin: k smallest (md5(key|seq), seq) per key over the union
+    expect: dict[str, list[int]] = {}
+    for key in sorted({r["key"] for r in rows}):
+        seqs = [r["seq"] for r in rows if r["key"] == key]
+        ranked = sorted(seqs, key=lambda s: (_gs_rank(key, s), s))[:k]
+        expect[key] = sorted(ranked)
+    for key in expect:
+        assert sorted(final[key]) == expect[key], key
+        assert max_seen[key] == 180  # 900 rows / 5 keys
+        assert len(final[key]) == k
