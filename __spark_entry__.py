@@ -4370,6 +4370,40 @@ def q_stream_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (SIGMOD'03) positional fingerprints: window-local
+    minima over 4-gram shingle hashes, uniform density, guarantee that
+    shared runs ≥ win+gram−1 words share a fingerprint. In-cell JVM
+    until the final explode."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.textfns import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, gram=4, win=4)
+
+
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap near-dup candidates: doc pairs sharing ≥5 winnowing
+    fingerprints — catches shared passages anywhere in the document
+    (plagiarism/quotation shape), bucketed by fingerprint equi-join,
+    never all-pairs."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.textfns import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, gram=4, win=4).select(
+        "doc_id", "fp"
+    ).distinct()
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = a.join(b, "fp").filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4599,6 +4633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_span_integrity": q_mm_span_integrity,
         "g4_triangles": q_g4_triangles,
         "stream_group_sample": q_stream_group_sample,
+        "text_winnow_fingerprints": q_text_winnow_fingerprints,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
     }
 
 
@@ -7865,6 +7901,43 @@ r AS (
          ROW_NUMBER() OVER (PARTITION BY key ORDER BY rank_hex, seq) AS rk
   FROM keyed)
 SELECT key, seq, rank_hex FROM r WHERE rk <= 7
+"""
+
+    # Winnowing: shingle-hash encode "hash16@pos6" so list_min IS the
+    # window argmin with leftmost tie-break in both engines.
+    _WINNOW_FPS_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(greatest(len(ws) - 3, 1)), i ->
+           substr(md5(array_to_string(ws[i + 1 : i + 4], ' ')), 1, 16)
+           || '@' || lpad(i::VARCHAR, 6, '0')) AS enc
+  FROM w),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(enc) - 3, 1)), j ->
+           list_min(enc[j + 1 : j + 4]))) AS sels
+  FROM g),
+ex AS (SELECT doc_id, unnest(sels) AS sel FROM s)
+SELECT doc_id,
+       string_split(sel, '@')[2]::BIGINT AS pos,
+       string_split(sel, '@')[1] AS fp
+FROM ex
+"""
+
+    o["text_winnow_fingerprints"] = _WINNOW_FPS_SQL
+
+    o["dedup_winnow_pairs"] = f"""
+WITH fps0 AS ({_WINNOW_FPS_SQL}),
+fps AS (SELECT DISTINCT doc_id, fp FROM fps0),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, COUNT(*)::BIGINT AS n_shared
+FROM pairs GROUP BY doc_a, doc_b
+HAVING COUNT(*) >= 5
 """
 
     return o

@@ -259,3 +259,56 @@ def gopher_rules(
         .withColumn("n_stop_hits", n_stop.cast("long"))
         .withColumn("passed", passed.cast("long"))
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 4,
+    win: int = 4,
+) -> DataFrame:
+    """True winnowing (Schleimer, Wilkerson & Aiken, SIGMOD'03): hash
+    every ``gram``-word shingle, then in every window of ``win``
+    consecutive shingle hashes select the minimum (leftmost on ties) —
+    the positional fingerprint set with the paper's guarantee: any two
+    documents sharing a run of at least ``win + gram − 1`` words share
+    at least one selected fingerprint. Unlike the global bottom-k
+    (``rolling_fingerprint_col``) the density is uniform ACROSS the
+    document, so local plagiarism/quotation is caught anywhere, not just
+    where the globally-smallest hashes happen to fall.
+
+    Engine-portable trick: the shingle hash is the first 16 hex chars of
+    md5, and (hash, pos) is encoded as ``hash@pos6`` so a plain
+    ``array_min`` IS the window argmin with the leftmost tie-break —
+    identical lexicographic semantics in any engine.
+
+    Output: exploded ``(doc_id, pos, fp)`` — one row per selected
+    fingerprint (distinct per doc). All in-cell JVM expressions until
+    the final explode; cost O(words × win) per doc.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ng = F.greatest(F.size(words) - F.lit(gram - 1), F.lit(1))
+    enc = F.transform(
+        F.sequence(F.lit(0), ng - 1),
+        lambda i: F.concat(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(words, i + 1, gram))), 1, 16),
+            F.lit("@"),
+            F.lpad(i.cast("string"), 6, "0"),
+        ),
+    )
+    nw = F.greatest(F.size(enc) - F.lit(win - 1), F.lit(1))
+    sels = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), nw - 1),
+            lambda j: F.array_min(F.slice(enc, j + 1, win)),
+        )
+    )
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(sels).alias("sel")
+    )
+    return ex.select(
+        "doc_id",
+        F.split(F.col("sel"), "@")[1].cast("bigint").alias("pos"),
+        F.split(F.col("sel"), "@")[0].alias("fp"),
+    )

@@ -951,3 +951,36 @@ def test_triangle_counts_known_graphs(spark):
     assert out["y"]["n_triangles"] == 0 and out["y"]["degree"] == 2
     # global triangle count: sum/3 == 4 (K4's triangles)
     assert sum(r["n_triangles"] for r in out.values()) == 12
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The SIGMOD'03 guarantee: two docs sharing a run of >= win+gram-1
+    words share at least one fingerprint; fingerprints are positionally
+    uniform (every window of win shingles contributed one); a doc with
+    completely distinct text shares none."""
+    import random
+
+    from delphi_crawler_spark.functions.textfns import winnow_fingerprints
+
+    rng = random.Random(5)
+    mk = lambda n, pool: " ".join(rng.choice(pool) for _ in range(n))
+    vocab_a = [f"a{i}" for i in range(200)]
+    vocab_b = [f"b{i}" for i in range(200)]
+    shared_run = mk(7, vocab_a)  # win+gram-1 = 7 words
+    d1 = mk(50, vocab_a) + " " + shared_run + " " + mk(50, vocab_a)
+    d2 = mk(40, vocab_b) + " " + shared_run + " " + mk(60, vocab_b)
+    d3 = mk(80, vocab_b)
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"]
+    )
+    fps = winnow_fingerprints(docs, gram=4, win=4).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 7-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) or len(by_doc[1] & by_doc[3]) == 0
+    # density: selected positions cover the doc roughly uniformly — the
+    # max gap between consecutive selected positions is <= win
+    pos1 = sorted(r["pos"] for r in fps if r["doc_id"] == 1)
+    gaps = [b - a for a, b in zip(pos1, pos1[1:])]
+    assert max(gaps) <= 4
