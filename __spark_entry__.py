@@ -4404,6 +4404,50 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum training order: tier from doc quality residue,
+    md5-shuffled within tier, global train_seq via attach_global_seq
+    (parallelism-invariant, no partitionless window)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.corpus import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        (F.col("doc_id") % 3).cast("int").alias("tier"),
+    )
+    return curriculum_order(docs)
+
+
+def q_evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    per (cohort_week, week_offset) the fraction of the cohort active —
+    two keyed hash-aggs sharing the user grain plus one broadcast-sized
+    cohort join."""
+    _ensure_pkg(spark)
+    ev = _t(spark, sf_dir, "events")
+    wk = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(604800000000)
+    ).cast("bigint")
+    act = ev.select(F.col("user_id").alias("user_id"), wk.alias("week")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    joined = act.join(cohort, "user_id").select(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+    )
+    ret = joined.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return ret.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        F.col("n_active").cast(BIG).alias("n_active"),
+        F.col("cohort_size").cast(BIG).alias("cohort_size"),
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4635,6 +4679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_group_sample": q_stream_group_sample,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "corpus_curriculum_order": q_corpus_curriculum_order,
+        "evt_retention": q_evt_retention,
     }
 
 
@@ -7938,6 +7984,36 @@ pairs AS (
 SELECT doc_a, doc_b, COUNT(*)::BIGINT AS n_shared
 FROM pairs GROUP BY doc_a, doc_b
 HAVING COUNT(*) >= 5
+"""
+
+    o["corpus_curriculum_order"] = """
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id, (doc_id % 3)::INT AS tier,
+         md5((doc_id % 3) || '|' || doc_id) AS shuffle_key
+  FROM documents)
+SELECT doc_id, tier, shuffle_key,
+       ROW_NUMBER() OVER (ORDER BY tier, shuffle_key, doc_id)::BIGINT AS train_seq
+FROM d
+"""
+
+    o["evt_retention"] = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         FLOOR(epoch_us(ts) / 604800000000)::BIGINT AS week
+  FROM events),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id),
+sizes AS (
+  SELECT cohort_week, COUNT(*)::BIGINT AS cohort_size
+  FROM cohort GROUP BY cohort_week),
+ret AS (
+  SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+         COUNT(*)::BIGINT AS n_active
+  FROM act a JOIN cohort c ON a.user_id = c.user_id
+  GROUP BY c.cohort_week, a.week - c.cohort_week)
+SELECT r.cohort_week, r.week_offset, r.n_active, s.cohort_size,
+       ROUND(r.n_active / s.cohort_size, 6) AS retention
+FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
 """
 
     return o

@@ -535,3 +535,43 @@ def vocab_coverage(
         F.col("n_oov_types").cast("bigint").alias("n_oov_types"),
         F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    tier_col: str = "tier",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic curriculum ordering for training: documents stream
+    tier by tier (0 = cleanest first — the standard quality-curriculum
+    schedule), with a seeded md5 shuffle INSIDE each tier so no
+    within-tier ordering bias (source, crawl time, doc id) leaks into
+    gradient order. The total order is (tier, md5(tier|id), id) — a pure
+    function of the data, so a resumed or re-sharded training run reads
+    the identical sequence.
+
+    ``train_seq`` is assigned with ``attach_global_seq`` (range partition
+    + per-partition offsets) — no partitionless window, parallelism-
+    invariant. Release hook ``_release_curriculum`` unpersists the
+    range-partitioned intermediate."""
+    from delphi_crawler_spark.operators.ordering import attach_global_seq
+
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(tier_col).cast("int").alias("tier"),
+    ).withColumn(
+        "shuffle_key",
+        F.md5(
+            F.concat(
+                F.col("tier").cast("string"),
+                F.lit("|"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    ranked, release = attach_global_seq(
+        keyed, order=["tier", "shuffle_key", "doc_id"], seq_col="train_seq"
+    )
+    out = ranked.select("doc_id", "tier", "shuffle_key", "train_seq")
+    out._release_curriculum = release  # type: ignore[attr-defined]
+    return out

@@ -984,3 +984,73 @@ def test_winnowing_guarantee_and_density(spark):
     pos1 = sorted(r["pos"] for r in fps if r["doc_id"] == 1)
     gaps = [b - a for a, b in zip(pos1, pos1[1:])]
     assert max(gaps) <= 4
+
+
+def test_curriculum_order_tiers_then_shuffle(spark):
+    """Tiers stream in order; within a tier the order is the md5 shuffle
+    (not doc_id order); train_seq is a 1-based dense total order and is
+    identical at different parallelism levels."""
+    import hashlib
+
+    from delphi_crawler_spark.operators.corpus import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, i % 2) for i in range(40)], ["doc_id", "tier"]
+    )
+    out = sorted(curriculum_order(docs).collect(), key=lambda r: r["train_seq"])
+    assert [r["train_seq"] for r in out] == list(range(1, 41))
+    tiers = [r["tier"] for r in out]
+    assert tiers == sorted(tiers)
+    t0 = [r["doc_id"] for r in out if r["tier"] == 0]
+    exp0 = sorted(
+        (i for i in range(0, 40, 2)),
+        key=lambda i: (hashlib.md5(f"0|{i}".encode()).hexdigest(), i),
+    )
+    assert t0 == exp0 and t0 != sorted(t0)
+    # parallelism invariance
+    out2 = sorted(
+        curriculum_order(docs.repartition(7)).collect(),
+        key=lambda r: r["train_seq"],
+    )
+    assert [(r["doc_id"], r["train_seq"]) for r in out2] == [
+        (r["doc_id"], r["train_seq"]) for r in out
+    ]
+
+
+def test_retention_matrix_hand_computed(spark):
+    """3 users, 2 cohorts: week-0 retention is 1.0 by construction; later
+    offsets count only still-active users."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 4)  # anchor inside some epoch week
+    wk = lambda w: base + timedelta(weeks=w)
+    rows = [
+        (1, wk(0)), (1, wk(1)), (1, wk(2)),
+        (2, wk(0)), (2, wk(2)),
+        (3, wk(1)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "event_type", F.lit("view")
+    )
+    import __spark_entry__  # noqa: F401  (query operates on the events table shape)
+    wkcol = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(604800000000)
+    ).cast("bigint")
+    act = ev.select("user_id", wkcol.alias("week")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    joined = act.join(cohort, "user_id").select(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+    )
+    ret = joined.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    ).join(sizes, "cohort_week").collect()
+    m = {(r["cohort_week"] is not None, r["week_offset"]): r for r in ret}
+    # normalize: cohorts keyed by min week value
+    weeks = sorted({r["cohort_week"] for r in ret})
+    c0, c1 = weeks[0], weeks[1]
+    by = {(r["cohort_week"], r["week_offset"]): (r["n_active"], r["cohort_size"]) for r in ret}
+    assert by[(c0, 0)] == (2, 2)   # users 1,2
+    assert by[(c0, 1)] == (1, 2)   # only user 1
+    assert by[(c0, 2)] == (2, 2)   # users 1,2 again
+    assert by[(c1, 0)] == (1, 1)   # user 3's own cohort
