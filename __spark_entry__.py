@@ -4448,6 +4448,62 @@ def q_evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dust_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared synthetic page space of the DUST family (c1e + fold)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 5).cast("string"), F.lit(".com"))
+    base = F.concat(F.lit("https://"), host, F.lit("/p"), (d % 20).cast("string"))
+    params = F.create_map(
+        F.lit("id"), (d % 7).cast("string"),
+        F.lit("utm"), (d % 3).cast("string"),
+        F.lit("sess"), (d % 8).cast("string"),
+    )
+    digest = F.md5(
+        F.concat(host, F.lit("|"), (d % 20).cast("string"), F.lit("|"), (d % 7).cast("string"))
+    )
+    return docs.select(
+        host.alias("host"), base.alias("base"),
+        params.alias("params"), digest.alias("digest"),
+    )
+
+
+def q_pipeline_dust_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST closed loop: learn per-host irrelevant params from digest
+    evidence, APPLY them, and measure the identity collapse per host —
+    raw URL-space vs folded URL-space distinct counts. The learned fold
+    is the canonicalizer extension static rules can't provide."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.dust import (
+        apply_dust_rules,
+        dust_param_relevance,
+    )
+
+    pages = _dust_pages(spark, sf_dir)
+    rules = dust_param_relevance(pages)
+    folded = apply_dust_rules(pages, rules)
+    raw = F.concat(
+        F.col("base"),
+        F.lit("?"),
+        F.concat_ws(
+            "&",
+            F.transform(
+                F.array_sort(F.map_entries(F.col("params"))),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+        ),
+    )
+    return (
+        folded.withColumn("raw_url", raw)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast(BIG).alias("n_urls"),
+            F.count_distinct(F.col("raw_url")).cast(BIG).alias("n_raw_identities"),
+            F.count_distinct(F.col("folded_url")).cast(BIG).alias("n_folded_identities"),
+        )
+    )
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4681,6 +4737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "corpus_curriculum_order": q_corpus_curriculum_order,
         "evt_retention": q_evt_retention,
+        "pipeline_dust_fold": q_pipeline_dust_fold,
     }
 
 
@@ -8014,6 +8071,39 @@ ret AS (
 SELECT r.cohort_week, r.week_offset, r.n_active, s.cohort_size,
        ROUND(r.n_active / s.cohort_size, 6) AS retention
 FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
+"""
+
+    # DUST closed loop: the c1e evidence oracle is the rules CTE; folded
+    # URLs drop the params marked irrelevant for that host (names sorted
+    # id < sess < utm, matching the map_entries sort).
+    o["pipeline_dust_fold"] = f"""
+WITH rules AS ({o["c1e_dust_params"]}),
+pages AS (
+  SELECT 'h' || (doc_id % 5) || '.com' AS host,
+         'https://h' || (doc_id % 5) || '.com/p' || (doc_id % 20) AS base,
+         (doc_id % 7)::VARCHAR AS v_id,
+         (doc_id % 3)::VARCHAR AS v_utm,
+         (doc_id % 8)::VARCHAR AS v_sess
+  FROM documents),
+irr AS (
+  SELECT host,
+         BOOL_OR(param = 'id' AND irrelevant) AS irr_id,
+         BOOL_OR(param = 'sess' AND irrelevant) AS irr_sess,
+         BOOL_OR(param = 'utm' AND irrelevant) AS irr_utm
+  FROM rules GROUP BY host),
+f AS (
+  SELECT p.host,
+         p.base || '?id=' || v_id || '&sess=' || v_sess || '&utm=' || v_utm AS raw_url,
+         p.base || '?' || array_to_string(list_filter([
+           CASE WHEN COALESCE(i.irr_id, FALSE) THEN NULL ELSE 'id=' || v_id END,
+           CASE WHEN COALESCE(i.irr_sess, FALSE) THEN NULL ELSE 'sess=' || v_sess END,
+           CASE WHEN COALESCE(i.irr_utm, FALSE) THEN NULL ELSE 'utm=' || v_utm END
+         ], x -> x IS NOT NULL), '&') AS folded_url
+  FROM pages p LEFT JOIN irr i ON p.host = i.host)
+SELECT host, COUNT(*)::BIGINT AS n_urls,
+       COUNT(DISTINCT raw_url)::BIGINT AS n_raw_identities,
+       COUNT(DISTINCT folded_url)::BIGINT AS n_folded_identities
+FROM f GROUP BY host
 """
 
     return o

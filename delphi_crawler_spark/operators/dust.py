@@ -109,3 +109,47 @@ def dust_param_relevance(
             & (ratio >= F.lit(float(min_clean_ratio)))
         ).alias("irrelevant"),
     )
+
+
+def apply_dust_rules(
+    pages: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    base_col: str = "base",
+    params_col: str = "params",
+) -> DataFrame:
+    """Apply learned DUST verdicts: strip every parameter the evidence
+    table marked ``irrelevant`` for that host, and emit the canonical
+    ``folded_url`` (base + surviving params sorted by name — parameter
+    order itself is DUST). Hosts with no learned rules pass through
+    unchanged.
+
+    Scale shape: the rule table is host×param-sized (tiny next to the
+    crawl log) — grouped to one array per host and broadcast; the fold
+    itself is in-cell JVM map/array ops, zero extra shuffle, so it
+    composes into the canonicalize projection for free.
+    """
+    irr = (
+        rules.filter(F.col("irrelevant"))
+        .groupBy(host_col)
+        .agg(F.collect_set("param").alias("_irr"))
+    )
+    j = pages.join(F.broadcast(irr), host_col, "left")
+    keep = F.map_filter(
+        F.col(params_col),
+        lambda k, v: ~F.coalesce(F.array_contains(F.col("_irr"), k), F.lit(False)),
+    )
+    folded = F.concat(
+        F.col(base_col),
+        F.lit("?"),
+        F.concat_ws(
+            "&",
+            F.transform(
+                F.array_sort(F.map_entries(keep)),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+        ),
+    )
+    return j.select(
+        *[F.col(c) for c in pages.columns], folded.alias("folded_url")
+    )

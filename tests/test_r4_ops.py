@@ -1054,3 +1054,26 @@ def test_retention_matrix_hand_computed(spark):
     assert by[(c0, 1)] == (1, 2)   # only user 1
     assert by[(c0, 2)] == (2, 2)   # users 1,2 again
     assert by[(c1, 0)] == (1, 1)   # user 3's own cohort
+
+
+def test_apply_dust_rules_folds_only_irrelevant(spark):
+    """Learned-irrelevant params are stripped per host; other hosts'
+    verdicts don't leak; param order is normalized in the folded URL;
+    hosts with no rules pass through with all params."""
+    from delphi_crawler_spark.operators.dust import apply_dust_rules
+
+    pages = spark.createDataFrame(
+        [
+            ("a.com", "https://a.com/p", {"sess": "9", "id": "1"}, "D"),
+            ("b.com", "https://b.com/q", {"sess": "9", "id": "1"}, "D"),
+        ],
+        "host string, base string, params map<string,string>, digest string",
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "sess", True), ("a.com", "id", False), ("b.com", "sess", False)],
+        "host string, param string, irrelevant boolean",
+    )
+    out = {r["host"]: r["folded_url"] for r in
+           apply_dust_rules(pages, rules).collect()}
+    assert out["a.com"] == "https://a.com/p?id=1"
+    assert out["b.com"] == "https://b.com/q?id=1&sess=9"
