@@ -258,3 +258,58 @@ def test_bucketed_colocated_join_no_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS buck_a")
         spark.sql("DROP TABLE IF EXISTS buck_b")
+
+
+def test_wfq_no_partitionless_window(spark):
+    """WFQ's global emission rank must come from range partitioning (the
+    attach_global_seq path), never a single-partition window."""
+    plan = _plan(E.q_p25_wfq_schedule(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_chunk_text_not_shuffled(spark):
+    """CDC dedup shuffles only (digest, len) pairs: the exchange must sit
+    above a projection that already dropped the chunk text, and the agg
+    must partially combine map-side."""
+    plan = _plan(E.q_dedup_cdc_chunks(spark, SF))
+    # two exchanges: the digest grain + count_distinct's two-phase
+    # expansion — both keyed on chunk_digest, neither on raw chunk text
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert 1 <= n_ex <= 2
+    pos = 0
+    for _ in range(n_ex):
+        pos = plan.index("Exchange hashpartitioning", pos)
+        assert plan[pos : pos + 60].count("chunk_digest") == 1
+        pos += 1
+    assert "hashpartitioning(chunk#" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_funnel_joins_stay_keyed(spark):
+    """Every funnel join is an equi-join on the user key — no cartesian,
+    no broadcast-nested-loop from the step conditions."""
+    plan = _plan(E.q_evt_funnel(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangles_no_cartesian(spark):
+    """Wedge enumeration and closure are equi-joins (pivot key / edge
+    key), never a cross product."""
+    plan = _plan(E.q_g4_triangles(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_integrity_zero_shuffle(spark):
+    """The span audit is a pure projection: no exchange at all."""
+    plan = _plan(E.q_mm_span_integrity(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_curriculum_rangepartitioned_seq(spark):
+    plan = _plan(E.q_corpus_curriculum_order(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
