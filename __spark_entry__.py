@@ -4504,6 +4504,51 @@ def q_pipeline_dust_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_r12_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host activity trend: exact OLS slope over (day, fetch count)
+    points — rising hosts earn frontier budget. One partially-
+    aggregating hash-agg of integer sums, no window."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.recrawl import host_trend_slope
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(86400000000)
+    ).cast("bigint")
+    act = (
+        ev.select(
+            F.concat(F.lit("u"), (F.col("user_id") % 80).cast("string")).alias("host"),
+            day.alias("day"),
+        )
+        .groupBy("host", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return host_trend_slope(act)
+
+
+def q_evt_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per key: zero-fill the gaps inside each key's
+    own [min_day, max_day] span (in-cell sequence explode + left join) —
+    silence must read as 0 for trend fits and dashboards."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.events import gapfill_daily
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(86400000000)
+    ).cast("bigint")
+    series = (
+        ev.filter(F.col("event_id") % 5 == 0)
+        .select(
+            F.concat(F.lit("u"), (F.col("user_id") % 40).cast("string")).alias("key"),
+            day.alias("day"),
+        )
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return gapfill_daily(series)
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4738,6 +4783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curriculum_order": q_corpus_curriculum_order,
         "evt_retention": q_evt_retention,
         "pipeline_dust_fold": q_pipeline_dust_fold,
+        "r12_trend_slope": q_r12_trend_slope,
+        "evt_gapfill": q_evt_gapfill,
     }
 
 
@@ -8104,6 +8151,43 @@ SELECT host, COUNT(*)::BIGINT AS n_urls,
        COUNT(DISTINCT raw_url)::BIGINT AS n_raw_identities,
        COUNT(DISTINCT folded_url)::BIGINT AS n_folded_identities
 FROM f GROUP BY host
+"""
+
+    o["r12_trend_slope"] = """
+WITH act AS (
+  SELECT 'u' || (user_id % 80) AS host,
+         FLOOR(epoch_us(ts) / 86400000000)::BIGINT AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT host, COUNT(*)::BIGINT AS n_days,
+         SUM(day::DOUBLE) AS sx, SUM(n::DOUBLE) AS sy,
+         SUM(day::DOUBLE * n::DOUBLE) AS sxy,
+         SUM(day::DOUBLE * day::DOUBLE) AS sxx
+  FROM act GROUP BY host)
+SELECT host, n_days,
+       ROUND(sy / n_days, 6) AS mean_daily,
+       ROUND(CASE WHEN n_days * sxx - sx * sx > 0
+                  THEN (n_days * sxy - sx * sy) / (n_days * sxx - sx * sx)
+                  ELSE 0.0 END, 6) AS slope,
+       (CASE WHEN n_days * sxx - sx * sx > 0
+             THEN (n_days * sxy - sx * sy) / (n_days * sxx - sx * sx)
+             ELSE 0.0 END) > 0 AS rising
+FROM agg
+"""
+
+    o["evt_gapfill"] = """
+WITH series AS (
+  SELECT 'u' || (user_id % 40) AS key,
+         FLOOR(epoch_us(ts) / 86400000000)::BIGINT AS day,
+         COUNT(*)::BIGINT AS n
+  FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2),
+spans AS (
+  SELECT key, MIN(day) AS d0, MAX(day) AS d1 FROM series GROUP BY key),
+dense AS (
+  SELECT key, unnest(range(d0, d1 + 1)) AS day FROM spans)
+SELECT d.key, d.day::BIGINT AS day, COALESCE(s.n, 0)::BIGINT AS n
+FROM dense d LEFT JOIN series s ON d.key = s.key AND d.day = s.day
 """
 
     return o

@@ -194,3 +194,33 @@ def funnel_steps(
         )
     cols = ["user_id"] + [f"step{k}_us" for k in range(1, len(steps) + 1)]
     return out.select(*cols, reached.cast("int").alias("step_reached"))
+
+
+def gapfill_daily(
+    series: DataFrame,
+    key_col: str = "key",
+    day_col: str = "day",
+    value_col: str = "n",
+) -> DataFrame:
+    """Dense daily series per key: fill missing days between each key's
+    first and last observed day with zero rows (monitoring dashboards and
+    trend fits need the zeros — a host that went silent must read as 0,
+    not as an absent row). In-cell ``sequence`` explode of each key's own
+    [min_day, max_day] range joined back to the sparse observations — the
+    fill cost is each key's SPAN, never the global calendar cross join.
+    """
+    spans = series.groupBy(key_col).agg(
+        F.min(day_col).alias("_d0"), F.max(day_col).alias("_d1")
+    )
+    dense = spans.select(
+        key_col,
+        F.explode(F.sequence(F.col("_d0"), F.col("_d1"))).alias(day_col),
+    )
+    return (
+        dense.join(series, [key_col, day_col], "left")
+        .select(
+            key_col,
+            F.col(day_col).cast("bigint").alias(day_col),
+            F.coalesce(F.col(value_col), F.lit(0)).cast("bigint").alias(value_col),
+        )
+    )

@@ -499,3 +499,42 @@ def http_cache_plan(
         fresh.alias("fresh"),
         action.alias("action"),
     )
+
+
+def host_trend_slope(
+    activity: DataFrame,
+    host_col: str = "host",
+    day_col: str = "day",
+    count_col: str = "n",
+) -> DataFrame:
+    """Per-host activity trend via exact least squares over (day, count)
+    points: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — the scheduling
+    signal for rising vs decaying hosts (a rising host earns frontier
+    budget before its backlog arrives; a decaying one yields it). Single-
+    day hosts get slope 0 (no trend evidence).
+
+    One hash-agg per host over integer sums (exact in doubles far beyond
+    any realistic day range) — no window, no sort, partially aggregating.
+    """
+    x = F.col(day_col).cast("double")
+    y = F.col(count_col).cast("double")
+    agg = activity.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    denom = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = F.when(
+        denom > 0,
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / denom,
+    ).otherwise(F.lit(0.0))
+    mean_y = F.col("_sy") / F.col("_n")
+    return agg.select(
+        host_col,
+        F.col("_n").cast("bigint").alias("n_days"),
+        F.round(mean_y, 6).alias("mean_daily"),
+        F.round(slope, 6).alias("slope"),
+        (slope > 0).alias("rising"),
+    )

@@ -1077,3 +1077,32 @@ def test_apply_dust_rules_folds_only_irrelevant(spark):
            apply_dust_rules(pages, rules).collect()}
     assert out["a.com"] == "https://a.com/p?id=1"
     assert out["b.com"] == "https://b.com/q?id=1&sess=9"
+
+
+def test_trend_slope_and_gapfill(spark):
+    """OLS slope hand-computed on a rising host; flat and single-day
+    hosts report 0; gapfill inserts exactly the missing in-span days as
+    zeros and never extends beyond the span."""
+    from delphi_crawler_spark.operators.events import gapfill_daily
+    from delphi_crawler_spark.operators.recrawl import host_trend_slope
+
+    act = spark.createDataFrame(
+        [("up", 0, 1), ("up", 1, 3), ("up", 2, 5),       # slope 2
+         ("flat", 5, 4), ("flat", 6, 4), ("flat", 7, 4),  # slope 0
+         ("one", 9, 7)],                                  # no evidence
+        ["host", "day", "n"],
+    )
+    out = {r["host"]: r for r in host_trend_slope(act).collect()}
+    assert out["up"]["slope"] == 2.0 and out["up"]["rising"]
+    assert out["flat"]["slope"] == 0.0 and not out["flat"]["rising"]
+    assert out["one"]["slope"] == 0.0 and out["one"]["n_days"] == 1
+    assert out["up"]["mean_daily"] == 3.0
+
+    filled = gapfill_daily(
+        spark.createDataFrame(
+            [("a", 10, 2), ("a", 13, 5), ("b", 7, 1)], ["key", "day", "n"]
+        )
+    ).collect()
+    got = {(r["key"], r["day"]): r["n"] for r in filled}
+    assert got == {("a", 10): 2, ("a", 11): 0, ("a", 12): 0, ("a", 13): 5,
+                   ("b", 7): 1}
