@@ -4549,6 +4549,20 @@ def q_evt_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_daily(series)
 
 
+def q_shard_consistent_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash shard assignment (8 shards × 64 vnodes): the ring
+    is a codegen literal, assignment a zero-shuffle JVM projection;
+    resizing n→n+1 moves ~1/(n+1) of keys (pytest-pinned)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.sharding import consistent_hash_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 997).cast("string")).alias("host")
+    ).distinct()
+    return consistent_hash_shards(hosts, n_shards=8, vnodes=64)
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4785,6 +4799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dust_fold": q_pipeline_dust_fold,
         "r12_trend_slope": q_r12_trend_slope,
         "evt_gapfill": q_evt_gapfill,
+        "shard_consistent_hash": q_shard_consistent_hash,
     }
 
 
@@ -8188,6 +8203,26 @@ dense AS (
   SELECT key, unnest(range(d0, d1 + 1)) AS day FROM spans)
 SELECT d.key, d.day::BIGINT AS day, COALESCE(s.n, 0)::BIGINT AS n
 FROM dense d LEFT JOIN series s ON d.key = s.key AND d.day = s.day
+"""
+
+    # Ring generated in-SQL with the same md5 rule as the operator's
+    # driver-side _ring — provably the identical ring.
+    o["shard_consistent_hash"] = """
+WITH hosts AS (
+  SELECT DISTINCT 'h' || (doc_id % 997) AS host FROM documents),
+ring AS (
+  SELECT substr(md5('s' || s.range || 'v' || v.range), 1, 16) AS pos,
+         s.range::INT AS shard
+  FROM range(8) s, range(64) v),
+h AS (
+  SELECT host, substr(md5(host), 1, 16) AS key_hash FROM hosts),
+sel AS (
+  SELECT h.host, h.key_hash,
+         COALESCE((SELECT MIN(pos) FROM ring WHERE pos >= h.key_hash),
+                  (SELECT MIN(pos) FROM ring)) AS chosen
+  FROM h)
+SELECT s.host, s.key_hash, r.shard
+FROM sel s JOIN ring r ON s.chosen = r.pos
 """
 
     return o

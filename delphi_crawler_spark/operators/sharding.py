@@ -122,3 +122,51 @@ def archive_offsets(
         ).cast("bigint").alias("offset"),
         "rec_len",
     )
+
+
+def _ring(n_shards: int, vnodes: int) -> list[tuple[str, int]]:
+    import hashlib
+
+    ring = []
+    for s in range(n_shards):
+        for v in range(vnodes):
+            ring.append((hashlib.md5(f"s{s}v{v}".encode()).hexdigest()[:16], s))
+    ring.sort()
+    return ring
+
+
+def consistent_hash_shards(
+    keys: DataFrame,
+    n_shards: int,
+    vnodes: int = 64,
+    key_col: str = "host",
+) -> DataFrame:
+    """Consistent-hash shard assignment with virtual nodes (Karger et al.
+    STOC'97 / the memcached ring): a key belongs to the first ring
+    position clockwise from ``md5(key)``. The property a frontier needs
+    when the executor fleet resizes: going n → n+1 shards moves only
+    ~1/(n+1) of keys (hash-mod moves ~all of them), so per-shard frontier
+    state, bloom segments and politeness queues stay where they are.
+    Virtual nodes smooth the load split to ±a few % at vnodes ≥ 64.
+
+    Scale shape: the ring is data-independent and tiny (n·vnodes
+    entries) — embedded as two aligned codegen literal arrays (the PSL
+    suffix-array trick, ``domains.py``), so assignment is a pure
+    zero-shuffle JVM projection: array_min over positions ≥ the key's
+    hash, wrapping to the ring's global minimum.
+    """
+    ring = _ring(n_shards, vnodes)
+    positions = F.array(*[F.lit(p) for p, _ in ring])
+    pos_to_shard = F.create_map(
+        *[x for p, s in ring for x in (F.lit(p), F.lit(s))]
+    )
+    key_hash = F.substring(F.md5(F.col(key_col)), 1, 16)
+    ge = F.filter(positions, lambda p: p >= key_hash)
+    chosen = F.when(F.size(ge) > 0, F.array_min(ge)).otherwise(
+        F.array_min(positions)
+    )
+    return keys.select(
+        F.col(key_col).alias(key_col),
+        key_hash.alias("key_hash"),
+        pos_to_shard[chosen].cast("int").alias("shard"),
+    )

@@ -1106,3 +1106,30 @@ def test_trend_slope_and_gapfill(spark):
     got = {(r["key"], r["day"]): r["n"] for r in filled}
     assert got == {("a", 10): 2, ("a", 11): 0, ("a", 12): 0, ("a", 13): 5,
                    ("b", 7): 1}
+
+
+def test_consistent_hash_resize_stability(spark):
+    """THE consistent-hashing property: resizing 8 -> 9 shards moves a
+    small minority of keys (expected ~1/9, vs ~8/9 for hash-mod), and
+    the load split across shards is reasonably balanced."""
+    from delphi_crawler_spark.operators.sharding import consistent_hash_shards
+
+    hosts = spark.createDataFrame(
+        [(f"host{i}.example",) for i in range(2000)], ["host"]
+    )
+    a = {r["host"]: r["shard"] for r in
+         consistent_hash_shards(hosts, n_shards=8, vnodes=64).collect()}
+    b = {r["host"]: r["shard"] for r in
+         consistent_hash_shards(hosts, n_shards=9, vnodes=64).collect()}
+    moved = sum(1 for h in a if a[h] != b[h])
+    assert moved / len(a) < 0.25, moved  # ~1/9 expected, hash-mod would be ~0.89
+    # every new-shard key moved TO shard 8 (new shards only steal)
+    for h in a:
+        if a[h] != b[h]:
+            assert b[h] == 8, (h, a[h], b[h])
+    # balance: no shard above 2.2x the mean at vnodes=64
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert len(c) == 8
+    assert max(c.values()) <= 2.2 * (len(a) / 8)
