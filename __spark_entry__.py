@@ -4563,6 +4563,23 @@ def q_shard_consistent_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return consistent_hash_shards(hosts, n_shards=8, vnodes=64)
 
 
+def q_p26_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow error-budget burn-rate alerts over a synthetic fetch
+    log: short window detects fast, long window suppresses blips, alert
+    = both hot — proactive host backoff. Two RANGE frames sharing one
+    host exchange."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.politeness import error_burn_rate
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 60).cast("string")).alias("host"),
+        ((F.col("event_id") * 137) % 7_200_000).cast("bigint").alias("ts_ms"),
+        (F.col("event_type") != "error").alias("ok"),
+    )
+    return error_burn_rate(log)
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4800,6 +4817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r12_trend_slope": q_r12_trend_slope,
         "evt_gapfill": q_evt_gapfill,
         "shard_consistent_hash": q_shard_consistent_hash,
+        "p26_burn_rate": q_p26_burn_rate,
     }
 
 
@@ -8223,6 +8241,31 @@ sel AS (
   FROM h)
 SELECT s.host, s.key_hash, r.shard
 FROM sel s JOIN ring r ON s.chosen = r.pos
+"""
+
+    o["p26_burn_rate"] = """
+WITH log AS (
+  SELECT 'u' || (user_id % 60) AS host,
+         ((event_id * 137) % 7200000)::BIGINT AS ts_ms,
+         event_type <> 'error' AS ok
+  FROM events),
+b AS (
+  SELECT host, ts_ms, ok,
+         SUM(CASE WHEN ok THEN 0 ELSE 1 END)
+           OVER (PARTITION BY host ORDER BY ts_ms
+                 RANGE BETWEEN 299999 PRECEDING AND CURRENT ROW)::DOUBLE
+         / COUNT(*) OVER (PARTITION BY host ORDER BY ts_ms
+                 RANGE BETWEEN 299999 PRECEDING AND CURRENT ROW) / 0.05 AS bs,
+         SUM(CASE WHEN ok THEN 0 ELSE 1 END)
+           OVER (PARTITION BY host ORDER BY ts_ms
+                 RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW)::DOUBLE
+         / COUNT(*) OVER (PARTITION BY host ORDER BY ts_ms
+                 RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW) / 0.05 AS bl
+  FROM log)
+SELECT host, ts_ms, ok,
+       ROUND(bs, 6) AS burn_short, ROUND(bl, 6) AS burn_long,
+       (bs >= 14.4 AND bl >= 6.0) AS alert
+FROM b
 """
 
     return o

@@ -678,3 +678,59 @@ def wfq_order(
     )
     ranked._release_wfq = release  # type: ignore[attr-defined]
     return ranked
+
+
+def error_burn_rate(
+    fetches: DataFrame,
+    slo_error_rate: float = 0.05,
+    short_ms: int = 300_000,
+    long_ms: int = 3_600_000,
+    short_factor: float = 14.4,
+    long_factor: float = 6.0,
+    host_col: str = "host",
+    ts_col: str = "ts_ms",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """Multiwindow error-budget burn-rate alerting over the fetch log
+    (the SRE-workbook multiwindow/multi-burn-rate pattern applied to
+    crawl health): per host and fetch, the error RATE over the trailing
+    short and long windows, expressed as a multiple of the SLO rate
+    ("burn"). An alert fires only when BOTH windows burn hot — the short
+    window gives fast detection, the long window suppresses blips — and
+    a firing host is what the scheduler backs off BEFORE politeness
+    violations or bans materialize (complements the reactive
+    ``retry_after_schedule`` / ``host_backoff_schedule``).
+
+    Output: one row per fetch with short/long burn multiples (round 6)
+    and ``alert``. RANGE frames (not ROWS) over the same (host, ts)
+    exchange — both windows and the projection share one shuffle, the
+    p22 audit's plan shape.
+    """
+    base = fetches.select(
+        F.col(host_col).alias("host"),
+        F.col(ts_col).cast("bigint").alias("ts_ms"),
+        F.col(ok_col).cast("boolean").alias("ok"),
+    )
+    err = F.when(F.col("ok"), 0).otherwise(1)
+
+    def burn(window_ms: int):
+        w = (
+            Window.partitionBy("host")
+            .orderBy(F.col("ts_ms"))
+            .rangeBetween(-int(window_ms) + 1, 0)
+        )
+        rate = F.sum(err).over(w) / F.count(F.lit(1)).over(w)
+        return rate / F.lit(float(slo_error_rate))
+
+    b_short = burn(short_ms)
+    b_long = burn(long_ms)
+    return base.select(
+        "host",
+        "ts_ms",
+        "ok",
+        F.round(b_short, 6).alias("burn_short"),
+        F.round(b_long, 6).alias("burn_long"),
+        ((b_short >= F.lit(float(short_factor))) & (b_long >= F.lit(float(long_factor)))).alias(
+            "alert"
+        ),
+    )

@@ -1133,3 +1133,31 @@ def test_consistent_hash_resize_stability(spark):
     c = Counter(a.values())
     assert len(c) == 8
     assert max(c.values()) <= 2.2 * (len(a) / 8)
+
+
+def test_burn_rate_multiwindow_gating(spark):
+    """A dense error burst makes the SHORT window burn hot immediately
+    but the alert fires only once the LONG window also exceeds its
+    factor; an isolated blip never alerts; simultaneous fetches co-count
+    (RANGE frame)."""
+    from delphi_crawler_spark.operators.politeness import error_burn_rate
+
+    rows = []
+    # host A: healthy for an hour (one ok per 10s), then a hard outage
+    for i in range(360):
+        rows.append(("a", i * 10_000, True))
+    for i in range(200):
+        rows.append(("a", 3_600_000 + i * 1_000, False))
+    # host B: a single blip among successes
+    for i in range(100):
+        rows.append(("b", i * 1_000, i != 50))
+    log = spark.createDataFrame(rows, ["host", "ts_ms", "ok"])
+    out = error_burn_rate(log, slo_error_rate=0.05).collect()
+    a_alerts = [r for r in out if r["host"] == "a" and r["alert"]]
+    assert a_alerts, "sustained outage must alert"
+    # alerts only during the outage phase
+    assert all(r["ts_ms"] >= 3_600_000 for r in a_alerts)
+    # short window saturates to 20x SLO (all-error window)
+    sat = [r for r in out if r["host"] == "a" and r["ts_ms"] >= 3_900_000]
+    assert sat and all(r["burn_short"] == 20.0 for r in sat)
+    assert not [r for r in out if r["host"] == "b" and r["alert"]]
