@@ -966,7 +966,7 @@ def triangle_counts(
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     # attach degrees to both endpoints, orient low -> high
     e = (
-        und.join(deg.withColumnRenamed("a", "a").withColumnRenamed("deg", "da"), "a")
+        und.join(deg.withColumnRenamed("deg", "da"), "a")
         .join(
             deg.select(F.col("a").alias("b"), F.col("deg").alias("db")), "b"
         )
