@@ -4580,6 +4580,27 @@ def q_p26_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return error_burn_rate(log)
 
 
+def q_mm_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal sequence packing over interleaved spans: media spans
+    cost a fixed token budget (64 — the patch-token convention), text
+    spans cost their tokens; the same next-fit packer then fills 2048-
+    token training sequences. The weight model is the only change from
+    text packing — the packer is weight-agnostic (one repartition, text
+    and media payloads never move)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.packing import pack_sequences
+
+    spans = _synth_spans_docs(spark, sf_dir)
+    n_media = F.size(F.filter(F.col("spans"), lambda e: e["kind"] == "media"))
+    weight = (F.size(F.col("spans")) + F.lit(63) * n_media).cast("bigint")
+    docs = spans.select(
+        F.col("doc_id"),
+        (F.col("doc_id") % 8).cast(BIG).alias("shard"),
+        weight.alias("n_tokens"),
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", budget=2048)
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4818,6 +4839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_gapfill": q_evt_gapfill,
         "shard_consistent_hash": q_shard_consistent_hash,
         "p26_burn_rate": q_p26_burn_rate,
+        "mm_pack_interleaved": q_mm_pack_interleaved,
     }
 
 
@@ -8266,6 +8288,46 @@ SELECT host, ts_ms, ok,
        ROUND(bs, 6) AS burn_short, ROUND(bl, 6) AS burn_long,
        (bs >= 14.4 AND bl >= 6.0) AS alert
 FROM b
+"""
+
+    # Same recursive next-fit packing as corpus_pack_sequences, with the
+    # multimodal weight model (media span = 64 tokens) and budget 2048.
+    o["mm_pack_interleaved"] = """
+WITH RECURSIVE d AS (
+  SELECT doc_id % 8 AS shard, doc_id,
+         (len(string_split_regex(text, '\\s+'))
+          + 63 * len(list_filter(string_split_regex(text, '\\s+'),
+                                 w -> length(w) % 3 = 2)))::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT shard, doc_id, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id))::BIGINT AS cum,
+         (row_number() OVER (PARTITION BY shard ORDER BY doc_id))::BIGINT AS idx
+  FROM d),
+m AS (SELECT shard, max(idx) AS n FROM c GROUP BY shard),
+seqs AS (
+  SELECT m.shard, 1::BIGINT AS s, 0::BIGINT AS base, 0::BIGINT AS seq_id,
+         greatest(1::BIGINT, coalesce((SELECT max(idx) FROM c
+            WHERE c.shard = m.shard AND c.cum <= 2048), 0::BIGINT)) AS e
+  FROM m
+  UNION ALL
+  SELECT sq.shard, sq.e + 1 AS s,
+         (SELECT cum FROM c WHERE c.shard = sq.shard AND c.idx = sq.e) AS base,
+         sq.seq_id + 1 AS seq_id,
+         greatest(sq.e + 1, coalesce((SELECT max(idx) FROM c
+            WHERE c.shard = sq.shard
+              AND c.cum <= (SELECT cum FROM c c2
+                            WHERE c2.shard = sq.shard AND c2.idx = sq.e) + 2048),
+            0::BIGINT)) AS e
+  FROM seqs sq JOIN m ON m.shard = sq.shard
+  WHERE sq.e < m.n)
+SELECT c.shard::BIGINT AS shard, c.doc_id::BIGINT AS doc_id,
+       c.n_tokens, sq.seq_id,
+       (c.idx - sq.s)::BIGINT AS pos_in_seq,
+       (c.cum - c.n_tokens - sq.base)::BIGINT AS tok_offset,
+       ((SELECT cum FROM c c3 WHERE c3.shard = c.shard AND c3.idx = sq.e)
+        - sq.base)::BIGINT AS seq_tokens
+FROM c JOIN seqs sq ON c.shard = sq.shard AND c.idx BETWEEN sq.s AND sq.e
 """
 
     return o

@@ -1163,3 +1163,31 @@ def test_burn_rate_multiwindow_gating(spark):
     deep = [r for r in out if r["host"] == "a" and r["ts_ms"] >= 3_700_000]
     assert deep and all(r["burn_short"] >= 14.4 for r in deep)
     assert not [r for r in out if r["host"] == "b" and r["alert"]]
+
+
+def test_mm_pack_interleaved_weight_model(spark):
+    """Media spans cost 64 tokens in the packer's weight model: a doc's
+    packed weight equals its span count plus 63 per media span, and no
+    sequence exceeds the budget unless it holds a single oversized doc."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_mm_pack_interleaved(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    # recompute one doc's weight independently
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    byid = {r["doc_id"]: r["text"] for r in docs}
+    for r in rows[:20]:
+        words = [w for w in __import__("re").split(r"\s+", byid[r["doc_id"]])]
+        n_media = sum(1 for w in words if len(w) % 3 == 2)
+        assert r["n_tokens"] == len(words) + 63 * n_media
+    # budget discipline per sequence
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for r in rows:
+        seqs[(r["shard"], r["seq_id"])].append(r)
+    for (_, _), members in seqs.items():
+        total = sum(m["n_tokens"] for m in members)
+        if len(members) > 1:
+            assert total <= 2048
+        assert members[0] is not None
