@@ -4601,6 +4601,36 @@ def q_mm_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "doc_id", "n_tokens", budget=2048)
 
 
+_XROBOTS_TEMPLATES = [
+    "noindex, nofollow",
+    "googlebot: noindex",
+    "delphibot: noindex, noarchive",
+    "none",
+    "",
+    "noarchive, unavailable_after: 01 Jan 2030",
+]
+
+
+def q_f6f_xrobots_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-Robots-Tag response-header gate (REP's non-HTML third): six
+    header templates covering unscoped, other-agent-scoped, own-agent-
+    scoped, none-expansion, empty, and the unavailable_after directive
+    that LOOKS like a scope. In-cell fold resolves agent scoping; the
+    oracle pins each template's truth table (the robots-body pattern)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.robots import xrobots_header_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    hdr = F.when(d % 6 == 0, F.lit(_XROBOTS_TEMPLATES[0]))
+    for i in range(1, 6):
+        hdr = hdr.when(d % 6 == i, F.lit(_XROBOTS_TEMPLATES[i]))
+    responses = docs.select(
+        d.cast(BIG).alias("doc_id"), hdr.alias("x_robots_tag")
+    )
+    return xrobots_header_gate(responses, agent="delphibot")
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4840,6 +4870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_consistent_hash": q_shard_consistent_hash,
         "p26_burn_rate": q_p26_burn_rate,
         "mm_pack_interleaved": q_mm_pack_interleaved,
+        "f6f_xrobots_header": q_f6f_xrobots_header,
     }
 
 
@@ -8328,6 +8359,33 @@ SELECT c.shard::BIGINT AS shard, c.doc_id::BIGINT AS doc_id,
        ((SELECT cum FROM c c3 WHERE c3.shard = c.shard AND c3.idx = sq.e)
         - sq.base)::BIGINT AS seq_tokens
 FROM c JOIN seqs sq ON c.shard = sq.shard AND c.idx BETWEEN sq.s AND sq.e
+"""
+
+    # X-Robots-Tag: per-template truth table for agent 'delphibot' (the
+    # robots-body template-pinning pattern): t0 unscoped noindex+nofollow;
+    # t1 scoped to another agent (no effect); t2 scoped to our agent
+    # (noindex+noarchive); t3 'none' expands; t4 empty; t5 noarchive +
+    # an unavailable_after directive that looks like a scope.
+    o["f6f_xrobots_header"] = """
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id, (doc_id % 6)::INT AS t,
+         CASE doc_id % 6
+           WHEN 0 THEN 'noindex, nofollow'
+           WHEN 1 THEN 'googlebot: noindex'
+           WHEN 2 THEN 'delphibot: noindex, noarchive'
+           WHEN 3 THEN 'none'
+           WHEN 4 THEN ''
+           ELSE 'noarchive, unavailable_after: 01 Jan 2030'
+         END AS x_robots_tag
+  FROM documents)
+SELECT doc_id, x_robots_tag,
+       t IN (0, 2, 3) AS noindex,
+       t IN (0, 3) AS nofollow,
+       t IN (2, 5) AS noarchive,
+       CASE WHEN t IN (0, 3) THEN 'noindex+nofollow'
+            WHEN t = 2 THEN 'noindex'
+            ELSE 'index+follow' END AS action
+FROM d
 """
 
     return o

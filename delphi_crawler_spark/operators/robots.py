@@ -510,3 +510,77 @@ def robots_cache_plan(
         F.coalesce(age, F.lit(-1)).cast("long").alias("age_ms"),
         action.alias("action"),
     )
+
+
+def xrobots_header_gate(
+    responses: DataFrame,
+    agent: str = "delphibot",
+    header_col: str = "x_robots_tag",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X-Robots-Tag HTTP header gating — the response-header third of REP
+    compliance (robots.txt = per-host, meta robots = in-page HTML; the
+    header covers non-HTML payloads: PDFs, images, feeds). Published
+    Google/Bing semantics: the header value is a comma-separated
+    directive list, optionally scoped to one user agent by a
+    ``agent:`` prefix (``X-Robots-Tag: googlebot: noindex``); an
+    agent-scoped group applies only to that agent, an unscoped group to
+    everyone; the union of applicable groups wins (restrictive-OR —
+    ``none`` expands to noindex+nofollow).
+
+    Pure JVM: split on comma, trim+lower each token, resolve the
+    optional scope prefix per token run. Scoping rule on a multi-token
+    header: a scope prefix applies to ALL following tokens until the
+    next scope prefix (the header grammar published by Google). Zero
+    shuffle — composes into the fetch-result projection.
+    """
+    toks = F.transform(
+        F.split(F.coalesce(F.col(header_col), F.lit("")), ","),
+        lambda t: F.lower(F.trim(t)),
+    )
+    # resolve scoping with an in-cell fold: acc = (current_scope, directives)
+    folded = F.aggregate(
+        toks,
+        F.struct(
+            F.lit("*").alias("scope"), F.array().cast("array<string>").alias("ds")
+        ),
+        lambda acc, t: F.when(
+            t.contains(":")
+            & ~t.startswith("unavailable_after"),  # unavailable_after: <date> is a directive, not a scope
+            F.struct(
+                F.trim(F.split(t, ":")[0]).alias("scope"),
+                F.when(
+                    (F.trim(F.split(t, ":")[0]) == F.lit(agent))
+                    | (F.trim(F.split(t, ":")[0]) == F.lit("*")),
+                    F.array_append(
+                        acc["ds"], F.trim(F.substring_index(t, ":", -1))
+                    ),
+                ).otherwise(acc["ds"]).alias("ds"),
+            ),
+        ).otherwise(
+            F.struct(
+                acc["scope"].alias("scope"),
+                F.when(
+                    (acc["scope"] == F.lit("*")) | (acc["scope"] == F.lit(agent)),
+                    F.array_append(acc["ds"], t),
+                ).otherwise(acc["ds"]).alias("ds"),
+            )
+        ),
+    )
+    ds = folded["ds"]
+    has = lambda d: F.array_contains(ds, d)
+    noindex = has("noindex") | has("none")
+    nofollow = has("nofollow") | has("none")
+    noarchive = has("noarchive")
+    return responses.select(
+        id_col,
+        F.col(header_col),
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+        noarchive.alias("noarchive"),
+        F.when(noindex & nofollow, F.lit("noindex+nofollow"))
+        .when(noindex, F.lit("noindex"))
+        .when(nofollow, F.lit("nofollow"))
+        .otherwise(F.lit("index+follow"))
+        .alias("action"),
+    )

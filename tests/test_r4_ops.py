@@ -1191,3 +1191,31 @@ def test_mm_pack_interleaved_weight_model(spark):
         if len(members) > 1:
             assert total <= 2048
         assert members[0] is not None
+
+
+def test_xrobots_header_scoping(spark):
+    """Agent scoping grammar: unscoped applies to all; a scope prefix
+    binds following tokens until the next scope; another agent's group
+    is ignored; 'none' expands; unavailable_after's colon is not a
+    scope; null header is index+follow."""
+    from delphi_crawler_spark.operators.robots import xrobots_header_gate
+
+    rows = [
+        (1, "noindex"),
+        (2, "otherbot: noindex, nofollow"),              # all scoped away
+        (3, "mybot: nofollow, noarchive"),               # both bind to mybot
+        (4, "otherbot: noindex, mybot: noarchive"),      # rescope mid-header
+        (5, "NONE"),
+        (6, "noarchive, unavailable_after: 01 Jan 2030"),
+        (7, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, x_robots_tag string")
+    out = {r["doc_id"]: r for r in
+           xrobots_header_gate(docs, agent="mybot").collect()}
+    assert out[1]["noindex"] and not out[1]["nofollow"]
+    assert out[2]["action"] == "index+follow"
+    assert out[3]["nofollow"] and out[3]["noarchive"] and not out[3]["noindex"]
+    assert out[4]["noarchive"] and not out[4]["noindex"]
+    assert out[5]["noindex"] and out[5]["nofollow"]
+    assert out[6]["noarchive"] and out[6]["action"] == "index+follow"
+    assert out[7]["action"] == "index+follow"
