@@ -4631,6 +4631,22 @@ def q_f6f_xrobots_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xrobots_header_gate(responses, agent="delphibot")
 
 
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-entropy quality signal (gibberish/binary-blob detector): per
+    doc Shannon bits/char with a pass flag for the natural-language band
+    [2.0, 5.5]. Zero-shuffle in-cell folds, canonical sorted sum order."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.textfns import char_entropy_col
+
+    docs = _t(spark, sf_dir, "documents")
+    ent = char_entropy_col(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        ent.alias("entropy_bits"),
+        ((ent >= 2.0) & (ent <= 5.5)).alias("entropy_pass"),
+    )
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4871,6 +4887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p26_burn_rate": q_p26_burn_rate,
         "mm_pack_interleaved": q_mm_pack_interleaved,
         "f6f_xrobots_header": q_f6f_xrobots_header,
+        "text_char_entropy": q_text_char_entropy,
     }
 
 
@@ -8386,6 +8403,27 @@ SELECT doc_id, x_robots_tag,
             WHEN t = 2 THEN 'noindex'
             ELSE 'index+follow' END AS action
 FROM d
+"""
+
+    o["text_char_entropy"] = """
+WITH c AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         string_split(text, '') AS cs,
+         length(text)::DOUBLE AS n
+  FROM documents),
+e AS (
+  SELECT doc_id, n,
+         CASE WHEN n > 0 THEN ROUND(
+           log2(n) - list_aggregate(
+             list_transform(
+               list_sort(list_transform(list_distinct(cs),
+                 d -> len(list_filter(cs, x -> x = d))::DOUBLE)),
+               v -> v * log2(v)), 'sum') / n, 6)
+         ELSE 0.0 END AS entropy_bits
+  FROM c)
+SELECT doc_id, entropy_bits,
+       entropy_bits >= 2.0 AND entropy_bits <= 5.5 AS entropy_pass
+FROM e
 """
 
     return o

@@ -312,3 +312,32 @@ def winnow_fingerprints(
         F.split(F.col("sel"), "@")[1].cast("bigint").alias("pos"),
         F.split(F.col("sel"), "@")[0].alias("fp"),
     )
+
+
+def char_entropy_col(text: Column) -> Column:
+    """Shannon entropy (bits/char) of the document's character
+    distribution — the gibberish/binary-blob detector every public
+    corpus filter chain carries (randomly generated or encrypted
+    payloads sit near log2(alphabet), templated junk near 0; natural
+    language ~3.5–4.5 bits/char): entropy = log2(n) − (Σ c·log2(c))/n
+    over per-character counts c.
+
+    Pure JVM, zero shuffle, zero explode: per-distinct-char counts via
+    in-cell filter/size over the char array (O(len × alphabet) per row
+    inside codegen — alphabet is small for text; an Arrow histogram is
+    the drop-in fast path if a corpus carries huge alphabets). Composes
+    into the quality projection like the Gopher rules. Empty/null text
+    → 0.0."""
+    chars = F.filter(F.split(text, ""), lambda c: c != "")
+    n = F.size(chars)
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda d: F.size(F.filter(chars, lambda c: c == d)).cast("double"),
+    )
+    # canonical (sorted) fold order: engine-exact regardless of each
+    # engine's distinct-ordering
+    sum_clog = F.aggregate(
+        F.array_sort(counts), F.lit(0.0), lambda a, v: a + v * F.log2(v)
+    )
+    ent = F.log2(n.cast("double")) - sum_clog / n.cast("double")
+    return F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0))

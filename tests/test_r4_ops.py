@@ -1219,3 +1219,46 @@ def test_xrobots_header_scoping(spark):
     assert out[5]["noindex"] and out[5]["nofollow"]
     assert out[6]["noarchive"] and out[6]["action"] == "index+follow"
     assert out[7]["action"] == "index+follow"
+
+
+def test_char_entropy_known_values(spark):
+    """Hand-computed entropies: uniform 4-char alphabet = 2 bits; single
+    repeated char = 0; empty = 0; natural-ish text in the pass band;
+    base64-ish noise near log2(alphabet) fails the band when > 5.5 only
+    for large alphabets (64-char uniform ~ 6 bits)."""
+    import math
+    import random
+
+    from delphi_crawler_spark.functions.textfns import char_entropy_col
+
+    rng = random.Random(2)
+    b64 = "".join(
+        rng.choice("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/")
+        for _ in range(4096)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "abcd" * 100),          # uniform over 4 chars -> exactly 2.0
+            (2, "aaaaaaa"),             # 0
+            (3, ""),                    # 0 by convention
+            (4, "the quick brown fox jumps over the lazy dog"),
+            (5, b64),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in spark.createDataFrame(
+        docs.select("doc_id", char_entropy_col(F.col("text")).alias("e")).collect()
+    ).collect()}
+    assert out[1]["e"] == 2.0
+    assert out[2]["e"] == 0.0
+    assert out[3]["e"] == 0.0
+    assert 3.0 < out[4]["e"] < 5.0
+    # 64-symbol near-uniform noise: close to 6 bits, outside the band
+    assert out[5]["e"] > 5.5
+    # cross-check doc 4 against a python implementation
+    t = "the quick brown fox jumps over the lazy dog"
+    from collections import Counter
+
+    n = len(t)
+    exp = math.log2(n) - sum(c * math.log2(c) for c in Counter(t).values()) / n
+    assert abs(out[4]["e"] - round(exp, 6)) < 1e-6
