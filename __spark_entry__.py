@@ -4647,6 +4647,45 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s13_wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style record extraction: 50-doc concatenated blobs split on
+    the WARC version line, headers pulled by regexp, every 13th record
+    missing its URI quarantined as malformed. In-cell split — blobs
+    never shuffle, records explode locally."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.sources.scan import parse_wet_records
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    uri_line = F.when(
+        d % 13 != 0,
+        F.concat(
+            F.lit("WARC-Target-URI: https://h"), (d % 7).cast("string"),
+            F.lit(".com/p"), d.cast("string"), F.lit("\n"),
+        ),
+    ).otherwise(F.lit(""))
+    rec = F.concat(
+        F.lit("WARC/1.0\n"),
+        uri_line,
+        F.lit("Content-Length: "), F.col("n_chars").cast("string"),
+        F.lit("\n\n"), F.col("text"), F.lit("\n\n"),
+    )
+    blobs = (
+        docs.select((d / 50).cast("bigint").alias("file_id"), d.alias("d"), rec.alias("rec"))
+        .groupBy("file_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("rec")))),
+                    lambda e: e["rec"],
+                ),
+            ).alias("content")
+        )
+    )
+    return parse_wet_records(blobs)
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4888,6 +4927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_pack_interleaved": q_mm_pack_interleaved,
         "f6f_xrobots_header": q_f6f_xrobots_header,
         "text_char_entropy": q_text_char_entropy,
+        "s13_wet_records": q_s13_wet_records,
     }
 
 
@@ -8424,6 +8464,44 @@ e AS (
 SELECT doc_id, entropy_bits,
        entropy_bits >= 2.0 AND entropy_bits <= 5.5 AS entropy_pass
 FROM e
+"""
+
+    o["s13_wet_records"] = """
+WITH rec AS (
+  SELECT (doc_id // 50)::BIGINT AS file_id, doc_id,
+         'WARC/1.0' || chr(10)
+         || CASE WHEN doc_id % 13 <> 0
+                 THEN 'WARC-Target-URI: https://h' || (doc_id % 7)
+                      || '.com/p' || doc_id || chr(10)
+                 ELSE '' END
+         || 'Content-Length: ' || n_chars || chr(10) || chr(10)
+         || text || chr(10) || chr(10) AS r
+  FROM documents),
+blobs AS (
+  SELECT file_id, string_agg(r, '' ORDER BY doc_id) AS content
+  FROM rec GROUP BY file_id),
+split AS (
+  SELECT file_id,
+         list_filter(string_split(content, 'WARC/1.0'),
+                     x -> trim(x) <> '') AS rs
+  FROM blobs),
+ex AS (
+  SELECT file_id, rs[t.i + 1] AS raw, t.i::BIGINT AS record_idx
+  FROM split, unnest(range(len(rs))) AS t(i)),
+p AS (
+  SELECT file_id, record_idx, raw,
+         regexp_extract(raw, 'WARC-Target-URI:\\s*(\\S+)', 1) AS uri,
+         regexp_extract(raw, 'Content-Length:\\s*(\\d+)', 1) AS clen,
+         CASE WHEN strpos(raw, chr(10) || chr(10)) > 0
+              THEN substring(raw, strpos(raw, chr(10) || chr(10)) + 2)
+              ELSE '' END AS body
+  FROM ex)
+SELECT file_id, record_idx,
+       CASE WHEN uri <> '' THEN uri END AS target_uri,
+       CASE WHEN clen <> '' THEN clen::BIGINT END AS content_length,
+       trim(body) AS body,
+       uri = '' AS malformed
+FROM p
 """
 
     return o

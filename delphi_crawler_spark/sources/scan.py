@@ -117,3 +117,51 @@ def parse_json_records(
         *[F.col(f"_p.{name}").alias(name) for name in field_names],
         F.col(f"_p.{required}").isNotNull().alias("is_valid"),
     )
+
+
+def parse_wet_records(
+    blobs: DataFrame,
+    file_col: str = "file_id",
+    content_col: str = "content",
+    version_line: str = "WARC/1.0",
+) -> DataFrame:
+    """WET/WARC-conversion-style record extraction from concatenated text
+    blobs — the interchange format crawl corpora ship in (header block,
+    blank line, payload, records separated by the version line). Emits
+    one row per record: (file_id, record_idx, target_uri, content_length,
+    body, malformed) — a record with no WARC-Target-URI header is
+    quarantined via ``malformed`` (F5 discipline: flagged, not dropped,
+    never poisoning the well-formed rows).
+
+    In-cell JVM: one split on the version line per blob, then per-record
+    regexp header pulls and one split on the first blank line — zero
+    Python, and the blob never shuffles (explode happens after the
+    in-cell split, body stays with its record row).
+
+    Reference parity: the reference's index-record parse is S1/C4
+    (``IndexProcessing.scala:53``); this is the web-tier record format
+    of the same source stage.
+    """
+    recs = F.filter(
+        F.split(F.col(content_col), version_line.replace(".", r"\.")),
+        lambda r: F.trim(r) != "",
+    )
+    ex = blobs.select(
+        F.col(file_col).alias("file_id"),
+        F.posexplode(recs).alias("record_idx", "raw"),
+    )
+    uri = F.regexp_extract(F.col("raw"), r"WARC-Target-URI:\s*(\S+)", 1)
+    clen = F.regexp_extract(F.col("raw"), r"Content-Length:\s*(\d+)", 1)
+    # payload = everything after the first blank line (header terminator)
+    body = F.when(
+        F.col("raw").contains("\n\n"),
+        F.expr("substring(raw, instr(raw, '\n\n') + 2)"),
+    ).otherwise(F.lit(""))
+    return ex.select(
+        "file_id",
+        F.col("record_idx").cast("bigint").alias("record_idx"),
+        F.when(uri != "", uri).alias("target_uri"),
+        F.when(clen != "", clen.cast("bigint")).alias("content_length"),
+        F.trim(body).alias("body"),
+        (uri == "").alias("malformed"),
+    )

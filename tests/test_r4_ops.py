@@ -1262,3 +1262,27 @@ def test_char_entropy_known_values(spark):
     n = len(t)
     exp = math.log2(n) - sum(c * math.log2(c) for c in Counter(t).values()) / n
     assert abs(out[4]["e"] - round(exp, 6)) < 1e-6
+
+
+def test_wet_record_parsing_and_quarantine(spark):
+    """Multi-record blob parsing: bodies survive byte-exact (including
+    interior blank-line-free headers), the missing-URI record is flagged
+    malformed but still carries its body, record order follows blob
+    order."""
+    from delphi_crawler_spark.sources.scan import parse_wet_records
+
+    blob = (
+        "WARC/1.0\nWARC-Target-URI: https://a/1\nContent-Length: 11\n\n"
+        "hello world\n\n"
+        "WARC/1.0\nContent-Length: 3\n\nxyz\n\n"           # malformed: no URI
+        "WARC/1.0\nWARC-Target-URI: https://a/2\nContent-Length: 7\n\n"
+        "goodbye\n\n"
+    )
+    blobs = spark.createDataFrame([(1, blob)], ["file_id", "content"])
+    out = sorted(parse_wet_records(blobs).collect(), key=lambda r: r["record_idx"])
+    assert len(out) == 3
+    assert out[0]["target_uri"] == "https://a/1" and out[0]["content_length"] == 11
+    assert out[0]["body"].strip() == "hello world" and not out[0]["malformed"]
+    assert out[1]["malformed"] and out[1]["target_uri"] is None
+    assert out[1]["body"].strip() == "xyz" and out[1]["content_length"] == 3
+    assert out[2]["target_uri"] == "https://a/2" and not out[2]["malformed"]
