@@ -4686,6 +4686,36 @@ def q_s13_wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_wet_records(blobs)
 
 
+def q_g5_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition (Broder WWW'00) of a directed synthetic web:
+    a mutually-linked farm core, i-nodes linking in, o-nodes linked out,
+    disconnected x-pairs. Two frontier-parallel BFS passes from the
+    deterministic max-out-degree pivot; IN/OUT/CORE/OTHER verdicts."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.graph import bowtie_decomposition
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    farm = ev.select(
+        F.concat(F.lit("f"), F.substring(F.md5(F.concat(F.lit("a"), eid)), 1, 1)).alias("src"),
+        F.concat(F.lit("f"), F.substring(F.md5(F.concat(F.lit("b"), eid)), 1, 1)).alias("dst"),
+    )
+    into = ev.filter(F.col("event_id") % 5 == 0).select(
+        F.concat(F.lit("i"), (F.col("event_id") % 20).cast("string")).alias("src"),
+        F.concat(F.lit("f"), F.substring(F.md5(F.concat(F.lit("a"), eid)), 1, 1)).alias("dst"),
+    )
+    outof = ev.filter(F.col("event_id") % 7 == 0).select(
+        F.concat(F.lit("f"), F.substring(F.md5(F.concat(F.lit("b"), eid)), 1, 1)).alias("src"),
+        F.concat(F.lit("o"), (F.col("event_id") % 15).cast("string")).alias("dst"),
+    )
+    discon = ev.filter(F.col("event_id") % 11 == 0).select(
+        F.concat(F.lit("x"), (F.col("event_id") % 10).cast("string")).alias("src"),
+        F.concat(F.lit("x"), ((F.col("event_id") % 10) + 10).cast("string")).alias("dst"),
+    )
+    edges = farm.unionByName(into).unionByName(outof).unionByName(discon)
+    return bowtie_decomposition(edges, max_depth=6)
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4928,6 +4958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6f_xrobots_header": q_f6f_xrobots_header,
         "text_char_entropy": q_text_char_entropy,
         "s13_wet_records": q_s13_wet_records,
+        "g5_bowtie": q_g5_bowtie,
     }
 
 
@@ -8502,6 +8533,51 @@ SELECT file_id, record_idx,
        trim(body) AS body,
        uri = '' AS malformed
 FROM p
+"""
+
+    # Bow-tie: recursive-CTE BFS (depth-capped to terminate through
+    # cycles) forward and backward from the max-out-degree pivot.
+    o["g5_bowtie"] = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT 'f' || substr(md5('a' || event_id), 1, 1) AS s,
+           'f' || substr(md5('b' || event_id), 1, 1) AS d
+    FROM events
+    UNION ALL
+    SELECT 'i' || (event_id % 20), 'f' || substr(md5('a' || event_id), 1, 1)
+    FROM events WHERE event_id % 5 = 0
+    UNION ALL
+    SELECT 'f' || substr(md5('b' || event_id), 1, 1), 'o' || (event_id % 15)
+    FROM events WHERE event_id % 7 = 0
+    UNION ALL
+    SELECT 'x' || (event_id % 10), 'x' || ((event_id % 10) + 10)
+    FROM events WHERE event_id % 11 = 0) u(s, d)),
+pv AS (
+  SELECT s FROM (SELECT s, count(*) AS od FROM e GROUP BY s)
+  ORDER BY od DESC, s ASC LIMIT 1),
+fwd AS (
+  SELECT s AS node, 0 AS depth FROM pv
+  UNION
+  SELECT e.d, f.depth + 1 FROM fwd f JOIN e ON e.s = f.node
+  WHERE f.depth < 6),
+bwd AS (
+  SELECT s AS node, 0 AS depth FROM pv
+  UNION
+  SELECT e.s, b.depth + 1 FROM bwd b JOIN e ON e.d = b.node
+  WHERE b.depth < 6),
+fmin AS (SELECT node, MIN(depth)::BIGINT AS fwd_depth FROM fwd GROUP BY node),
+bmin AS (SELECT node, MIN(depth)::BIGINT AS bwd_depth FROM bwd GROUP BY node),
+nodes AS (
+  SELECT DISTINCT node FROM
+  (SELECT s AS node FROM e UNION ALL SELECT d FROM e) t(node))
+SELECT n.node, f.fwd_depth, b.bwd_depth,
+       CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'CORE'
+            WHEN b.node IS NOT NULL THEN 'IN'
+            WHEN f.node IS NOT NULL THEN 'OUT'
+            ELSE 'OTHER' END AS component
+FROM nodes n
+LEFT JOIN fmin f ON n.node = f.node
+LEFT JOIN bmin b ON n.node = b.node
 """
 
     return o

@@ -1011,3 +1011,68 @@ def triangle_counts(
             .alias("clustering_coeff"),
         )
     )
+
+
+def bowtie_decomposition(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 16,
+) -> DataFrame:
+    """Web bow-tie decomposition (Broder et al., WWW 2000): classify
+    every node of the directed host graph relative to the strongly
+    connected core around a deterministic pivot — the max-out-degree
+    node (smallest id on ties). ``CORE`` = reaches the pivot AND is
+    reached by it (the pivot's SCC, by mutual reachability), ``IN`` =
+    reaches the core but isn't reached, ``OUT`` = reached but doesn't
+    reach back, ``OTHER`` = tendrils/tubes/disconnected. The macro
+    shape drives crawl seeding strategy: seeds outside IN∪CORE can
+    never discover the core's mass by link following.
+
+    Two frontier-parallel BFS passes (``discovery_depth``) — forward
+    from the pivot and backward on the reversed edge list — then one
+    outer join + classification projection. Each pass is O(|E|) per
+    round with early exit; no all-pairs anything. Output:
+    (node, fwd_depth, bwd_depth, component).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    pivot_row = outdeg.orderBy(F.col("od").desc(), F.col("s").asc()).limit(1).collect()
+    if not pivot_row:
+        return edges.sparkSession.createDataFrame(
+            [], "node string, fwd_depth bigint, bwd_depth bigint, component string"
+        )
+    pivot = pivot_row[0]["s"]
+    spark = edges.sparkSession
+    seeds = spark.createDataFrame([(pivot,)], ["node"])
+    fwd = discovery_depth(e, seeds, src="s", dst="d", max_depth=max_depth)
+    bwd = discovery_depth(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d")),
+        seeds,
+        src="s",
+        dst="d",
+        max_depth=max_depth,
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    j = (
+        nodes.join(fwd.withColumnRenamed("depth", "fwd_depth"), "node", "left")
+        .join(bwd.withColumnRenamed("depth", "bwd_depth"), "node", "left")
+    )
+    has_f = F.col("fwd_depth").isNotNull()
+    has_b = F.col("bwd_depth").isNotNull()
+    comp = (
+        F.when(has_f & has_b, F.lit("CORE"))
+        .when(has_b, F.lit("IN"))
+        .when(has_f, F.lit("OUT"))
+        .otherwise(F.lit("OTHER"))
+    )
+    return j.select(
+        "node",
+        F.col("fwd_depth").cast("bigint").alias("fwd_depth"),
+        F.col("bwd_depth").cast("bigint").alias("bwd_depth"),
+        comp.alias("component"),
+    )

@@ -1286,3 +1286,27 @@ def test_wet_record_parsing_and_quarantine(spark):
     assert out[1]["malformed"] and out[1]["target_uri"] is None
     assert out[1]["body"].strip() == "xyz" and out[1]["content_length"] == 3
     assert out[2]["target_uri"] == "https://a/2" and not out[2]["malformed"]
+
+
+def test_bowtie_components_hand_built(spark):
+    """Hand-built bow-tie: a 3-cycle core, an IN chain, an OUT chain, a
+    disconnected pair — every node classified correctly with the right
+    depths from the max-out-degree pivot."""
+    from delphi_crawler_spark.operators.graph import bowtie_decomposition
+
+    edges = [
+        # core 3-cycle; c1 gets extra out-edges so the pivot is c1
+        ("c1", "c2"), ("c2", "c3"), ("c3", "c1"),
+        ("c1", "o1"), ("o1", "o2"),              # OUT chain
+        ("i2", "i1"), ("i1", "c2"),              # IN chain
+        ("x1", "x2"),                            # disconnected
+    ]
+    out = {r["node"]: r for r in bowtie_decomposition(
+        spark.createDataFrame(edges, ["src", "dst"]), max_depth=8).collect()}
+    assert {n for n, r in out.items() if r["component"] == "CORE"} == {"c1", "c2", "c3"}
+    assert {n for n, r in out.items() if r["component"] == "OUT"} == {"o1", "o2"}
+    assert {n for n, r in out.items() if r["component"] == "IN"} == {"i1", "i2"}
+    assert {n for n, r in out.items() if r["component"] == "OTHER"} == {"x1", "x2"}
+    assert out["o2"]["fwd_depth"] == 2 and out["o2"]["bwd_depth"] is None
+    assert out["i2"]["bwd_depth"] == 4  # i2 -> i1 -> c2 -> c3 -> c1
+    assert out["c1"]["fwd_depth"] == 0 and out["c1"]["bwd_depth"] == 0
