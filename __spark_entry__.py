@@ -4716,6 +4716,67 @@ def q_g5_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bowtie_decomposition(edges, max_depth=6)
 
 
+def q_pipeline_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrated per-doc dedup verdict — the policy layer over three
+    signals, priority-ordered: (1) exact text digest shared with a
+    smaller doc_id → drop_exact; (2) ≥5 shared winnowing fingerprints
+    with a smaller doc_id → drop_neardup (pairwise smaller-id rule — no
+    transitive closure needed for the verdict, documented vs the CC
+    clusterer); (3) CDC passage-duplication ratio > 0.6 → drop_dup_pass;
+    else keep. Each signal is its keyed-join/hash-agg shape from the
+    standalone operators; the verdict is one projection over three left
+    joins on doc_id."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.textfns import winnow_fingerprints
+    from delphi_crawler_spark.operators.cdc import cdc_doc_dup_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").cast(BIG).alias("doc_id"), "text")
+
+    dig = ids.select("doc_id", F.md5("text").alias("dg"))
+    exact_drop = (
+        dig.alias("a")
+        .join(dig.alias("b"), (F.col("a.dg") == F.col("b.dg")) & (F.col("a.doc_id") > F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_exact", F.lit(True))
+    )
+    fps = winnow_fingerprints(ids, gram=4, win=4).select("doc_id", "fp").distinct()
+    near_drop = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("partner"))
+        .count()
+        .filter(F.col("count") >= 5)
+        .select("doc_id")
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+    ratio = cdc_doc_dup_ratio(ids, window=8, mask_hex="0").select(
+        "doc_id", "dup_ratio"
+    )
+    out = (
+        ids.select("doc_id")
+        .join(exact_drop, "doc_id", "left")
+        .join(near_drop, "doc_id", "left")
+        .join(ratio, "doc_id", "left")
+    )
+    verdict = (
+        F.when(F.col("_exact"), F.lit("drop_exact"))
+        .when(F.col("_near"), F.lit("drop_neardup"))
+        .when(F.coalesce(F.col("dup_ratio"), F.lit(0.0)) > 0.6, F.lit("drop_dup_pass"))
+        .otherwise(F.lit("keep"))
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("dup_ratio"), F.lit(0.0)).alias("dup_ratio"),
+        verdict.alias("verdict"),
+    )
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -4959,6 +5020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_char_entropy": q_text_char_entropy,
         "s13_wet_records": q_s13_wet_records,
         "g5_bowtie": q_g5_bowtie,
+        "pipeline_dedup_verdict": q_pipeline_dedup_verdict,
     }
 
 
@@ -8578,6 +8640,33 @@ SELECT n.node, f.fwd_depth, b.bwd_depth,
 FROM nodes n
 LEFT JOIN fmin f ON n.node = f.node
 LEFT JOIN bmin b ON n.node = b.node
+"""
+
+    o["pipeline_dedup_verdict"] = f"""
+WITH dg AS (
+  SELECT doc_id::BIGINT AS doc_id, md5(text) AS dg FROM documents),
+exact_drop AS (
+  SELECT DISTINCT a.doc_id FROM dg a
+  JOIN dg b ON a.dg = b.dg AND a.doc_id > b.doc_id),
+fps0 AS ({_WINNOW_FPS_SQL}),
+fps AS (SELECT DISTINCT doc_id, fp FROM fps0),
+near_drop AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT a.doc_id AS doc_id, b.doc_id AS partner, COUNT(*) AS c
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id > b.doc_id
+    GROUP BY 1, 2) t
+  WHERE c >= 5),
+ratio AS (SELECT doc_id, dup_ratio FROM ({o["dedup_cdc_doc_ratio"]}) q)
+SELECT d.doc_id,
+       COALESCE(r.dup_ratio, 0.0) AS dup_ratio,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'drop_exact'
+            WHEN n.doc_id IS NOT NULL THEN 'drop_neardup'
+            WHEN COALESCE(r.dup_ratio, 0.0) > 0.6 THEN 'drop_dup_pass'
+            ELSE 'keep' END AS verdict
+FROM (SELECT doc_id::BIGINT AS doc_id FROM documents) d
+LEFT JOIN exact_drop e ON d.doc_id = e.doc_id
+LEFT JOIN near_drop n ON d.doc_id = n.doc_id
+LEFT JOIN ratio r ON d.doc_id = r.doc_id
 """
 
     return o

@@ -1310,3 +1310,37 @@ def test_bowtie_components_hand_built(spark):
     assert out["o2"]["fwd_depth"] == 2 and out["o2"]["bwd_depth"] is None
     assert out["i2"]["bwd_depth"] == 4  # i2 -> i1 -> c2 -> c3 -> c1
     assert out["c1"]["fwd_depth"] == 0 and out["c1"]["bwd_depth"] == 0
+
+
+def test_dedup_verdict_priority_order(spark):
+    """Signal priority: exact beats neardup beats passage-ratio; the
+    smallest doc of an exact pair keeps; a doc sharing a long passage
+    (but not the whole text) gets drop_neardup or drop_dup_pass, never
+    keep; unrelated docs keep."""
+    import __spark_entry__ as entry
+
+    out = {r["doc_id"]: r for r in
+           entry.q_pipeline_dedup_verdict(spark, "/root/testdata/sf0.001").collect()}
+    # structural checks against independently computed exact duplicates
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    exact = {
+        r[0]
+        for r in con.execute(
+            """SELECT DISTINCT a.doc_id FROM
+               (SELECT doc_id, md5(text) dg FROM documents) a
+               JOIN (SELECT doc_id, md5(text) dg FROM documents) b
+               ON a.dg = b.dg AND a.doc_id > b.doc_id"""
+        ).fetchall()
+    }
+    for d, r in out.items():
+        if d in exact:
+            assert r["verdict"] == "drop_exact", d
+        if r["verdict"] == "keep":
+            assert d not in exact
+    assert any(r["verdict"] == "keep" for r in out.values())
