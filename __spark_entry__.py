@@ -4777,6 +4777,38 @@ def q_pipeline_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAP_NOW_MS = 1_700_000_000_000
+
+
+def q_store_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style snapshot retention plan: keep the 5 most recent per
+    table plus each UTC day's last snapshot within 7 days; two windows
+    sharing one table-hash exchange."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.storage.compaction import snapshot_expiry_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    snaps = docs.select(
+        F.concat(F.lit("t"), (d % 3).cast("string")).alias("table_name"),
+        d.cast("bigint").alias("snapshot_id"),
+        (F.lit(_SNAP_NOW_MS) - (d % 400) * 3_600_000).cast("bigint").alias("committed_ms"),
+    )
+    return snapshot_expiry_plan(snaps, now_ms=_SNAP_NOW_MS)
+
+
+def q_corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heap's-law vocabulary growth over doc_id order (10 buckets,
+    2-gram shingles): cumulative distinct grams vs cumulative tokens —
+    the marginal-new-content curve for data curation. First occurrence
+    = min(bucket) per gram; one gram-keyed exchange."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.corpus import heaps_curve
+
+    docs = _t(spark, sf_dir, "documents")
+    return heaps_curve(docs, n_buckets=10, gram=2)
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -5021,6 +5053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s13_wet_records": q_s13_wet_records,
         "g5_bowtie": q_g5_bowtie,
         "pipeline_dedup_verdict": q_pipeline_dedup_verdict,
+        "store_snapshot_expiry": q_store_snapshot_expiry,
+        "corpus_heaps_curve": q_corpus_heaps_curve,
     }
 
 
@@ -8667,6 +8701,57 @@ FROM (SELECT doc_id::BIGINT AS doc_id FROM documents) d
 LEFT JOIN exact_drop e ON d.doc_id = e.doc_id
 LEFT JOIN near_drop n ON d.doc_id = n.doc_id
 LEFT JOIN ratio r ON d.doc_id = r.doc_id
+"""
+
+    o["store_snapshot_expiry"] = """
+WITH s AS (
+  SELECT 't' || (doc_id % 3) AS table_name,
+         doc_id::BIGINT AS snapshot_id,
+         (1700000000000 - (doc_id % 400) * 3600000)::BIGINT AS committed_ms
+  FROM documents),
+r AS (
+  SELECT table_name, snapshot_id, committed_ms,
+         ROW_NUMBER() OVER (PARTITION BY table_name
+           ORDER BY committed_ms DESC, snapshot_id DESC)::BIGINT AS recency_rank,
+         ROW_NUMBER() OVER (PARTITION BY table_name,
+                            FLOOR(committed_ms / 86400000)
+           ORDER BY committed_ms DESC, snapshot_id DESC) AS dr
+  FROM s)
+SELECT table_name, snapshot_id, committed_ms, recency_rank,
+       (dr = 1 AND committed_ms >= 1700000000000 - 7 * 86400000) AS is_daily_keeper,
+       NOT (recency_rank <= 5
+            OR (dr = 1 AND committed_ms >= 1700000000000 - 7 * 86400000)) AS expire,
+       CASE WHEN recency_rank <= 5 THEN 'recent'
+            WHEN dr = 1 AND committed_ms >= 1700000000000 - 7 * 86400000 THEN 'daily'
+            ELSE 'expire' END AS reason
+FROM r
+"""
+
+    o["corpus_heaps_curve"] = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents),
+mx AS (SELECT MAX(doc_id) AS m FROM documents),
+g AS (
+  SELECT LEAST(FLOOR(w.doc_id * 10 / (mx.m + 1)), 9)::BIGINT AS bucket,
+         unnest(list_transform(range(greatest(len(ws) - 1, 1)),
+                i -> array_to_string(ws[i + 1 : i + 2], ' '))) AS gr
+  FROM w, mx),
+g2 AS (SELECT bucket, gr FROM g WHERE gr <> ''),
+first AS (
+  SELECT gr, MIN(bucket) AS first_bucket FROM g2 GROUP BY gr),
+newb AS (
+  SELECT first_bucket AS bucket, COUNT(*)::BIGINT AS n_new_grams
+  FROM first GROUP BY first_bucket),
+tok AS (
+  SELECT bucket, COUNT(*)::BIGINT AS n_tokens FROM g2 GROUP BY bucket),
+j AS (
+  SELECT t.bucket, t.n_tokens, COALESCE(n.n_new_grams, 0) AS n_new_grams
+  FROM tok t LEFT JOIN newb n ON t.bucket = n.bucket)
+SELECT bucket, n_tokens, n_new_grams,
+       (SUM(n_tokens) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens,
+       (SUM(n_new_grams) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_distinct_grams
+FROM j
 """
 
     return o

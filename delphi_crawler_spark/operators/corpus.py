@@ -575,3 +575,68 @@ def curriculum_order(
     out = ranked.select("doc_id", "tier", "shuffle_key", "train_seq")
     out._release_curriculum = release  # type: ignore[attr-defined]
     return out
+
+
+def heaps_curve(
+    docs: DataFrame,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    gram: int = 1,
+) -> DataFrame:
+    """Heap's-law vocabulary growth curve — "what does more data buy":
+    processing documents in ``order_col`` order, the cumulative count of
+    DISTINCT ``gram``-word shingles after each bucket of the corpus,
+    next to cumulative token volume. A flattening curve is the
+    data-curation signal that additional same-source data adds volume
+    but no new content (and the per-bucket marginal new-gram rate is the
+    quantitative version).
+
+    Distributed shape with NO ordered scan: a gram's first occurrence is
+    ``min(order)`` over its postings (one hash-agg on the gram grain —
+    the same grain the inverted index pays), bucketed by the order
+    column's range; cumulative sums then run over the n_buckets-row
+    result. Gram text never shuffles twice: the first-occurrence agg is
+    the only gram-keyed exchange.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ng = F.greatest(F.size(words) - F.lit(gram - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), ng - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, gram)),
+    )
+    ordmax = docs.agg(F.max(F.col(order_col)).alias("m")).collect()[0]["m"]
+    bucket = F.least(
+        F.floor(F.col(order_col) * n_buckets / F.lit(int(ordmax) + 1)),
+        F.lit(n_buckets - 1),
+    ).cast("bigint")
+    ex = docs.select(
+        bucket.alias("bucket"),
+        F.col(order_col).alias("ord"),
+        F.explode(grams).alias("g"),
+    ).filter(F.col("g") != "")
+    first = ex.groupBy("g").agg(F.min("bucket").alias("first_bucket"))
+    new_per_bucket = first.groupBy("first_bucket").agg(
+        F.count(F.lit(1)).alias("n_new_grams")
+    )
+    toks_per_bucket = ex.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    joined = (
+        toks_per_bucket.join(
+            new_per_bucket.withColumnRenamed("first_bucket", "bucket"),
+            "bucket",
+            "left",
+        )
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce(F.col("n_new_grams"), F.lit(0)).alias("n_new_grams"),
+        )
+    )
+    return joined.select(
+        "bucket",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_new_grams").cast("bigint").alias("n_new_grams"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("n_new_grams").over(w).cast("bigint").alias("cum_distinct_grams"),
+    )

@@ -88,3 +88,49 @@ def compaction_plan(
         .cast("bigint")
         .alias("compact_group"),
     )
+
+
+def snapshot_expiry_plan(
+    snapshots: DataFrame,
+    now_ms: int,
+    keep_last: int = 5,
+    keep_daily_days: int = 7,
+    table_col: str = "table_name",
+    snap_col: str = "snapshot_id",
+    ts_col: str = "committed_ms",
+) -> DataFrame:
+    """Snapshot retention planning (Iceberg ``expire_snapshots``
+    semantics, declaratively): per table keep (a) the ``keep_last`` most
+    recent snapshots unconditionally and (b) the LAST snapshot of each
+    UTC day within ``keep_daily_days`` of ``now_ms`` — everything else
+    expires, which is what bounds manifest/metadata growth on a
+    continuously-appending frontier table.
+
+    One (table) window for recency rank + one (table, day) window for
+    the daily survivor, sharing the same table-hash exchange. Output per
+    snapshot: recency_rank, is_daily_keeper, expire (bool) and reason
+    ('recent' / 'daily' / 'expire')."""
+    day = F.floor(F.col(ts_col).cast("bigint") / F.lit(86_400_000)).cast("bigint")
+    w_recent = Window.partitionBy(table_col).orderBy(
+        F.col(ts_col).desc(), F.col(snap_col).desc()
+    )
+    w_daily = Window.partitionBy(table_col, day).orderBy(
+        F.col(ts_col).desc(), F.col(snap_col).desc()
+    )
+    rank = F.row_number().over(w_recent)
+    daily_rank = F.row_number().over(w_daily)
+    cutoff = int(now_ms) - int(keep_daily_days) * 86_400_000
+    is_daily = (daily_rank == 1) & (F.col(ts_col).cast("bigint") >= F.lit(cutoff))
+    keep_recent = rank <= F.lit(int(keep_last))
+    return snapshots.select(
+        table_col,
+        F.col(snap_col).cast("bigint").alias(snap_col),
+        F.col(ts_col).cast("bigint").alias(ts_col),
+        rank.cast("bigint").alias("recency_rank"),
+        is_daily.alias("is_daily_keeper"),
+        (~(keep_recent | is_daily)).alias("expire"),
+        F.when(keep_recent, F.lit("recent"))
+        .when(is_daily, F.lit("daily"))
+        .otherwise(F.lit("expire"))
+        .alias("reason"),
+    )

@@ -1344,3 +1344,63 @@ def test_dedup_verdict_priority_order(spark):
         if r["verdict"] == "keep":
             assert d not in exact
     assert any(r["verdict"] == "keep" for r in out.values())
+
+
+def test_snapshot_expiry_retention_rules(spark):
+    """Keep-last-N and daily-keeper rules: the 5 newest stay 'recent',
+    each recent UTC day's last snapshot stays 'daily', old days expire
+    entirely; exactly one daily keeper per (table, day) within the
+    horizon."""
+    from delphi_crawler_spark.storage.compaction import snapshot_expiry_plan
+
+    now = 1_700_000_000_000
+    day = 86_400_000
+    rows = []
+    # table A: 3 snapshots/day for 10 days back
+    sid = 0
+    for dback in range(10):
+        for k in range(3):
+            rows.append(("A", sid, now - dback * day - k * 3_600_000))
+            sid += 1
+    snaps = spark.createDataFrame(rows, ["table_name", "snapshot_id", "committed_ms"])
+    out = snapshot_expiry_plan(snaps, now_ms=now, keep_last=5, keep_daily_days=7).collect()
+    by = {r["snapshot_id"]: r for r in out}
+    # 5 newest: recent
+    newest = sorted(rows, key=lambda t: (-t[2], -t[1]))[:5]
+    for _, sid_, _ in newest:
+        assert by[sid_]["reason"] == "recent"
+    # every kept-daily snapshot is the newest of its day and in horizon
+    dailies = [r for r in out if r["reason"] == "daily"]
+    assert dailies
+    for r in dailies:
+        assert r["committed_ms"] >= now - 7 * day
+    # snapshots older than 7 days all expire
+    for _, sid_, ts in rows:
+        if ts < now - 7 * day:
+            assert by[sid_]["expire"], sid_
+    # expire is consistent with reason
+    for r in out:
+        assert r["expire"] == (r["reason"] == "expire")
+
+
+def test_heaps_curve_monotone_and_exact(spark):
+    """Cumulative distinct grams are monotone, bounded by cumulative
+    tokens, and the total equals the exact corpus-wide distinct-gram
+    count; a corpus of repeated text flattens after bucket 0."""
+    from delphi_crawler_spark.operators.corpus import heaps_curve
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " + ("epsilon" if i < 5 else "")) for i in range(100)],
+        ["doc_id", "text"],
+    )
+    out = sorted(heaps_curve(docs, n_buckets=5, gram=2).collect(),
+                 key=lambda r: r["bucket"])
+    cds = [r["cum_distinct_grams"] for r in out]
+    assert cds == sorted(cds)
+    assert all(r["cum_distinct_grams"] <= r["cum_tokens"] for r in out)
+    # distinct 2-grams: docs 0-4 have 4 grams ('alpha beta','beta gamma',
+    # 'gamma delta','delta epsilon'); docs 5+ have 3 (subset). total = 4
+    assert cds[-1] == 4
+    # everything new appears in bucket 0 -> flat afterwards
+    assert out[0]["n_new_grams"] == 4
+    assert all(r["n_new_grams"] == 0 for r in out[1:])
