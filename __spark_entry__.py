@@ -4809,6 +4809,31 @@ def q_corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_curve(docs, n_buckets=10, gram=2)
 
 
+def q_evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host daily anomaly detection composed over the gapfilled
+    series: z-score vs the trailing 7 days (current day excluded),
+    zero-filled silence counted. One (key, day) window frame."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.events import (
+        daily_anomaly_zscore,
+        gapfill_daily,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(86400000000)
+    ).cast("bigint")
+    series = (
+        ev.select(
+            F.concat(F.lit("u"), (F.col("user_id") % 30).cast("string")).alias("key"),
+            day.alias("day"),
+        )
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return daily_anomaly_zscore(gapfill_daily(series))
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate + type/token ratio vs the corpus's own top-40
     terms (deterministic: count desc, term asc): the tokenizer-fit
@@ -5055,6 +5080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dedup_verdict": q_pipeline_dedup_verdict,
         "store_snapshot_expiry": q_store_snapshot_expiry,
         "corpus_heaps_curve": q_corpus_heaps_curve,
+        "evt_anomaly_zscore": q_evt_anomaly_zscore,
     }
 
 
@@ -8752,6 +8778,38 @@ SELECT bucket, n_tokens, n_new_grams,
        (SUM(n_tokens) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens,
        (SUM(n_new_grams) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_distinct_grams
 FROM j
+"""
+
+    o["evt_anomaly_zscore"] = """
+WITH series AS (
+  SELECT 'u' || (user_id % 30) AS key,
+         FLOOR(epoch_us(ts) / 86400000000)::BIGINT AS day,
+         COUNT(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+spans AS (SELECT key, MIN(day) AS d0, MAX(day) AS d1 FROM series GROUP BY key),
+grid AS (
+  SELECT key, unnest(range(d0, d1 + 1)) AS day FROM spans),
+dense AS (
+  SELECT g.key, g.day::BIGINT AS day, COALESCE(se.n, 0)::BIGINT AS n
+  FROM grid g LEFT JOIN series se ON se.key = g.key AND se.day = g.day),
+z AS (
+  SELECT key, day, n,
+         COUNT(*) OVER w AS hist_n,
+         AVG(n::DOUBLE) OVER w AS mean,
+         AVG((n::DOUBLE) * (n::DOUBLE)) OVER w
+           - AVG(n::DOUBLE) OVER w * AVG(n::DOUBLE) OVER w AS var
+  FROM dense
+  WINDOW w AS (PARTITION BY key ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT key, day, n,
+       ROUND(mean, 6) AS hist_mean,
+       ROUND(SQRT(GREATEST(var, 0.0)), 6) AS hist_std,
+       ROUND(CASE WHEN SQRT(GREATEST(var, 0.0)) > 0
+                  THEN (n - mean) / SQRT(GREATEST(var, 0.0)) END, 6) AS zscore,
+       hist_n >= 5 AND (CASE WHEN SQRT(GREATEST(var, 0.0)) > 0
+                             THEN ABS((n - mean) / SQRT(GREATEST(var, 0.0))) > 3.0
+                             ELSE n <> mean END) AS anomaly
+FROM z
 """
 
     return o

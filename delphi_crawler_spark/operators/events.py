@@ -224,3 +224,50 @@ def gapfill_daily(
             F.coalesce(F.col(value_col), F.lit(0)).cast("bigint").alias(value_col),
         )
     )
+
+
+def daily_anomaly_zscore(
+    series: DataFrame,
+    window_days: int = 7,
+    min_history: int = 5,
+    z_threshold: float = 3.0,
+    key_col: str = "key",
+    day_col: str = "day",
+    value_col: str = "n",
+) -> DataFrame:
+    """Per-key daily anomaly flags: z-score of today's value against the
+    trailing ``window_days`` of the key's OWN history (current day
+    excluded — self-inclusion shrinks every spike's z). Run it over
+    ``gapfill_daily`` output so silent days are zeros, not gaps — a host
+    that stops responding is exactly the anomaly this catches, next to
+    fetch-volume spikes (crawler traps, mirror storms).
+
+    z = (x − μ_prev)/σ_prev (population σ over the trailing frame);
+    degenerate σ=0 history flags any deviation from the constant; fewer
+    than ``min_history`` prior days never flags. One (key, day) window
+    frame — same single exchange as the trend/gapfill family.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(day_col))
+        .rowsBetween(-int(window_days), -1)
+    )
+    x = F.col(value_col).cast("double")
+    hist_n = F.count(x).over(w)
+    mean = F.avg(x).over(w)
+    var = F.avg(x * x).over(w) - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(std > 0, (x - mean) / std)
+    enough = hist_n >= F.lit(int(min_history))
+    anomaly = enough & (
+        F.when(std > 0, F.abs(z) > F.lit(float(z_threshold))).otherwise(x != mean)
+    )
+    return series.select(
+        key_col,
+        F.col(day_col).cast("bigint").alias(day_col),
+        F.col(value_col).cast("bigint").alias(value_col),
+        F.round(mean, 6).alias("hist_mean"),
+        F.round(std, 6).alias("hist_std"),
+        F.round(z, 6).alias("zscore"),
+        anomaly.alias("anomaly"),
+    )

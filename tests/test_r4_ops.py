@@ -1404,3 +1404,24 @@ def test_heaps_curve_monotone_and_exact(spark):
     # everything new appears in bucket 0 -> flat afterwards
     assert out[0]["n_new_grams"] == 4
     assert all(r["n_new_grams"] == 0 for r in out[1:])
+
+
+def test_anomaly_zscore_spike_and_silence(spark):
+    """A flat-10 host flags the day it spikes to 100 AND the day it goes
+    silent (0); warm-up days (<5 history) never flag; z is computed
+    against the trailing window excluding today."""
+    from delphi_crawler_spark.operators.events import daily_anomaly_zscore
+
+    # silence BEFORE the spike: a spike in the trailing window inflates
+    # sigma and would mask later anomalies (the classic mean/sigma-vs-MAD
+    # caveat, intentionally out of scope)
+    vals = [10, 11, 10, 11, 10, 11, 10, 11, 0, 11, 100]
+    rows = [("h", i, v) for i, v in enumerate(vals)]
+    out = {r["day"]: r for r in daily_anomaly_zscore(
+        spark.createDataFrame(rows, ["key", "day", "n"])).collect()}
+    assert out[8]["anomaly"] and out[8]["zscore"] < -3
+    assert out[10]["anomaly"] and out[10]["zscore"] > 3
+    for d in range(5):  # fewer than min_history prior days
+        assert not out[d]["anomaly"], d
+    # ordinary days do not flag
+    assert not out[7]["anomaly"]
