@@ -105,11 +105,19 @@ def semantic_dedup(
     reduces to the plain cluster-id self-join, bit-identically.
     """
     spark = emb.sparkSession
-    assigned = kmeans_assign(
-        emb, n_clusters, id_col, vec_col, sample_size, iters, seed
-    ).select(F.col(id_col), F.col(vec_col), "cluster_id")
+    # The assignment (centroid sample + one Arrow pass) feeds FOUR consumers
+    # below (cell-size collect, both self-join roles, verdict join); persist
+    # it once so the corpus sees one assignment pass, not four — one cached
+    # (id, vec, cluster) copy replaces three recomputed Arrow scans. Release
+    # via the result's `_release_semantic` hook (house persist discipline).
+    assigned = (
+        kmeans_assign(emb, n_clusters, id_col, vec_col, sample_size, iters, seed)
+        .select(F.col(id_col), F.col(vec_col), "cluster_id")
+        .persist()
+    )
 
-    # per-cell block counts: one k-row hash-agg (k ~ sqrt(n): driver-safe)
+    # per-cell block counts: one k-row hash-agg (k ~ sqrt(n): driver-safe);
+    # this collect also materializes the cache for the joins below
     sizes = assigned.groupBy("cluster_id").count().collect()
     nblocks = {
         r["cluster_id"]: max(1, -(-int(r["count"]) // max_block_rows))
@@ -157,7 +165,7 @@ def semantic_dedup(
         F.count(F.lit(1)).alias("n_dup_lower"),
         F.max("cosine").alias("max_cos_lower"),
     )
-    return (
+    out = (
         assigned.select(F.col(id_col), "cluster_id")
         .join(dup_stats, F.col(id_col) == F.col("id_b"), "left")
         .select(
@@ -168,6 +176,8 @@ def semantic_dedup(
             F.col("n_dup_lower").isNull().alias("keep"),
         )
     )
+    out._release_semantic = lambda: assigned.unpersist()  # type: ignore[attr-defined]
+    return out
 
 
 def kmeans_lloyd(
