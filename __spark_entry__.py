@@ -4880,6 +4880,45 @@ def q_dedup_cdc_doc_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_doc_dup_ratio(docs, window=8, mask_hex="0")
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / Flesch–Kincaid grade with a deterministic
+    regex syllable heuristic (max(1, [aeiouy]+ runs) per letters-only
+    word; sentences = [.!?]+ runs, min 1). Pure JVM folds — zero
+    shuffle, zero Python — exactly replicable in the SQL oracle."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.textfns import readability_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    c = readability_cols(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        c["n_words"].alias("n_words"),
+        c["n_sentences"].alias("n_sentences"),
+        c["n_syllables"].alias("n_syllables"),
+        c["flesch"].alias("flesch"),
+        c["fk_grade"].alias("fk_grade"),
+    )
+
+
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing signal (The Stack-style corpus split):
+    structural-symbol ratio, keyword hits, indented-line ratio — three
+    JVM regexp scans voted into ``is_code``. Zero shuffle."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.textfns import code_detect_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    c = code_detect_cols(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        c["sym_ratio"].alias("sym_ratio"),
+        c["kw_hits"].alias("kw_hits"),
+        c["indent_ratio"].alias("indent_ratio"),
+        c["code_votes"].alias("code_votes"),
+        c["is_code"].cast(BIG).alias("is_code"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5081,6 +5120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_snapshot_expiry": q_store_snapshot_expiry,
         "corpus_heaps_curve": q_corpus_heaps_curve,
         "evt_anomaly_zscore": q_evt_anomaly_zscore,
+        "text_readability": q_text_readability,
+        "text_code_detect": q_text_code_detect,
     }
 
 
@@ -8810,6 +8851,65 @@ SELECT key, day, n,
                              THEN ABS((n - mean) / SQRT(GREATEST(var, 0.0))) > 3.0
                              ELSE n <> mean END) AS anomaly
 FROM z
+"""
+
+    o["text_readability"] = """
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(
+           list_transform(string_split_regex(lower(text), '\\s+'),
+                          w -> regexp_replace(w, '[^a-z]', '', 'g')),
+           w -> w <> '') AS toks,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+           AS n_sentences
+  FROM documents),
+s AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_words, n_sentences,
+         CASE WHEN len(toks) > 0 THEN
+           list_aggregate(
+             list_transform(toks,
+               w -> GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1)),
+             'sum')::BIGINT
+         ELSE 0 END AS n_syllables
+  FROM t)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         ROUND(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                       - 84.6 * (n_syllables::DOUBLE / n_words), 6)
+       END AS flesch,
+       CASE WHEN n_words > 0 THEN
+         ROUND(0.39 * (n_words::DOUBLE / n_sentences)
+               + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 6)
+       END AS fk_grade
+FROM s
+"""
+
+    o["text_code_detect"] = """
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[^{}\\[\\]();=<>]', '', 'g')) AS syms,
+         len(regexp_extract_all(text,
+           '\\b(def|class|return|import|function|var|const|void|int|include)\\b'
+         ))::BIGINT AS kw_hits,
+         list_filter(string_split(text, chr(10)),
+                     l -> trim(l) <> '') AS lines
+  FROM documents),
+r AS (
+  SELECT doc_id, kw_hits,
+         CASE WHEN nonspace > 0
+              THEN ROUND(syms::DOUBLE / nonspace, 6) ELSE 0.0 END AS sym_ratio,
+         CASE WHEN len(lines) > 0 THEN ROUND(
+           len(list_filter(lines,
+               l -> regexp_matches(l, '^(\t|  )')))::DOUBLE / len(lines), 6)
+         ELSE 0.0 END AS indent_ratio
+  FROM t)
+SELECT doc_id, sym_ratio, kw_hits, indent_ratio,
+       ((sym_ratio >= 0.05)::INT + (kw_hits >= 3)::INT
+        + (indent_ratio >= 0.3)::INT)::BIGINT AS code_votes,
+       ((sym_ratio >= 0.05)::INT + (kw_hits >= 3)::INT
+        + (indent_ratio >= 0.3)::INT >= 2)::BIGINT AS is_code
+FROM r
 """
 
     return o

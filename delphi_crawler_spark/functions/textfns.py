@@ -341,3 +341,104 @@ def char_entropy_col(text: Column) -> Column:
     )
     ent = F.log2(n.cast("double")) - sum_clog / n.cast("double")
     return F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0))
+
+
+def readability_cols(text: Column) -> dict[str, Column]:
+    """Flesch reading-ease / Flesch–Kincaid grade (Kincaid 1975, public
+    formulae) with a fully deterministic, engine-portable syllable
+    heuristic: a word's syllables = max(1, count of maximal [aeiouy]+
+    runs) over its letters-only lowercase form. Sentences = maximal
+    [.!?]+ runs (min 1 so fragments still score). The heuristic is the
+    standard regex approximation every corpus-quality stack uses when a
+    dictionary is out of reach — and, unlike dictionary lookups, it is
+    exactly replicable in an ANSI-SQL oracle.
+
+    Returns {n_words, n_sentences, n_syllables, flesch, fk_grade}; the
+    two scores are NULL when the text has no letter-bearing words. Pure
+    JVM (split + regexp_count inside higher-order folds, whole-stage
+    codegen) — zero shuffle, zero Python.
+    """
+    toks = F.filter(
+        F.transform(
+            F.split(F.lower(text), r"\s+"),
+            lambda w: F.regexp_replace(w, "[^a-z]", ""),
+        ),
+        lambda w: w != "",
+    )
+    n_words = F.size(toks).cast("bigint")
+    n_sent = F.greatest(
+        F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    n_syll = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda a, w: a
+        + F.greatest(F.regexp_count(w, F.lit("[aeiouy]+")), F.lit(1)).cast("bigint"),
+    )
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syll.cast("double") / n_words.cast("double")
+    has = n_words > 0
+    flesch = F.when(
+        has, F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6)
+    )
+    fk = F.when(
+        has, F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6)
+    )
+    return {
+        "n_words": n_words,
+        "n_sentences": n_sent,
+        "n_syllables": F.when(has, n_syll).otherwise(F.lit(0)).cast("bigint"),
+        "flesch": flesch,
+        "fk_grade": fk,
+    }
+
+
+def code_detect_cols(text: Column) -> dict[str, Column]:
+    """Code-vs-prose detector — the cheap structural heuristic training
+    pipelines use to route documents to a code-specific pipeline (The
+    Stack / StarCoder-style corpora separate code before quality
+    filtering, Kocetkov 2022): three orthogonal signals, each a pure
+    JVM regexp scan, combined into a 0..3 vote.
+
+    - ``sym_ratio``: structural-symbol chars ``{}[]();=<>`` / non-space
+      chars (prose sits near 0, code 0.05+);
+    - ``kw_hits``: count of word-bounded programming keywords
+      (def/class/return/import/function/var/const/void/int/include);
+    - ``indent_ratio``: lines starting with 2+ spaces or a tab / lines
+      (block indentation survives HTML stripping when prose wrapping
+      does not).
+
+    Returns {sym_ratio, kw_hits, indent_ratio, code_votes, is_code}:
+    a vote per signal over its threshold (0.05 / 3 hits / 0.3), and
+    ``is_code`` at >= 2 votes. Ratios rounded to 6 (house convention).
+    """
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    syms = F.length(F.regexp_replace(text, r"[^{}\[\]();=<>]", ""))
+    sym_ratio = F.when(
+        nonspace > 0, F.round(syms.cast("double") / nonspace.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    kw_hits = F.regexp_count(
+        text,
+        F.lit(r"\b(def|class|return|import|function|var|const|void|int|include)\b"),
+    ).cast("bigint")
+    lines = F.filter(F.split(text, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.size(lines)
+    n_indented = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^(\t|  )"))
+    )
+    indent_ratio = F.when(
+        n_lines > 0,
+        F.round(n_indented.cast("double") / n_lines.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    votes = (
+        (sym_ratio >= 0.05).cast("int")
+        + (kw_hits >= 3).cast("int")
+        + (indent_ratio >= 0.3).cast("int")
+    ).cast("bigint")
+    return {
+        "sym_ratio": sym_ratio,
+        "kw_hits": kw_hits,
+        "indent_ratio": indent_ratio,
+        "code_votes": votes,
+        "is_code": votes >= 2,
+    }

@@ -1425,3 +1425,59 @@ def test_anomaly_zscore_spike_and_silence(spark):
         assert not out[d]["anomaly"], d
     # ordinary days do not flag
     assert not out[7]["anomaly"]
+
+
+def test_readability_hand_computed(spark):
+    """Known sentence: 'The cat sat on the mat. It was happy.' — 9 words,
+    2 sentences, syllables by the [aeiouy]+-run rule; empty text nulls
+    the scores."""
+    from delphi_crawler_spark.functions.textfns import readability_cols
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat on the mat. It was happy."), (2, "   "), (3, "!!!")],
+        ["doc_id", "text"],
+    )
+    c = readability_cols(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select("doc_id", *[v.alias(k) for k, v in c.items()]).collect()
+    }
+    r1 = rows[1]
+    # the|cat|sat|on|the|mat|it|was|happy -> 1,1,1,1,1,1,1,1,2 = 10 syllables
+    assert r1["n_words"] == 9 and r1["n_sentences"] == 2
+    assert r1["n_syllables"] == 10
+    wps, spw = 9 / 2, 10 / 9
+    assert abs(r1["flesch"] - round(206.835 - 1.015 * wps - 84.6 * spw, 6)) < 1e-9
+    assert abs(r1["fk_grade"] - round(0.39 * wps + 11.8 * spw - 15.59, 6)) < 1e-9
+    for d in (2, 3):  # no letter-bearing words -> null scores, zero counts
+        assert rows[d]["n_words"] == 0 and rows[d]["flesch"] is None
+        assert rows[d]["fk_grade"] is None and rows[d]["n_syllables"] == 0
+
+
+def test_code_detect_votes(spark):
+    """A python-ish snippet trips all three signals; plain prose trips
+    none; an indented poem trips only the indent signal (not code)."""
+    from delphi_crawler_spark.functions.textfns import code_detect_cols
+
+    code = (
+        "def f(x):\n  return x + 1\n\n"
+        "class A:\n  def g(self):\n    import os\n    return os"
+    )
+    prose = (
+        "The quick brown fox jumps over the lazy dog. "
+        "It was the best of times, it was the worst of times."
+    )
+    poem = "  roses are red\n  violets are blue\nplain line\n  indented too"
+    docs = spark.createDataFrame(
+        [(1, code), (2, prose), (3, poem)], ["doc_id", "text"]
+    )
+    c = code_detect_cols(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select("doc_id", *[v.alias(k) for k, v in c.items()]).collect()
+    }
+    assert rows[1]["is_code"] and rows[1]["code_votes"] == 3
+    assert rows[1]["kw_hits"] >= 3 and rows[1]["sym_ratio"] >= 0.05
+    assert not rows[2]["is_code"] and rows[2]["code_votes"] == 0
+    assert rows[3]["code_votes"] == 1 and not rows[3]["is_code"]
+    assert rows[3]["indent_ratio"] == 0.75
