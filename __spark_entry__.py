@@ -141,6 +141,7 @@ def q_c1_canonicalize_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast(BIG).alias("doc_id"),
         canonicalize_url(_raw_url_col()).alias("url"),
     )
+
     return out.filter(F.col("url").isNotNull())
 
 
@@ -4919,6 +4920,18 @@ def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS per language: exact decimal-sum regression
+    over each lang's top-100 terms (slope ~ -1 for natural language —
+    the corpus-health fingerprint). Hash-aggs + a keyed top-n window;
+    vocabulary never broadcasts."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.corpus import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit(docs, by="lang", top_n=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5121,6 +5134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_heaps_curve": q_corpus_heaps_curve,
         "evt_anomaly_zscore": q_evt_anomaly_zscore,
         "text_readability": q_text_readability,
+        "corpus_zipf_fit": q_corpus_zipf_fit,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -8910,6 +8924,41 @@ SELECT doc_id, sym_ratio, kw_hits, indent_ratio,
        ((sym_ratio >= 0.05)::INT + (kw_hits >= 3)::INT
         + (indent_ratio >= 0.3)::INT >= 2)::BIGINT AS is_code
 FROM r
+"""
+
+    o["corpus_zipf_fit"] = """
+WITH tok AS (
+  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+c AS (
+  SELECT lang, term, COUNT(*)::BIGINT AS cnt
+  FROM tok WHERE term <> '' GROUP BY lang, term),
+r AS (
+  SELECT lang, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term ASC)
+           AS rank
+  FROM c),
+p AS (
+  SELECT lang,
+         CAST(ROUND(ln(rank::DOUBLE), 6) AS DECIMAL(18,6)) AS x,
+         CAST(ROUND(ln(cnt::DOUBLE), 6) AS DECIMAL(18,6)) AS y
+  FROM r WHERE rank <= 100),
+a AS (
+  SELECT lang, COUNT(*)::BIGINT AS n_terms,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+  FROM p GROUP BY lang)
+SELECT lang, n_terms,
+  CASE WHEN n_terms >= 2 THEN ROUND(
+    (n_terms::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      / (n_terms::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+  END AS zipf_slope,
+  CASE WHEN n_terms >= 2 THEN ROUND(
+    sy::DOUBLE / n_terms::DOUBLE
+    - (n_terms::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      / (n_terms::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+      * sx::DOUBLE / n_terms::DOUBLE, 6)
+  END AS zipf_intercept
+FROM a
 """
 
     return o

@@ -640,3 +640,66 @@ def heaps_curve(
         F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
         F.sum("n_new_grams").over(w).cast("bigint").alias("cum_distinct_grams"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    by: str | None = None,
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf rank-frequency fit (Zipf 1949): exact OLS slope/intercept of
+    ln(frequency) on ln(rank) over each group's ``top_n`` terms — the
+    standard corpus-health fingerprint (natural language sits near slope
+    -1; template farms and generated spam bend the curve, so the slope is
+    a cheap per-source / per-language quality gate).
+
+    Returns one row per group: (by?, n_terms, zipf_slope, zipf_intercept).
+    Groups with < 2 distinct terms return NULL slope/intercept (a fit
+    needs 2 points).
+
+    **Engine-exact determinism**: the regression inputs are the logs
+    rounded to 6 dp and accumulated as ``decimal(28,6)`` / ``decimal(38,12)``
+    — Spark and any ANSI engine sum decimals exactly and
+    order-independently, so the slope is a pure function of the term
+    table, not of partitioning (the house decimal-sum rule, same as
+    ``kmeans_lloyd``'s centroid update). The final slope/intercept math
+    runs in double from those exact sums — bit-identical cross-engine.
+
+    Scale shape: one (group, term) hash-agg (map-side partial), a top-n
+    window keyed by group, then a group-keyed hash-agg of 4 decimal sums.
+    The vocabulary never broadcasts; nothing collects.
+    """
+    gcols = [by] if by else []
+    tok = docs.select(
+        *gcols,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = tok.groupBy(*gcols, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(*gcols).orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    )
+    x = F.round(F.ln(F.col("rank").cast("double")), 6).cast("decimal(18,6)")
+    y = F.round(F.ln(F.col("cnt").cast("double")), 6).cast("decimal(18,6)")
+    pts = ranked.select(*gcols, x.alias("x"), y.alias("y"))
+    agg = pts.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    den = n * F.col("sxx").cast("double") - sx * sx
+    slope = (n * F.col("sxy").cast("double") - sx * sy) / den
+    return agg.select(
+        *gcols,
+        "n_terms",
+        F.when(F.col("n_terms") >= 2, F.round(slope, 6)).alias("zipf_slope"),
+        F.when(
+            F.col("n_terms") >= 2, F.round(sy / n - slope * sx / n, 6)
+        ).alias("zipf_intercept"),
+    )

@@ -1481,3 +1481,34 @@ def test_code_detect_votes(spark):
     assert not rows[2]["is_code"] and rows[2]["code_votes"] == 0
     assert rows[3]["code_votes"] == 1 and not rows[3]["is_code"]
     assert rows[3]["indent_ratio"] == 0.75
+
+
+def test_zipf_fit_hand_computed(spark):
+    """3-term corpus: slope/intercept must equal the closed-form OLS on
+    6dp-rounded logs; a 1-term group yields NULL fit."""
+    import math
+
+    from delphi_crawler_spark.operators.corpus import zipf_fit
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a a a a b b c"), (2, "en", "a a b"), (3, "xx", "solo")],
+        ["doc_id", "lang", "text"],
+    )
+    out = {r["lang"]: r for r in zipf_fit(docs, by="lang", top_n=100).collect()}
+    # en counts: a=6 (rank 1), b=3 (rank 2), c=1 (rank 3)
+    xs = [round(math.log(r), 6) for r in (1, 2, 3)]
+    ys = [round(math.log(c), 6) for c in (6, 3, 1)]
+    n = 3.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    icpt = sy / n - slope * sx / n
+    en = out["en"]
+    assert en["n_terms"] == 3
+    assert abs(en["zipf_slope"] - round(slope, 6)) < 1e-9
+    assert abs(en["zipf_intercept"] - round(icpt, 6)) < 1e-9
+    assert en["zipf_slope"] < 0  # frequency falls with rank
+    xx = out["xx"]
+    assert xx["n_terms"] == 1 and xx["zipf_slope"] is None
+    assert xx["zipf_intercept"] is None
