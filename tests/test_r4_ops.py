@@ -1512,3 +1512,43 @@ def test_zipf_fit_hand_computed(spark):
     xx = out["xx"]
     assert xx["n_terms"] == 1 and xx["zipf_slope"] is None
     assert xx["zipf_intercept"] is None
+
+
+def test_bloom_file_index_no_false_negatives(spark):
+    """Every truly-present probe must be bloom-maybe in its file (no false
+    negatives, the bloom contract); skipping must actually happen; an
+    absent key's maybe-count is pure false positives."""
+    from delphi_crawler_spark.storage.bloomindex import (
+        bloom_probe_stats,
+        build_file_blooms,
+    )
+
+    data = spark.range(1, 2001).select(
+        (F.col("id") % 8).alias("file_id"), F.col("id").alias("k")
+    )
+    blooms = build_file_blooms(data, "file_id", "k", bits=8192)
+    # probes: 30 present keys + 30 absent (beyond the data range)
+    probes = spark.range(1, 61).select(
+        F.when(F.col("id") <= 30, F.col("id") * 64)
+        .otherwise(F.col("id") * 64 + 100_000)
+        .alias("probe_key")
+    )
+    out = bloom_probe_stats(
+        blooms, data, probes, "file_id", "k", bits=8192, n_files=8
+    ).collect()
+    assert len(out) == 60
+    for r in out:
+        assert r["n_files_maybe"] + r["n_files_skipped"] == 8
+        assert r["n_false_pos"] == r["n_files_maybe"] - r["n_files_true"]
+        assert r["n_files_maybe"] >= r["n_files_true"]  # no false negatives
+        if r["probe_key"] <= 30 * 64:  # present: its one true file is maybe
+            assert r["n_files_true"] == 1
+        else:
+            assert r["n_files_true"] == 0
+    # the index must prune: with 250 keys/file in 8192 bits the average
+    # probe must skip most of the 8 files
+    total_skipped = sum(r["n_files_skipped"] for r in out)
+    assert total_skipped > 60 * 5
+
+    with pytest.raises(ValueError):
+        build_file_blooms(data, "file_id", "k", bits=100)
