@@ -4956,6 +4956,23 @@ def q_store_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evt_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day trailing distinct-actives curve (WAU): dedup to
+    (user, day) pairs, in-cell window fan-out of the deduped pair table,
+    one (day, user) dedup + day hash-agg — the exact oracle form of the
+    HLL sketch path."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.events import sliding_distinct_daily
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(86400000000)
+    ).cast("bigint")
+    return sliding_distinct_daily(
+        ev.select(F.col("user_id"), day.alias("day")), "user_id", "day", 7
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5160,6 +5177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": q_text_readability,
         "corpus_zipf_fit": q_corpus_zipf_fit,
         "store_bloom_file_index": q_store_bloom_file_index,
+        "evt_distinct_sliding": q_evt_distinct_sliding,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9027,6 +9045,22 @@ SELECT pk.probe_key,
        (16 - COALESCE(ms.n_files_maybe, 0))::BIGINT AS n_files_skipped
 FROM pk LEFT JOIN ms ON ms.probe_key = pk.probe_key
         LEFT JOIN ts ON ts.probe_key = pk.probe_key
+"""
+
+    o["evt_distinct_sliding"] = """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS key,
+         FLOOR(epoch_us(ts) / 86400000000)::BIGINT AS day
+  FROM events WHERE user_id IS NOT NULL),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM pairs),
+daily AS (SELECT day, COUNT(*)::BIGINT AS n_active FROM pairs GROUP BY day),
+cov AS (
+  SELECT DISTINCT key, unnest(range(day, day + 7)) AS day FROM pairs),
+win AS (SELECT day::BIGINT AS day, COUNT(*)::BIGINT AS n_active_window
+        FROM cov GROUP BY day)
+SELECT w.day, COALESCE(d.n_active, 0)::BIGINT AS n_active, w.n_active_window
+FROM win w CROSS JOIN span s LEFT JOIN daily d ON d.day = w.day
+WHERE w.day BETWEEN s.d0 AND s.d1
 """
 
     return o

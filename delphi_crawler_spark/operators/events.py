@@ -271,3 +271,60 @@ def daily_anomaly_zscore(
         F.round(z, 6).alias("zscore"),
         anomaly.alias("anomaly"),
     )
+
+
+def sliding_distinct_daily(
+    df: DataFrame,
+    key_col: str = "user_id",
+    day_col: str = "day",
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact trailing-window distinct actives per day (the 7-day-active /
+    WAU curve): for every day in the data's span, the count of distinct
+    ``key_col`` seen in ``[day - window_days + 1, day]``, next to the
+    plain per-day distinct count. Exact, not a sketch — rolling
+    count-distinct does NOT decompose over a window function, so the
+    engine materializes coverage instead of sorting per day.
+
+    Shape: dedup to (key, day) active pairs (one hash-agg), explode each
+    pair to the ``window_days`` window-end days it feeds (in-cell
+    sequence, ×w fan-out of the ALREADY-deduped pair table — bounded by
+    actives × w, not events × w), then one (day, key) dedup + one day
+    hash-agg. For month+ windows over billions of actives, swap in the
+    HLL segments (``operators/hll.py``) — this exact form is the oracle
+    for that sketch path.
+
+    Output: (day, n_active, n_active_window), restricted to days inside
+    the observed [min_day, max_day] span.
+    """
+    if window_days < 1:
+        raise ValueError("sliding_distinct_daily() needs window_days >= 1")
+    pairs = (
+        df.select(F.col(key_col).alias("key"), F.col(day_col).cast("bigint").alias("day"))
+        .filter(F.col("key").isNotNull())
+        .distinct()
+    )
+    daily = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
+    span = pairs.select(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    covered = (
+        pairs.select(
+            "key",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + F.lit(window_days - 1))
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_active_window"))
+    )
+    return (
+        covered.join(F.broadcast(span), covered["day"].between(F.col("d0"), F.col("d1")))
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_active", F.lit(0)).cast("bigint").alias("n_active"),
+            F.col("n_active_window").cast("bigint").alias("n_active_window"),
+        )
+    )

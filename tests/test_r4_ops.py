@@ -1552,3 +1552,25 @@ def test_bloom_file_index_no_false_negatives(spark):
 
     with pytest.raises(ValueError):
         build_file_blooms(data, "file_id", "k", bits=100)
+
+
+def test_sliding_distinct_hand_computed(spark):
+    """u1 active d1,d3; u2 active d1; u3 active d5: the 3-day trailing
+    curve is checkable by hand, days outside the span are excluded, and
+    a repeat visit never double-counts."""
+    from delphi_crawler_spark.operators.events import sliding_distinct_daily
+
+    rows = [(1, 1), (1, 1), (1, 3), (2, 1), (3, 5)]  # (user, day), dup visit
+    df = spark.createDataFrame(rows, ["user_id", "day"])
+    out = {
+        r["day"]: r
+        for r in sliding_distinct_daily(df, "user_id", "day", 3).collect()
+    }
+    # window [d-2, d]: d1 {1,2}; d2 {1,2}; d3 {1,2,1->} {u1,u2,u1@3}= {1,2};
+    # d4 {1}; d5 {3,1@3}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert [out[d]["n_active_window"] for d in (1, 2, 3, 4, 5)] == [2, 2, 2, 1, 2]
+    assert [out[d]["n_active"] for d in (1, 2, 3, 4, 5)] == [2, 0, 1, 0, 1]
+
+    with pytest.raises(ValueError):
+        sliding_distinct_daily(df, "user_id", "day", 0)
