@@ -4973,6 +4973,17 @@ def q_evt_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evt_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival regularity bot detection: per-user CV of event gaps
+    with decimal(38,0)-exact moment sums; metronomic keys (CV < 0.1 over
+    >= 5 gaps) flag. One keyed window sort + one key hash-agg."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.events import interarrival_bot_signals
+
+    ev = _t(spark, sf_dir, "events")
+    return interarrival_bot_signals(ev, "user_id", "ts", "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5178,6 +5189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zipf_fit": q_corpus_zipf_fit,
         "store_bloom_file_index": q_store_bloom_file_index,
         "evt_distinct_sliding": q_evt_distinct_sliding,
+        "evt_bot_detect": q_evt_bot_detect,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9061,6 +9073,30 @@ win AS (SELECT day::BIGINT AS day, COUNT(*)::BIGINT AS n_active_window
 SELECT w.day, COALESCE(d.n_active, 0)::BIGINT AS n_active, w.n_active_window
 FROM win w CROSS JOIN span s LEFT JOIN daily d ON d.day = w.day
 WHERE w.day BETWEEN s.d0 AND s.d1
+"""
+
+    o["evt_bot_detect"] = """
+WITH g AS (
+  SELECT user_id AS key,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events),
+a AS (
+  SELECT key, COUNT(*)::BIGINT AS n_events, COUNT(gap)::BIGINT AS n_gaps,
+         SUM(gap::DECIMAL(38,0)) AS sg,
+         SUM(gap::DECIMAL(19,0) * gap::DECIMAL(19,0)) AS sgg
+  FROM g GROUP BY key)
+SELECT key AS user_id, n_events, n_gaps,
+  CASE WHEN n_gaps > 0 THEN ROUND(sg::DOUBLE / n_gaps / 1e6, 6) END AS mean_gap_s,
+  CASE WHEN n_gaps >= 5 AND sg::DOUBLE / n_gaps > 0 THEN ROUND(
+    SQRT(GREATEST(sgg::DOUBLE / n_gaps
+                  - (sg::DOUBLE / n_gaps) * (sg::DOUBLE / n_gaps), 0.0))
+    / (sg::DOUBLE / n_gaps), 6) END AS cv_gap,
+  (n_gaps >= 5 AND sg::DOUBLE / n_gaps > 0 AND ROUND(
+    SQRT(GREATEST(sgg::DOUBLE / n_gaps
+                  - (sg::DOUBLE / n_gaps) * (sg::DOUBLE / n_gaps), 0.0))
+    / (sg::DOUBLE / n_gaps), 6) < 0.1) AS is_bot
+FROM a
 """
 
     return o

@@ -328,3 +328,63 @@ def sliding_distinct_daily(
             F.col("n_active_window").cast("bigint").alias("n_active_window"),
         )
     )
+
+
+def interarrival_bot_signals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    min_gaps: int = 5,
+    cv_threshold: float = 0.1,
+) -> DataFrame:
+    """Bot/automation detection from inter-arrival regularity (the classic
+    traffic-analytics heuristic: humans are bursty, schedulers are
+    metronomes): per key, the coefficient of variation of inter-event
+    gaps — ``is_bot`` when at least ``min_gaps`` gaps exist and their
+    CV is below ``cv_threshold``.
+
+    Exactness: gaps are integer microseconds; Σgap and Σgap² accumulate
+    as ``decimal(38,0)`` (gap² overflows bigint at day-scale gaps), so
+    mean/variance are pure functions of the event set, engine- and
+    partition-exact; only the final division runs in double (rounded 6).
+
+    Shape: one (key)-keyed window sort for the lag + one key hash-agg —
+    the same (key, ts) sort grain ``sessionize`` uses, so a pipeline
+    computing both shares one shuffle. Returns (key, n_events, n_gaps,
+    mean_gap_s, cv_gap, is_bot); keys with < ``min_gaps`` gaps report
+    NULL cv and never flag.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(order_col))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    gaps = df.select(
+        F.col(key_col).alias("key"),
+        (us - F.lag(us).over(w)).alias("gap"),
+    )
+    agg = gaps.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.sum(F.col("gap").cast("decimal(38,0)")).alias("sg"),
+        F.sum(
+            F.col("gap").cast("decimal(19,0)") * F.col("gap").cast("decimal(19,0)")
+        ).alias("sgg"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("sg").cast("double") / n
+    var = F.greatest(
+        F.col("sgg").cast("double") / n - mean * mean, F.lit(0.0)
+    )
+    cv = F.sqrt(var) / mean
+    enough = F.col("n_gaps") >= min_gaps
+    return agg.select(
+        F.col("key").alias(key_col),
+        "n_events",
+        "n_gaps",
+        F.when(F.col("n_gaps") > 0, F.round(mean / 1e6, 6)).alias("mean_gap_s"),
+        F.when(enough & (mean > 0), F.round(cv, 6)).alias("cv_gap"),
+        (
+            enough
+            & (mean > 0)
+            & (F.round(cv, 6) < F.lit(float(cv_threshold)))
+        ).alias("is_bot"),
+    )

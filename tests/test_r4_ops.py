@@ -1574,3 +1574,28 @@ def test_sliding_distinct_hand_computed(spark):
 
     with pytest.raises(ValueError):
         sliding_distinct_daily(df, "user_id", "day", 0)
+
+
+def test_bot_detect_metronome_vs_bursty(spark):
+    """A metronomic key (identical gaps, CV=0) flags; a bursty key does
+    not; a key below min_gaps reports NULL cv and never flags."""
+    import datetime
+
+    from delphi_crawler_spark.operators.events import interarrival_bot_signals
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = []
+    for i in range(7):  # bot: exactly every 60s
+        rows.append((100, t0 + datetime.timedelta(seconds=60 * i), i))
+    bursty = [0, 1, 2, 300, 301, 4000, 4001]
+    for j, s in enumerate(bursty):  # human: burst-gap-burst
+        rows.append((200, t0 + datetime.timedelta(seconds=s), 100 + j))
+    for i in range(4):  # too few gaps (3 < 5)
+        rows.append((300, t0 + datetime.timedelta(seconds=60 * i), 200 + i))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    out = {r["user_id"]: r for r in interarrival_bot_signals(df).collect()}
+    assert out[100]["is_bot"] and out[100]["cv_gap"] == 0.0
+    assert out[100]["mean_gap_s"] == 60.0 and out[100]["n_gaps"] == 6
+    assert not out[200]["is_bot"] and out[200]["cv_gap"] > 1.0
+    assert out[300]["cv_gap"] is None and not out[300]["is_bot"]
+    assert out[300]["n_events"] == 4 and out[300]["n_gaps"] == 3
