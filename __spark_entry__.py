@@ -4984,6 +4984,31 @@ def q_evt_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interarrival_bot_signals(ev, "user_id", "ts", "event_id")
 
 
+def q_store_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file GC audit (Iceberg remove_orphan_files shape): full-outer
+    path join of a synthetic storage listing vs manifest-referenced set —
+    grace-window-aged orphans marked deletable, referenced-but-absent
+    paths surfaced as corruption. Metadata-sized hash join only."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.storage.compaction import orphan_file_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    # listing: every doc file except the %17==3 slice (externally deleted);
+    # mtimes ladder back from now in 6h steps
+    listing = docs.filter(d % 17 != 3).select(
+        F.concat(F.lit("data/f"), d.cast("string"), F.lit(".parquet")).alias("path"),
+        (F.lit(_SNAP_NOW_MS) - (d % 40) * 21_600_000).cast("bigint").alias("mtime_ms"),
+    )
+    # manifests reference the %5!=0 slice (the %5==0 files were replaced)
+    referenced = docs.filter(d % 5 != 0).select(
+        F.concat(F.lit("data/f"), d.cast("string"), F.lit(".parquet")).alias("path")
+    )
+    return orphan_file_plan(
+        listing, referenced, now_ms=_SNAP_NOW_MS, grace_ms=3 * 86_400_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5190,6 +5215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_bloom_file_index": q_store_bloom_file_index,
         "evt_distinct_sliding": q_evt_distinct_sliding,
         "evt_bot_detect": q_evt_bot_detect,
+        "store_orphan_files": q_store_orphan_files,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9097,6 +9123,29 @@ SELECT key AS user_id, n_events, n_gaps,
                   - (sg::DOUBLE / n_gaps) * (sg::DOUBLE / n_gaps), 0.0))
     / (sg::DOUBLE / n_gaps), 6) < 0.1) AS is_bot
 FROM a
+"""
+
+    o["store_orphan_files"] = """
+WITH li AS (
+  SELECT 'data/f' || doc_id || '.parquet' AS path,
+         (1700000000000 - (doc_id % 40) * 21600000)::BIGINT AS mtime_ms
+  FROM documents WHERE doc_id % 17 <> 3),
+rf AS (
+  SELECT DISTINCT 'data/f' || doc_id || '.parquet' AS path
+  FROM documents WHERE doc_id % 5 <> 0),
+j AS (
+  SELECT COALESCE(li.path, rf.path) AS path, li.mtime_ms,
+         li.path IS NOT NULL AS in_listing,
+         rf.path IS NOT NULL AS referenced
+  FROM li FULL OUTER JOIN rf ON li.path = rf.path)
+SELECT path, mtime_ms, referenced,
+  CASE WHEN NOT in_listing THEN 'missing'
+       WHEN referenced THEN 'ok'
+       WHEN mtime_ms <= 1700000000000 - 3 * 86400000 THEN 'orphan'
+       ELSE 'recent_unreferenced' END AS status,
+  (NOT referenced AND in_listing
+   AND mtime_ms <= 1700000000000 - 3 * 86400000) AS delete
+FROM j
 """
 
     return o

@@ -134,3 +134,59 @@ def snapshot_expiry_plan(
         .otherwise(F.lit("expire"))
         .alias("reason"),
     )
+
+
+def orphan_file_plan(
+    listing: DataFrame,
+    referenced: DataFrame,
+    now_ms: int,
+    grace_ms: int = 3 * 86_400_000,
+    path_col: str = "path",
+    mtime_col: str = "mtime_ms",
+) -> DataFrame:
+    """Iceberg ``remove_orphan_files``-style GC plan: classify every path
+    from a storage LISTING against the set of manifest-REFERENCED paths.
+
+    - ``orphan``  — listed, unreferenced, and older than ``grace_ms``:
+      safe to delete (the grace window protects files written by
+      in-flight commits whose manifest isn't visible yet — deleting
+      young unreferenced files races active writers, the classic
+      orphan-GC footgun);
+    - ``recent_unreferenced`` — listed, unreferenced, young: keep for now;
+    - ``ok`` — listed and referenced;
+    and, from the other direction, ``missing`` — referenced but absent
+    from the listing (corruption / external deletion: a read of that
+    snapshot WILL fail; surfacing it here is the point of the audit).
+
+    Returns (path, mtime_ms nullable, referenced, status, delete).
+    Shape: one full-outer hash-join on path + a JVM projection; both
+    sides are metadata tables (file counts, not file bytes). The
+    engine-side twin that acts on its own store is
+    ``tablestore.TableStore.expire`` (tablestore.py:460); this is the
+    planner over ARBITRARY listings that lets operators audit before
+    acting."""
+    li = listing.select(
+        F.col(path_col).alias("path"),
+        F.col(mtime_col).cast("bigint").alias("mtime_ms"),
+        F.lit(True).alias("_listed"),
+    )
+    rf = referenced.select(F.col(path_col).alias("path")).distinct().withColumn(
+        "_ref", F.lit(True)
+    )
+    j = li.join(rf, "path", "full_outer")
+    in_listing = F.coalesce(F.col("_listed"), F.lit(False))
+    ref = F.coalesce(F.col("_ref"), F.lit(False))
+    old = F.col("mtime_ms") <= F.lit(int(now_ms - grace_ms))
+    status = (
+        F.when(~in_listing, F.lit("missing"))
+        .when(ref, F.lit("ok"))
+        .when(old, F.lit("orphan"))
+        .otherwise(F.lit("recent_unreferenced"))
+    )
+    return j.select(
+        "path",
+        "mtime_ms",
+        ref.alias("referenced"),
+        status.alias("status"),
+        (status == "orphan").alias("delete"),
+    )

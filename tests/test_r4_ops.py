@@ -1599,3 +1599,32 @@ def test_bot_detect_metronome_vs_bursty(spark):
     assert not out[200]["is_bot"] and out[200]["cv_gap"] > 1.0
     assert out[300]["cv_gap"] is None and not out[300]["is_bot"]
     assert out[300]["n_events"] == 4 and out[300]["n_gaps"] == 3
+
+
+def test_orphan_file_plan_classification(spark):
+    """Four-way classification: ok / orphan (old+unreferenced) /
+    recent_unreferenced (young, never deletable) / missing (referenced
+    but absent from the listing)."""
+    from delphi_crawler_spark.storage.compaction import orphan_file_plan
+
+    now = 1_700_000_000_000
+    day = 86_400_000
+    listing = spark.createDataFrame(
+        [
+            ("a", now - 10 * day),  # referenced -> ok
+            ("b", now - 10 * day),  # unreferenced, old -> orphan
+            ("c", now - 1 * day),   # unreferenced, young -> recent
+        ],
+        ["path", "mtime_ms"],
+    )
+    referenced = spark.createDataFrame([("a",), ("d",)], ["path"])
+    out = {
+        r["path"]: r
+        for r in orphan_file_plan(listing, referenced, now_ms=now).collect()
+    }
+    assert out["a"]["status"] == "ok" and not out["a"]["delete"]
+    assert out["b"]["status"] == "orphan" and out["b"]["delete"]
+    assert out["c"]["status"] == "recent_unreferenced" and not out["c"]["delete"]
+    assert out["d"]["status"] == "missing" and not out["d"]["delete"]
+    assert out["d"]["mtime_ms"] is None and out["d"]["referenced"]
+    assert not out["b"]["referenced"]
