@@ -5009,6 +5009,20 @@ def q_store_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (continuation-count mass,
+    count-of-counts discount, OOV-safe +1 continuation floor) trained on
+    the doc_id%3==0 slice — the add-one LM's graduation. Vocab-bounded
+    hash-aggs + three broadcastable joins + keyed avg; all JVM."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.lm import kneser_ney_perplexity
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    return kneser_ney_perplexity(docs, train_pred=F.col("doc_id") % 3 == 0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5216,6 +5230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_distinct_sliding": q_evt_distinct_sliding,
         "evt_bot_detect": q_evt_bot_detect,
         "store_orphan_files": q_store_orphan_files,
+        "text_lm_kneser_ney": q_text_lm_kneser_ney,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9146,6 +9161,44 @@ SELECT path, mtime_ms, referenced,
   (NOT referenced AND in_listing
    AND mtime_ms <= 1700000000000 - 3 * 86400000) AS delete
 FROM j
+"""
+
+    o["text_lm_kneser_ney"] = """
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+           FROM documents),
+bz AS (SELECT doc_id,
+              unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS z
+       FROM w),
+bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bz),
+tb AS (SELECT * FROM bg WHERE doc_id % 3 = 0),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM tb GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c2) AS c1, count(*) AS t1 FROM c2 GROUP BY w1),
+cont AS (SELECT w2, count(*) AS tc FROM c2 GROUP BY w2),
+sc AS (SELECT count(*) AS tt,
+              sum((c2 = 1)::INT) AS n1, sum((c2 = 2)::INT) AS n2
+       FROM c2),
+v AS (SELECT count(DISTINCT t.w) AS v
+      FROM (SELECT unnest(ws) AS w FROM w WHERE doc_id % 3 = 0) t),
+dd AS (SELECT CASE WHEN n1 + 2 * n2 > 0
+                   THEN n1::DOUBLE / (n1 + 2 * n2) ELSE 0.75 END AS d,
+              tt FROM sc),
+s AS (SELECT bg.doc_id,
+             -ln(CASE WHEN coalesce(ctx.c1, 0) > 0 THEN
+                   greatest(coalesce(c2.c2, 0)::DOUBLE - dd.d, 0.0)
+                     / coalesce(ctx.c1, 0)::DOUBLE
+                   + dd.d * coalesce(ctx.t1, 0)::DOUBLE
+                     / coalesce(ctx.c1, 0)::DOUBLE
+                     * ((coalesce(cont.tc, 0)::DOUBLE + 1.0)
+                        / (dd.tt + v.v + 1)::DOUBLE)
+                 ELSE (coalesce(cont.tc, 0)::DOUBLE + 1.0)
+                      / (dd.tt + v.v + 1)::DOUBLE END) AS nll
+      FROM bg LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+              LEFT JOIN ctx ON bg.w1 = ctx.w1
+              LEFT JOIN cont ON bg.w2 = cont.w2
+              CROSS JOIN dd CROSS JOIN v)
+SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(nll), 6) AS avg_nll, round(exp(avg(nll)), 3) AS ppl
+FROM s GROUP BY doc_id
 """
 
     return o

@@ -106,3 +106,52 @@ def test_gopher_rules_is_narrow_jvm(spark):
     txt = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in txt
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_kneser_ney_hand_values(spark):
+    """Tiny corpus where every KN quantity is countable by hand: train
+    'a b a b a c' gives c2={ab:2, ba:2, ac:1}, D = n1/(n1+2 n2) = 0.2,
+    T=3 types, V=3; the scored doc 'a b c' mixes a seen bigram, a
+    backed-off bigram, and continuation mass."""
+    import math
+
+    from delphi_crawler_spark.operators.lm import kneser_ney_perplexity
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a c"), (1, "a b c")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in kneser_ney_perplexity(
+            docs, train_pred=F.col("doc_id") == 0
+        ).collect()
+    }
+    d, t_types, v = 0.2, 3, 3
+    pcont = lambda tc: (tc + 1.0) / (t_types + v + 1)  # noqa: E731
+    # ab: c2=2 c1=3 t1=2 tc(b)=1 ; bc: c2=0 c1(b)=2 t1=1 tc(c)=1
+    p_ab = (2 - d) / 3 + d * 2 / 3 * pcont(1)
+    p_bc = max(0 - d, 0.0) / 2 + d * 1 / 2 * pcont(1)
+    exp_nll = (-math.log(p_ab) - math.log(p_bc)) / 2
+    got = out[1]
+    assert got["n_bigrams"] == 2
+    assert abs(got["avg_nll"] - round(exp_nll, 6)) < 1e-9
+    assert abs(got["ppl"] - round(math.exp(exp_nll), 3)) < 1e-9
+    # the training doc scores itself fluently: lower NLL than the probe
+    assert out[0]["avg_nll"] < out[1]["avg_nll"]
+    # pinned discount overrides the estimate
+    out75 = {
+        r["doc_id"]: r
+        for r in kneser_ney_perplexity(
+            docs, train_pred=F.col("doc_id") == 0, discount=0.75
+        ).collect()
+    }
+    assert out75[1]["avg_nll"] != got["avg_nll"]
+
+
+def test_kneser_ney_empty_train_slice(spark):
+    from delphi_crawler_spark.operators.lm import kneser_ney_perplexity
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    out = kneser_ney_perplexity(docs, train_pred=F.lit(False))
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "n_bigrams", "avg_nll", "ppl"}
