@@ -5023,6 +5023,27 @@ def q_text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_perplexity(docs, train_pred=F.col("doc_id") % 3 == 0)
 
 
+def q_g6_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-graph reciprocity + degree assortativity over the planted-
+    farm web (g4's input): distinct-edge semi-join for reverse edges,
+    decimal-exact degree-moment sums, one double correlation at the
+    end. Link farms push both scalars up; organic webs sit low."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.graph import graph_structure_stats
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    sparse = ev.filter(F.col("event_id") % 4 == 0).select(
+        F.concat(F.lit("r"), F.substring(F.md5(F.concat(F.lit("s"), eid)), 1, 2)).alias("src"),
+        F.concat(F.lit("r"), F.substring(F.md5(F.concat(F.lit("d"), eid)), 1, 2)).alias("dst"),
+    )
+    farm = ev.select(
+        F.concat(F.lit("f"), F.substring(F.md5(F.concat(F.lit("a"), eid)), 1, 1)).alias("src"),
+        F.concat(F.lit("f"), F.substring(F.md5(F.concat(F.lit("b"), eid)), 1, 1)).alias("dst"),
+    )
+    return graph_structure_stats(sparse.unionByName(farm))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5231,6 +5252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_bot_detect": q_evt_bot_detect,
         "store_orphan_files": q_store_orphan_files,
         "text_lm_kneser_ney": q_text_lm_kneser_ney,
+        "g6_graph_stats": q_g6_graph_stats,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9199,6 +9221,46 @@ s AS (SELECT bg.doc_id,
 SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_bigrams,
        round(avg(nll), 6) AS avg_nll, round(exp(avg(nll)), 3) AS ppl
 FROM s GROUP BY doc_id
+"""
+
+    o["g6_graph_stats"] = """
+WITH raw AS (
+  SELECT 'r' || substr(md5('s' || event_id), 1, 2) AS s,
+         'r' || substr(md5('d' || event_id), 1, 2) AS d
+  FROM events WHERE event_id % 4 = 0
+  UNION ALL
+  SELECT 'f' || substr(md5('a' || event_id), 1, 1),
+         'f' || substr(md5('b' || event_id), 1, 1)
+  FROM events),
+e AS (SELECT DISTINCT s, d FROM raw WHERE s <> d),
+outd AS (SELECT s, COUNT(*)::BIGINT AS x FROM e GROUP BY s),
+ind AS (SELECT d, COUNT(*)::BIGINT AS y FROM e GROUP BY d),
+rec AS (
+  SELECT COUNT(*)::BIGINT AS n_recip
+  FROM e WHERE EXISTS (SELECT 1 FROM e r WHERE r.s = e.d AND r.d = e.s)),
+nn AS (
+  SELECT COUNT(*)::BIGINT AS n_nodes FROM
+    (SELECT s AS n FROM e UNION SELECT d FROM e)),
+st AS (
+  SELECT COUNT(*)::BIGINT AS m,
+         SUM(x::DECIMAL(19,0)) AS sx, SUM(y::DECIMAL(19,0)) AS sy,
+         SUM(x::DECIMAL(19,0) * y::DECIMAL(19,0)) AS sxy,
+         SUM(x::DECIMAL(19,0) * x::DECIMAL(19,0)) AS sxx,
+         SUM(y::DECIMAL(19,0) * y::DECIMAL(19,0)) AS syy
+  FROM e JOIN outd USING (s) JOIN ind USING (d))
+SELECT nn.n_nodes, st.m AS n_edges, rec.n_recip AS n_reciprocal,
+  CASE WHEN st.m > 0
+       THEN ROUND(rec.n_recip::DOUBLE / st.m::DOUBLE, 6) END AS reciprocity,
+  CASE WHEN st.m >= 2
+        AND st.m::DOUBLE * st.sxx::DOUBLE - st.sx::DOUBLE * st.sx::DOUBLE > 0
+        AND st.m::DOUBLE * st.syy::DOUBLE - st.sy::DOUBLE * st.sy::DOUBLE > 0
+       THEN ROUND(
+         (st.m::DOUBLE * st.sxy::DOUBLE - st.sx::DOUBLE * st.sy::DOUBLE)
+         / (SQRT(st.m::DOUBLE * st.sxx::DOUBLE - st.sx::DOUBLE * st.sx::DOUBLE)
+            * SQRT(st.m::DOUBLE * st.syy::DOUBLE - st.sy::DOUBLE * st.sy::DOUBLE)),
+         6)
+  END AS assortativity
+FROM st CROSS JOIN rec CROSS JOIN nn
 """
 
     return o

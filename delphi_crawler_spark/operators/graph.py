@@ -1076,3 +1076,71 @@ def bowtie_decomposition(
         F.col("bwd_depth").cast("bigint").alias("bwd_depth"),
         comp.alias("component"),
     )
+
+
+def graph_structure_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Whole-graph structural fingerprint: reciprocity + degree
+    assortativity (Newman 2002) — the two scalars a crawl-graph health
+    dashboard wants per snapshot (link farms push reciprocity toward 1
+    and assortativity positive; organic webs are weakly reciprocal and
+    disassortative, Broder 2000).
+
+    - ``reciprocity``: fraction of distinct non-loop directed edges whose
+      reverse edge also exists (one self-semi-join on the edge key);
+    - ``assortativity``: Pearson correlation, over edges (u, v), of
+      out-degree(u) against in-degree(v). Degree products accumulate as
+      ``decimal(38,0)`` — exact at any partition count (deg² overflows
+      bigint beyond ~3·10^9-degree hubs); the final correlation is one
+      double expression from those exact sums, rounded 6 (engine-exact,
+      mirrored in the SQL oracle). NULL when < 2 edges or zero variance.
+
+    Returns one row: (n_nodes, n_edges, n_reciprocal, reciprocity,
+    assortativity). Shape: distinct edge hash-agg, two degree hash-aggs
+    joined back on their own keys, one semi-join, one scalar agg —
+    every shuffle keyed, nothing collects."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("x"))
+    indeg = e.groupBy("d").agg(F.count(F.lit(1)).alias("y"))
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    recip = e.join(rev, ["s", "d"], "left_semi")
+    nodes = e.select(F.col("s").alias("n")).union(
+        e.select(F.col("d").alias("n"))
+    ).distinct()
+
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    pairs = e.join(outdeg, "s").join(indeg, "d")
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    n_nodes = nodes.count()
+    n_recip = recip.count()
+    m = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov = m * F.col("sxy").cast("double") - sx * sy
+    vx = m * F.col("sxx").cast("double") - sx * sx
+    vy = m * F.col("syy").cast("double") - sy * sy
+    assort = F.when(
+        (F.col("m") >= 2) & (vx > 0) & (vy > 0),
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6),
+    )
+    return stats.select(
+        F.lit(int(n_nodes)).cast("bigint").alias("n_nodes"),
+        F.col("m").alias("n_edges"),
+        F.lit(int(n_recip)).cast("bigint").alias("n_reciprocal"),
+        F.when(
+            F.col("m") > 0,
+            F.round(F.lit(float(n_recip)) / m, 6),
+        ).alias("reciprocity"),
+        assort.alias("assortativity"),
+    )

@@ -486,3 +486,45 @@ def test_hyperanf_tracks_exact_neighborhood(spark):
         assert abs(est1[t] - exact[t]) / exact[t] < 0.05, (t, est1[t], exact[t])
     # monotone in t (register max-merge can only grow estimates)
     assert est1[0] <= est1[1] <= est1[2] <= est1[3]
+
+
+def test_graph_structure_stats_hand_built(spark):
+    """2-cycle + chain: reciprocity counts both directions of the cycle;
+    assortativity matches the hand OLS; self-loops and duplicate edges
+    are ignored."""
+    from delphi_crawler_spark.operators.graph import graph_structure_stats
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # reciprocal pair
+            ("a", "c"), ("c", "d"),          # chain
+            ("a", "c"),                      # duplicate (ignored)
+            ("d", "d"),                      # self-loop (ignored)
+        ],
+        ["src", "dst"],
+    )
+    r = graph_structure_stats(edges).collect()[0]
+    assert r["n_nodes"] == 4 and r["n_edges"] == 4
+    assert r["n_reciprocal"] == 2 and r["reciprocity"] == 0.5
+    # edge (u,v) -> (outdeg u, indeg v): ab:(2,1) ba:(1,1) ac:(2,1) cd:(1,1)
+    xs, ys = [2, 1, 2, 1], [1, 1, 1, 1]
+    # indegree is constant -> zero variance -> NULL assortativity
+    assert r["assortativity"] is None
+
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], ["src", "dst"]
+    )
+    r2 = graph_structure_stats(tri).collect()[0]
+    # pairs: ab:(2,1) bc:(1,2) ca:(1,1) ac:(2,2)
+    import math
+
+    xs, ys = [2, 1, 1, 2], [1, 2, 1, 2]
+    m = 4.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+    exp = (m * sxy - sx * sy) / (
+        math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)
+    )
+    assert abs(r2["assortativity"] - round(exp, 6)) < 1e-9
+    assert r2["n_reciprocal"] == 2  # c->a and a->c
