@@ -5044,6 +5044,27 @@ def q_g6_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_structure_stats(sparse.unionByName(farm))
 
 
+def q_pipeline_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: near-dup CC clusters (dedup_cluster_cc's pipeline)
+    down-weight members by 1/|cluster| instead of dropping them —
+    duplicated passages contribute one doc of training mass in
+    expectation. One extra id-keyed join over the cluster output."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.corpus import soft_dedup_weights
+    from delphi_crawler_spark.operators.dedup_fuzzy import jaccard_verify
+    from delphi_crawler_spark.operators.graph import neardup_clusters
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    dups = jaccard_verify(pairs, docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    clusters = neardup_clusters(docs.select("doc_id"), dups.select("id_a", "id_b"))
+    return soft_dedup_weights(docs, clusters)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5253,6 +5274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_orphan_files": q_store_orphan_files,
         "text_lm_kneser_ney": q_text_lm_kneser_ney,
         "g6_graph_stats": q_g6_graph_stats,
+        "pipeline_soft_dedup": q_pipeline_soft_dedup,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9261,6 +9283,43 @@ SELECT nn.n_nodes, st.m AS n_edges, rec.n_recip AS n_reciprocal,
          6)
   END AS assortativity
 FROM st CROSS JOIN rec CROSS JOIN nn
+"""
+
+    o["pipeline_soft_dedup"] = """
+WITH RECURSIVE g AS (
+SELECT doc_id, list_distinct(
+  CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       ELSE [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+  END) AS grams
+FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents) t
+), 
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1), 6) AS jaccard
+      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+ed AS (SELECT id_a AS u, id_b AS v FROM p WHERE jaccard >= 0.5
+       UNION SELECT id_b, id_a FROM p WHERE jaccard >= 0.5),
+vs AS (SELECT DISTINCT u AS n FROM ed),
+reach(node, label) AS (
+  SELECT n, n FROM vs
+  UNION
+  SELECT ed.v, r.label FROM reach r JOIN ed ON ed.u = r.node),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+lab AS (SELECT d.doc_id::BIGINT AS doc_id,
+               coalesce(c.component, d.doc_id)::BIGINT AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM lab GROUP BY cluster_id),
+tk AS (SELECT doc_id::BIGINT AS doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END::BIGINT
+           AS n_tokens
+       FROM documents)
+SELECT l.doc_id, l.cluster_id, s.cluster_size, tk.n_tokens,
+       ROUND(1.0 / s.cluster_size::DOUBLE, 6) AS weight,
+       ROUND(tk.n_tokens::DOUBLE * (1.0 / s.cluster_size::DOUBLE), 6)
+         AS eff_tokens
+FROM lab l JOIN sz s USING (cluster_id) JOIN tk USING (doc_id)
+
 """
 
     return o

@@ -703,3 +703,45 @@ def zipf_fit(
             F.col("n_terms") >= 2, F.round(sy / n - slope * sx / n, 6)
         ).alias("zipf_intercept"),
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, keep every
+    member and down-weight it by its cluster size (w = 1/|cluster|), so a
+    passage duplicated k times contributes one document's worth of
+    training mass in expectation — the soft alternative (public idea in
+    SlimPajama/D4-style data-mix work) when hard dedup would lose
+    rephrasings a model should still see once.
+
+    ``clusters`` is any (id, cluster_id, cluster_size) assignment —
+    ``graph.neardup_clusters`` output slots in directly, exact-digest
+    clusters equally. Returns (id, cluster_id, cluster_size, n_tokens,
+    weight, eff_tokens): ``weight = round(1/size, 6)``, ``eff_tokens =
+    round(n_tokens/size, 6)`` (both from the unrounded ratio — the
+    mirrored-oracle convention). One id-keyed equi-join + in-row JVM
+    arithmetic; the token count is the house whitespace rule."""
+    toks = docs.select(
+        F.col(id_col),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = F.lit(1.0) / F.col("cluster_size").cast("double")
+    return (
+        clusters.select(id_col, "cluster_id", "cluster_size")
+        .join(toks, id_col)
+        .select(
+            id_col,
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_tokens",
+            F.round(w, 6).alias("weight"),
+            F.round(F.col("n_tokens").cast("double") * w, 6).alias("eff_tokens"),
+        )
+    )

@@ -1628,3 +1628,25 @@ def test_orphan_file_plan_classification(spark):
     assert out["d"]["status"] == "missing" and not out["d"]["delete"]
     assert out["d"]["mtime_ms"] is None and out["d"]["referenced"]
     assert not out["b"]["referenced"]
+
+
+def test_soft_dedup_weights_mass_conservation(spark):
+    """Each cluster contributes ~1 doc of weight mass; eff_tokens of a
+    k-clone cluster equals one clone's tokens."""
+    from delphi_crawler_spark.operators.corpus import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z"), (3, "x y z"), (4, "unique doc here now")],
+        ["doc_id", "text"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (4, 4, 1)],
+        ["doc_id", "cluster_id", "cluster_size"],
+    )
+    out = {r["doc_id"]: r for r in soft_dedup_weights(docs, clusters).collect()}
+    for d in (1, 2, 3):
+        assert out[d]["weight"] == round(1 / 3, 6)
+        assert out[d]["eff_tokens"] == round(3 * (1 / 3), 6)
+    assert out[4]["weight"] == 1.0 and out[4]["eff_tokens"] == 4.0
+    total_w = sum(r["weight"] for r in out.values())
+    assert abs(total_w - 2.0) < 1e-5  # 2 clusters -> 2 docs of mass
