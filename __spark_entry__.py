@@ -5065,6 +5065,18 @@ def q_pipeline_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return soft_dedup_weights(docs, clusters)
 
 
+def q_agg_gini_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-skew fingerprint: exact Gini + top-1/top-10 shares of the
+    per-user event distribution (decimal-exact rank-weighted sums; the
+    window runs over the KEY table, not the data). The scalar that
+    decides when plan_salts / AQE skew fan-out is worth wiring in."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.salting import key_skew_gini
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_gini(ev, key_col="user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5275,6 +5287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_kneser_ney": q_text_lm_kneser_ney,
         "g6_graph_stats": q_g6_graph_stats,
         "pipeline_soft_dedup": q_pipeline_soft_dedup,
+        "agg_gini_skew": q_agg_gini_skew,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9320,6 +9333,30 @@ SELECT l.doc_id, l.cluster_id, s.cluster_size, tk.n_tokens,
          AS eff_tokens
 FROM lab l JOIN sz s USING (cluster_id) JOIN tk USING (doc_id)
 
+"""
+
+    o["agg_gini_skew"] = """
+WITH c AS (
+  SELECT user_id AS k, COUNT(*)::BIGINT AS x FROM events GROUP BY user_id),
+r AS (
+  SELECT x,
+         ROW_NUMBER() OVER (ORDER BY x ASC, k ASC) AS i,
+         ROW_NUMBER() OVER (ORDER BY x DESC, k ASC) AS ri
+  FROM c),
+a AS (
+  SELECT COUNT(*)::BIGINT AS n_keys,
+         SUM(x::DECIMAL(38,0)) AS sx,
+         SUM(i::DECIMAL(19,0) * x::DECIMAL(19,0)) AS six,
+         SUM((CASE WHEN ri = 1 THEN x ELSE 0 END)::DECIMAL(38,0)) AS top1,
+         SUM((CASE WHEN ri <= 10 THEN x ELSE 0 END)::DECIMAL(38,0)) AS top10
+  FROM r)
+SELECT n_keys, sx::BIGINT AS total,
+  CASE WHEN n_keys >= 2 AND sx > 0 THEN ROUND(
+    (2.0 * six::DOUBLE - (n_keys::DOUBLE + 1.0) * sx::DOUBLE)
+    / (n_keys::DOUBLE * sx::DOUBLE), 6) END AS gini,
+  CASE WHEN sx > 0 THEN ROUND(top1::DOUBLE / sx::DOUBLE, 6) END AS top1_share,
+  CASE WHEN sx > 0 THEN ROUND(top10::DOUBLE / sx::DOUBLE, 6) END AS top10_share
+FROM a
 """
 
     return o

@@ -109,3 +109,80 @@ def salted_repartition_by_plan(
         )
         .drop("__salt")
     )
+
+
+def key_skew_gini(
+    df: DataFrame, key_col: str = "host", count_col: str | None = None
+) -> DataFrame:
+    """Skew fingerprint of a key distribution: exact Gini coefficient plus
+    top-1 / top-10 shares of per-key counts — the scalar that tells an
+    operator WHEN ``plan_salts`` / AQE skew handling is worth wiring in
+    (Gini ≈ 0: uniform keys, bare-host partitioning is fine; → 1: a few
+    hosts own the frontier and every keyed stage needs fan-out).
+
+    Gini over counts x sorted ascending with rank i (ties broken by key
+    asc — total order, partition-exact):
+
+        G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
+
+    Σ i·x_i accumulates as ``decimal(38,0)`` (rank × count products are
+    exact integers), so the statistic is engine-exact to the final double
+    division, rounded 6. Returns one row (n_keys, total, gini,
+    top1_share, top10_share); NULL gini for < 2 keys.
+
+    Shape: one key hash-agg, one total-order window over the KEY TABLE
+    (n_keys rows, not data rows — hosts, not URLs), one scalar agg. If
+    ``count_col`` is given the input is already (key, count)-grained and
+    the first agg folds pre-counted values instead."""
+    if count_col is None:
+        counts = df.groupBy(F.col(key_col).alias("k")).agg(
+            F.count(F.lit(1)).alias("x")
+        )
+    else:
+        counts = df.groupBy(F.col(key_col).alias("k")).agg(
+            F.sum(F.col(count_col)).alias("x")
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("x"), F.asc("k"))
+    wd = Window.orderBy(F.desc("x"), F.asc("k"))
+    ranked = counts.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.row_number().over(wd).alias("ri"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        ).alias("six"),
+        F.sum(
+            F.when(F.col("ri") == 1, F.col("x")).otherwise(F.lit(0)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("top1"),
+        F.sum(
+            F.when(F.col("ri") <= 10, F.col("x")).otherwise(F.lit(0)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("top10"),
+    )
+    n = F.col("n_keys").cast("double")
+    sx = F.col("sx").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("six").cast("double") - (n + F.lit(1.0)) * sx
+    ) / (n * sx)
+    return agg.select(
+        "n_keys",
+        F.col("sx").cast("bigint").alias("total"),
+        F.when((F.col("n_keys") >= 2) & (F.col("sx") > 0), F.round(gini, 6)).alias(
+            "gini"
+        ),
+        F.when(F.col("sx") > 0, F.round(F.col("top1").cast("double") / sx, 6)).alias(
+            "top1_share"
+        ),
+        F.when(F.col("sx") > 0, F.round(F.col("top10").cast("double") / sx, 6)).alias(
+            "top10_share"
+        ),
+    )

@@ -1650,3 +1650,28 @@ def test_soft_dedup_weights_mass_conservation(spark):
     assert out[4]["weight"] == 1.0 and out[4]["eff_tokens"] == 4.0
     total_w = sum(r["weight"] for r in out.values())
     assert abs(total_w - 2.0) < 1e-5  # 2 clusters -> 2 docs of mass
+
+
+def test_gini_skew_uniform_vs_concentrated(spark):
+    """Uniform keys -> Gini 0; one dominant key -> Gini near 1 and
+    top1_share matching; hand value for a known 3-key split."""
+    from delphi_crawler_spark.operators.salting import key_skew_gini
+
+    uniform = spark.createDataFrame(
+        [(f"h{i}",) for i in range(4) for _ in range(5)], ["host"]
+    )
+    r = key_skew_gini(uniform).collect()[0]
+    assert r["gini"] == 0.0 and r["n_keys"] == 4 and r["total"] == 20
+    assert r["top1_share"] == 0.25 and r["top10_share"] == 1.0
+
+    # counts 1, 1, 8: sorted x=[1,1,8], i=[1,2,3]
+    # G = (2*(1+2+24) - 4*10) / (3*10) = (54-40)/30
+    skewed = spark.createDataFrame(
+        [("a",)] + [("b",)] + [("c",)] * 8, ["host"]
+    )
+    r2 = key_skew_gini(skewed).collect()[0]
+    assert r2["gini"] == round(14 / 30, 6)
+    assert r2["top1_share"] == 0.8
+
+    one = spark.createDataFrame([("a",), ("a",)], ["host"])
+    assert key_skew_gini(one).collect()[0]["gini"] is None
