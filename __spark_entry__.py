@@ -5077,6 +5077,29 @@ def q_agg_gini_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_gini(ev, key_col="user_id")
 
 
+def q_p27_drain_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host frontier drain ETA under politeness: one connection per
+    host and crawl-delay spacing make deep hosts time-bound regardless
+    of cluster size — this planner surfaces carryover and rounds-needed
+    before scheduling. Host hash-agg + broadcast delay join, JVM math."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.politeness import drain_eta
+
+    ev = _t(spark, sf_dir, "events")
+    pending = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string")).alias("host")
+    )
+    delays = (
+        ev.select((F.col("user_id") % 40).alias("hid"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("hid").cast("string")).alias("host"),
+            ((F.col("hid") % 5).cast("double") * 0.5 + 0.5).alias("crawl_delay_s"),
+        )
+    )
+    return drain_eta(pending, delays, round_budget_s=60.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5288,6 +5311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_graph_stats": q_g6_graph_stats,
         "pipeline_soft_dedup": q_pipeline_soft_dedup,
         "agg_gini_skew": q_agg_gini_skew,
+        "p27_drain_eta": q_p27_drain_eta,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9357,6 +9381,41 @@ SELECT n_keys, sx::BIGINT AS total,
   CASE WHEN sx > 0 THEN ROUND(top1::DOUBLE / sx::DOUBLE, 6) END AS top1_share,
   CASE WHEN sx > 0 THEN ROUND(top10::DOUBLE / sx::DOUBLE, 6) END AS top10_share
 FROM a
+"""
+
+    o["p27_drain_eta"] = """
+WITH pend AS (
+  SELECT 'h' || (user_id % 40) AS host, COUNT(*)::BIGINT AS n_pending
+  FROM events GROUP BY 1),
+del AS (
+  SELECT DISTINCT 'h' || (user_id % 40) AS host,
+         ((user_id % 40) % 5)::DOUBLE * 0.5 + 0.5 AS crawl_delay_s
+  FROM events),
+j AS (
+  SELECT p.host, p.n_pending,
+         COALESCE(d.crawl_delay_s, 1.0) AS delay
+  FROM pend p LEFT JOIN del d ON d.host = p.host),
+c AS (
+  SELECT host, n_pending, delay,
+         CASE WHEN delay > 0
+              THEN FLOOR(60.0 / delay)::BIGINT + 1 END AS cap
+  FROM j),
+f AS (
+  SELECT host, n_pending, delay, cap,
+         CASE WHEN cap IS NOT NULL THEN LEAST(n_pending, cap)
+              ELSE n_pending END AS fetchable,
+         CASE WHEN cap IS NOT NULL
+              THEN FLOOR((n_pending + cap - 1)::DOUBLE / cap::DOUBLE)::BIGINT
+              ELSE 1 END AS rounds
+  FROM c)
+SELECT host, n_pending,
+       ROUND(delay, 6) AS crawl_delay_s,
+       ROUND((n_pending::DOUBLE - 1.0) * delay, 6) AS drain_eta_s,
+       fetchable::BIGINT AS fetchable_this_round,
+       (n_pending - fetchable)::BIGINT AS carryover,
+       rounds AS rounds_needed,
+       rounds > 1 AS overflows
+FROM f
 """
 
     return o

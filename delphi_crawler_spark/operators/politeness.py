@@ -734,3 +734,70 @@ def error_burn_rate(
             "alert"
         ),
     )
+
+
+def drain_eta(
+    pending: DataFrame,
+    delays: DataFrame,
+    round_budget_s: float,
+    host_col: str = "host",
+    default_delay_s: float = 1.0,
+) -> DataFrame:
+    """Per-host frontier drain ETA under the politeness budget: with one
+    connection per host and ``crawl_delay_s`` between fetches (RFC 9309
+    crawl-delay / the token-bucket rate), a host's queue of n URLs takes
+    ``n × delay`` seconds REGARDLESS of cluster size — politeness, not
+    compute, is the binding constraint for deep hosts, and this is the
+    planner that makes that visible before a round is scheduled.
+
+    Returns per host: (host, n_pending, crawl_delay_s, drain_eta_s,
+    fetchable_this_round = min(n, floor(budget/delay) + 1), carryover =
+    n - fetchable, rounds_needed = ceil(n*delay / budget), overflows =
+    rounds_needed > 1). The +1: the first fetch spends no delay — a
+    budget of 10 s at delay 3 s fits fetches at t=0,3,6,9 = 4.
+
+    Shape: one host hash-agg + one broadcastable delay join + JVM
+    arithmetic; integer-exact until the final ETA doubles (rounded 6).
+    """
+    if round_budget_s <= 0:
+        raise ValueError("drain_eta() needs round_budget_s > 0")
+    p = pending.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pending")
+    )
+    d = delays.select(
+        F.col(host_col).alias("host"),
+        F.col("crawl_delay_s").cast("double").alias("crawl_delay_s"),
+    )
+    j = p.join(F.broadcast(d), "host", "left").select(
+        "host",
+        "n_pending",
+        F.coalesce("crawl_delay_s", F.lit(float(default_delay_s))).alias(
+            "crawl_delay_s"
+        ),
+    )
+    n = F.col("n_pending").cast("double")
+    delay = F.col("crawl_delay_s")
+    cap = F.when(
+        delay > 0,
+        F.floor(F.lit(float(round_budget_s)) / delay).cast("bigint") + F.lit(1),
+    ).otherwise(F.lit(None).cast("bigint"))
+    fetchable = F.when(
+        cap.isNotNull(), F.least(F.col("n_pending"), cap)
+    ).otherwise(F.col("n_pending"))
+    eta = F.round((n - F.lit(1.0)) * delay, 6)
+    # integer-exact: per-round capacity is cap fetches, so rounds =
+    # ceil(n / cap) -- no float epsilon games
+    rounds = F.when(
+        cap.isNotNull(),
+        F.floor((F.col("n_pending") + cap - F.lit(1)) / cap).cast("bigint"),
+    ).otherwise(F.lit(1).cast("bigint"))
+    return j.select(
+        "host",
+        "n_pending",
+        F.round(delay, 6).alias("crawl_delay_s"),
+        eta.alias("drain_eta_s"),
+        fetchable.cast("bigint").alias("fetchable_this_round"),
+        (F.col("n_pending") - fetchable).cast("bigint").alias("carryover"),
+        rounds.alias("rounds_needed"),
+        (rounds > 1).alias("overflows"),
+    )

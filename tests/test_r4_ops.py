@@ -1675,3 +1675,33 @@ def test_gini_skew_uniform_vs_concentrated(spark):
 
     one = spark.createDataFrame([("a",), ("a",)], ["host"])
     assert key_skew_gini(one).collect()[0]["gini"] is None
+
+
+def test_drain_eta_hand_computed(spark):
+    """Budget 10s, delay 3s -> 4 fetches/round (t=0,3,6,9); 10 pending
+    drain in 27s over 3 rounds with 6 carryover this round; unknown host
+    falls back to the default delay."""
+    from delphi_crawler_spark.operators.politeness import drain_eta
+
+    pending = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 2 + [("x",)] * 3, ["host"]
+    )
+    delays = spark.createDataFrame(
+        [("a", 3.0), ("b", 0.0)], ["host", "crawl_delay_s"]
+    )
+    out = {
+        r["host"]: r
+        for r in drain_eta(pending, delays, round_budget_s=10.0).collect()
+    }
+    a = out["a"]
+    assert a["fetchable_this_round"] == 4 and a["carryover"] == 6
+    assert a["drain_eta_s"] == 27.0 and a["rounds_needed"] == 3
+    assert a["overflows"]
+    b = out["b"]  # zero delay: everything fetchable, one round
+    assert b["fetchable_this_round"] == 2 and b["rounds_needed"] == 1
+    assert not b["overflows"] and b["drain_eta_s"] == 0.0
+    x = out["x"]  # default 1s delay: cap 11 >= 3 pending
+    assert x["crawl_delay_s"] == 1.0 and x["carryover"] == 0
+
+    with pytest.raises(ValueError):
+        drain_eta(pending, delays, round_budget_s=0)
