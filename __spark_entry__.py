@@ -5100,6 +5100,30 @@ def q_p27_drain_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_eta(pending, delays, round_budget_s=60.0)
 
 
+def q_stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing audit: replay (event_ts, arrival_ts) with a
+    deterministic arrival jitter and report per-tumbling-window drops
+    under a 60s watermark — the curve an operator sweeps before
+    committing withWatermark(). Two-phase prefix max (bucket hash-agg +
+    metadata window + bucket-keyed window), never a global data sort."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.streaming.watermark import watermark_lateness_audit
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    feed = ev.select(
+        F.col("event_id"),
+        F.col("ts").alias("event_ts"),
+        F.timestamp_micros(
+            us + (F.col("event_id") % 13) * F.lit(17_000_000)
+        ).alias("arrival_ts"),
+    )
+    return watermark_lateness_audit(
+        feed, "event_ts", "arrival_ts", "event_id",
+        watermark_s=60, window_s=300, bucket_s=3600,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5312,6 +5336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_soft_dedup": q_pipeline_soft_dedup,
         "agg_gini_skew": q_agg_gini_skew,
         "p27_drain_eta": q_p27_drain_eta,
+        "stream_watermark_audit": q_stream_watermark_audit,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9416,6 +9441,37 @@ SELECT host, n_pending,
        rounds AS rounds_needed,
        rounds > 1 AS overflows
 FROM f
+"""
+
+    o["stream_watermark_audit"] = """
+WITH base AS (
+  SELECT event_id AS id, epoch_us(ts) AS ev_us,
+         epoch_us(ts) + (event_id % 13) * 17000000 AS ar_us
+  FROM events),
+bb AS (SELECT *, (ar_us // 3600000000)::BIGINT AS b FROM base),
+bm AS (SELECT b, MAX(ev_us) AS bmax FROM bb GROUP BY b),
+pr AS (SELECT b, MAX(bmax) OVER (ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+       FROM bm),
+sc AS (
+  SELECT bb.id, bb.ev_us, pr.prior_max,
+         MAX(bb.ev_us) OVER (PARTITION BY bb.b ORDER BY bb.ar_us, bb.id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS intra_max
+  FROM bb JOIN pr USING (b)),
+rr AS (
+  SELECT (ev_us // 300000000)::BIGINT * 300 AS window_start,
+         GREATEST(prior_max, intra_max) AS basis, ev_us
+  FROM sc)
+SELECT window_start, COUNT(*)::BIGINT AS n_events,
+       SUM((basis IS NOT NULL AND basis > ev_us)::INT)::BIGINT
+         AS n_out_of_order,
+       SUM((basis IS NOT NULL
+            AND basis - 60000000 > (window_start + 300) * 1000000)::INT
+       )::BIGINT AS n_dropped,
+       ROUND(SUM((basis IS NOT NULL
+                  AND basis - 60000000 > (window_start + 300) * 1000000
+                 )::INT)::DOUBLE / COUNT(*)::DOUBLE, 6) AS drop_ratio
+FROM rr GROUP BY window_start
 """
 
     return o

@@ -419,3 +419,47 @@ def test_stream_stream_left_outer_detects_timeouts(spark, tmp_path):
     # streaming correctly withholds its outer row — the one tail-row
     # divergence exact watermark semantics require
     assert got == batch_set - {("zz-sched-sentinel", None)}
+
+
+def test_watermark_audit_hand_case(spark):
+    """One future-time spike drags the watermark forward and drops the
+    old-window rows that arrive after it — counted exactly, including
+    across the bucket boundary (prior-bucket prefix max path)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from delphi_crawler_spark.streaming.watermark import watermark_lateness_audit
+
+    t0 = datetime.datetime(2026, 1, 1)
+    mk = lambda s: t0 + datetime.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        (1, mk(5), mk(0)),      # first row: no basis, never drops
+        (2, mk(100), mk(1)),    # spike: basis for later rows = 100
+        (3, mk(7), mk(2)),      # wm=90 > window_end(7)=10 -> dropped
+        (4, mk(50), mk(4000)),  # next bucket: prior_max=100, wm=90 > 60 -> dropped
+        (5, mk(95), mk(4001)),  # wm=90 <= window_end(95)=100 -> kept
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_ts", "arrival_ts"])
+    out = {
+        r["window_start"]: r
+        for r in watermark_lateness_audit(
+            df, watermark_s=10, window_s=10, bucket_s=3600
+        ).collect()
+    }
+    ep = int(t0.timestamp())
+    w0 = out[(ep + 5) // 10 * 10]   # window holding ev=5 and ev=7
+    assert w0["n_events"] == 2 and w0["n_dropped"] == 1
+    assert w0["n_out_of_order"] == 1
+    w5 = out[(ep + 50) // 10 * 10]
+    assert w5["n_dropped"] == 1 and w5["n_out_of_order"] == 1
+    w9 = out[(ep + 95) // 10 * 10]   # window [90,100) holds only ev=95
+    assert w9["n_dropped"] == 0 and w9["n_events"] == 1
+    assert w9["drop_ratio"] == 0.0
+    w10 = out[(ep + 100) // 10 * 10]  # the spike's own window: kept
+    assert w10["n_dropped"] == 0 and w10["n_out_of_order"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        watermark_lateness_audit(df, window_s=0)
