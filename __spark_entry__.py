@@ -5124,6 +5124,17 @@ def q_stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_span_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality transition matrix over the shared interleaved-span model:
+    in-cell offset sort + kind-sequence self-zip, one (from,to) hash-agg
+    + from-keyed totals join — the corpus interleaving fingerprint that
+    drives packing and patch-budget decisions."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.multimodal import span_transition_matrix
+
+    return span_transition_matrix(_synth_spans_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5337,6 +5348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_gini_skew": q_agg_gini_skew,
         "p27_drain_eta": q_p27_drain_eta,
         "stream_watermark_audit": q_stream_watermark_audit,
+        "mm_span_transitions": q_mm_span_transitions,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9472,6 +9484,26 @@ SELECT window_start, COUNT(*)::BIGINT AS n_events,
                   AND basis - 60000000 > (window_start + 300) * 1000000
                  )::INT)::DOUBLE / COUNT(*)::DOUBLE, 6) AS drop_ratio
 FROM rr GROUP BY window_start
+"""
+
+    o["mm_span_transitions"] = """
+WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+k AS (SELECT doc_id, list_transform(ws,
+        x -> CASE WHEN length(x) % 3 = 0 THEN 'text'
+                  WHEN length(x) % 3 = 1 THEN 'link'
+                  ELSE 'media' END) AS ks
+      FROM w),
+bg AS (SELECT doc_id, unnest(list_zip(ks[1:len(ks)-1], ks[2:len(ks)])) AS z
+       FROM k),
+t AS (SELECT doc_id, z[1] AS from_kind, z[2] AS to_kind FROM bg
+      WHERE z[1] IS NOT NULL AND z[2] IS NOT NULL),
+c AS (SELECT from_kind, to_kind, COUNT(*)::BIGINT AS n_transitions,
+             COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+      FROM t GROUP BY 1, 2),
+tt AS (SELECT from_kind, SUM(n_transitions) AS ftot FROM c GROUP BY 1)
+SELECT c.from_kind, c.to_kind, c.n_transitions, c.n_docs,
+       ROUND(c.n_transitions::DOUBLE / tt.ftot::DOUBLE, 6) AS share_of_from
+FROM c JOIN tt USING (from_kind)
 """
 
     return o

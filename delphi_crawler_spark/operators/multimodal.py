@@ -455,3 +455,58 @@ def phash_signatures(
             )
 
     return media.mapInPandas(run, schema="doc_id string, media_ref string, simhash long")
+
+
+def span_transition_matrix(
+    docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Modality transition matrix over interleaved spans: corpus-level
+    counts of adjacent (kind → kind) transitions in offset order — the
+    interleaving fingerprint of a multimodal corpus (text→media→text
+    alternation vs media dumped in a trailing block changes how
+    sequence packing and patch-token budgeting behave; this is the
+    one-glance audit of that structure, companion to
+    ``links.span_integrity_audit`` which checks per-row invariants).
+
+    Per doc the spans sort by (offset, kind, text) IN-CELL (array_sort,
+    no shuffle — the span-sequence invariant says offset order IS
+    document order), the kind sequence zips against its own tail, and
+    the exploded bigrams feed one (from,to) hash-agg plus a from-keyed
+    totals join. Returns (from_kind, to_kind, n_transitions, n_docs,
+    share_of_from) — share rounded 6, n_docs = docs containing that
+    transition at least once."""
+    ordered = F.array_sort(
+        F.transform(
+            F.col(spans_col),
+            lambda s: F.struct(
+                s["offset"].alias("o"), s["kind"].alias("k"), s["text"].alias("t")
+            ),
+        )
+    )
+    kinds = F.transform(ordered, lambda s: s["k"])
+    n = F.size(kinds)
+    bigrams = F.zip_with(
+        F.slice(kinds, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(kinds, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("from_kind"), b.alias("to_kind")),
+    )
+    ex = docs.select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bg")).select(
+        "doc_id", F.col("bg.from_kind").alias("from_kind"), F.col("bg.to_kind").alias("to_kind")
+    )
+    counts = ex.groupBy("from_kind", "to_kind").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    totals = counts.groupBy("from_kind").agg(
+        F.sum("n_transitions").alias("from_total")
+    )
+    return counts.join(totals, "from_kind").select(
+        "from_kind",
+        "to_kind",
+        "n_transitions",
+        "n_docs",
+        F.round(
+            F.col("n_transitions").cast("double") / F.col("from_total").cast("double"),
+            6,
+        ).alias("share_of_from"),
+    )

@@ -1705,3 +1705,32 @@ def test_drain_eta_hand_computed(spark):
 
     with pytest.raises(ValueError):
         drain_eta(pending, delays, round_budget_s=0)
+
+
+def test_span_transitions_offset_order(spark):
+    """Transitions follow OFFSET order, not array order: a doc stored
+    media-first but offset-ordered text->media->text yields exactly
+    those transitions; shares normalize per from-kind."""
+    from delphi_crawler_spark.operators.multimodal import span_transition_matrix
+
+    mk = lambda k, t, o: {"kind": k, "text": t, "media_ref": None, "offset": o}  # noqa: E731
+    rows = [
+        (1, [mk("media", "m", 1), mk("text", "a", 0), mk("text", "b", 2)]),
+        (2, [mk("text", "x", 0), mk("media", "y", 1)]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = {
+        (r["from_kind"], r["to_kind"]): r
+        for r in span_transition_matrix(df).collect()
+    }
+    # doc1 offset order: text(0)->media(1)->text(2); doc2: text->media
+    assert out[("text", "media")]["n_transitions"] == 2
+    assert out[("text", "media")]["n_docs"] == 2
+    assert out[("media", "text")]["n_transitions"] == 1
+    assert out[("text", "media")]["share_of_from"] == 1.0  # all text-> go to media
+    assert out[("media", "text")]["share_of_from"] == 1.0
+    assert set(out) == {("text", "media"), ("media", "text")}
