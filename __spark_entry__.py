@@ -5135,6 +5135,30 @@ def q_mm_span_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_transition_matrix(_synth_spans_docs(spark, sf_dir))
 
 
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF ANN path against exact brute-force ground
+    truth — the nprobe/nlist tuning eval. Two rank filters, one
+    (query,id) semi-join, two query-keyed aggs; oracle is an independent
+    numpy replication of BOTH sides (tools/gen_expected.py)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    qdf = _queries_df(spark, sf_dir)
+    approx = ivf_topk(emb, qdf, k=10, nlist=8, nprobe=4)
+    exact = brute_force_topk(_t(spark, sf_dir, "embeddings"), qdf, k=10)
+    return ann_recall(approx, exact, k=10).select(
+        F.col("query_id").cast(BIG).alias("query_id"),
+        "k", "n_approx", "n_hits", "recall",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5349,6 +5373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p27_drain_eta": q_p27_drain_eta,
         "stream_watermark_audit": q_stream_watermark_audit,
         "mm_span_transitions": q_mm_span_transitions,
+        "sim_ivf_recall": q_sim_ivf_recall,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -7672,6 +7697,7 @@ FROM r WHERE sample_rank <= 30
         "graph_hyperanf",
         "sim_pq_encode",
         "sim_pq_topk",
+        "sim_ivf_recall",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
 

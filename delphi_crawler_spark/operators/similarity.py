@@ -569,3 +569,47 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "adc_dist")
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against exact ground truth
+    — the eval every ANN deployment (IVF nprobe sweeps, PQ code sizes,
+    LSH band counts) is tuned by. Both inputs are (query, rank, id)
+    frames as the ``*_topk`` operators emit.
+
+    Returns (query_id, k, n_approx, n_hits, recall): ``n_approx`` ≤ k
+    when the candidate set underfills (nprobe too small), ``recall =
+    n_hits / k`` rounded 6 — deliberately over k, not n_approx, so an
+    underfilled result is penalized, not excused.
+
+    Shape: two rank filters, one (query,id) semi-join, two query-keyed
+    hash-aggs — ground truth is the expensive input, this eval is free
+    by comparison."""
+    if k < 1:
+        raise ValueError("ann_recall() needs k >= 1")
+    a = approx.filter(F.col("rank") <= k).select(query_id_col, id_col)
+    e = exact.filter(F.col("rank") <= k).select(query_id_col, id_col)
+    hits = (
+        a.join(e, [query_id_col, id_col], "left_semi")
+        .groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    na = a.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_approx"))
+    return (
+        na.join(hits, query_id_col, "left")
+        .select(
+            query_id_col,
+            F.lit(int(k)).cast("bigint").alias("k"),
+            F.col("n_approx").cast("bigint").alias("n_approx"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+    )

@@ -1734,3 +1734,29 @@ def test_span_transitions_offset_order(spark):
     assert out[("text", "media")]["share_of_from"] == 1.0  # all text-> go to media
     assert out[("media", "text")]["share_of_from"] == 1.0
     assert set(out) == {("text", "media"), ("media", "text")}
+
+
+def test_ann_recall_hand_case(spark):
+    """Approx top-3 vs exact: hits counted on rank<=k only; underfilled
+    approx penalized (recall over k); perfect match scores 1."""
+    from delphi_crawler_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 11), (1, 3, 12), (2, 1, 20), (2, 2, 21), (2, 3, 22)],
+        ["query_id", "rank", "vec_id"],
+    )
+    approx = spark.createDataFrame(
+        [
+            (1, 1, 10), (1, 2, 99), (1, 3, 12), (1, 4, 11),  # rank4 ignored
+            (2, 1, 20),                                       # underfilled
+        ],
+        ["query_id", "rank", "vec_id"],
+    )
+    out = {r["query_id"]: r for r in ann_recall(approx, exact, k=3).collect()}
+    assert out[1]["n_hits"] == 2 and out[1]["recall"] == round(2 / 3, 6)
+    assert out[1]["n_approx"] == 3
+    assert out[2]["n_hits"] == 1 and out[2]["n_approx"] == 1
+    assert out[2]["recall"] == round(1 / 3, 6)
+
+    with pytest.raises(ValueError):
+        ann_recall(approx, exact, k=0)

@@ -1171,6 +1171,45 @@ def gen_sim_pq_topk(emb: pd.DataFrame, k: int = 10) -> pd.DataFrame:
     )
 
 
+def gen_sim_ivf_recall(emb: pd.DataFrame, k: int = 10) -> pd.DataFrame:
+    """Recall@k of the IVF path vs exact brute-force ground truth — both
+    sides re-derived independently (gen_sim_ivf_topk for the approx set,
+    a full fold_cosine scan for the truth), so the recall row is a pure
+    function of the embedding table."""
+    approx = gen_sim_ivf_topk(emb, k=k)
+    ids = emb["vec_id"].astype("int64").to_numpy()
+    vecs = emb["embedding"].to_list()
+    rows = []
+    q_idx = [i for i in range(len(ids)) if ids[i] < 8]
+    exact = {}
+    for qi in q_idx:
+        scored = [
+            (round_half_up6(fold_cosine(vecs[i], vecs[qi])), int(ids[i]))
+            for i in range(len(ids))
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        exact[int(ids[qi])] = {vid for _, vid in scored[:k]}
+    for qid, grp in approx.groupby("query_id"):
+        a_ids = set(grp.loc[grp["rank"] <= k, "vec_id"].astype(int))
+        n_hits = len(a_ids & exact[int(qid)])
+        rows.append(
+            {
+                "query_id": int(qid),
+                "k": k,
+                "n_approx": len(a_ids),
+                "n_hits": n_hits,
+                "recall": round(n_hits / k, 6),
+            }
+        )
+    out = pd.DataFrame(
+        rows, columns=["query_id", "k", "n_approx", "n_hits", "recall"]
+    )
+    return out.astype(
+        {"query_id": "int64", "k": "int64", "n_approx": "int64",
+         "n_hits": "int64", "recall": "float64"}
+    )
+
+
 GENERATORS = {
     "c3_hash_keys": ("documents", gen_c3_hash_keys),
     "text_fingerprint_rolling": ("documents", gen_fingerprint_rolling),
@@ -1193,6 +1232,7 @@ GENERATORS = {
     "graph_hyperanf": ("lineitem", gen_graph_hyperanf),
     "sim_pq_encode": ("embeddings", gen_sim_pq_encode),
     "sim_pq_topk": ("embeddings", gen_sim_pq_topk),
+    "sim_ivf_recall": ("embeddings", gen_sim_ivf_recall),
 }
 
 
