@@ -483,6 +483,84 @@ def cdc_gear_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gear_chunk_stats(docs, bits=8, min_len=64, max_len=1024)
 
 
+def gini_skew_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew fingerprint over a 2M-row zipf-ish frontier (100k hosts):
+    one host hash-agg + a key-table window + scalar agg."""
+    from delphi_crawler_spark.operators.salting import key_skew_gini
+
+    h = F.pmod(F.xxhash64("id"), F.lit(1 << 16))
+    d = spark.range(FRONTIER_N).select(
+        F.when(h < F.lit(1 << 14), F.pmod(h, F.lit(4)))
+        .otherwise(F.pmod(h, F.lit(100_000)))
+        .alias("host")
+    )
+    return key_skew_gini(d, key_col="host")
+
+
+def drain_eta_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness drain planner over a 2M-URL pending set on 100k hosts
+    with a broadcast crawl-delay table."""
+    from delphi_crawler_spark.operators.politeness import drain_eta
+
+    pend = spark.range(FRONTIER_N).select(
+        F.concat(F.lit("h"), F.pmod(F.xxhash64("id"), F.lit(100_000))).alias("host")
+    )
+    delays = spark.range(100_000).select(
+        F.concat(F.lit("h"), F.col("id") - F.lit(0)).alias("host"),
+        (F.pmod(F.col("id"), F.lit(10)).cast("double") * 0.5 + 0.5).alias("crawl_delay_s"),
+    )
+    return drain_eta(pend, delays, round_budget_s=300.0)
+
+
+def watermark_audit_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing audit over a 2M-event replay with deterministic
+    arrival jitter: two-phase prefix max, 5-minute windows."""
+    from delphi_crawler_spark.streaming.watermark import watermark_lateness_audit
+
+    base_us = 1_700_000_000_000_000
+    ev = spark.range(FRONTIER_N).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(base_us + F.col("id") * 50_000).alias("event_ts"),
+        F.timestamp_micros(
+            base_us + F.col("id") * 50_000
+            + F.pmod(F.xxhash64("id"), F.lit(29)) * F.lit(11_000_000)
+        ).alias("arrival_ts"),
+    )
+    return watermark_lateness_audit(
+        ev, watermark_s=120, window_s=300, bucket_s=3600
+    )
+
+
+def sliding_distinct_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day WAU curve over 2M (user, day) activity rows (200k
+    users, 90 days): dedup-then-fan-out, never a per-day sort."""
+    from delphi_crawler_spark.operators.events import sliding_distinct_daily
+
+    d = spark.range(FRONTIER_N).select(
+        F.pmod(F.xxhash64("id"), F.lit(200_000)).alias("user_id"),
+        F.pmod(F.xxhash64(F.col("id") + 3), F.lit(90)).alias("day"),
+    )
+    return sliding_distinct_daily(d, "user_id", "day", 7)
+
+
+def bloom_file_index_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom file index build + probe over 2M keys in 64 hash files
+    (64 KiB filters), 1000 point probes."""
+    from delphi_crawler_spark.storage.bloomindex import (
+        bloom_probe_stats,
+        build_file_blooms,
+    )
+
+    data = spark.range(FRONTIER_N).select(
+        F.pmod(F.col("id"), F.lit(64)).alias("file_id"), F.col("id").alias("k")
+    )
+    blooms = build_file_blooms(data, "file_id", "k", bits=524_288)
+    probes = spark.range(1000).select((F.col("id") * 2111).alias("probe_key"))
+    return bloom_probe_stats(
+        blooms, data, probes, "file_id", "k", bits=524_288, n_files=64
+    )
+
+
 BENCH_QUERIES = {
     "crawl_schedule": crawl_schedule,
     "bloom_incremental_update": bloom_incremental_update,
@@ -521,6 +599,12 @@ BENCH_QUERIES = {
     "template_segments": template_segments_200k,
     "ip_queue_schedule": ip_queue_schedule_2m,
     "cdc_gear_chunks": cdc_gear_200k,
+    "gini_skew": gini_skew_2m,
+    "drain_eta": drain_eta_2m,
+    "watermark_audit": watermark_audit_2m,
+    "sliding_distinct": sliding_distinct_2m,
+    "bloom_file_index": bloom_file_index_2m,
+    "kneser_ney": E.q_text_lm_kneser_ney,
 }
 
 
