@@ -5159,6 +5159,34 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_r14_staleness_expectation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected staleness under periodic revisit (Cho & Garcia-Molina
+    closed form) composed over r5's Poisson rate estimates: per URL,
+    p(stale at revisit) and the time-averaged stale fraction for its
+    assigned period — what a refresh allocation actually buys. Zero
+    extra shuffle beyond the r5 hash-agg."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.recrawl import (
+        change_rate_estimate,
+        staleness_expectation,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    visits = ev.select(
+        F.concat(F.lit("u"), F.col("user_id") % 500).alias("url"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        (F.col("event_id") % 3 == 0).alias("changed"),
+    )
+    rates = change_rate_estimate(visits).withColumn(
+        "period_days",
+        (F.lit(1) + F.substring(F.col("url"), 2, 10).cast("int") % 7).cast("double"),
+    )
+    return staleness_expectation(rates).select(
+        "url", "lambda_per_day", "period_days", "lambda_t",
+        "p_stale_at_revisit", "expected_stale_frac",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5374,6 +5402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_watermark_audit": q_stream_watermark_audit,
         "mm_span_transitions": q_mm_span_transitions,
         "sim_ivf_recall": q_sim_ivf_recall,
+        "r14_staleness_expectation": q_r14_staleness_expectation,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9530,6 +9559,35 @@ tt AS (SELECT from_kind, SUM(n_transitions) AS ftot FROM c GROUP BY 1)
 SELECT c.from_kind, c.to_kind, c.n_transitions, c.n_docs,
        ROUND(c.n_transitions::DOUBLE / tt.ftot::DOUBLE, 6) AS share_of_from
 FROM c JOIN tt USING (from_kind)
+"""
+
+    o["r14_staleness_expectation"] = """
+WITH v AS (SELECT 'u' || (user_id % 500) AS url, epoch_us(ts) AS ts_us,
+                  (event_id % 3 = 0) AS changed
+           FROM events),
+a AS (SELECT url, count(*) AS n,
+             sum(CASE WHEN changed THEN 1 ELSE 0 END) AS x,
+             max(ts_us) - min(ts_us) AS span_us
+      FROM v GROUP BY url
+      HAVING count(*) >= 2 AND max(ts_us) - min(ts_us) > 0),
+m AS (SELECT url,
+             round(-ln(((n - x) + 0.5) / (n + 0.5))
+                   / ((CAST(span_us AS DOUBLE) / (n - 1)) / 1000000.0
+                      / 86400.0), 6) AS lam
+      FROM a),
+t AS (SELECT url, lam,
+             (1 + substr(url, 2)::INT % 7)::DOUBLE AS period_days,
+             lam * (1 + substr(url, 2)::INT % 7)::DOUBLE AS lt
+      FROM m)
+SELECT url, round(lam, 6) AS lambda_per_day, period_days,
+  CASE WHEN lam IS NOT NULL AND lt > 0 THEN round(lt, 6) ELSE 0.0 END
+    AS lambda_t,
+  CASE WHEN lam IS NOT NULL AND lt > 0 THEN round(1.0 - exp(-lt), 6)
+       ELSE 0.0 END AS p_stale_at_revisit,
+  CASE WHEN lam IS NOT NULL AND lt > 0
+       THEN round(1.0 - (1.0 - exp(-lt)) / lt, 6) ELSE 0.0 END
+    AS expected_stale_frac
+FROM t
 """
 
     return o

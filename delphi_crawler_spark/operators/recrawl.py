@@ -538,3 +538,45 @@ def host_trend_slope(
         F.round(slope, 6).alias("slope"),
         (slope > 0).alias("rising"),
     )
+
+
+def staleness_expectation(
+    rates: DataFrame,
+    url_col: str = "url",
+    lambda_col: str = "lambda_per_day",
+    period_days_col: str = "period_days",
+) -> DataFrame:
+    """Expected index staleness under a periodic revisit policy — the
+    closed form from Cho & Garcia-Molina (TODS 2003) for a page changing
+    as a Poisson process with rate λ revisited every T:
+
+        p_stale_at_revisit = 1 - e^(-λT)            (worst instant)
+        expected_stale_frac = 1 - (1 - e^(-λT))/(λT) (time-averaged)
+
+    The time-averaged form is the honest SLA number: a page probed just
+    after changing is stale almost the whole cycle, one probed right
+    before barely at all; the integral averages over the cycle. Planners
+    pair this with ``refresh_allocation`` (r10): allocation picks T per
+    page, this reports what that T buys.
+
+    Input: (url, λ/day, T days). λ ≤ 0 or NULL → 0 staleness (no
+    evidence of change ⇒ nothing to be stale against, matching
+    ``change_rate_estimate``'s NULL-horizon convention). Output adds
+    (lambda_t, p_stale_at_revisit, expected_stale_frac), rounded 6.
+    Pure JVM projection — zero shuffle."""
+    lam_t = F.col(lambda_col) * F.col(period_days_col)
+    has = F.col(lambda_col).isNotNull() & (lam_t > 0)
+    p_end = F.lit(1.0) - F.exp(-lam_t)
+    frac = F.lit(1.0) - (F.lit(1.0) - F.exp(-lam_t)) / lam_t
+    return rates.select(
+        url_col,
+        F.round(F.col(lambda_col), 6).alias(lambda_col),
+        F.col(period_days_col).cast("double").alias(period_days_col),
+        F.when(has, F.round(lam_t, 6)).otherwise(F.lit(0.0)).alias("lambda_t"),
+        F.when(has, F.round(p_end, 6)).otherwise(F.lit(0.0)).alias(
+            "p_stale_at_revisit"
+        ),
+        F.when(has, F.round(frac, 6)).otherwise(F.lit(0.0)).alias(
+            "expected_stale_frac"
+        ),
+    )

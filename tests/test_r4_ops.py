@@ -1760,3 +1760,28 @@ def test_ann_recall_hand_case(spark):
 
     with pytest.raises(ValueError):
         ann_recall(approx, exact, k=0)
+
+
+def test_staleness_expectation_hand_computed(spark):
+    """lambda*T = 1 gives the classic 1 - (1-e^-1) ~ 0.367879 at-revisit
+    complement; lambda=0 (no evidence) and NULL both report 0 staleness;
+    staleness grows with T."""
+    import math
+
+    from delphi_crawler_spark.operators.recrawl import staleness_expectation
+
+    rates = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("b", 1.0, 7.0), ("c", 0.0, 3.0), ("d", None, 3.0)],
+        "url string, lambda_per_day double, period_days double",
+    )
+    out = {r["url"]: r for r in staleness_expectation(rates).collect()}
+    a = out["a"]
+    assert a["lambda_t"] == 1.0
+    assert a["p_stale_at_revisit"] == round(1 - math.exp(-1), 6)
+    assert a["expected_stale_frac"] == round(1 - (1 - math.exp(-1)) / 1, 6)
+    assert out["b"]["expected_stale_frac"] > a["expected_stale_frac"]
+    for u in ("c", "d"):
+        assert out[u]["expected_stale_frac"] == 0.0
+        assert out[u]["p_stale_at_revisit"] == 0.0
+    # time-averaged is always below the at-revisit instant
+    assert out["b"]["expected_stale_frac"] < out["b"]["p_stale_at_revisit"]
