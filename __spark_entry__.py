@@ -5187,6 +5187,16 @@ def q_r14_staleness_expectation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (subwords/word) and chars/subword
+    — the sequence-cost scalars multilingual mixture weights balance on.
+    One group hash-agg over exact integer counts."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.corpus import tokenizer_fertility
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"), by="lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5403,6 +5413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_span_transitions": q_mm_span_transitions,
         "sim_ivf_recall": q_sim_ivf_recall,
         "r14_staleness_expectation": q_r14_staleness_expectation,
+        "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9588,6 +9599,25 @@ SELECT url, round(lam, 6) AS lambda_per_day, period_days,
        THEN round(1.0 - (1.0 - exp(-lt)) / lt, 6) ELSE 0.0 END
     AS expected_stale_frac
 FROM t
+"""
+
+    o["corpus_tokenizer_fertility"] = """
+WITH per AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+         len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS t,
+         length(text) AS c
+  FROM documents)
+SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       SUM(w)::BIGINT AS n_words, SUM(t)::BIGINT AS n_subwords,
+       SUM(c)::BIGINT AS n_chars,
+       CASE WHEN SUM(w) > 0
+            THEN ROUND(SUM(t)::DOUBLE / SUM(w)::DOUBLE, 6) END AS fertility,
+       CASE WHEN SUM(t) > 0
+            THEN ROUND(SUM(c)::DOUBLE / SUM(t)::DOUBLE, 6) END
+         AS chars_per_subword
+FROM per GROUP BY lang
 """
 
     return o

@@ -745,3 +745,59 @@ def soft_dedup_weights(
             F.round(F.col("n_tokens").cast("double") * w, 6).alias("eff_tokens"),
         )
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    by: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility per group — subword tokens per whitespace word
+    and bytes per subword token, the pair of scalars multilingual data-mix
+    work balances on (a language whose tokenizer fertility is 2× pays 2×
+    the sequence length for the same text; mixture weights and packing
+    budgets must see that, Scao 2022 / BLOOM tokenizer analyses).
+
+    Uses the house BPE-ish pretokenizer proxy (``\\w+|[^\\w\\s]+`` runs,
+    ``textfns.bpe_ish_token_count_col``) over the whitespace word count.
+    All counts are exact integer sums; the two ratios divide once in
+    double, rounded 6. One group hash-agg — map-side partial, no second
+    shuffle. Returns (by, n_docs, n_words, n_subwords, n_chars,
+    fertility, chars_per_subword); groups with zero words report NULL
+    ratios."""
+    from delphi_crawler_spark.functions.textfns import (
+        bpe_ish_token_count_col,
+        token_count_col,
+    )
+
+    per = docs.select(
+        F.col(by),
+        token_count_col(F.col(text_col)).alias("w"),
+        bpe_ish_token_count_col(F.col(text_col)).alias("t"),
+        F.length(F.col(text_col)).alias("c"),
+    )
+    agg = per.groupBy(by).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("n_words"),
+        F.sum("t").cast("bigint").alias("n_subwords"),
+        F.sum("c").cast("bigint").alias("n_chars"),
+    )
+    return agg.select(
+        by,
+        "n_docs",
+        "n_words",
+        "n_subwords",
+        "n_chars",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.col("n_subwords").cast("double") / F.col("n_words").cast("double"), 6
+            ),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_subwords") > 0,
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_subwords").cast("double"), 6
+            ),
+        ).alias("chars_per_subword"),
+    )

@@ -1785,3 +1785,23 @@ def test_staleness_expectation_hand_computed(spark):
         assert out[u]["p_stale_at_revisit"] == 0.0
     # time-averaged is always below the at-revisit instant
     assert out["b"]["expected_stale_frac"] < out["b"]["p_stale_at_revisit"]
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    """'don't stop' = 2 words but 4 BPE-ish units (don / ' / t / stop):
+    fertility 2.0; empty-text group reports NULL ratios."""
+    from delphi_crawler_spark.operators.corpus import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "en", "don't stop"), (2, "en", "a b"), (3, "xx", "")],
+        ["doc_id", "lang", "text"],
+    )
+    out = {r["lang"]: r for r in tokenizer_fertility(docs, by="lang").collect()}
+    en = out["en"]
+    # words: 2 + 2 = 4; subwords: (don,',t,stop)=4 + (a,b)=2 = 6
+    assert en["n_words"] == 4 and en["n_subwords"] == 6
+    assert en["fertility"] == 1.5
+    assert en["n_chars"] == len("don't stop") + len("a b")
+    xx = out["xx"]
+    assert xx["n_words"] == 0 and xx["fertility"] is None
+    assert xx["chars_per_subword"] is None
