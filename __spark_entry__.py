@@ -5197,6 +5197,33 @@ def q_corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(_t(spark, sf_dir, "documents"), by="lang")
 
 
+def q_s14_git_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Git identifier source kind (reference GitIdentifier.scala:24
+    parity): parse <repoUrl>@<commitId> strings with hex-commit and
+    canonical-remote validation, host-reversed repo keys, malformed
+    rows quarantined with valid=false. Zero-shuffle JVM regexp."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.sources.scan import parse_git_identifiers
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ident = (
+        F.when(d % 9 == 4, F.concat(F.lit("https://git.example.com/o/r"), d.cast("string"), F.lit("@zzz-not-hex")))
+        .when(d % 7 == 5, F.concat(F.lit("https://git.example.com/o/r"), d.cast("string")))
+        .when(d % 11 == 3, F.concat(F.lit("no-scheme/o/r@"), F.substring(F.md5(d.cast("string")), 1, 12)))
+        .otherwise(
+            F.concat(
+                F.lit("https://Git.Example.COM/org"), (d % 20).cast("string"),
+                F.lit("/repo"), d.cast("string"), F.lit(".git@"),
+                F.upper(F.substring(F.md5(d.cast("string")), 1, 10)),
+            )
+        )
+    )
+    return parse_git_identifiers(
+        docs.select(d.cast(BIG).alias("doc_id"), ident.alias("ident"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5414,6 +5441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_recall": q_sim_ivf_recall,
         "r14_staleness_expectation": q_r14_staleness_expectation,
         "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
+        "s14_git_identifiers": q_s14_git_identifiers,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9618,6 +9646,58 @@ SELECT lang, COUNT(*)::BIGINT AS n_docs,
             THEN ROUND(SUM(c)::DOUBLE / SUM(t)::DOUBLE, 6) END
          AS chars_per_subword
 FROM per GROUP BY lang
+"""
+
+    o["s14_git_identifiers"] = """
+WITH ids AS (
+  SELECT doc_id::BIGINT AS doc_id,
+    CASE WHEN doc_id % 9 = 4
+           THEN 'https://git.example.com/o/r' || doc_id || '@zzz-not-hex'
+         WHEN doc_id % 7 = 5
+           THEN 'https://git.example.com/o/r' || doc_id
+         WHEN doc_id % 11 = 3
+           THEN 'no-scheme/o/r@' || substr(md5(doc_id::VARCHAR), 1, 12)
+         ELSE 'https://Git.Example.COM/org' || (doc_id % 20)
+              || '/repo' || doc_id || '.git@'
+              || upper(substr(md5(doc_id::VARCHAR), 1, 10)) END AS ident
+  FROM documents),
+p AS (
+  SELECT doc_id, ident,
+         position('@' IN ident) > 0 AS has_at,
+         substring(ident, 1,
+                   length(ident) - position('@' IN reverse(ident))) AS repo_raw,
+         lower(substring(ident,
+                   length(ident) - position('@' IN reverse(ident)) + 2))
+           AS commit
+  FROM ids),
+r AS (
+  SELECT doc_id, ident, has_at, commit,
+         regexp_matches(commit, '^[0-9a-f]{7,40}$') AS commit_ok,
+         lower(regexp_extract(repo_raw,
+           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(repo_raw, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM p),
+u AS (
+  SELECT doc_id, ident, has_at, commit, commit_ok, scheme,
+         lower(regexp_extract(rest, '^([^/]+)', 1)) AS host,
+         regexp_replace(regexp_replace(
+           regexp_extract(rest, '^[^/]*(/.*)?$', 1), '\\.git$', ''),
+           '/$', '') AS path_norm
+  FROM r),
+v AS (
+  SELECT doc_id, ident, commit,
+         has_at AND commit_ok AND scheme <> '' AND host <> ''
+           AND path_norm <> '' AS valid,
+         scheme || '://' || host || path_norm AS repo_url,
+         array_to_string(list_reverse(string_split(host, '.')), '.')
+           || path_norm AS repo_key
+  FROM u)
+SELECT doc_id, ident,
+       CASE WHEN valid THEN repo_url END AS repo_url,
+       CASE WHEN valid THEN commit END AS commit_id,
+       CASE WHEN valid THEN repo_key END AS repo_key,
+       valid
+FROM v
 """
 
     return o

@@ -165,3 +165,47 @@ def parse_wet_records(
         F.trim(body).alias("body"),
         (uri == "").alias("malformed"),
     )
+
+
+def parse_git_identifiers(df: DataFrame, ident_col: str = "ident") -> DataFrame:
+    """Git source-identifier parse — the reference's second discovery
+    source kind (``discovery/git/GitIdentifier.scala:24``: a bare
+    ``(repoUrl, commitId)`` pair, unused by its pipeline): realize it as
+    a typed parse of ``<repoUrl>@<commitId>`` identifier strings with
+    the validation the stub leaves implicit.
+
+    - split on the LAST ``@`` (repo URLs may carry userinfo);
+    - ``commit_id``: lowercased, valid iff 7-40 hex chars (git
+      short/full object names);
+    - ``repo_url``: scheme+host lowercased, trailing ``/`` and ``.git``
+      stripped (the canonical-remote convention);
+    - ``repo_key``: host-reversed registrable ordering + path (the C2
+      key rule applied to the repo remote) — NULL for invalid rows;
+    - rows failing either part carry ``valid = false`` and keep the raw
+      identifier for quarantine (the F5 malformed-skip convention).
+
+    Pure JVM regexp projection, zero shuffle."""
+    raw = F.col(ident_col)
+    has_at = raw.contains("@")
+    repo_raw = F.when(has_at, F.expr(f"substring({ident_col}, 1, length({ident_col}) - position('@' in reverse({ident_col})))"))
+    commit_raw = F.when(has_at, F.expr(f"substring({ident_col}, length({ident_col}) - position('@' in reverse({ident_col})) + 2)"))
+    commit = F.lower(commit_raw)
+    commit_ok = commit.rlike("^[0-9a-f]{7,40}$")
+    scheme = F.lower(F.regexp_extract(repo_raw, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(repo_raw, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/]+)", 1))
+    path = F.regexp_extract(rest, r"^[^/]*(/.*)?$", 1)
+    path_norm = F.regexp_replace(
+        F.regexp_replace(path, r"\.git$", ""), r"/$", ""
+    )
+    repo_ok = (scheme != "") & (host != "") & (path_norm != "")
+    repo_url = F.when(repo_ok, F.concat(scheme, F.lit("://"), host, path_norm))
+    host_rev = F.array_join(F.reverse(F.split(host, r"\.")), ".")
+    valid = has_at & commit_ok & repo_ok
+    return df.select(
+        "*",
+        F.when(valid, repo_url).alias("repo_url"),
+        F.when(valid, commit).alias("commit_id"),
+        F.when(valid, F.concat(host_rev, path_norm)).alias("repo_key"),
+        valid.alias("valid"),
+    )

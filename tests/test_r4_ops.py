@@ -1805,3 +1805,29 @@ def test_tokenizer_fertility_hand_computed(spark):
     xx = out["xx"]
     assert xx["n_words"] == 0 and xx["fertility"] is None
     assert xx["chars_per_subword"] is None
+
+
+def test_git_identifier_parse_cases(spark):
+    """Canonical remote lowercased, .git stripped; last-@ split survives
+    userinfo; short/full hex commits pass, others quarantine."""
+    from delphi_crawler_spark.sources.scan import parse_git_identifiers
+
+    rows = [
+        (1, "https://Git.HOST.com/Org/Repo.git@ABCDEF1"),
+        (2, "ssh://user@host.io/o/r@" + "a" * 40),
+        (3, "https://host.com/o/r@xyz"),          # bad commit
+        (4, "host.com/o/r@abcdef1"),              # no scheme
+        (5, "https://host.com/o/r"),              # no @
+        (6, "https://host.com@abcdef1"),          # no path
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "ident"])
+    out = {r["doc_id"]: r for r in parse_git_identifiers(df).collect()}
+    r1 = out[1]
+    assert r1["valid"] and r1["repo_url"] == "https://git.host.com/Org/Repo"
+    assert r1["commit_id"] == "abcdef1"
+    assert r1["repo_key"] == "com.host.git/Org/Repo"
+    r2 = out[2]  # userinfo @ must not break the split
+    assert r2["valid"] and r2["repo_url"] == "ssh://user@host.io/o/r"
+    assert r2["commit_id"] == "a" * 40
+    for d in (3, 4, 5, 6):
+        assert not out[d]["valid"] and out[d]["repo_url"] is None
