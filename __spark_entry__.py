@@ -5224,6 +5224,21 @@ def q_s14_git_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p28_host_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serpentine host->partition placement (deterministic LPT stand-in)
+    over the skewed per-user event loads, 8 partitions: heavy keys can
+    never co-locate, every partition holds <= ceil(H/n) hosts. Rank
+    window over the host table only."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.salting import host_partition_plan
+
+    ev = _t(spark, sf_dir, "events")
+    pend = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 60).cast("string")).alias("host")
+    )
+    return host_partition_plan(pend, n_partitions=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5442,6 +5457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r14_staleness_expectation": q_r14_staleness_expectation,
         "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
         "s14_git_identifiers": q_s14_git_identifiers,
+        "p28_host_partition_plan": q_p28_host_partition_plan,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9698,6 +9714,20 @@ SELECT doc_id, ident,
        CASE WHEN valid THEN repo_key END AS repo_key,
        valid
 FROM v
+"""
+
+    o["p28_host_partition_plan"] = """
+WITH l AS (
+  SELECT 'h' || (user_id % 60) AS host, COUNT(*)::BIGINT AS load
+  FROM events GROUP BY 1),
+r AS (
+  SELECT host, load,
+         ROW_NUMBER() OVER (ORDER BY load DESC, host ASC) - 1 AS rank
+  FROM l)
+SELECT host, load, rank::BIGINT AS rank,
+       (CASE WHEN (rank // 8) % 2 = 0 THEN rank % 8
+             ELSE 7 - (rank % 8) END)::BIGINT AS partition
+FROM r
 """
 
     return o

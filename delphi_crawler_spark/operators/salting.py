@@ -186,3 +186,72 @@ def key_skew_gini(
             "top10_share"
         ),
     )
+
+
+def host_partition_plan(
+    df: DataFrame,
+    n_partitions: int,
+    host_col: str = "host",
+    count_col: str | None = None,
+) -> DataFrame:
+    """Makespan-aware host→partition assignment: serpentine (boustrophedon)
+    placement of hosts in descending load order — the parallel-safe
+    deterministic stand-in for greedy LPT (which is inherently
+    sequential): rank hosts by load desc, snake ranks across partitions
+    (0..n-1, n-1..0, ...) so each pass pairs a heavy host with the
+    partition that got a light one last pass. Guarantees every partition
+    holds at most ceil(H/n) hosts and empirically lands within a few
+    percent of LPT on power-law loads — and unlike hash partitioning it
+    cannot put two top hosts on one task.
+
+    Returns one row per host: (host, load, rank, partition) plus the
+    per-partition aggregate view via ``partition_loads()`` below. The
+    rank window runs over the HOST table (metadata-sized), the same
+    discipline as ``key_skew_gini``."""
+    if n_partitions < 1:
+        raise ValueError("host_partition_plan() needs n_partitions >= 1")
+    if count_col is None:
+        loads = df.groupBy(F.col(host_col).alias("host")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("load")
+        )
+    else:
+        loads = df.groupBy(F.col(host_col).alias("host")).agg(
+            F.sum(count_col).cast("bigint").alias("load")
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("load"), F.asc("host"))
+    r = loads.withColumn("rank", F.row_number().over(w) - 1)
+    n = n_partitions
+    pass_i = (F.col("rank") / n).cast("bigint")
+    pos = F.col("rank") % n
+    part = F.when(pass_i % 2 == 0, pos).otherwise(F.lit(n - 1) - pos)
+    return r.select(
+        "host",
+        "load",
+        F.col("rank").cast("bigint").alias("rank"),
+        part.cast("bigint").alias("partition"),
+    )
+
+
+def partition_loads(plan: DataFrame) -> DataFrame:
+    """Aggregate view of a ``host_partition_plan``: per-partition total
+    load, host count, and the balance ratio (partition load / ideal
+    even share) — the number to alert on before launching the stage."""
+    total = plan.agg(F.sum("load").alias("t")).collect()[0]["t"] or 0
+    nparts = plan.agg(
+        (F.max("partition") + 1).alias("n")
+    ).collect()[0]["n"]
+    ideal = total / nparts if nparts else 1.0
+    agg = plan.groupBy("partition").agg(
+        F.sum("load").cast("bigint").alias("part_load"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hosts"),
+    )
+    return agg.select(
+        "partition",
+        "part_load",
+        "n_hosts",
+        F.round(F.col("part_load").cast("double") / F.lit(float(ideal)), 6).alias(
+            "balance_ratio"
+        ),
+    )

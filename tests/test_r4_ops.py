@@ -1831,3 +1831,28 @@ def test_git_identifier_parse_cases(spark):
     assert r2["commit_id"] == "a" * 40
     for d in (3, 4, 5, 6):
         assert not out[d]["valid"] and out[d]["repo_url"] is None
+
+
+def test_host_partition_plan_serpentine(spark):
+    """Serpentine placement: ranks 0..7 on 4 partitions go 0,1,2,3,3,2,
+    1,0; heavy hosts never co-locate; balance beats hashing on a skewed
+    load; host counts per partition differ by at most 1."""
+    from delphi_crawler_spark.operators.salting import (
+        host_partition_plan,
+        partition_loads,
+    )
+
+    loads = [100, 90, 80, 70, 60, 50, 40, 30]
+    rows = [(f"h{i:02d}", c) for i, c in enumerate(loads)]
+    df = spark.createDataFrame(rows, ["host", "cnt"])
+    plan = host_partition_plan(df, 4, count_col="cnt")
+    got = {r["rank"]: r["partition"] for r in plan.collect()}
+    assert [got[i] for i in range(8)] == [0, 1, 2, 3, 3, 2, 1, 0]
+    pl = {r["partition"]: r for r in partition_loads(plan).collect()}
+    # serpentine pairs: 100+30, 90+40, 80+50, 70+60 -> all 130
+    assert all(pl[p]["part_load"] == 130 for p in range(4))
+    assert all(pl[p]["balance_ratio"] == 1.0 for p in range(4))
+    assert all(pl[p]["n_hosts"] == 2 for p in range(4))
+
+    with pytest.raises(ValueError):
+        host_partition_plan(df, 0, count_col="cnt")
