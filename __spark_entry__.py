@@ -5239,6 +5239,34 @@ def q_p28_host_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_partition_plan(pend, n_partitions=8)
 
 
+def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning eval: banded candidate precision/recall vs exact
+    all-pairs Jaccard at 0.5, over the corpus augmented with
+    deterministic prefix-truncation twins (integer-exact keep fractions
+    30..90%) so mid-range similarities exercise the S-curve. Oracle:
+    expected-parquet replicating signatures, banding, and the full
+    pairwise truth sweep."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.dedup_fuzzy import lsh_candidate_eval
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"), "text"
+    )
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    pct = F.lit(30) + (F.col("doc_id") % 5) * F.lit(15)
+    k = F.greatest(
+        F.floor((F.size(words) * pct) / F.lit(100)).cast("int"), F.lit(1)
+    )
+    twins = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.array_join(F.slice(words, 1, k), " ").alias("text"),
+    )
+    aug = docs.unionByName(twins).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return lsh_candidate_eval(aug, threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5458,6 +5486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
         "s14_git_identifiers": q_s14_git_identifiers,
         "p28_host_partition_plan": q_p28_host_partition_plan,
+        "dedup_lsh_eval": q_dedup_lsh_eval,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -7782,6 +7811,7 @@ FROM r WHERE sample_rank <= 30
         "sim_pq_encode",
         "sim_pq_topk",
         "sim_ivf_recall",
+        "dedup_lsh_eval",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
 

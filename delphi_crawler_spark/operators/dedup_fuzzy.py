@@ -714,3 +714,52 @@ def set_similarity_join(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def lsh_candidate_eval(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH tuning eval: precision/recall of the banded candidate set
+    against exact all-pairs Jaccard ground truth at ``threshold`` — the
+    curve that picks (bands, rows_per_band) before a corpus-scale run
+    (more bands → recall up / precision down; the S-curve in plain
+    numbers instead of the textbook formula's i.i.d. assumption).
+
+    Ground truth is ALL-PAIRS exact Jaccard — eval-sized corpora only,
+    by construction (the production path never does this; that is the
+    point of LSH). Returns ONE row: (n_candidates, n_true_pairs,
+    n_hits, precision, recall), ratios rounded 6, NULL when their
+    denominator is 0. Candidate and truth counts are scalar aggregates
+    (the graph.py discipline)."""
+    signed = minhash_signatures(docs.select(id_col, text_col), text_col,
+                                num_hashes, shingle_n, seed)
+    cands = minhash_lsh_candidates(signed, id_col, bands, num_hashes // bands)
+    a = docs.select(F.col(id_col).alias("id_a"))
+    b = docs.select(F.col(id_col).alias("id_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    truth = jaccard_verify(
+        pairs, docs, id_col, text_col, shingle_n, threshold
+    ).select("id_a", "id_b")
+    truth = truth.persist()
+    n_cand = cands.count()
+    n_true = truth.count()
+    n_hits = cands.join(truth, ["id_a", "id_b"], "left_semi").count()
+    truth.unpersist()
+    spark = docs.sparkSession
+    row = [(
+        int(n_cand), int(n_true), int(n_hits),
+        round(n_hits / n_cand, 6) if n_cand else None,
+        round(n_hits / n_true, 6) if n_true else None,
+    )]
+    return spark.createDataFrame(
+        row,
+        "n_candidates bigint, n_true_pairs bigint, n_hits bigint, "
+        "precision double, recall double",
+    )

@@ -1856,3 +1856,28 @@ def test_host_partition_plan_serpentine(spark):
 
     with pytest.raises(ValueError):
         host_partition_plan(df, 0, count_col="cnt")
+
+
+def test_lsh_eval_clean_separation(spark):
+    """Two identical docs and one disjoint: the pair is both candidate
+    and truth (precision = recall = 1); disjoint text produces neither."""
+    from delphi_crawler_spark.operators.dedup_fuzzy import lsh_candidate_eval
+
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words nothing shared here at all today ok"
+    docs = spark.createDataFrame(
+        [(1, same), (2, same), (3, other)], ["doc_id", "text"]
+    )
+    r = lsh_candidate_eval(docs, threshold=0.5).collect()[0]
+    assert r["n_true_pairs"] == 1 and r["n_hits"] == 1
+    assert r["n_candidates"] == 1
+    assert r["precision"] == 1.0 and r["recall"] == 1.0
+
+    # no dups at all: zero denominators -> NULL ratios, not a crash
+    solo = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight")],
+        ["doc_id", "text"],
+    )
+    r2 = lsh_candidate_eval(solo, threshold=0.5).collect()[0]
+    assert r2["n_true_pairs"] == 0 and r2["recall"] is None

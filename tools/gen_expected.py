@@ -1210,6 +1210,94 @@ def gen_sim_ivf_recall(emb: pd.DataFrame, k: int = 10) -> pd.DataFrame:
     )
 
 
+def gen_dedup_lsh_eval(
+    docs: pd.DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Precision/recall of the banded LSH candidate set vs exact
+    all-pairs Jaccard — same signatures/banding as gen_dedup_minhash_lsh,
+    truth from a full pairwise gramset sweep. The corpus is augmented
+    with deterministic prefix-truncation twins (keep (30+15*(id%5))% of
+    the words, integer arithmetic) so mid-range Jaccard pairs exist and
+    the S-curve actually shows: without them the synthetic dups are all
+    J~1 and every config scores 1.0/1.0."""
+    import re as _re
+
+    aug_rows = []
+    for r in docs.itertuples():
+        aug_rows.append({"doc_id": int(r.doc_id), "text": str(r.text)})
+        words = _re.split(r"\s+", str(r.text).strip())
+        pct = 30 + (int(r.doc_id) % 5) * 15
+        k = max((len(words) * pct) // 100, 1)
+        aug_rows.append(
+            {"doc_id": int(r.doc_id) + 1_000_000, "text": " ".join(words[:k])}
+        )
+    docs = pd.DataFrame(aug_rows)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, MERSENNE_P, size=num_hashes, dtype=np.uint64)
+    rpb = num_hashes // bands
+
+    ids, sig_list = [], []
+    for r in docs.itertuples():
+        grams = doc_grams(str(r.text).lower().split(), shingle_n)
+        if len(grams):
+            sig = (a[:, None] * grams[None, :] + b[:, None]).min(axis=1)
+        else:
+            sig = np.zeros(num_hashes, dtype=np.uint64)
+        ids.append(int(r.doc_id))
+        sig_list.append(sig.view(np.int64))
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, sig in zip(ids, sig_list):
+        for bi in range(bands):
+            key = ",".join(str(int(v)) for v in sig[bi * rpb : (bi + 1) * rpb])
+            buckets.setdefault((bi, xxh64_str(key)), []).append(did)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cand.add((ms[i], ms[j]))
+
+    def gramset(text: str) -> set[str]:
+        words = ws_split(text)
+        n = max(len(words) - (shingle_n - 1), 1)
+        return {" ".join(words[i : i + shingle_n]) for i in range(n)}
+
+    gsets = {int(r.doc_id): gramset(str(r.text)) for r in docs.itertuples()}
+    sids = sorted(gsets)
+    truth = set()
+    for i in range(len(sids)):
+        gi = gsets[sids[i]]
+        for j in range(i + 1, len(sids)):
+            gj = gsets[sids[j]]
+            inter = len(gi & gj)
+            union = len(gi | gj)
+            if round_half_up6(inter / max(union, 1)) >= threshold:
+                truth.add((sids[i], sids[j]))
+    n_hits = len(cand & truth)
+    out = pd.DataFrame(
+        [
+            {
+                "n_candidates": len(cand),
+                "n_true_pairs": len(truth),
+                "n_hits": n_hits,
+                "precision": round(n_hits / len(cand), 6) if cand else None,
+                "recall": round(n_hits / len(truth), 6) if truth else None,
+            }
+        ]
+    )
+    return out.astype(
+        {"n_candidates": "int64", "n_true_pairs": "int64", "n_hits": "int64",
+         "precision": "float64", "recall": "float64"}
+    )
+
+
 GENERATORS = {
     "c3_hash_keys": ("documents", gen_c3_hash_keys),
     "text_fingerprint_rolling": ("documents", gen_fingerprint_rolling),
@@ -1233,6 +1321,7 @@ GENERATORS = {
     "sim_pq_encode": ("embeddings", gen_sim_pq_encode),
     "sim_pq_topk": ("embeddings", gen_sim_pq_topk),
     "sim_ivf_recall": ("embeddings", gen_sim_ivf_recall),
+    "dedup_lsh_eval": ("documents", gen_dedup_lsh_eval),
 }
 
 
