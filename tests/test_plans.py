@@ -313,3 +313,49 @@ def test_curriculum_rangepartitioned_seq(spark):
     plan = _plan(E.q_corpus_curriculum_order(spark, SF))
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan
+
+
+def test_sliding_distinct_no_window_exec(spark):
+    """Dedup-then-fan-out must never introduce a window (no per-day sort):
+    hash-aggs + one in-cell explode only."""
+    plan = _plan(E.q_evt_distinct_sliding(spark, SF))
+    assert "WindowExec" not in plan and "Window" not in plan.split("\n")[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_watermark_audit_keyed_window_and_broadcast_prefix(spark):
+    """The intra-bucket running max is keyed by bucket; the bucket prefix
+    table joins back as a broadcast (metadata-sized)."""
+    plan = _plan(E.q_stream_watermark_audit(spark, SF))
+    assert "hashpartitioning(b" in plan          # keyed window exchange
+    assert "BroadcastHashJoin" in plan           # prefix-max table
+    assert "CartesianProduct" not in plan
+
+
+def test_drain_eta_broadcast_delay_join(spark):
+    plan = _plan(E.q_p27_drain_eta(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_index_broadcast_probe_joins(spark):
+    """Both probe-bit joins run against the broadcast index; the truth
+    check is the only other join and stays keyed."""
+    plan = _plan(E.q_store_bloom_file_index(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_kneser_ney_joins_stay_keyed(spark):
+    plan = _plan(E.q_text_lm_kneser_ney(spark, SF))
+    assert "CartesianProduct" not in plan
+    # count tables join on their own grains: w1/w2 keyed exchanges exist
+    assert "hashpartitioning(w1" in plan or "BroadcastHashJoin" in plan
+
+
+def test_span_transitions_single_agg_exchange(spark):
+    """In-cell sort + zip: the only exchanges are the (from,to) agg and
+    the from-keyed totals join — no data-sized window, no cartesian."""
+    plan = _plan(E.q_mm_span_transitions(spark, SF))
+    assert "WindowExec" not in plan
+    assert "CartesianProduct" not in plan
