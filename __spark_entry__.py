@@ -5267,6 +5267,28 @@ def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_eval(aug, threshold=0.5)
 
 
+def q_store_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-health sweep-line: overlap-depth profile of synthetic
+    file key ranges (a sorted-run region, an overlapping region, and a
+    gap). Boundary-event window over the manifest-sized table only —
+    the compaction/rewrite trigger metric."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.storage.zorder import key_overlap_depth
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    # %3==0: disjoint sorted runs; else: overlapping runs around d*60
+    files = docs.select(
+        F.concat(F.lit("f"), d.cast("string")).alias("file_id"),
+        F.when(d % 3 == 0, d * 100).otherwise(d * 60).cast("bigint").alias("min_key"),
+        F.when(d % 3 == 0, d * 100 + 99)
+        .otherwise(d * 60 + 150)
+        .cast("bigint")
+        .alias("max_key"),
+    )
+    return key_overlap_depth(files)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5487,6 +5509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s14_git_identifiers": q_s14_git_identifiers,
         "p28_host_partition_plan": q_p28_host_partition_plan,
         "dedup_lsh_eval": q_dedup_lsh_eval,
+        "store_overlap_depth": q_store_overlap_depth,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9758,6 +9781,24 @@ SELECT host, load, rank::BIGINT AS rank,
        (CASE WHEN (rank // 8) % 2 = 0 THEN rank % 8
              ELSE 7 - (rank % 8) END)::BIGINT AS partition
 FROM r
+"""
+
+    o["store_overlap_depth"] = """
+WITH fr AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN doc_id * 100
+              ELSE doc_id * 60 END::BIGINT AS min_key,
+         CASE WHEN doc_id % 3 = 0 THEN doc_id * 100 + 99
+              ELSE doc_id * 60 + 150 END::BIGINT AS max_key
+  FROM documents),
+ev AS (
+  SELECT pos, SUM(d) AS dd FROM (
+    SELECT min_key AS pos, 1 AS d FROM fr
+    UNION ALL SELECT max_key + 1, -1 FROM fr) GROUP BY pos)
+SELECT pos,
+       LEAD(pos) OVER (ORDER BY pos) AS next_pos,
+       (SUM(dd) OVER (ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS depth
+FROM ev
 """
 
     return o

@@ -173,3 +173,41 @@ def zone_map_prune_stats(
             ).alias("skip_ratio"),
         )
     )
+
+
+def key_overlap_depth(
+    files: DataFrame,
+    file_col: str = "file_id",
+    min_col: str = "min_key",
+    max_col: str = "max_key",
+) -> DataFrame:
+    """Key-range overlap-depth profile over a file manifest — THE
+    clustering-health metric (LSM compaction triggers and Iceberg
+    rewrite_data_files both key off it): for every point of the key
+    space, how many files' [min,max] ranges cover it. Depth 1 everywhere
+    = perfectly clustered (a point lookup reads one file); depth ~ n =
+    fully overlapping (every lookup reads everything, zone maps
+    useless, time to re-sort).
+
+    Sweep-line over the boundary-event table: +1 at each file's min,
+    -1 at max+1 (closed integer intervals), running sum over the sorted
+    distinct boundaries. The window runs over the BOUNDARY table (≤ 2
+    rows per file — manifest-sized, the key_skew_gini discipline), never
+    the data. Returns one row per boundary segment: (pos, next_pos,
+    depth) — next_pos NULL on the last segment (depth 0 past the end).
+    Feed ``F.max("depth")`` / a depth-weighted avg off this profile for
+    the alert scalar."""
+    lo = files.select(F.col(min_col).cast("bigint").alias("pos"), F.lit(1).alias("d"))
+    hi = files.select(
+        (F.col(max_col).cast("bigint") + 1).alias("pos"), F.lit(-1).alias("d")
+    )
+    ev = lo.unionByName(hi).groupBy("pos").agg(F.sum("d").alias("dd"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("pos")
+    return ev.select(
+        "pos",
+        F.lead("pos").over(wl).alias("next_pos"),
+        F.sum("dd").over(w).cast("bigint").alias("depth"),
+    )

@@ -1881,3 +1881,26 @@ def test_lsh_eval_clean_separation(spark):
     )
     r2 = lsh_candidate_eval(solo, threshold=0.5).collect()[0]
     assert r2["n_true_pairs"] == 0 and r2["recall"] is None
+
+
+def test_overlap_depth_sweep_line(spark):
+    """Three files: [0,9], [5,14] overlap on [5,9] (depth 2); [20,29]
+    disjoint after a gap (depth 0 on [15,19]); past the end depth 0."""
+    from pyspark.sql import functions as F
+
+    from delphi_crawler_spark.storage.zorder import key_overlap_depth
+
+    files = spark.createDataFrame(
+        [("a", 0, 9), ("b", 5, 14), ("c", 20, 29)],
+        ["file_id", "min_key", "max_key"],
+    )
+    prof = key_overlap_depth(files).collect()
+    seg = {r["pos"]: (r["next_pos"], r["depth"]) for r in prof}
+    assert seg[0] == (5, 1)
+    assert seg[5] == (10, 2)    # the overlap region
+    assert seg[10] == (15, 1)
+    assert seg[15] == (20, 0)   # the gap
+    assert seg[20] == (30, 1)
+    assert seg[30] == (None, 0)  # past the end
+    mx = key_overlap_depth(files).agg(F.max("depth")).collect()[0][0]
+    assert mx == 2
