@@ -5289,6 +5289,28 @@ def q_store_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_overlap_depth(files)
 
 
+def q_r15_change_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly change-phase detection over revisit history: weekday change
+    ratios, peak concentration vs overall, periodic flag — synthetic
+    Tuesday-heavy URLs (user%3==0) must light up. One (url,weekday)
+    hash-agg reused for totals + a url-keyed 7-row window."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.recrawl import change_periodicity
+
+    ev = _t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    wd = ((F.floor(ts_us / F.lit(86_400_000_000)) + 3) % 7).cast("int")
+    changed = F.when(
+        F.col("user_id") % 3 == 0, (wd == 2) & (F.col("event_id") % 2 == 0)
+    ).otherwise(F.col("event_id") % 5 == 0)
+    visits = ev.select(
+        F.concat(F.lit("w"), F.col("user_id") % 200).alias("url"),
+        ts_us.alias("ts_us"),
+        changed.alias("changed"),
+    )
+    return change_periodicity(visits)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5510,6 +5532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p28_host_partition_plan": q_p28_host_partition_plan,
         "dedup_lsh_eval": q_dedup_lsh_eval,
         "store_overlap_depth": q_store_overlap_depth,
+        "r15_change_periodicity": q_r15_change_periodicity,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9799,6 +9822,41 @@ SELECT pos,
        (SUM(dd) OVER (ORDER BY pos
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS depth
 FROM ev
+"""
+
+    o["r15_change_periodicity"] = """
+WITH v AS (
+  SELECT 'w' || (user_id % 200) AS url,
+         ((epoch_us(ts) // 86400000000) + 3) % 7 AS wd,
+         CASE WHEN user_id % 3 = 0
+              THEN ((epoch_us(ts) // 86400000000) + 3) % 7 = 2
+                   AND event_id % 2 = 0
+              ELSE event_id % 5 = 0 END AS changed
+  FROM events),
+g AS (
+  SELECT url, wd, COUNT(*)::BIGINT AS nv,
+         SUM(CASE WHEN changed THEN 1 ELSE 0 END)::BIGINT AS nc
+  FROM v GROUP BY url, wd),
+t AS (SELECT url, SUM(nv)::BIGINT AS n_visits, SUM(nc)::BIGINT AS n_changed
+      FROM g GROUP BY url),
+pk AS (
+  SELECT url, wd AS peak_weekday,
+         ROUND(nc::DOUBLE / nv::DOUBLE, 6) AS peak_ratio
+  FROM (SELECT g.*, ROW_NUMBER() OVER (PARTITION BY url
+          ORDER BY nc::DOUBLE / nv::DOUBLE DESC, wd ASC) AS rn FROM g)
+  WHERE rn = 1),
+j AS (
+  SELECT t.url, t.n_visits, t.n_changed, pk.peak_weekday, pk.peak_ratio,
+         ROUND(t.n_changed::DOUBLE / t.n_visits::DOUBLE, 6) AS overall6
+  FROM t JOIN pk ON pk.url = t.url)
+SELECT url, n_visits, overall6 AS overall_ratio,
+       peak_weekday::BIGINT AS peak_weekday,
+       CASE WHEN n_changed > 0 THEN peak_ratio ELSE 0.0 END AS peak_ratio,
+       CASE WHEN n_changed > 0 THEN ROUND(peak_ratio / overall6, 6)
+            ELSE 0.0 END AS concentration,
+       (n_visits >= 14 AND n_changed > 0
+        AND ROUND(peak_ratio / overall6, 6) >= 2.0) AS is_periodic
+FROM j
 """
 
     return o

@@ -580,3 +580,78 @@ def staleness_expectation(
             "expected_stale_frac"
         ),
     )
+
+
+def change_periodicity(
+    visits: DataFrame,
+    url_col: str = "url",
+    ts_us_col: str = "ts_us",
+    changed_col: str = "changed",
+    min_visits: int = 14,
+    concentration_threshold: float = 2.0,
+) -> DataFrame:
+    """Weekly periodicity of observed changes — pages that update on a
+    schedule (news digests, weekly releases) should be revisited AT that
+    phase, not at the Poisson-average rate: per URL, the weekday change
+    ratios and their concentration against the overall ratio.
+
+    weekday = (epoch_day + 3) % 7 (0 = Monday). Output per URL:
+    (n_visits, overall_ratio, peak_weekday, peak_ratio, concentration =
+    peak/overall, is_periodic = enough visits AND concentration ≥
+    threshold). Ties on peak ratio break to the smallest weekday —
+    deterministic. URLs with no observed change report 0 ratios and
+    never flag.
+
+    Shape: one (url, weekday) hash-agg; the per-URL totals REUSE that
+    grain (a second fold, not a second scan); the peak pick is a
+    url-keyed window over the 7-row-per-url table. All ratios divide
+    exact integers, rounded 6."""
+    wd = ((F.floor(F.col(ts_us_col) / F.lit(86_400_000_000)) + 3) % 7).cast("int")
+    g = (
+        visits.select(
+            F.col(url_col).alias("url"),
+            wd.alias("weekday"),
+            F.when(F.col(changed_col), 1).otherwise(0).alias("ch"),
+        )
+        .groupBy("url", "weekday")
+        .agg(F.count(F.lit(1)).alias("nv"), F.sum("ch").alias("nc"))
+    )
+    tot = g.groupBy("url").agg(
+        F.sum("nv").cast("bigint").alias("n_visits"),
+        F.sum("nc").cast("bigint").alias("n_changed"),
+    )
+    ratio = F.col("nc").cast("double") / F.col("nv").cast("double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(
+        ratio.desc(), F.asc("weekday")
+    )
+    peak = (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "url",
+            F.col("weekday").alias("peak_weekday"),
+            F.round(ratio, 6).alias("peak_ratio"),
+        )
+    )
+    overall = F.col("n_changed").cast("double") / F.col("n_visits").cast("double")
+    j = tot.join(peak, "url")
+    conc = F.when(
+        F.col("n_changed") > 0, F.round(F.col("peak_ratio") / F.round(overall, 6), 6)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "url",
+        "n_visits",
+        F.round(overall, 6).alias("overall_ratio"),
+        F.col("peak_weekday").cast("bigint").alias("peak_weekday"),
+        F.when(F.col("n_changed") > 0, F.col("peak_ratio")).otherwise(0.0).alias(
+            "peak_ratio"
+        ),
+        conc.alias("concentration"),
+        (
+            (F.col("n_visits") >= min_visits)
+            & (F.col("n_changed") > 0)
+            & (conc >= F.lit(float(concentration_threshold)))
+        ).alias("is_periodic"),
+    )

@@ -1904,3 +1904,32 @@ def test_overlap_depth_sweep_line(spark):
     assert seg[30] == (None, 0)  # past the end
     mx = key_overlap_depth(files).agg(F.max("depth")).collect()[0][0]
     assert mx == 2
+
+
+def test_change_periodicity_tuesday_page(spark):
+    """A page changing only on weekday 2 concentrates there (ratio 1.0 vs
+    overall 1/7 -> concentration 7); a uniform changer never flags; a
+    never-changer reports zeros."""
+    from delphi_crawler_spark.operators.recrawl import change_periodicity
+
+    day_us = 86_400_000_000
+    rows = []
+    # 21 daily visits starting at a Monday (epoch day such that (d+3)%7==0)
+    start_day = 4  # (4+3)%7 == 0 -> Monday
+    for i in range(21):
+        d = start_day + i
+        wd = (d + 3) % 7
+        rows.append(("tue", d * day_us, wd == 2))
+        rows.append(("uni", d * day_us, i % 7 == (i // 7) % 7))  # scattered
+        rows.append(("never", d * day_us, False))
+    df = spark.createDataFrame(rows, ["url", "ts_us", "changed"])
+    out = {r["url"]: r for r in change_periodicity(df).collect()}
+    t = out["tue"]
+    assert t["peak_weekday"] == 2 and t["peak_ratio"] == 1.0
+    assert t["overall_ratio"] == round(3 / 21, 6)
+    assert t["concentration"] == round(1.0 / round(3 / 21, 6), 6)
+    assert t["is_periodic"]
+    n = out["never"]
+    assert n["peak_ratio"] == 0.0 and n["concentration"] == 0.0
+    assert not n["is_periodic"]
+    assert not out["uni"]["is_periodic"] or out["uni"]["concentration"] < 7
