@@ -5311,6 +5311,22 @@ def q_r15_change_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_periodicity(visits)
 
 
+def q_agg_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift (two-sample KS + PSI) between the even-id event
+    values and the odd-id values shifted +0.5 — the new-dump-vs-reference
+    monitor. Support buckets to 2 decimals; running-sum window over the
+    bucket table; PSI terms decimal-summed order-exact."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.aggs import distribution_drift
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0).select(F.col("value"))
+    b = ev.filter(F.col("event_id") % 2 == 1).select(
+        (F.col("value") + F.lit(0.5)).alias("value")
+    )
+    return distribution_drift(a, b, "value", ndigits=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5533,6 +5549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_eval": q_dedup_lsh_eval,
         "store_overlap_depth": q_store_overlap_depth,
         "r15_change_periodicity": q_r15_change_periodicity,
+        "agg_drift_report": q_agg_drift_report,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9857,6 +9874,34 @@ SELECT url, n_visits, overall6 AS overall_ratio,
        (n_visits >= 14 AND n_changed > 0
         AND ROUND(peak_ratio / overall6, 6) >= 2.0) AS is_periodic
 FROM j
+"""
+
+    o["agg_drift_report"] = """
+WITH sa AS (SELECT ROUND(value, 2) AS v FROM events WHERE event_id % 2 = 0),
+sb AS (SELECT ROUND(value + 0.5, 2) AS v FROM events WHERE event_id % 2 = 1),
+ca AS (SELECT v, COUNT(*)::BIGINT AS na FROM sa GROUP BY v),
+cb AS (SELECT v, COUNT(*)::BIGINT AS nb FROM sb GROUP BY v),
+j AS (SELECT COALESCE(ca.v, cb.v) AS v,
+             COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+      FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+r AS (SELECT v, na, nb,
+             SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cca,
+             SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS ccb
+      FROM j),
+t AS (SELECT SUM(na)::BIGINT AS n_a, SUM(nb)::BIGINT AS n_b,
+             COUNT(*)::BIGINT AS n_buckets FROM r),
+s AS (SELECT r.*, t.n_a, t.n_b, t.n_buckets,
+             GREATEST(r.na::DOUBLE / t.n_a, 1e-06) AS pa,
+             GREATEST(r.nb::DOUBLE / t.n_b, 1e-06) AS pb
+      FROM r CROSS JOIN t)
+SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b, MAX(n_buckets) AS n_buckets,
+       ROUND(MAX(ABS(cca::DOUBLE / n_a - ccb::DOUBLE / n_b)), 6)
+         AS ks_distance,
+       ROUND(SUM(ROUND((pa - pb) * LN(pa / pb), 6)::DECIMAL(28,6))::DOUBLE, 6)
+         AS psi
+FROM s
 """
 
     return o

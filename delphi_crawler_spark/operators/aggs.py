@@ -57,3 +57,79 @@ def partition_metrics(df: DataFrame, seq_col: str = "seq") -> DataFrame:
         )
         .withColumnRenamed("__pid", "partition_id")
     )
+
+
+def distribution_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str = "value",
+    ndigits: int = 3,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Distribution drift between two samples — the monitoring pair every
+    corpus pipeline alerts on when a new crawl dump's quality/score
+    distribution slides away from the reference dump:
+
+    - ``ks_distance``: two-sample Kolmogorov–Smirnov statistic,
+      max |F_a(x) − F_b(x)| over the observed support;
+    - ``psi``: Population Stability Index, Σ (p_a−p_b)·ln(p_a/p_b) with
+      both shares floored at ``eps`` (the industry zero-bucket guard;
+      <0.1 stable, >0.25 action).
+
+    Values bucket to ``ndigits`` decimals first, so the support table is
+    bounded by score granularity, not row count — the running-sum window
+    runs over THAT table (the key_skew_gini discipline). Exactness: the
+    CDF steps are exact integer ratios; each PSI term rounds to 6 dp and
+    accumulates as decimal(28,6) (order-exact in any engine); KS is a
+    max (order-free). Returns one row: (n_a, n_b, n_buckets,
+    ks_distance, psi)."""
+    va = a.select(F.round(F.col(value_col), ndigits).alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    vb = b.select(F.round(F.col(value_col), ndigits).alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    j = va.join(vb, "v", "full_outer").select(
+        "v",
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    run = j.select(
+        "v",
+        "na",
+        "nb",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+    )
+    tot = run.agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
+    stats = run.crossJoin(F.broadcast(tot))
+    fa = F.col("ca").cast("double") / F.col("n_a").cast("double")
+    fb = F.col("cb").cast("double") / F.col("n_b").cast("double")
+    pa = F.greatest(
+        F.col("na").cast("double") / F.col("n_a").cast("double"), F.lit(float(eps))
+    )
+    pb = F.greatest(
+        F.col("nb").cast("double") / F.col("n_b").cast("double"), F.lit(float(eps))
+    )
+    term = F.round((pa - pb) * F.log(pa / pb), 6).cast("decimal(28,6)")
+    out = stats.agg(
+        F.max(F.abs(fa - fb)).alias("ks_raw"),
+        F.sum(term).alias("psi_sum"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.first("n_buckets").alias("n_buckets"),
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_buckets",
+        F.round(F.col("ks_raw"), 6).alias("ks_distance"),
+        F.round(F.col("psi_sum").cast("double"), 6).alias("psi"),
+    )

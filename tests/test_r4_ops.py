@@ -1933,3 +1933,26 @@ def test_change_periodicity_tuesday_page(spark):
     assert n["peak_ratio"] == 0.0 and n["concentration"] == 0.0
     assert not n["is_periodic"]
     assert not out["uni"]["is_periodic"] or out["uni"]["concentration"] < 7
+
+
+def test_distribution_drift_identical_and_disjoint(spark):
+    """Identical samples: KS=0, PSI=0. Disjoint supports: KS=1, PSI large.
+    A mean shift lands in between and is direction-symmetric."""
+    from delphi_crawler_spark.operators.aggs import distribution_drift
+
+    xs = [float(x) for x in range(100)]
+    a = spark.createDataFrame([(v,) for v in xs], ["value"])
+    same = distribution_drift(a, a).collect()[0]
+    assert same["ks_distance"] == 0.0 and same["psi"] == 0.0
+    assert same["n_a"] == 100 and same["n_buckets"] == 100
+
+    b = spark.createDataFrame([(v + 1000.0,) for v in xs], ["value"])
+    dis = distribution_drift(a, b).collect()[0]
+    assert dis["ks_distance"] == 1.0 and dis["psi"] > 5.0
+
+    c = spark.createDataFrame([(v + 10.0,) for v in xs], ["value"])
+    mid = distribution_drift(a, c).collect()[0]
+    rev = distribution_drift(c, a).collect()[0]
+    assert 0.0 < mid["ks_distance"] < 1.0
+    assert mid["ks_distance"] == rev["ks_distance"]
+    assert mid["psi"] == rev["psi"]  # PSI is symmetric by construction
