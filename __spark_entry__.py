@@ -5327,6 +5327,18 @@ def q_agg_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_drift(a, b, "value", ndigits=2)
 
 
+def q_evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 first-5-event journeys per user: rank filter before any
+    path assembly, rank-ordered fold (array_sort on (rn,type) structs),
+    path table window bounded by the type alphabet. Deterministic
+    lexicographic tie-break."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.events import top_event_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return top_event_paths(ev, "user_id", "ts", "event_type", "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5550,6 +5562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_overlap_depth": q_store_overlap_depth,
         "r15_change_periodicity": q_r15_change_periodicity,
         "agg_drift_report": q_agg_drift_report,
+        "evt_top_paths": q_evt_top_paths,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9902,6 +9915,26 @@ SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b, MAX(n_buckets) AS n_buckets,
        ROUND(SUM(ROUND((pa - pb) * LN(pa / pb), 6)::DECIMAL(28,6))::DOUBLE, 6)
          AS psi
 FROM s
+"""
+
+    o["evt_top_paths"] = """
+WITH r AS (
+  SELECT user_id AS key, event_type AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events),
+p AS (
+  SELECT key, string_agg(t, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 5 GROUP BY key),
+c AS (SELECT path, COUNT(*)::BIGINT AS n_keys FROM p GROUP BY path),
+t AS (SELECT COUNT(*)::BIGINT AS total FROM p),
+k AS (
+  SELECT path, n_keys,
+         ROW_NUMBER() OVER (ORDER BY n_keys DESC, path ASC) AS rank
+  FROM c)
+SELECT rank::BIGINT AS rank, path, n_keys,
+       ROUND(n_keys::DOUBLE / t.total::DOUBLE, 6) AS share
+FROM k CROSS JOIN t WHERE rank <= 20
 """
 
     return o

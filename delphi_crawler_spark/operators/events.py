@@ -388,3 +388,68 @@ def interarrival_bot_signals(
             & (F.round(cv, 6) < F.lit(float(cv_threshold)))
         ).alias("is_bot"),
     )
+
+
+def top_event_paths(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    path_len: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k navigation paths: each key's first ``path_len`` event types
+    (in (ts, order) sequence) join into a path string; paths rank by
+    frequency — the sequence-mining lite that finds dominant crawl/user
+    journeys without an FSM pass.
+
+    Shape: one key-keyed window to pick the first ``path_len`` events
+    (rank filter BEFORE any path assembly, so long histories never
+    concatenate), one key hash-agg folding the types in rank order via
+    array_sort on (rn, type) structs — no second sort — then a path
+    hash-agg and a rank over the path table (bounded by distinct paths,
+    capped at type_alphabet^path_len, metadata-sized for real alphabets).
+    Ties break lexicographically on path — deterministic. Returns
+    (rank, path, n_keys, share) with share = n_keys / total keys,
+    rounded 6."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(order_col))
+    first = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(type_col).alias("t"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= path_len)
+    )
+    paths = (
+        first.groupBy("key")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("rn"), F.col("t")))
+                    ),
+                    lambda s: s["t"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_keys"))
+    total = paths.count()
+    wr = Window.orderBy(F.desc("n_keys"), F.asc("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "path",
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.round(
+                F.col("n_keys").cast("double") / F.lit(float(total)), 6
+            ).alias("share"),
+        )
+    )

@@ -1956,3 +1956,29 @@ def test_distribution_drift_identical_and_disjoint(spark):
     assert 0.0 < mid["ks_distance"] < 1.0
     assert mid["ks_distance"] == rev["ks_distance"]
     assert mid["psi"] == rev["psi"]  # PSI is symmetric by construction
+
+
+def test_top_paths_order_and_truncation(spark):
+    """Paths use (ts, order) sequence, truncate at path_len, count by
+    key, rank with lexicographic tie-break."""
+    import datetime
+
+    from delphi_crawler_spark.operators.events import top_event_paths
+
+    t0 = datetime.datetime(2026, 1, 1)
+    mk = lambda s: t0 + datetime.timedelta(seconds=s)  # noqa: E731
+    rows = []
+    for u in (1, 2):  # two users with view>click>buy
+        rows += [(u, mk(1), "view", 1), (u, mk(2), "click", 2), (u, mk(3), "buy", 3)]
+    # user 3: 5+ events, truncated at 3 -> view>view>view
+    rows += [(3, mk(i), "view", i) for i in range(1, 6)]
+    # user 4: out-of-order inserts, ts decides: click then view
+    rows += [(4, mk(9), "view", 1), (4, mk(8), "click", 2)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    out = top_event_paths(df, path_len=3, top_k=10).collect()
+    got = {r["path"]: r for r in out}
+    assert got["view>click>buy"]["n_keys"] == 2
+    assert got["view>click>buy"]["rank"] == 1
+    assert got["view>view>view"]["n_keys"] == 1
+    assert got["click>view"]["n_keys"] == 1  # ts order, not insert order
+    assert got["view>click>buy"]["share"] == 0.5  # 2 of 4 users
