@@ -5339,6 +5339,20 @@ def q_evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_event_paths(ev, "user_id", "ts", "event_type", "event_id")
 
 
+def q_store_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of orders (exact NDV, null fraction,
+    string min/max, avg serialized length) — one single-pass wide
+    aggregate, unpivoted to a metadata-sized stats table for drift
+    gates and CBO-parity checks."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.storage.tablestore import table_column_stats
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    return table_column_stats(orders)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5563,6 +5577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r15_change_periodicity": q_r15_change_periodicity,
         "agg_drift_report": q_agg_drift_report,
         "evt_top_paths": q_evt_top_paths,
+        "store_table_stats": q_store_table_stats,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9935,6 +9950,40 @@ k AS (
 SELECT rank::BIGINT AS rank, path, n_keys,
        ROUND(n_keys::DOUBLE / t.total::DOUBLE, 6) AS share
 FROM k CROSS JOIN t WHERE rank <= 20
+"""
+
+    o["store_table_stats"] = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+n AS (SELECT COUNT(*)::BIGINT AS n FROM base)
+SELECT col AS column, n.n AS n_rows, s.n_nulls, ROUND(s.n_nulls::DOUBLE / n.n, 6) AS null_frac,
+       s.ndv, s.min_str, s.max_str, s.avg_len
+FROM n CROSS JOIN (
+  SELECT 'o_orderkey' AS col,
+         SUM((o_orderkey IS NULL)::INT)::BIGINT AS n_nulls,
+         COUNT(DISTINCT o_orderkey)::BIGINT AS ndv,
+         MIN(o_orderkey::VARCHAR) AS min_str,
+         MAX(o_orderkey::VARCHAR) AS max_str,
+         ROUND(AVG(length(o_orderkey::VARCHAR)), 2) AS avg_len
+  FROM base
+  UNION ALL
+  SELECT 'o_custkey', SUM((o_custkey IS NULL)::INT)::BIGINT,
+         COUNT(DISTINCT o_custkey)::BIGINT,
+         MIN(o_custkey::VARCHAR), MAX(o_custkey::VARCHAR),
+         ROUND(AVG(length(o_custkey::VARCHAR)), 2)
+  FROM base
+  UNION ALL
+  SELECT 'o_orderstatus', SUM((o_orderstatus IS NULL)::INT)::BIGINT,
+         COUNT(DISTINCT o_orderstatus)::BIGINT,
+         MIN(o_orderstatus), MAX(o_orderstatus),
+         ROUND(AVG(length(o_orderstatus)), 2)
+  FROM base
+  UNION ALL
+  SELECT 'o_totalprice', SUM((o_totalprice IS NULL)::INT)::BIGINT,
+         COUNT(DISTINCT o_totalprice)::BIGINT,
+         MIN(o_totalprice::VARCHAR), MAX(o_totalprice::VARCHAR),
+         ROUND(AVG(length(o_totalprice::VARCHAR)), 2)
+  FROM base) s
 """
 
     return o

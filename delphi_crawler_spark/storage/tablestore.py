@@ -635,3 +635,70 @@ class TableStore:
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self._tdir(table), ignore_errors=True)
+
+
+def table_column_stats(
+    df: "DataFrame",
+    columns: list[str] | None = None,
+) -> "DataFrame":
+    """ANALYZE-style per-column statistics — the table profile a
+    cost-based optimizer (and a data engineer eyeballing a new dump)
+    needs: exact NDV, null fraction, min/max (as strings, so one schema
+    serves every type), and average serialized length.
+
+    The reference bootstraps its ES mappings with per-field stats
+    implicitly; Spark's `ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    COLUMNS` is the engine-native twin — this operator is the
+    DataFrame-level version that works on ANY frame (not just catalog
+    tables) and returns the stats AS DATA for assertions and drift
+    gates (pair with ``aggs.distribution_drift`` for the value-level
+    check).
+
+    One wide aggregate per column batched into a single pass (Catalyst
+    collapses the per-column expressions into one Aggregate — the scan
+    happens once), then a metadata-sized unpivot. Exact NDV is a
+    count-distinct per column in the same pass; swap in the HLL segments
+    (``operators/hll.py``) when a 10^10-row profile can tolerate ±2%.
+
+    Returns (column, n_rows, n_nulls, null_frac, ndv, min_str, max_str,
+    avg_len): ``avg_len`` = mean length of the string form, rounded 2;
+    ratios rounded 6.
+    """
+    from pyspark.sql import functions as F  # local: keep module header lean
+
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        s = col.cast("string")
+        aggs += [
+            F.sum(col.isNull().cast("bigint")).alias(f"__null_{c}"),
+            F.count_distinct(col).alias(f"__ndv_{c}"),
+            F.min(s).alias(f"__min_{c}"),
+            F.max(s).alias(f"__max_{c}"),
+            F.avg(F.length(s)).alias(f"__len_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    n = int(row["__n"])
+    out = []
+    for c in cols:
+        nn = int(row[f"__null_{c}"] or 0)
+        avg_len = row[f"__len_{c}"]
+        out.append(
+            (
+                c,
+                n,
+                nn,
+                round(nn / n, 6) if n else None,
+                int(row[f"__ndv_{c}"] or 0),
+                row[f"__min_{c}"],
+                row[f"__max_{c}"],
+                round(float(avg_len), 2) if avg_len is not None else None,
+            )
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out,
+        "column string, n_rows bigint, n_nulls bigint, null_frac double, "
+        "ndv bigint, min_str string, max_str string, avg_len double",
+    )

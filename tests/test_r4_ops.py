@@ -1982,3 +1982,24 @@ def test_top_paths_order_and_truncation(spark):
     assert got["view>view>view"]["n_keys"] == 1
     assert got["click>view"]["n_keys"] == 1  # ts order, not insert order
     assert got["view>click>buy"]["share"] == 0.5  # 2 of 4 users
+
+
+def test_table_column_stats_hand_computed(spark):
+    """NDV, null fraction, min/max and avg length on a known frame; one
+    job (single-pass wide aggregate)."""
+    from delphi_crawler_spark.storage.tablestore import table_column_stats
+
+    df = spark.createDataFrame(
+        [(1, "aa", None), (2, "bbb", 5.0), (3, "aa", 7.0), (4, None, 5.0)],
+        "id long, s string, v double",
+    )
+    out = {r["column"]: r for r in table_column_stats(df).collect()}
+    assert out["id"]["ndv"] == 4 and out["id"]["n_nulls"] == 0
+    assert out["id"]["min_str"] == "1" and out["id"]["max_str"] == "4"
+    assert out["s"]["ndv"] == 2 and out["s"]["n_nulls"] == 1
+    assert out["s"]["null_frac"] == 0.25
+    assert out["s"]["avg_len"] == round((2 + 3 + 2) / 3, 2)
+    assert out["v"]["ndv"] == 2 and out["v"]["n_nulls"] == 1
+    # column subset selection
+    sub = table_column_stats(df, ["id"]).collect()
+    assert len(sub) == 1 and sub[0]["column"] == "id"
