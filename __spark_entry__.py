@@ -9477,7 +9477,8 @@ a AS (
          SUM(gap::DECIMAL(19,0) * gap::DECIMAL(19,0)) AS sgg
   FROM g GROUP BY key)
 SELECT key AS user_id, n_events, n_gaps,
-  CASE WHEN n_gaps > 0 THEN ROUND(sg::DOUBLE / n_gaps / 1e6, 6) END AS mean_gap_s,
+  CASE WHEN n_gaps > 0
+       THEN FLOOR(sg::DOUBLE / n_gaps + 0.5) / 1e6 END AS mean_gap_s,
   CASE WHEN n_gaps >= 5 AND sg::DOUBLE / n_gaps > 0 THEN ROUND(
     SQRT(GREATEST(sgg::DOUBLE / n_gaps
                   - (sg::DOUBLE / n_gaps) * (sg::DOUBLE / n_gaps), 0.0))

@@ -380,7 +380,13 @@ def interarrival_bot_signals(
         F.col("key").alias(key_col),
         "n_events",
         "n_gaps",
-        F.when(F.col("n_gaps") > 0, F.round(mean / 1e6, 6)).alias("mean_gap_s"),
+        # mean gap is (integer µs sum)/n — the fraction is often EXACTLY
+        # .5, where Spark rounds half-up and other engines half-even.
+        # floor(x+0.5) is explicit half-up in every engine: round to whole
+        # microseconds, then the /1e6 is the same double op everywhere.
+        F.when(
+            F.col("n_gaps") > 0, F.floor(mean + F.lit(0.5)) / F.lit(1e6)
+        ).alias("mean_gap_s"),
         F.when(enough & (mean > 0), F.round(cv, 6)).alias("cv_gap"),
         (
             enough
