@@ -5353,6 +5353,27 @@ def q_store_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_column_stats(orders)
 
 
+def q_g7_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-decided walks (node2vec corpus prep) over the
+    planted-farm graph: md5(start|cur|t) picks the dst-sorted neighbor,
+    so every walk is a pure function of the edge set — keyed joins
+    against a persisted adjacency index, one per step."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.graph import deterministic_random_walks
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    sparse = ev.filter(F.col("event_id") % 4 == 0).select(
+        F.concat(F.lit("r"), F.substring(F.md5(F.concat(F.lit("s"), eid)), 1, 2)).alias("src"),
+        F.concat(F.lit("r"), F.substring(F.md5(F.concat(F.lit("d"), eid)), 1, 2)).alias("dst"),
+    )
+    farm = ev.select(
+        F.concat(F.lit("f"), F.substring(F.md5(F.concat(F.lit("a"), eid)), 1, 1)).alias("src"),
+        F.concat(F.lit("f"), F.substring(F.md5(F.concat(F.lit("b"), eid)), 1, 1)).alias("dst"),
+    )
+    return deterministic_random_walks(sparse.unionByName(farm), walk_len=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5578,6 +5599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_drift_report": q_agg_drift_report,
         "evt_top_paths": q_evt_top_paths,
         "store_table_stats": q_store_table_stats,
+        "g7_random_walks": q_g7_random_walks,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -9985,6 +10007,46 @@ FROM n CROSS JOIN (
          MIN(o_totalprice::VARCHAR), MAX(o_totalprice::VARCHAR),
          ROUND(AVG(length(o_totalprice::VARCHAR)), 2)
   FROM base) s
+"""
+
+    o["g7_random_walks"] = """
+WITH raw AS (
+  SELECT 'r' || substr(md5('s' || event_id), 1, 2) AS u,
+         'r' || substr(md5('d' || event_id), 1, 2) AS v
+  FROM events WHERE event_id % 4 = 0
+  UNION ALL
+  SELECT 'f' || substr(md5('a' || event_id), 1, 1),
+         'f' || substr(md5('b' || event_id), 1, 1)
+  FROM events),
+e AS (SELECT DISTINCT u, v FROM raw),
+adj AS (SELECT u, v,
+               ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS idx
+        FROM e),
+deg AS (SELECT u, COUNT(*)::BIGINT AS deg FROM e GROUP BY u),
+a AS (SELECT adj.u, adj.v, adj.idx, deg.deg FROM adj JOIN deg USING (u)),
+n AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+f0 AS (SELECT node AS start, node AS cur FROM n),
+s1 AS (
+  SELECT f0.start, a.v AS cur
+  FROM f0 JOIN a ON a.u = f0.cur
+   AND a.idx = (('0x' || substr(md5(f0.start || '|' || f0.cur || '|1'), 1, 8))::BIGINT % a.deg)),
+s2 AS (
+  SELECT s1.start, a.v AS cur
+  FROM s1 JOIN a ON a.u = s1.cur
+   AND a.idx = (('0x' || substr(md5(s1.start || '|' || s1.cur || '|2'), 1, 8))::BIGINT % a.deg)),
+s3 AS (
+  SELECT s2.start, a.v AS cur
+  FROM s2 JOIN a ON a.u = s2.cur
+   AND a.idx = (('0x' || substr(md5(s2.start || '|' || s2.cur || '|3'), 1, 8))::BIGINT % a.deg)),
+s4 AS (
+  SELECT s3.start, a.v AS cur
+  FROM s3 JOIN a ON a.u = s3.cur
+   AND a.idx = (('0x' || substr(md5(s3.start || '|' || s3.cur || '|4'), 1, 8))::BIGINT % a.deg))
+SELECT start, 0::BIGINT AS step, cur AS node FROM f0
+UNION ALL SELECT start, 1, cur FROM s1
+UNION ALL SELECT start, 2, cur FROM s2
+UNION ALL SELECT start, 3, cur FROM s3
+UNION ALL SELECT start, 4, cur FROM s4
 """
 
     return o

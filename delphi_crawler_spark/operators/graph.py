@@ -1144,3 +1144,79 @@ def graph_structure_stats(
         ).alias("reciprocity"),
         assort.alias("assortativity"),
     )
+
+
+def deterministic_random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Hash-decided graph walks — the node2vec/DeepWalk corpus prep
+    (Grover & Leskovec 2016; Perozzi 2014) made deterministic and
+    distributed: one walk starts at every node, and at step t the walk
+    at node v (started from s) moves to neighbor number
+    ``md5(s|v|t) mod degree(v)`` in dst-sorted order. A hash in place of
+    an RNG keeps every walk a pure function of the edge set — rerun- and
+    partition-stable (the engine-wide determinism discipline), exactly
+    replicable in a SQL oracle, and still uniform-ish per step.
+
+    Walks terminate early at sinks (no out-edges). Returns one row per
+    visited position: (start, step, node), step 0 = the start itself.
+
+    Shape: adjacency = one (src)-keyed window (idx in dst order) +
+    degree hash-agg; each of the ``walk_len`` steps is one equi-join of
+    the frontier against the indexed adjacency on (node, pick) — keyed
+    joins only, frontier never exceeds |nodes| rows per step. At
+    10^9 edges the adjacency index is the thing to bucket by src once
+    and reuse across all steps AND all downstream walk batches."""
+    if walk_len < 1:
+        raise ValueError("deterministic_random_walks() needs walk_len >= 1")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u").orderBy("v")
+    adj = e.select(
+        "u", "v", (F.row_number().over(w) - 1).alias("idx")
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    adj = adj.join(deg, "u").persist()
+
+    nodes = e.select(F.col("u").alias("node")).union(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    frontier = nodes.select(
+        F.col("node").alias("start"), F.col("node").alias("cur")
+    )
+    rows = frontier.select("start", F.lit(0).alias("step"), F.col("cur").alias("node"))
+    out = rows
+    for t in range(1, walk_len + 1):
+        fr = frontier.alias("fr")
+        at = adj.alias(f"a{t}")
+        pick = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("fr.start"), F.col("fr.cur"), F.lit(str(t))
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        stepped = (
+            fr.join(at, F.col("fr.cur") == F.col(f"a{t}.u"))
+            .filter(F.col(f"a{t}.idx") == pick % F.col(f"a{t}.deg"))
+            .select(F.col("fr.start").alias("start"), F.col(f"a{t}.v").alias("cur"))
+        )
+        out = out.unionByName(
+            stepped.select("start", F.lit(t).alias("step"), F.col("cur").alias("node"))
+        )
+        frontier = stepped
+    result = out.select(
+        "start", F.col("step").cast("bigint").alias("step"), "node"
+    )
+    result._release_walks = lambda: adj.unpersist()  # type: ignore[attr-defined]
+    return result

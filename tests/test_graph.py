@@ -528,3 +528,42 @@ def test_graph_structure_stats_hand_built(spark):
     )
     assert abs(r2["assortativity"] - round(exp, 6)) < 1e-9
     assert r2["n_reciprocal"] == 2  # c->a and a->c
+
+
+def test_random_walks_deterministic_and_terminating(spark):
+    """Walks are pure functions of the edge set (two runs identical, any
+    partitioning); a sink terminates its walk early; a cycle walks full
+    length; every step follows an existing edge."""
+    from delphi_crawler_spark.operators.graph import deterministic_random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("x", "y")],
+        ["src", "dst"],
+    )
+    r1 = deterministic_random_walks(edges, walk_len=3)
+    rows1 = sorted((r["start"], r["step"], r["node"]) for r in r1.collect())
+    r2 = deterministic_random_walks(edges.repartition(7), walk_len=3)
+    rows2 = sorted((r["start"], r["step"], r["node"]) for r in r2.collect())
+    assert rows1 == rows2
+    # y is a sink: its walk is just step 0
+    ys = [t for t in rows1 if t[0] == "y"]
+    assert ys == [("y", 0, "y")]
+    # x reaches y at step 1 then stops
+    xs = {t[1]: t[2] for t in rows1 if t[0] == "x"}
+    assert xs == {0: "x", 1: "y"}
+    # a/b/c live in a cycle: full-length walks
+    for s in ("a", "b", "c"):
+        assert len([t for t in rows1 if t[0] == s]) == 4
+    # each transition uses a real edge
+    eset = {("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("x", "y")}
+    bywalk = {}
+    for st, step, node in rows1:
+        bywalk.setdefault(st, {})[step] = node
+    for st, seq in bywalk.items():
+        for i in range(1, max(seq) + 1):
+            assert (seq[i - 1], seq[i]) in eset
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        deterministic_random_walks(edges, walk_len=0)
