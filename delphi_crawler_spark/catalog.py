@@ -1,7 +1,8 @@
 """SQL catalog surface: register the engine's tables as Spark SQL views.
 
 The reference exposes its state as queryable Elasticsearch indices
-(ElasticTools.scala bootstraps them; users query by name). The Spark-native
+(ElasticIndexMaintenance.scala:30 bootstraps them; users query by name).
+The Spark-native
 equivalent is the session catalog: one call registers every parquet table
 of a dataset directory — plus the engine's derived interleaved-spans view —
 and from there the full engine surface is reachable from ``spark.sql``

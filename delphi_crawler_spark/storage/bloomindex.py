@@ -20,7 +20,8 @@ metadata is KBs/file — the small side by design), joins it twice (one per
 probe bit), and the ground-truth check is a key-equi-join against the
 data. Nothing collects.
 
-Reference parity: the reference's ES index bootstrap (ElasticTools.scala)
+Reference parity: the reference's ES index bootstrap
+(ElasticIndexMaintenance.scala:30, createDelphiIndex)
 delegates skipping to Elasticsearch internals; this realizes the same
 point-lookup pruning as explicit, testable DataFrame state.
 """
