@@ -930,7 +930,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = docs.select(F.col("doc_id").alias("id_a"))
     b = docs.select(F.col("doc_id").alias("id_b"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        # the all-pairs oracle baseline must still parallelize: a
+        # 1-partition scan would otherwise collapse the verify into
+        # one task
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return jaccard_verify(pairs, docs, "doc_id", "text", shingle_n=3, threshold=0.5)
 
 
@@ -1542,7 +1549,14 @@ def q_corpus_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = docs.select(F.col("doc_id").alias("id_a"))
     b = docs.select(F.col("doc_id").alias("id_b"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        # the all-pairs oracle baseline must still parallelize: a
+        # 1-partition scan would otherwise collapse the verify into
+        # one task
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     dups = jaccard_verify(pairs, docs, "doc_id", "text", shingle_n=3, threshold=0.5)
     clusters = neardup_clusters(docs.select("doc_id"), dups.select("id_a", "id_b"))
     out = leakage_safe_split(
@@ -2196,7 +2210,14 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = docs.select(F.col("doc_id").alias("id_a"))
     b = docs.select(F.col("doc_id").alias("id_b"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        # the all-pairs oracle baseline must still parallelize: a
+        # 1-partition scan would otherwise collapse the verify into
+        # one task
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     dups = jaccard_verify(pairs, docs, "doc_id", "text", shingle_n=3, threshold=0.5)
     out = neardup_clusters(docs.select("doc_id"), dups.select("id_a", "id_b"))
     return out.select(
@@ -3303,7 +3324,14 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = docs.select(F.col("doc_id").alias("id_a"))
     b = docs.select(F.col("doc_id").alias("id_b"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        # the all-pairs oracle baseline must still parallelize: a
+        # 1-partition scan would otherwise collapse the verify into
+        # one task
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     dups = jaccard_verify(pairs, docs, "doc_id", "text", shingle_n=3, threshold=0.5)
     clusters = neardup_clusters(docs, dups.select("id_a", "id_b"))
     scored = clusters.withColumn("score", F.length("text"))
@@ -5059,7 +5087,14 @@ def q_pipeline_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = docs.select(F.col("doc_id").alias("id_a"))
     b = docs.select(F.col("doc_id").alias("id_b"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        # the all-pairs oracle baseline must still parallelize: a
+        # 1-partition scan would otherwise collapse the verify into
+        # one task
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     dups = jaccard_verify(pairs, docs, "doc_id", "text", shingle_n=3, threshold=0.5)
     clusters = neardup_clusters(docs.select("doc_id"), dups.select("id_a", "id_b"))
     return soft_dedup_weights(docs, clusters)
