@@ -5409,6 +5409,54 @@ def q_g7_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_random_walks(sparse.unionByName(farm), walk_len=4)
 
 
+def q_s15_frontier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source frontier union (seeds + links + sitemap proposing
+    overlapping URLs): per URL keep max priority, min discovery_ts,
+    and sorted source lineage — one union + one url-keyed hash-agg,
+    merge order irrelevant by construction."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.dedup import frontier_merge
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://m/p"), (d % 300).cast("string"))
+    seeds = docs.filter(d % 2 == 0).select(
+        url.alias("url"), (d % 10).cast("bigint").alias("priority"),
+        (1000 + d).cast("bigint").alias("discovery_ts"),
+        F.lit("seeds").alias("source"),
+    )
+    links = docs.filter(d % 3 == 0).select(
+        url.alias("url"), ((d + 3) % 10).cast("bigint").alias("priority"),
+        (2000 + d).cast("bigint").alias("discovery_ts"),
+        F.lit("links").alias("source"),
+    )
+    sitemap = docs.filter(d % 5 == 0).select(
+        url.alias("url"), ((d + 7) % 10).cast("bigint").alias("priority"),
+        (500 + d).cast("bigint").alias("discovery_ts"),
+        F.lit("sitemap").alias("source"),
+    )
+    out = frontier_merge([seeds, links, sitemap])
+    return out.select(
+        "url", "priority", "discovery_ts", "n_proposals",
+        F.array_join("sources", ",").alias("sources"), "n_sources",
+    )
+
+
+def q_r16_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-vs-crawl gap audit: full-outer url join classifying
+    both / sitemap_only (discovery gap) / crawled_only (orphan or stale
+    sitemap)."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.recrawl import sitemap_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://c/p"), d.cast("string"))
+    sitemap = docs.filter(d % 3 != 1).select(url.alias("url"))
+    crawled = docs.filter(d % 4 != 2).select(url.alias("url"))
+    return sitemap_coverage(sitemap, crawled)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5635,6 +5683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_top_paths": q_evt_top_paths,
         "store_table_stats": q_store_table_stats,
         "g7_random_walks": q_g7_random_walks,
+        "s15_frontier_merge": q_s15_frontier_merge,
+        "r16_sitemap_coverage": q_r16_sitemap_coverage,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -10082,6 +10132,45 @@ UNION ALL SELECT start, 1, cur FROM s1
 UNION ALL SELECT start, 2, cur FROM s2
 UNION ALL SELECT start, 3, cur FROM s3
 UNION ALL SELECT start, 4, cur FROM s4
+"""
+
+    o["s15_frontier_merge"] = """
+WITH u AS (
+  SELECT 'https://m/p' || (doc_id % 300) AS url,
+         (doc_id % 10)::BIGINT AS priority,
+         (1000 + doc_id)::BIGINT AS discovery_ts, 'seeds' AS source
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'https://m/p' || (doc_id % 300),
+         ((doc_id + 3) % 10)::BIGINT, (2000 + doc_id)::BIGINT, 'links'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'https://m/p' || (doc_id % 300),
+         ((doc_id + 7) % 10)::BIGINT, (500 + doc_id)::BIGINT, 'sitemap'
+  FROM documents WHERE doc_id % 5 = 0)
+SELECT url, MAX(priority)::BIGINT AS priority,
+       MIN(discovery_ts)::BIGINT AS discovery_ts,
+       COUNT(*)::BIGINT AS n_proposals,
+       array_to_string(list_sort(list_distinct(list(source))), ',')
+         AS sources,
+       len(list_distinct(list(source)))::BIGINT AS n_sources
+FROM u GROUP BY url
+"""
+
+    o["r16_sitemap_coverage"] = """
+WITH sm AS (SELECT DISTINCT 'https://c/p' || doc_id AS url
+            FROM documents WHERE doc_id % 3 <> 1),
+cr AS (SELECT DISTINCT 'https://c/p' || doc_id AS url
+       FROM documents WHERE doc_id % 4 <> 2),
+j AS (SELECT COALESCE(sm.url, cr.url) AS url,
+             sm.url IS NOT NULL AS in_sitemap,
+             cr.url IS NOT NULL AS in_crawl
+      FROM sm FULL OUTER JOIN cr ON sm.url = cr.url)
+SELECT url, in_sitemap, in_crawl,
+       CASE WHEN in_sitemap AND in_crawl THEN 'both'
+            WHEN in_sitemap THEN 'sitemap_only'
+            ELSE 'crawled_only' END AS status
+FROM j
 """
 
     return o

@@ -77,3 +77,43 @@ def keep_best_per_cluster(
     return clustered.withColumn(
         "kept", (F.row_number().over(w) == 1).cast("int")
     )
+
+
+def frontier_merge(
+    sources: "list[DataFrame]",
+    url_col: str = "url",
+    priority_col: str = "priority",
+    ts_col: str = "discovery_ts",
+    source_col: str = "source",
+) -> "DataFrame":
+    """Multi-source frontier union — seeds, extracted links, and sitemap
+    discoveries all propose the same URLs with different priorities and
+    timestamps; the frontier must keep ONE row per URL with merge-
+    deterministic semantics:
+
+    - ``priority``  = max across sources (any source's urgency wins);
+    - ``discovery_ts`` = min (first sighting — the F1 convention, so the
+      merged row is stable no matter which source file lands first);
+    - ``n_sources`` and a sorted distinct ``sources`` list for lineage.
+
+    One union + one url-keyed hash-agg (partial map-side); the array_agg
+    is bounded by the source count, not row count. The same shape merges
+    two FRONTIER SNAPSHOTS (cross-datacenter reconciliation) unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    if not sources:
+        raise ValueError("frontier_merge() needs at least one source")
+    u = sources[0]
+    for s in sources[1:]:
+        u = u.unionByName(s)
+    return (
+        u.groupBy(url_col)
+        .agg(
+            F.max(priority_col).cast("bigint").alias(priority_col),
+            F.min(ts_col).cast("bigint").alias(ts_col),
+            F.count(F.lit(1)).cast("bigint").alias("n_proposals"),
+            F.array_sort(F.collect_set(source_col)).alias("sources"),
+        )
+        .withColumn("n_sources", F.size("sources").cast("bigint"))
+    )

@@ -655,3 +655,41 @@ def change_periodicity(
             & (conc >= F.lit(float(concentration_threshold)))
         ).alias("is_periodic"),
     )
+
+
+def sitemap_coverage(
+    sitemap: DataFrame,
+    crawled: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Sitemap-vs-crawl coverage audit (the gap report search-console
+    tools surface): per URL, one of
+
+    - ``both``          — declared and crawled (healthy);
+    - ``sitemap_only``  — declared, never crawled (discovery gap: the
+      frontier is missing declared inventory);
+    - ``crawled_only``  — crawled but not declared (orphan inventory or
+      a stale sitemap — both worth surfacing to the site owner and the
+      scheduler).
+
+    One full-outer url hash-join; per-host rollup is a follow-on
+    ``groupBy(host)`` the caller composes. Returns (url, in_sitemap,
+    in_crawl, status)."""
+    sm = sitemap.select(F.col(url_col).alias("url")).distinct().withColumn(
+        "_sm", F.lit(True)
+    )
+    cr = crawled.select(F.col(url_col).alias("url")).distinct().withColumn(
+        "_cr", F.lit(True)
+    )
+    j = sm.join(cr, "url", "full_outer")
+    in_sm = F.coalesce(F.col("_sm"), F.lit(False))
+    in_cr = F.coalesce(F.col("_cr"), F.lit(False))
+    return j.select(
+        "url",
+        in_sm.alias("in_sitemap"),
+        in_cr.alias("in_crawl"),
+        F.when(in_sm & in_cr, F.lit("both"))
+        .when(in_sm, F.lit("sitemap_only"))
+        .otherwise(F.lit("crawled_only"))
+        .alias("status"),
+    )

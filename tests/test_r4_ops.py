@@ -2003,3 +2003,39 @@ def test_table_column_stats_hand_computed(spark):
     # column subset selection
     sub = table_column_stats(df, ["id"]).collect()
     assert len(sub) == 1 and sub[0]["column"] == "id"
+
+
+def test_frontier_merge_semantics(spark):
+    """Max priority wins, first sighting wins, source lineage sorted and
+    deduped; merge is order-independent."""
+    from delphi_crawler_spark.operators.dedup import frontier_merge
+
+    seeds = spark.createDataFrame(
+        [("u1", 3, 100, "seeds"), ("u2", 1, 50, "seeds")],
+        ["url", "priority", "discovery_ts", "source"],
+    )
+    links = spark.createDataFrame(
+        [("u1", 7, 200, "links"), ("u1", 5, 90, "links")],
+        ["url", "priority", "discovery_ts", "source"],
+    )
+    for order in ([seeds, links], [links, seeds]):
+        out = {r["url"]: r for r in frontier_merge(order).collect()}
+        u1 = out["u1"]
+        assert u1["priority"] == 7 and u1["discovery_ts"] == 90
+        assert u1["n_proposals"] == 3 and u1["n_sources"] == 2
+        assert u1["sources"] == ["links", "seeds"]
+        assert out["u2"]["n_sources"] == 1
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        frontier_merge([])
+
+
+def test_sitemap_coverage_classes(spark):
+    from delphi_crawler_spark.operators.recrawl import sitemap_coverage
+
+    sm = spark.createDataFrame([("a",), ("b",)], ["url"])
+    cr = spark.createDataFrame([("b",), ("c",)], ["url"])
+    out = {r["url"]: r["status"] for r in sitemap_coverage(sm, cr).collect()}
+    assert out == {"a": "sitemap_only", "b": "both", "c": "crawled_only"}
