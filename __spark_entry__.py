@@ -5457,6 +5457,30 @@ def q_r16_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_coverage(sitemap, crawled)
 
 
+def q_evt_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness curve (DAU/WAU): the 1-day and 7-day exact distinct
+    curves from the same dedup-then-fan-out shape, joined on day —
+    the engagement scalar product dashboards track."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.events import sliding_distinct_daily
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(86400000000)
+    ).cast("bigint")
+    base = ev.select(F.col("user_id"), day.alias("day"))
+    wau = sliding_distinct_daily(base, "user_id", "day", 7).select(
+        "day",
+        F.col("n_active").alias("dau"),
+        F.col("n_active_window").alias("wau"),
+    )
+    return wau.select(
+        "day", "dau", "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau").cast("double"), 6)
+        .alias("stickiness"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5685,6 +5709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g7_random_walks": q_g7_random_walks,
         "s15_frontier_merge": q_s15_frontier_merge,
         "r16_sitemap_coverage": q_r16_sitemap_coverage,
+        "evt_stickiness": q_evt_stickiness,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -10171,6 +10196,24 @@ SELECT url, in_sitemap, in_crawl,
             WHEN in_sitemap THEN 'sitemap_only'
             ELSE 'crawled_only' END AS status
 FROM j
+"""
+
+    o["evt_stickiness"] = """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS key,
+         FLOOR(epoch_us(ts) / 86400000000)::BIGINT AS day
+  FROM events WHERE user_id IS NOT NULL),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM pairs),
+daily AS (SELECT day, COUNT(*)::BIGINT AS n_active FROM pairs GROUP BY day),
+cov AS (SELECT DISTINCT key, unnest(range(day, day + 7)) AS day FROM pairs),
+win AS (SELECT day::BIGINT AS day, COUNT(*)::BIGINT AS n_active_window
+        FROM cov GROUP BY day)
+SELECT w.day, COALESCE(d.n_active, 0)::BIGINT AS dau,
+       w.n_active_window AS wau,
+       ROUND(COALESCE(d.n_active, 0)::DOUBLE / w.n_active_window::DOUBLE, 6)
+         AS stickiness
+FROM win w CROSS JOIN span s LEFT JOIN daily d ON d.day = w.day
+WHERE w.day BETWEEN s.d0 AND s.d1
 """
 
     return o
