@@ -5481,6 +5481,31 @@ def q_evt_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking of the exact top-10 (lam=0.7, k=5): the
+    K-bounded sequential greedy runs per query inside one Arrow
+    applyInPandas group; shuffle is k rows per query. Oracle: independent
+    numpy replication of relevance, sims, and the greedy loop."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    top = brute_force_topk(emb, _queries_df(spark, sf_dir), k=10)
+    cands = top.join(
+        emb.select(F.col("vec_id"), F.col("embedding")), "vec_id"
+    )
+    out = mmr_rerank(cands, k=5, lam=0.7)
+    return out.select(
+        F.col("query_id").cast(BIG).alias("query_id"),
+        "mmr_rank",
+        F.col("vec_id").cast(BIG).alias("vec_id"),
+        "mmr_score",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5710,6 +5735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s15_frontier_merge": q_s15_frontier_merge,
         "r16_sitemap_coverage": q_r16_sitemap_coverage,
         "evt_stickiness": q_evt_stickiness,
+        "sim_mmr_rerank": q_sim_mmr_rerank,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -8035,6 +8061,7 @@ FROM r WHERE sample_rank <= 30
         "sim_pq_topk",
         "sim_ivf_recall",
         "dedup_lsh_eval",
+        "sim_mmr_rerank",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
 

@@ -613,3 +613,72 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily pick, per query, the candidate maximizing
+    ``lam·relevance − (1−lam)·max cosine to anything already picked`` —
+    the standard diversity pass over an ANN top-k before the results feed
+    retrieval-augmented training or dedup-aware sampling (a top-10 of ten
+    near-identical hits is worth one).
+
+    Input is a top-k frame carrying vectors: (query, id, score, vec).
+    The greedy loop is inherently sequential but K-bounded, so it runs
+    per query inside one Arrow ``applyInPandas`` group — the grouped-map
+    pattern for small-per-group sequential algorithms; the shuffle is one
+    query-keyed exchange of k rows per query, never the corpus.
+    Determinism: candidates pre-sort by (score desc, id asc); pairwise
+    sims and MMR scores round to 6 in numpy; ties pick the lower id.
+    Returns (query, mmr_rank, id, mmr_score)."""
+    if k < 1 or not (0.0 <= lam <= 1.0):
+        raise ValueError("mmr_rerank() needs k >= 1 and 0 <= lam <= 1")
+    import pandas as pd  # noqa: F811
+
+    schema = (
+        f"{query_id_col} long, mmr_rank long, {id_col} long, mmr_score double"
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [score_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        m = _normalize(
+            np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
+        )
+        sims = np.round(m @ m.T, 6)
+        n = len(ids)
+        picked: list[int] = []
+        free = list(range(n))
+        rows = []
+        for rank in range(1, min(k, n) + 1):
+            best, best_key = None, None
+            for i in free:
+                div = max((sims[i, j] for j in picked), default=0.0)
+                score = round(lam * rel[i] - (1.0 - lam) * div, 6)
+                key = (score, -int(ids[i]))
+                if best_key is None or key > best_key:
+                    best, best_key = i, key
+            picked.append(best)
+            free.remove(best)
+            rows.append(
+                {
+                    query_id_col: int(pdf[query_id_col].iloc[0]),
+                    "mmr_rank": rank,
+                    id_col: int(ids[best]),
+                    "mmr_score": float(best_key[0]),
+                }
+            )
+        return pd.DataFrame(rows, columns=[query_id_col, "mmr_rank", id_col, "mmr_score"])
+
+    return candidates.groupBy(query_id_col).applyInPandas(rerank, schema=schema)

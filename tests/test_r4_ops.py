@@ -2039,3 +2039,34 @@ def test_sitemap_coverage_classes(spark):
     cr = spark.createDataFrame([("b",), ("c",)], ["url"])
     out = {r["url"]: r["status"] for r in sitemap_coverage(sm, cr).collect()}
     assert out == {"a": "sitemap_only", "b": "both", "c": "crawled_only"}
+
+
+def test_mmr_rerank_diversity(spark):
+    """A redundant pair: plain relevance keeps both clones in the top 2;
+    MMR demotes the clone below a diverse lower-relevance candidate.
+    Rank 1 is always the relevance argmax."""
+    from delphi_crawler_spark.operators.similarity import mmr_rerank
+
+    # q=0: c1 (rel .99) and its clone c2 (rel .98, same vector), c3
+    # diverse (rel .5, orthogonal-ish)
+    v = lambda *xs: [float(x) for x in xs]  # noqa: E731
+    rows = [
+        (0, 1, 0.99, v(1, 0, 0)),
+        (0, 2, 0.98, v(1, 0, 0)),
+        (0, 3, 0.50, v(0, 1, 0)),
+    ]
+    df = spark.createDataFrame(rows, ["query_id", "vec_id", "cosine", "embedding"])
+    out = {r["mmr_rank"]: r for r in mmr_rerank(df, k=3, lam=0.7).collect()}
+    assert out[1]["vec_id"] == 1
+    # clone's MMR score: .7*.98 - .3*1.0 = .386 < diverse: .7*.5 - .3*0 = .35?
+    # .386 > .35 -> clone second here; tighten lam to show the flip
+    out2 = {r["mmr_rank"]: r for r in mmr_rerank(df, k=3, lam=0.5).collect()}
+    # clone: .5*.98-.5*1 = -0.01 ; diverse: .5*.5-0 = .25 -> diverse wins
+    assert out2[2]["vec_id"] == 3 and out2[3]["vec_id"] == 2
+    assert out2[2]["mmr_score"] == 0.25
+    assert out2[3]["mmr_score"] == round(0.5 * 0.98 - 0.5 * 1.0, 6)
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        mmr_rerank(df, k=0)

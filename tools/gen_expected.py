@@ -1298,6 +1298,51 @@ def gen_dedup_lsh_eval(
     )
 
 
+def gen_sim_mmr_rerank(
+    emb: pd.DataFrame, topk: int = 10, k: int = 5, lam: float = 0.7
+) -> pd.DataFrame:
+    """Independent MMR replication: exact brute-force top-10 (fold_cosine
+    relevance, (cos desc, id) order), then the same greedy
+    lam*rel - (1-lam)*max-sim loop with numpy-rounded sims and scores."""
+    ids = emb["vec_id"].astype("int64").to_numpy()
+    vecs = emb["embedding"].to_list()
+    m = np.stack([np.asarray(v) for v in vecs]).astype(np.float64)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rows = []
+    q_idx = [i for i in range(len(ids)) if ids[i] < 8]
+    for qi in q_idx:
+        scored = [
+            (round_half_up6(fold_cosine(vecs[i], vecs[qi])), int(ids[i]), i)
+            for i in range(len(ids))
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        cand = scored[:topk]
+        sub = mn[[c[2] for c in cand]]
+        sims = np.round(sub @ sub.T, 6)
+        rel = np.array([c[0] for c in cand])
+        cids = [c[1] for c in cand]
+        picked, free = [], list(range(len(cand)))
+        for rank in range(1, min(k, len(cand)) + 1):
+            best, best_key = None, None
+            for i in free:
+                div = max((sims[i, j] for j in picked), default=0.0)
+                score = round(lam * rel[i] - (1.0 - lam) * div, 6)
+                key = (score, -cids[i])
+                if best_key is None or key > best_key:
+                    best, best_key = i, key
+            picked.append(best)
+            free.remove(best)
+            rows.append(
+                {"query_id": int(ids[qi]), "mmr_rank": rank,
+                 "vec_id": cids[best], "mmr_score": float(best_key[0])}
+            )
+    out = pd.DataFrame(rows, columns=["query_id", "mmr_rank", "vec_id", "mmr_score"])
+    return out.astype(
+        {"query_id": "int64", "mmr_rank": "int64", "vec_id": "int64",
+         "mmr_score": "float64"}
+    )
+
+
 GENERATORS = {
     "c3_hash_keys": ("documents", gen_c3_hash_keys),
     "text_fingerprint_rolling": ("documents", gen_fingerprint_rolling),
@@ -1322,6 +1367,7 @@ GENERATORS = {
     "sim_pq_topk": ("embeddings", gen_sim_pq_topk),
     "sim_ivf_recall": ("embeddings", gen_sim_ivf_recall),
     "dedup_lsh_eval": ("documents", gen_dedup_lsh_eval),
+    "sim_mmr_rerank": ("embeddings", gen_sim_mmr_rerank),
 }
 
 
