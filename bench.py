@@ -561,6 +561,18 @@ def bloom_file_index_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def random_walks_2m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-decided walks over a 2M-edge / 200k-node
+    synthetic web: 4 keyed joins against the persisted adjacency index."""
+    from delphi_crawler_spark.operators.graph import deterministic_random_walks
+
+    e = spark.range(FRONTIER_N).select(
+        F.concat(F.lit("n"), F.pmod(F.xxhash64("id"), F.lit(200_000))).alias("src"),
+        F.concat(F.lit("n"), F.pmod(F.xxhash64(F.col("id") + 1), F.lit(200_000))).alias("dst"),
+    )
+    return deterministic_random_walks(e, walk_len=4)
+
+
 BENCH_QUERIES = {
     "crawl_schedule": crawl_schedule,
     "bloom_incremental_update": bloom_incremental_update,
@@ -605,6 +617,7 @@ BENCH_QUERIES = {
     "sliding_distinct": sliding_distinct_2m,
     "bloom_file_index": bloom_file_index_2m,
     "kneser_ney": E.q_text_lm_kneser_ney,
+    "random_walks": random_walks_2m,
 }
 
 
