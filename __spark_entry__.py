@@ -5506,6 +5506,37 @@ def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f6g_robots_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots drift impact audit: the same candidates under last round's
+    rules vs a refreshed set (nation%3==0 hosts lift their /a block,
+    %3==2 hosts newly disallow /b) — newly_blocked is the reviewable
+    prune cohort, newly_allowed is recrawl inventory. Two broadcast
+    prefix gates + two keyed semi-marks."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.robots import robots_drift
+
+    cand, rules_old = _robots_fixture(spark, sf_dir)
+    nation = _t(spark, sf_dir, "nation")
+    host = F.concat(
+        F.regexp_replace(F.lower(F.col("n_name")), "[^a-z0-9]", ""), F.lit(".test")
+    ).alias("host")
+    k = F.col("n_nationkey") % 3
+    deep_block = nation.filter(k == 1).select(
+        host, F.lit("disallow").alias("rule"),
+        F.lit("/a/secret").alias("path_prefix"), F.lit(0).alias("order"),
+    )
+    deep_allow = nation.filter(k == 1).select(
+        host, F.lit("allow").alias("rule"),
+        F.lit("/a").alias("path_prefix"), F.lit(1).alias("order"),
+    )
+    b_block = nation.filter(k == 2).select(
+        host, F.lit("disallow").alias("rule"),
+        F.lit("/b").alias("path_prefix"), F.lit(0).alias("order"),
+    )
+    rules_new = deep_block.unionByName(deep_allow).unionByName(b_block)
+    return robots_drift(cand, rules_old, rules_new, key_col="c_custkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5736,6 +5767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r16_sitemap_coverage": q_r16_sitemap_coverage,
         "evt_stickiness": q_evt_stickiness,
         "sim_mmr_rerank": q_sim_mmr_rerank,
+        "f6g_robots_drift": q_f6g_robots_drift,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -10241,6 +10273,28 @@ SELECT w.day, COALESCE(d.n_active, 0)::BIGINT AS dau,
          AS stickiness
 FROM win w CROSS JOIN span s LEFT JOIN daily d ON d.day = w.day
 WHERE w.day BETWEEN s.d0 AND s.d1
+"""
+
+    o["f6g_robots_drift"] = """
+WITH cand AS (
+  SELECT c_custkey::BIGINT AS c_custkey, n_nationkey % 3 AS hk,
+         CASE WHEN c_custkey % 3 = 0 THEN '/a/x' || c_custkey
+              WHEN c_custkey % 3 = 1 THEN '/a/secret/' || c_custkey
+              ELSE '/b/' || c_custkey END AS path
+  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+v AS (
+  SELECT c_custkey,
+         NOT ((hk = 0 AND path LIKE '/a%')
+              OR (hk = 1 AND path LIKE '/a/secret%')) AS o,
+         NOT ((hk = 1 AND path LIKE '/a/secret%')
+              OR (hk = 2 AND path LIKE '/b%')) AS n
+  FROM cand)
+SELECT c_custkey, o AS allowed_old, n AS allowed_new,
+       CASE WHEN o AND n THEN 'stable_allowed'
+            WHEN NOT o AND NOT n THEN 'stable_blocked'
+            WHEN o AND NOT n THEN 'newly_blocked'
+            ELSE 'newly_allowed' END AS status
+FROM v
 """
 
     return o

@@ -584,3 +584,52 @@ def xrobots_header_gate(
         .otherwise(F.lit("index+follow"))
         .alias("action"),
     )
+
+
+def robots_drift(
+    candidates: DataFrame,
+    rules_old: DataFrame | None,
+    rules_new: DataFrame | None,
+    key_col: str = "url",
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Robots-rule drift impact: evaluate the SAME candidate set under
+    last round's compiled rules and this round's, and classify every URL
+    by the flip — the audit a crawl runs when a refreshed robots.txt
+    lands, BEFORE the scheduler acts on it (a site suddenly disallowing
+    a section should show up as a reviewable 'newly_blocked' cohort and
+    a frontier-prune plan, not as silent fetch deaths; the reverse flip
+    is recrawl inventory).
+
+    Returns (key, allowed_old, allowed_new, status) with status in
+    stable_allowed / stable_blocked / newly_blocked / newly_allowed.
+    Shape: two ``robots_filter`` passes (each a broadcast prefix gate —
+    the F6 plan, unchanged) + two key-keyed left-semi marks. Candidates
+    scan once per verdict; nothing collects."""
+    base = candidates.select(key_col).distinct()
+    old_ok = (
+        robots_filter(candidates, rules_old, url_col, host_col)
+        .select(key_col)
+        .distinct()
+        .withColumn("_o", F.lit(True))
+    )
+    new_ok = (
+        robots_filter(candidates, rules_new, url_col, host_col)
+        .select(key_col)
+        .distinct()
+        .withColumn("_n", F.lit(True))
+    )
+    j = base.join(old_ok, key_col, "left").join(new_ok, key_col, "left")
+    o = F.coalesce(F.col("_o"), F.lit(False))
+    n = F.coalesce(F.col("_n"), F.lit(False))
+    return j.select(
+        key_col,
+        o.alias("allowed_old"),
+        n.alias("allowed_new"),
+        F.when(o & n, F.lit("stable_allowed"))
+        .when(~o & ~n, F.lit("stable_blocked"))
+        .when(o & ~n, F.lit("newly_blocked"))
+        .otherwise(F.lit("newly_allowed"))
+        .alias("status"),
+    )

@@ -2070,3 +2070,32 @@ def test_mmr_rerank_diversity(spark):
 
     with _p.raises(ValueError):
         mmr_rerank(df, k=0)
+
+
+def test_robots_drift_flip_classes(spark):
+    """A lifted block reads newly_allowed, an added block newly_blocked;
+    untouched verdicts are stable in both directions."""
+    from delphi_crawler_spark.operators.robots import robots_drift
+
+    cand = spark.createDataFrame(
+        [
+            (1, "h1.test", "https://h1.test/a/x"),
+            (2, "h1.test", "https://h1.test/b/y"),
+            (3, "h2.test", "https://h2.test/a/z"),
+        ],
+        ["key", "host", "url"],
+    )
+    old = spark.createDataFrame(
+        [("h1.test", "disallow", "/a", 0)],
+        ["host", "rule", "path_prefix", "order"],
+    )
+    new = spark.createDataFrame(
+        [("h2.test", "disallow", "/a", 0)],
+        ["host", "rule", "path_prefix", "order"],
+    )
+    out = {r["key"]: r["status"] for r in robots_drift(cand, old, new, "key").collect()}
+    assert out == {
+        1: "newly_allowed",   # h1 /a block lifted
+        2: "stable_allowed",  # never matched a rule
+        3: "newly_blocked",   # h2 /a block added
+    }
