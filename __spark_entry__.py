@@ -5537,6 +5537,36 @@ def q_f6g_robots_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_drift(cand, rules_old, rules_new, key_col="c_custkey")
 
 
+def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script mix (orthographic complement to lang-ID): per-doc
+    Latin/Cyrillic/CJK/Arabic/Greek letter shares + dominant script,
+    over documents with injected non-Latin slices (%8==1 Cyrillic-only,
+    %8==2 mixed CJK, %8==5 Arabic-only). Pure JVM regexp, zero
+    shuffle."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.textfns import script_profile_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    body = (
+        F.when(d % 8 == 1, F.lit("Привет мир это тест данных"))
+        .when(d % 8 == 2, F.concat(F.col("text"), F.lit(" 北京欢迎你 你好世界")))
+        .when(d % 8 == 5, F.lit("مرحبا بالعالم هذا اختبار"))
+        .otherwise(F.col("text"))
+    )
+    c = script_profile_cols(body)
+    return docs.select(
+        d.cast(BIG).alias("doc_id"),
+        c["latin_share"].alias("latin_share"),
+        c["cyrillic_share"].alias("cyrillic_share"),
+        c["cjk_share"].alias("cjk_share"),
+        c["arabic_share"].alias("arabic_share"),
+        c["greek_share"].alias("greek_share"),
+        c["n_script_chars"].alias("n_script_chars"),
+        c["dominant_script"].alias("dominant_script"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5768,6 +5798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_stickiness": q_evt_stickiness,
         "sim_mmr_rerank": q_sim_mmr_rerank,
         "f6g_robots_drift": q_f6g_robots_drift,
+        "text_script_profile": q_text_script_profile,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -10295,6 +10326,46 @@ SELECT c_custkey, o AS allowed_old, n AS allowed_new,
             WHEN o AND NOT n THEN 'newly_blocked'
             ELSE 'newly_allowed' END AS status
 FROM v
+"""
+
+    o["text_script_profile"] = """
+WITH b AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         CASE WHEN doc_id % 8 = 1 THEN 'Привет мир это тест данных'
+              WHEN doc_id % 8 = 2 THEN text || ' 北京欢迎你 你好世界'
+              WHEN doc_id % 8 = 5 THEN 'مرحبا بالعالم هذا اختبار'
+              ELSE text END AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         length(regexp_replace(t, '[^A-Za-zÀ-ɏ]', '', 'g')) AS la,
+         length(regexp_replace(t, '[^Ѐ-ӿ]', '', 'g')) AS cy,
+         length(regexp_replace(t, '[^぀-ヿ㐀-䶿一-鿿가-힯]', '', 'g')) AS cj,
+         length(regexp_replace(t, '[^؀-ۿ]', '', 'g')) AS ar,
+         length(regexp_replace(t, '[^Ͱ-Ͽ]', '', 'g')) AS gr
+  FROM b),
+sh AS (
+  SELECT doc_id, la + cy + cj + ar + gr AS tot,
+         CASE WHEN la + cy + cj + ar + gr > 0
+              THEN ROUND(la::DOUBLE / (la+cy+cj+ar+gr), 6) ELSE 0.0 END AS ls,
+         CASE WHEN la + cy + cj + ar + gr > 0
+              THEN ROUND(cy::DOUBLE / (la+cy+cj+ar+gr), 6) ELSE 0.0 END AS cs,
+         CASE WHEN la + cy + cj + ar + gr > 0
+              THEN ROUND(cj::DOUBLE / (la+cy+cj+ar+gr), 6) ELSE 0.0 END AS js,
+         CASE WHEN la + cy + cj + ar + gr > 0
+              THEN ROUND(ar::DOUBLE / (la+cy+cj+ar+gr), 6) ELSE 0.0 END AS asx,
+         CASE WHEN la + cy + cj + ar + gr > 0
+              THEN ROUND(gr::DOUBLE / (la+cy+cj+ar+gr), 6) ELSE 0.0 END AS gs
+  FROM c)
+SELECT doc_id, ls AS latin_share, cs AS cyrillic_share, js AS cjk_share,
+       asx AS arabic_share, gs AS greek_share, tot::BIGINT AS n_script_chars,
+       CASE WHEN gs > GREATEST(ls, cs, js, asx) THEN 'greek'
+            WHEN asx > GREATEST(ls, cs, js) THEN 'arabic'
+            WHEN js > GREATEST(ls, cs) THEN 'cjk'
+            WHEN cs > ls THEN 'cyrillic'
+            WHEN ls > 0 THEN 'latin'
+            ELSE 'none' END AS dominant_script
+FROM sh
 """
 
     return o

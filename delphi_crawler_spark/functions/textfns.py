@@ -442,3 +442,47 @@ def code_detect_cols(text: Column) -> dict[str, Column]:
         "code_votes": votes,
         "is_code": votes >= 2,
     }
+
+
+def script_profile_cols(text: Column) -> dict[str, Column]:
+    """Unicode script mix — the orthographic complement to the n-gram
+    language-ID (a doc can be 'en' by trigrams yet 40% CJK glyphs — a
+    boilerplate-stripping bug or a mixed-script spam signal): per-doc
+    shares of Latin / Cyrillic / CJK / Arabic / Greek letters over all
+    letter-ish characters, plus the dominant script label.
+
+    Counts are ``length(regexp_replace(...))`` complements per script
+    range — pure JVM regexp over literal class ranges (RE2-compatible,
+    mirrored in SQL oracles), zero shuffle. Shares rounded 6; dominant
+    label ties break by the fixed evaluation order (latin first).
+    Empty / letterless text profiles as 'none' with zero shares."""
+    ranges = {
+        "latin": r"A-Za-zÀ-ɏ",
+        "cyrillic": r"Ѐ-ӿ",
+        "cjk": r"぀-ヿ㐀-䶿一-鿿가-힯",
+        "arabic": r"؀-ۿ",
+        "greek": r"Ͱ-Ͽ",
+    }
+    counts = {
+        name: F.length(F.regexp_replace(text, f"[^{rng}]", ""))
+        for name, rng in ranges.items()
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    out: dict[str, Column] = {}
+    shares = {}
+    for name, c in counts.items():
+        shares[name] = F.when(
+            total > 0, F.round(c.cast("double") / total.cast("double"), 6)
+        ).otherwise(F.lit(0.0))
+        out[f"{name}_share"] = shares[name]
+    dom = F.lit("none")
+    best = F.lit(0.0)
+    for name in ranges:  # fixed order: first max wins
+        cond = shares[name] > best
+        dom = F.when(cond, F.lit(name)).otherwise(dom)
+        best = F.when(cond, shares[name]).otherwise(best)
+    out["n_script_chars"] = total.cast("bigint")
+    out["dominant_script"] = dom
+    return out

@@ -2099,3 +2099,33 @@ def test_robots_drift_flip_classes(spark):
         2: "stable_allowed",  # never matched a rule
         3: "newly_blocked",   # h2 /a block added
     }
+
+
+def test_script_profile_shares_and_dominance(spark):
+    """Pure-Cyrillic flips dominance; half-CJK mixes; letterless text
+    profiles 'none'; shares sum to ~1 when letters exist."""
+    from delphi_crawler_spark.functions.textfns import script_profile_cols
+
+    rows = [
+        (1, "hello world"),
+        (2, "Привет мир"),
+        (3, "hi 你好"),
+        (4, "12345 !!!"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    c = script_profile_cols(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[v.alias(k) for k, v in c.items()]).collect()
+    }
+    assert out[1]["dominant_script"] == "latin" and out[1]["latin_share"] == 1.0
+    assert out[2]["dominant_script"] == "cyrillic"
+    assert out[2]["cyrillic_share"] == 1.0 and out[2]["latin_share"] == 0.0
+    m = out[3]
+    # 'hi' = 2 latin, '你好' = 2 cjk: equal shares — the documented tie
+    # rule is first-in-order wins, and latin evaluates first
+    assert m["dominant_script"] == "latin"
+    assert m["latin_share"] == 0.5 and m["cjk_share"] == 0.5
+    n = out[4]
+    assert n["dominant_script"] == "none" and n["n_script_chars"] == 0
+    assert n["latin_share"] == 0.0
