@@ -5567,6 +5567,29 @@ def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: 2x32-bit sign signatures, bit_count(xor)
+    Hamming shortlist (pure JVM codegen), exact-cosine rerank of 50
+    survivors to top-10 - the cheapest two-stage retrieval pass,
+    complementing IVF and PQ."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.similarity import binary_hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = binary_hamming_topk(
+        emb, _queries_df(spark, sf_dir), k=10, shortlist=50, dim=64
+    )
+    return out.select(
+        F.col("query_id").cast(BIG).alias("query_id"),
+        "rank",
+        F.col("vec_id").cast(BIG).alias("vec_id"),
+        "hamming",
+        "cosine",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5799,6 +5822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr_rerank": q_sim_mmr_rerank,
         "f6g_robots_drift": q_f6g_robots_drift,
         "text_script_profile": q_text_script_profile,
+        "sim_binary_topk": q_sim_binary_topk,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -10366,6 +10390,45 @@ SELECT doc_id, ls AS latin_share, cs AS cyrillic_share, js AS cjk_share,
             WHEN ls > 0 THEN 'latin'
             ELSE 'none' END AS dominant_script
 FROM sh
+"""
+
+    o["sim_binary_topk"] = """
+WITH sig AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(embedding[1:32],
+           (x, i) -> CASE WHEN x >= 0 THEN (1::BIGINT << (i - 1))
+                          ELSE 0 END))::BIGINT AS w0,
+         list_sum(list_transform(embedding[33:64],
+           (x, i) -> CASE WHEN x >= 0 THEN (1::BIGINT << (i - 1))
+                          ELSE 0 END))::BIGINT AS w1
+  FROM embeddings),
+qs AS (SELECT vec_id AS query_id, embedding AS qv, w0 AS qw0, w1 AS qw1
+       FROM sig WHERE vec_id < 8),
+h AS (
+  SELECT qs.query_id, s.vec_id, s.embedding, qs.qv,
+         (bit_count(xor(s.w0, qs.qw0))
+          + bit_count(xor(s.w1, qs.qw1)))::BIGINT AS hamming
+  FROM sig s CROSS JOIN qs),
+sh AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY hamming ASC, vec_id ASC) AS srank
+  FROM h),
+rr AS (
+  SELECT query_id, vec_id, hamming,
+         ROUND(
+           list_sum(list_transform(embedding,
+             (x, i) -> x::DOUBLE * qv[i]::DOUBLE))
+           / GREATEST(
+               sqrt(list_sum(list_transform(embedding,
+                 x -> x::DOUBLE * x::DOUBLE)))
+               * sqrt(list_sum(list_transform(qv,
+                   x -> x::DOUBLE * x::DOUBLE))), 1e-12), 6) AS cosine
+  FROM sh WHERE srank <= 50)
+SELECT query_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank,
+       vec_id, hamming, cosine
+FROM rr
+QUALIFY rank <= 10
 """
 
     return o

@@ -682,3 +682,81 @@ def mmr_rerank(
         return pd.DataFrame(rows, columns=[query_id_col, "mmr_rank", id_col, "mmr_score"])
 
     return candidates.groupBy(query_id_col).applyInPandas(rerank, schema=schema)
+
+
+def binary_signature_cols(vec_col: str = "embedding", dim: int = 64):
+    """Two 32-bit sign-quantization words over a ``dim``-wide embedding
+    (bit i set iff component i >= 0) — 64 dims become 8 bytes, a 32×
+    memory cut over float32. Words stay positive (32 bits in a bigint):
+    no sign traps, SQL-mirrorable bit-for-bit. Bits accumulate as exact
+    powers of two inside one in-cell fold (sums < 2^32: exact in
+    double). Returns (w0, w1) column expressions."""
+    if dim % 2 != 0 or dim > 64:
+        raise ValueError("binary_signature_cols() supports even dim <= 64")
+    half = dim // 2
+
+    def word(lo: int) -> "F.Column":
+        return F.aggregate(
+            F.transform(
+                F.slice(F.col(vec_col), lo + 1, half),
+                lambda v, i: F.when(v >= 0, F.pow(F.lit(2.0), i)).otherwise(
+                    F.lit(0.0)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("bigint")
+
+    return word(0), word(half)
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Binary-quantized ANN: sign signatures (2×32-bit words), Hamming
+    shortlist via ``bit_count(xor)`` (pure JVM, whole-stage codegen —
+    the memory-bandwidth regime where binary quantization beats float
+    scans 30×), then exact-cosine rerank of the ``shortlist`` survivors
+    only. The standard two-stage shape (FAISS binary indexes, SQ/BQ in
+    every vector store); complements IVF (list pruning) and PQ (code
+    compression) with the cheapest possible first pass.
+
+    Deterministic: Hamming ties break on id; final order
+    (cosine desc, id). Returns (query, rank, id, hamming, cosine) for
+    the top ``k``."""
+    w0, w1 = binary_signature_cols(vec_col, dim)
+    qw0, qw1 = binary_signature_cols(query_vec_col, dim)
+    c = corpus.select(F.col(id_col), F.col(vec_col), w0.alias("w0"), w1.alias("w1"))
+    q = queries.select(
+        F.col(query_id_col), F.col(query_vec_col),
+        qw0.alias("qw0"), qw1.alias("qw1"),
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    ham = (
+        F.bit_count(F.expr("w0 ^ qw0")) + F.bit_count(F.expr("w1 ^ qw1"))
+    ).cast("bigint")
+    from pyspark.sql import Window
+
+    ws = Window.partitionBy(query_id_col).orderBy(F.asc("hamming"), F.asc(id_col))
+    short = (
+        joined.withColumn("hamming", ham)
+        .withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= shortlist)
+    )
+    rer = short.withColumn(
+        "cosine", F.round(cosine_col(F.col(vec_col), F.col(query_vec_col)), 6)
+    )
+    wf = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "hamming", "cosine")
+    )

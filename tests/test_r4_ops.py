@@ -2129,3 +2129,41 @@ def test_script_profile_shares_and_dominance(spark):
     n = out[4]
     assert n["dominant_script"] == "none" and n["n_script_chars"] == 0
     assert n["latin_share"] == 0.0
+
+
+def test_binary_hamming_identical_and_opposite(spark):
+    """Identical vectors have Hamming 0 and rank first; a sign-flipped
+    vector sits at maximal Hamming; signatures pack exactly 2^i bits."""
+    from delphi_crawler_spark.operators.similarity import (
+        binary_hamming_topk,
+        binary_signature_cols,
+    )
+
+    dim = 8
+    base = [1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0]
+    flip = [-x for x in base]
+    near = list(base)
+    near[0] = -1.0  # one sign off
+    corpus = spark.createDataFrame(
+        [(1, base), (2, flip), (3, near)], ["vec_id", "embedding"]
+    )
+    w0, w1 = binary_signature_cols("embedding", dim)
+    sigs = {r["vec_id"]: (r["a"], r["b"]) for r in corpus.select(
+        "vec_id", w0.alias("a"), w1.alias("b")).collect()}
+    # base signs: + - + + | - + - +  -> w0 bits 0,2,3 = 13 ; w1 bits 1,3 = 10
+    assert sigs[1] == (13, 10)
+    assert sigs[2] == (16 - 13 + 13 - 13 + 2, 5) or sigs[2] == (2, 5)
+    q = spark.createDataFrame([(100, base)], ["query_id", "query_vec"])
+    out = binary_hamming_topk(corpus, q, k=3, shortlist=3, dim=dim).collect()
+    byrank = {r["rank"]: r for r in out}
+    assert byrank[1]["vec_id"] == 1 and byrank[1]["hamming"] == 0
+    assert byrank[1]["cosine"] == 1.0
+    flip_row = [r for r in out if r["vec_id"] == 2][0]
+    assert flip_row["hamming"] == dim and flip_row["cosine"] == -1.0
+    near_row = [r for r in out if r["vec_id"] == 3][0]
+    assert near_row["hamming"] == 1
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        binary_signature_cols(dim=7)
