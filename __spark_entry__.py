@@ -5590,6 +5590,24 @@ def q_sim_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_store_backfill_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner: missing hour-partitions per source coalesced
+    into contiguous islands (the gaps-and-islands window trick on the
+    per-source partition table) — one range job per island, not one
+    ticket per missing hour."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.storage.compaction import backfill_islands
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    # present partitions: drop %7==2 singles and the %31==3 triple-runs
+    present = docs.filter((d % 7 != 2) & (d % 31 > 5)).select(
+        F.concat(F.lit("src"), (d % 3).cast("string")).alias("source"),
+        (d % 120).cast("bigint").alias("part"),
+    )
+    return backfill_islands(present)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5823,6 +5841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6g_robots_drift": q_f6g_robots_drift,
         "text_script_profile": q_text_script_profile,
         "sim_binary_topk": q_sim_binary_topk,
+        "store_backfill_islands": q_store_backfill_islands,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -10429,6 +10448,28 @@ SELECT query_id, ROW_NUMBER() OVER (PARTITION BY query_id
        vec_id, hamming, cosine
 FROM rr
 QUALIFY rank <= 10
+"""
+
+    o["store_backfill_islands"] = """
+WITH pr AS (
+  SELECT DISTINCT 'src' || (doc_id % 3) AS source,
+         (doc_id % 120)::BIGINT AS part
+  FROM documents WHERE doc_id % 7 <> 2 AND doc_id % 31 > 5),
+span AS (SELECT source, MIN(part) AS p0, MAX(part) AS p1
+         FROM pr GROUP BY source),
+grid AS (SELECT source, unnest(range(p0, p1 + 1))::BIGINT AS part FROM span),
+miss AS (
+  SELECT g.source, g.part FROM grid g
+  WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.source = g.source
+                    AND pr.part = g.part)),
+isl AS (
+  SELECT source, part,
+         part - ROW_NUMBER() OVER (PARTITION BY source ORDER BY part)
+           AS island
+  FROM miss)
+SELECT source, MIN(part)::BIGINT AS start_part, MAX(part)::BIGINT AS end_part,
+       COUNT(*)::BIGINT AS n_missing
+FROM isl GROUP BY source, island
 """
 
     return o

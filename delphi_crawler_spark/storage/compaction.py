@@ -190,3 +190,46 @@ def orphan_file_plan(
         status.alias("status"),
         (status == "orphan").alias("delete"),
     )
+
+
+def backfill_islands(
+    present: DataFrame,
+    source_col: str = "source",
+    part_col: str = "part",
+) -> DataFrame:
+    """Backfill planning over time-partitioned data: find the MISSING
+    partitions inside each source's own [min, max] span and coalesce
+    consecutive misses into islands — a backfill scheduler wants "hours
+    14–17 of source A" as ONE range job, not four tickets.
+
+    The gaps-and-islands shape: missing partitions get a group key
+    ``part − row_number()`` (constant exactly within a consecutive run),
+    then one (source, island) hash-agg emits (source, start_part,
+    end_part, n_missing). The sequence explode and the window both run
+    on per-source partition-ID tables (spans, not data — the
+    key_skew_gini discipline). Sources with no gaps emit nothing."""
+    p = present.select(
+        F.col(source_col).alias("source"), F.col(part_col).cast("bigint").alias("part")
+    ).distinct()
+    span = p.groupBy("source").agg(
+        F.min("part").alias("p0"), F.max("part").alias("p1")
+    )
+    grid = span.select(
+        "source", F.explode(F.sequence("p0", "p1")).alias("part")
+    )
+    missing = grid.join(p, ["source", "part"], "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("part")
+    isl = missing.withColumn(
+        "island", F.col("part") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("source", "island")
+        .agg(
+            F.min("part").alias("start_part"),
+            F.max("part").alias("end_part"),
+            F.count(F.lit(1)).cast("bigint").alias("n_missing"),
+        )
+        .select("source", "start_part", "end_part", "n_missing")
+    )

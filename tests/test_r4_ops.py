@@ -2167,3 +2167,18 @@ def test_binary_hamming_identical_and_opposite(spark):
 
     with _p.raises(ValueError):
         binary_signature_cols(dim=7)
+
+
+def test_backfill_islands_coalescing(spark):
+    """Present {0,1,5,6,9}: missing runs [2-4] and [7-8] coalesce into
+    two islands; a gapless source emits nothing; gaps outside the span
+    are not invented."""
+    from delphi_crawler_spark.storage.compaction import backfill_islands
+
+    rows = [("a", p) for p in (0, 1, 5, 6, 9)] + [("b", p) for p in (3, 4, 5)]
+    df = spark.createDataFrame(rows, ["source", "part"])
+    out = sorted(
+        (r["source"], r["start_part"], r["end_part"], r["n_missing"])
+        for r in backfill_islands(df).collect()
+    )
+    assert out == [("a", 2, 4, 3), ("a", 7, 8, 2)]
