@@ -5608,6 +5608,23 @@ def q_store_backfill_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return backfill_islands(present)
 
 
+def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio + MATTR(50): the length-stable lexical-diversity
+    gate (template spam sits far below prose). In-cell window folds,
+    zero shuffle."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.textfns import lexical_diversity_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    c = lexical_diversity_cols(F.col("text"), window=50)
+    return docs.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        c["n_tokens"].alias("n_tokens"),
+        c["ttr"].alias("ttr"),
+        c["mattr"].alias("mattr"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5842,6 +5859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_script_profile": q_text_script_profile,
         "sim_binary_topk": q_sim_binary_topk,
         "store_backfill_islands": q_store_backfill_islands,
+        "text_lexical_diversity": q_text_lexical_diversity,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -10470,6 +10488,27 @@ isl AS (
 SELECT source, MIN(part)::BIGINT AS start_part, MAX(part)::BIGINT AS end_part,
        COUNT(*)::BIGINT AS n_missing
 FROM isl GROUP BY source, island
+"""
+
+    o["text_lexical_diversity"] = """
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+b AS (
+  SELECT doc_id, len(toks) AS n,
+         CASE WHEN len(toks) > 0 THEN
+           ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 6) END AS ttr,
+         toks
+  FROM t)
+SELECT doc_id, n::BIGINT AS n_tokens, ttr,
+       CASE WHEN n >= 50 THEN ROUND(
+         list_sum(list_transform(range(1, n - 50 + 2),
+           i -> len(list_distinct(toks[i:i+49]))::DOUBLE / 50.0))
+         / (n - 49)::DOUBLE, 6)
+       ELSE ttr END AS mattr
+FROM b
 """
 
     return o

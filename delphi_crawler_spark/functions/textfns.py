@@ -486,3 +486,43 @@ def script_profile_cols(text: Column) -> dict[str, Column]:
     out["n_script_chars"] = total.cast("bigint")
     out["dominant_script"] = dom
     return out
+
+
+def lexical_diversity_cols(
+    text: Column, window: int = 50
+) -> dict[str, Column]:
+    """Lexical diversity: type-token ratio and its moving-average form
+    (MATTR, Covington & McFall 2010) — raw TTR collapses as documents
+    grow (types saturate), so corpus quality gates use the windowed mean
+    which is length-stable; template spam and keyword stuffing sit far
+    below natural prose on both.
+
+    ``ttr`` = distinct tokens / tokens; ``mattr`` = mean over every
+    length-``window`` token window of its own TTR (documents shorter
+    than the window fall back to plain TTR — the reference behavior).
+    All in-cell array ops (transform over window starts + array_distinct
+    — O(tokens × window) per row inside codegen, no shuffle, no
+    Python); ratios rounded 6. Empty text → 0 tokens and NULL ratios."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    ttr = F.when(
+        n > 0,
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / n.cast("double"), 6
+        ),
+    )
+    nw = n - F.lit(window - 1)
+    win_ttrs = F.transform(
+        F.sequence(F.lit(1), nw),
+        lambda i: F.size(F.array_distinct(F.slice(toks, i, window))).cast(
+            "double"
+        )
+        / F.lit(float(window)),
+    )
+    mattr = F.when(n >= window, F.round(
+        F.aggregate(win_ttrs, F.lit(0.0), lambda a, v: a + v)
+        / nw.cast("double"), 6)
+    ).otherwise(ttr)
+    return {"n_tokens": n.cast("bigint"), "ttr": ttr, "mattr": mattr}

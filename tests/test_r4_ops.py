@@ -2182,3 +2182,27 @@ def test_backfill_islands_coalescing(spark):
         for r in backfill_islands(df).collect()
     )
     assert out == [("a", 2, 4, 3), ("a", 7, 8, 2)]
+
+
+def test_lexical_diversity_hand_computed(spark):
+    """'a b a b' TTR = 0.5; short docs fall back to TTR for MATTR; a
+    60-token doc's MATTR(50) averages its 11 window TTRs; repetition
+    scores below varied prose."""
+    from delphi_crawler_spark.functions.textfns import lexical_diversity_cols
+
+    rep = " ".join(["spam"] * 60)
+    varied = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, rep), (3, varied), (4, "  ")],
+        ["doc_id", "text"],
+    )
+    c = lexical_diversity_cols(F.col("text"), window=50)
+    out = {
+        r["doc_id"]: r
+        for r in docs.select("doc_id", *[v.alias(k) for k, v in c.items()]).collect()
+    }
+    assert out[1]["ttr"] == 0.5 and out[1]["mattr"] == 0.5  # short fallback
+    assert out[2]["mattr"] == round(1 / 50, 6)  # every window has 1 type
+    assert out[3]["mattr"] == 1.0 and out[3]["ttr"] == 1.0
+    assert out[2]["mattr"] < out[3]["mattr"]
+    assert out[4]["n_tokens"] == 0 and out[4]["ttr"] is None
