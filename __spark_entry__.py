@@ -5625,6 +5625,28 @@ def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evt_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session profile: sessionize (30-min gap) then the
+    key_overlap_depth sweep line over session [start,end] second
+    intervals — peak simultaneous sessions per time segment, the
+    capacity-planning curve. Reuses both operators unchanged."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.events import sessionize
+    from delphi_crawler_spark.storage.zorder import key_overlap_depth
+
+    ev = _t(spark, sf_dir, "events")
+    ses = sessionize(ev, gap_seconds=1800)
+    iv = ses.select(
+        F.concat(
+            F.col("user_id").cast("string"), F.lit("#"),
+            F.col("session_no").cast("string"),
+        ).alias("file_id"),
+        F.unix_seconds(F.col("session_start").cast("timestamp_ltz")).alias("min_key"),
+        F.unix_seconds(F.col("session_end").cast("timestamp_ltz")).alias("max_key"),
+    )
+    return key_overlap_depth(iv)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5860,6 +5882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_binary_topk": q_sim_binary_topk,
         "store_backfill_islands": q_store_backfill_islands,
         "text_lexical_diversity": q_text_lexical_diversity,
+        "evt_concurrency_profile": q_evt_concurrency_profile,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -10509,6 +10532,43 @@ SELECT doc_id, n::BIGINT AS n_tokens, ttr,
          / (n - 49)::DOUBLE, 6)
        ELSE ttr END AS mattr
 FROM b
+"""
+
+    o["evt_concurrency_profile"] = """
+WITH ses AS (
+
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM o
+)
+SELECT user_id::BIGINT AS user_id, session_no::BIGINT AS session_no,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, session_no
+
+),
+iv AS (
+  SELECT (epoch_us(session_start) // 1000000)::BIGINT AS mn,
+         (epoch_us(session_end) // 1000000)::BIGINT AS mx
+  FROM ses),
+ev2 AS (
+  SELECT pos, SUM(d) AS dd FROM (
+    SELECT mn AS pos, 1 AS d FROM iv
+    UNION ALL SELECT mx + 1, -1 FROM iv) GROUP BY pos)
+SELECT pos,
+       LEAD(pos) OVER (ORDER BY pos) AS next_pos,
+       (SUM(dd) OVER (ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS depth
+FROM ev2
 """
 
     return o

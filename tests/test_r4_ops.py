@@ -2206,3 +2206,35 @@ def test_lexical_diversity_hand_computed(spark):
     assert out[3]["mattr"] == 1.0 and out[3]["ttr"] == 1.0
     assert out[2]["mattr"] < out[3]["mattr"]
     assert out[4]["n_tokens"] == 0 and out[4]["ttr"] is None
+
+
+def test_concurrency_profile_composition(spark):
+    """Two overlapping sessions and one later session: the sweep line
+    over sessionized intervals reports peak depth 2 in the overlap and
+    0 in the idle gap."""
+    import datetime
+
+    from delphi_crawler_spark.operators.events import sessionize
+    from delphi_crawler_spark.storage.zorder import key_overlap_depth
+
+    t0 = datetime.datetime(2026, 1, 1)
+    mk = lambda s: t0 + datetime.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        (1, mk(0), 1, 1.0), (1, mk(100), 2, 1.0),   # u1: [0,100]
+        (2, mk(50), 3, 1.0), (2, mk(150), 4, 1.0),  # u2: [50,150]
+        (3, mk(10_000), 5, 1.0),                     # u3: [10k,10k]
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    ses = sessionize(ev, gap_seconds=1800)
+    iv = ses.select(
+        F.concat("user_id", F.lit("#"), "session_no").alias("file_id"),
+        F.unix_seconds(F.col("session_start").cast("timestamp_ltz")).alias("min_key"),
+        F.unix_seconds(F.col("session_end").cast("timestamp_ltz")).alias("max_key"),
+    )
+    prof = {r["pos"]: r["depth"] for r in key_overlap_depth(iv).collect()}
+    ep = int(t0.timestamp())
+    assert prof[ep + 0] == 1
+    assert prof[ep + 50] == 2       # overlap
+    assert prof[ep + 101] == 1      # u1 ended
+    assert prof[ep + 151] == 0      # idle gap
+    assert prof[ep + 10_000] == 1
