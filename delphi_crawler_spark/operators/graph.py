@@ -1220,3 +1220,77 @@ def deterministic_random_walks(
     )
     result._release_walks = lambda: adj.unpersist()  # type: ignore[attr-defined]
     return result
+
+
+def modularity_score(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity of a community assignment over the symmetrized
+    simple graph — the single number that says whether LPA/CC output is
+    real structure or noise (Q ≈ 0: no better than random; 0.3+: strong
+    communities; link-farm rings score high and that IS the signal):
+
+        Q = Σ_c [ m_c/m − (d_c / 2m)² ]
+
+    with m undirected edges, m_c intra-community edges, d_c the sum of
+    community degrees. Graph normalization matches
+    ``label_propagation``: symmetrized, deduped, self-loop-free; each
+    undirected edge counted once via (u < v) canonical order.
+
+    Exactness: m_c, d_c, m are exact integers; the two ratio terms
+    square/divide in double per community, each term rounds to 6 and
+    accumulates as decimal(28,6) (order-exact), final Q rounds 6.
+    Returns one row: (n_communities, n_edges, modularity).
+
+    Shape: edge canonicalization hash-agg, two label joins onto edges
+    (broadcastable label table), one community hash-agg + one scalar
+    agg. Nothing collects but the final row."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    lab = communities.select(
+        F.col(node_col).alias("n"), F.col(label_col).alias("c")
+    )
+    lu = lab.withColumnRenamed("n", "u").withColumnRenamed("c", "cu")
+    lv = lab.withColumnRenamed("n", "v").withColumnRenamed("c", "cv")
+    e = und.join(lu, "u").join(lv, "v")
+    m_df = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    # degrees per community: each undirected edge adds 1 to each endpoint
+    deg = (
+        e.select(F.col("cu").alias("c")).unionByName(e.select(F.col("cv").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_c"))
+    )
+    intra = (
+        e.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m_c"))
+    )
+    per = deg.join(intra, "c", "left").select(
+        "c",
+        F.coalesce("m_c", F.lit(0)).alias("m_c"),
+        "d_c",
+    ).crossJoin(F.broadcast(m_df))
+    md = F.col("m").cast("double")
+    term = F.round(
+        F.col("m_c").cast("double") / md
+        - (F.col("d_c").cast("double") / (F.lit(2.0) * md))
+        * (F.col("d_c").cast("double") / (F.lit(2.0) * md)),
+        6,
+    ).cast("decimal(28,6)")
+    out = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.first("m").alias("n_edges"),
+        F.round(F.sum(term).cast("double"), 6).alias("modularity"),
+    )
+    return out

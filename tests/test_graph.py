@@ -567,3 +567,28 @@ def test_random_walks_deterministic_and_terminating(spark):
 
     with _p.raises(ValueError):
         deterministic_random_walks(edges, walk_len=0)
+
+
+def test_modularity_two_cliques_vs_random(spark):
+    """Two disjoint triangles with perfect communities score the textbook
+    Q = 0.5; merging everything into one community scores 0; a perfect
+    split of a single clique scores 0 too (no structure to reward)."""
+    from delphi_crawler_spark.operators.graph import modularity_score
+
+    tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+    edges = spark.createDataFrame(tri1 + tri2, ["src", "dst"])
+    good = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("x", 2), ("y", 2), ("z", 2)],
+        ["node", "label"],
+    )
+    r = modularity_score(edges, good).collect()[0]
+    # per clique: m_c/m = 3/6, (d_c/2m)^2 = (6/12)^2 -> 0.5 - 0.25 = 0.25 x2
+    assert r["modularity"] == 0.5
+    assert r["n_communities"] == 2 and r["n_edges"] == 6
+
+    allone = spark.createDataFrame(
+        [(n, 9) for n in "abcxyz"], ["node", "label"]
+    )
+    r2 = modularity_score(edges, allone).collect()[0]
+    assert r2["modularity"] == 0.0
