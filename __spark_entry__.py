@@ -5667,6 +5667,31 @@ def q_g8_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity_score(edges, comm)
 
 
+def q_c1f_host_alias_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static host-alias folding (www/m/mobile/amp prefixes, one level of
+    stacking): the no-learning companion to DUST — per host, its canonical
+    identity plus whether it folded. Pure JVM regexp."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.canonicalize import fold_host_aliases
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 7 == 1, F.concat(F.lit("www.site"), (d % 40).cast("string"), F.lit(".com")))
+        .when(d % 7 == 2, F.concat(F.lit("m.site"), (d % 40).cast("string"), F.lit(".com")))
+        .when(d % 7 == 3, F.concat(F.lit("amp.m.site"), (d % 40).cast("string"), F.lit(".com")))
+        .when(d % 7 == 4, F.concat(F.lit("mobile.site"), (d % 40).cast("string"), F.lit(".com")))
+        .otherwise(F.concat(F.lit("site"), (d % 40).cast("string"), F.lit(".com")))
+    )
+    folded = fold_host_aliases(host)
+    return docs.select(
+        d.cast(BIG).alias("doc_id"),
+        host.alias("host"),
+        folded.alias("canonical_host"),
+        (host != folded).alias("was_alias"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5904,6 +5929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lexical_diversity": q_text_lexical_diversity,
         "evt_concurrency_profile": q_evt_concurrency_profile,
         "g8_modularity": q_g8_modularity,
+        "c1f_host_alias_fold": q_c1f_host_alias_fold,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -10631,6 +10657,25 @@ SELECT COUNT(*)::BIGINT AS n_communities,
                    * (d_c::DOUBLE / (2.0 * m::DOUBLE)), 6
              )::DECIMAL(28,6))::DOUBLE, 6) AS modularity
 FROM per
+"""
+
+    o["c1f_host_alias_fold"] = """
+WITH h AS (
+  SELECT doc_id::BIGINT AS doc_id,
+    CASE WHEN doc_id % 7 = 1 THEN 'www.site' || (doc_id % 40) || '.com'
+         WHEN doc_id % 7 = 2 THEN 'm.site' || (doc_id % 40) || '.com'
+         WHEN doc_id % 7 = 3 THEN 'amp.m.site' || (doc_id % 40) || '.com'
+         WHEN doc_id % 7 = 4 THEN 'mobile.site' || (doc_id % 40) || '.com'
+         ELSE 'site' || (doc_id % 40) || '.com' END AS host
+  FROM documents),
+f AS (
+  SELECT doc_id, host,
+         regexp_replace(
+           regexp_replace(host, '^(www|m|mobile|amp)\\.', ''),
+           '^(www|m|mobile|amp)\\.', '') AS canonical_host
+  FROM h)
+SELECT doc_id, host, canonical_host, host <> canonical_host AS was_alias
+FROM f
 """
 
     return o

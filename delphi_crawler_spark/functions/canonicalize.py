@@ -345,3 +345,18 @@ def host_to_ascii(host: Column | str) -> Column:
     UDF. Mirrors the canonicalize_url fast-path discipline."""
     col = F.col(host) if isinstance(host, str) else host
     return F.when(col.rlike(r"^[\x00-\x7F]*$"), col).otherwise(_host_ascii_udf(col))
+
+
+def fold_host_aliases(host: Column) -> Column:
+    """Fold mobile/AMP/www host aliases onto the canonical registrable
+    identity: ``www.`` / ``m.`` / ``mobile.`` / ``amp.`` prefixes (and
+    one stacked combination like ``amp.m.``) collapse — the static
+    companion to the DUST parameter learner (``dust_fold`` handles
+    query-string identities; this handles the subdomain conventions that
+    need no learning, per the alias families every canonicalizer
+    special-cases). One JVM regexp — anchored, single pass, repeated via
+    two applications to clear one level of stacking; deeper stacks are
+    left alone (a real ``m.amp.m.`` host is a trap signal, not an
+    alias)."""
+    once = F.regexp_replace(host, r"^(www|m|mobile|amp)\.", "")
+    return F.regexp_replace(once, r"^(www|m|mobile|amp)\.", "")

@@ -235,3 +235,25 @@ def test_host_to_ascii_idna(spark):
     for h, want in cases.items():
         assert got[h] == want, h
     assert got[None] is None
+
+
+def test_host_alias_folding(spark):
+    """www/m/mobile/amp prefixes fold, one stacking level clears, deeper
+    stacks and lookalike hosts are untouched."""
+    from pyspark.sql import functions as F
+
+    from delphi_crawler_spark.functions.canonicalize import fold_host_aliases
+
+    cases = [
+        ("www.example.com", "example.com"),
+        ("m.example.com", "example.com"),
+        ("amp.m.example.com", "example.com"),
+        ("m.amp.m.example.com", "m.example.com"),  # only two levels clear
+        ("example.com", "example.com"),
+        ("mmm.example.com", "mmm.example.com"),    # not an alias prefix
+        ("wwwexample.com", "wwwexample.com"),      # needs the dot
+    ]
+    df = spark.createDataFrame(cases, ["host", "expected"])
+    out = df.select("host", "expected", fold_host_aliases(F.col("host")).alias("got"))
+    for r in out.collect():
+        assert r["got"] == r["expected"], r["host"]
