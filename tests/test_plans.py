@@ -359,3 +359,24 @@ def test_span_transitions_single_agg_exchange(spark):
     plan = _plan(E.q_mm_span_transitions(spark, SF))
     assert "WindowExec" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_binary_topk_broadcast_queries(spark):
+    """The query side (with signatures) broadcasts; Hamming + shortlist
+    stay inside the scan side with no extra exchange before the window."""
+    plan = _plan(E.q_sim_binary_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_modularity_keyed_joins_only(spark):
+    plan = _plan(E.q_g8_modularity(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_backfill_islands_keyed_window(spark):
+    """The islands window is keyed by source; the only exchanges are
+    source-keyed."""
+    plan = _plan(E.q_store_backfill_islands(spark, SF))
+    assert "hashpartitioning(source" in plan
+    assert "CartesianProduct" not in plan
