@@ -5692,6 +5692,24 @@ def q_c1f_host_alias_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility quality signal (the Gopher-family redundancy
+    check beside char entropy): Arrow-batched deflate per doc, pinned
+    level so the stdlib oracle recomputes the stream byte-for-byte."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.textfns import compression_ratio_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    r = compression_ratio_udf(level=6)(F.col("text"))
+    nb = F.length(F.encode(F.col("text"), "utf-8")).cast("bigint")
+    return docs.select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        nb.alias("n_bytes"),
+        r.alias("zlib_ratio"),
+        (r.isNotNull() & (r < 0.4)).alias("compressible"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5930,6 +5948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_concurrency_profile": q_evt_concurrency_profile,
         "g8_modularity": q_g8_modularity,
         "c1f_host_alias_fold": q_c1f_host_alias_fold,
+        "text_compression_ratio": q_text_compression_ratio,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -8256,6 +8275,7 @@ FROM r WHERE sample_rank <= 30
         "sim_ivf_recall",
         "dedup_lsh_eval",
         "sim_mmr_rerank",
+        "text_compression_ratio",
     ):
         o[name] = f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
 

@@ -526,3 +526,32 @@ def lexical_diversity_cols(
         / nw.cast("double"), 6)
     ).otherwise(ttr)
     return {"n_tokens": n.cast("bigint"), "ttr": ttr, "mattr": mattr}
+
+
+def compression_ratio_udf(level: int = 6):
+    """Deflate compressibility — the redundancy signal quality stacks use
+    beside entropy (templated/repetitive spam compresses far below
+    natural prose; random blobs sit near 1.0): per doc,
+    ``len(zlib.compress(utf8)) / len(utf8)``.
+
+    zlib with a pinned level is fully deterministic for a given input
+    across platforms (the DEFLATE stream for one compressor version +
+    level is a pure function of the bytes), so the expected-parquet
+    oracle recomputes it with the same stdlib. Arrow-batched pandas UDF
+    (one C call per row — no JVM equivalent exists); ratios rounded 6,
+    empty text → NULL."""
+    import zlib
+
+    @F.pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            b = str(t).encode("utf-8")
+            if not b:
+                return None
+            return round(len(zlib.compress(b, level)) / len(b), 6)
+
+        return texts.map(one)
+
+    return ratio

@@ -2238,3 +2238,32 @@ def test_concurrency_profile_composition(spark):
     assert prof[ep + 101] == 1      # u1 ended
     assert prof[ep + 151] == 0      # idle gap
     assert prof[ep + 10_000] == 1
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses far below varied prose; empty text is
+    NULL; the flag fires only under the threshold."""
+    from delphi_crawler_spark.functions.textfns import compression_ratio_udf
+
+    rep = "spam " * 400
+    import random
+
+    rng = random.Random(7)
+    varied = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+        for _ in range(400)
+    )
+    docs = spark.createDataFrame(
+        [(1, rep), (2, varied), (3, "")], ["doc_id", "text"]
+    )
+    r = compression_ratio_udf()(F.col("text"))
+    out = {
+        row["doc_id"]: row
+        for row in docs.select("doc_id", r.alias("zr")).collect()
+    }
+    assert out[1]["zr"] < 0.05          # pure repetition
+    assert out[2]["zr"] > 0.5           # random-ish words
+    assert out[3]["zr"] is None
+    # determinism: same input -> same stream length on a second pass
+    again = {row["doc_id"]: row for row in docs.select("doc_id", r.alias("zr")).collect()}
+    assert again[1]["zr"] == out[1]["zr"]

@@ -1343,6 +1343,24 @@ def gen_sim_mmr_rerank(
     )
 
 
+def gen_text_compression_ratio(docs: pd.DataFrame, level: int = 6) -> pd.DataFrame:
+    """Same stdlib zlib, same level: the DEFLATE stream is a pure function
+    of (bytes, level, zlib build) — identical in the Spark UDF and here."""
+    import zlib
+
+    rows = []
+    for r in docs.itertuples():
+        b = str(r.text).encode("utf-8")
+        ratio = round(len(zlib.compress(b, level)) / len(b), 6) if b else None
+        rows.append(
+            {"doc_id": int(r.doc_id), "n_bytes": len(b), "zlib_ratio": ratio,
+             "compressible": bool(ratio is not None and ratio < 0.4)}
+        )
+    out = pd.DataFrame(rows, columns=["doc_id", "n_bytes", "zlib_ratio", "compressible"])
+    return out.astype({"doc_id": "int64", "n_bytes": "int64",
+                       "zlib_ratio": "float64", "compressible": "bool"})
+
+
 GENERATORS = {
     "c3_hash_keys": ("documents", gen_c3_hash_keys),
     "text_fingerprint_rolling": ("documents", gen_fingerprint_rolling),
@@ -1368,6 +1386,7 @@ GENERATORS = {
     "sim_ivf_recall": ("embeddings", gen_sim_ivf_recall),
     "dedup_lsh_eval": ("documents", gen_dedup_lsh_eval),
     "sim_mmr_rerank": ("embeddings", gen_sim_mmr_rerank),
+    "text_compression_ratio": ("documents", gen_text_compression_ratio),
 }
 
 
