@@ -5710,6 +5710,38 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_url_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-density spam signal over documents with injected URL runs
+    (%9==4 docs get a 12-URL block appended): mentions per 100 words,
+    link-farm flag at 20+. Pure JVM regexp, zero shuffle."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.textfns import url_density_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    urls = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(12)),
+            lambda i: F.concat(
+                F.lit("https://f"), d.cast("string"), F.lit("-"), i.cast("string"),
+                F.lit(".example.com/x"),
+            ),
+        ),
+    )
+    body = F.when(d % 9 == 4, F.concat(F.col("text"), F.lit(" "), urls)).otherwise(
+        F.col("text")
+    )
+    c = url_density_cols(body)
+    return docs.select(
+        d.cast(BIG).alias("doc_id"),
+        c["n_words"].alias("n_words"),
+        c["n_url_mentions"].alias("n_url_mentions"),
+        c["url_density"].alias("url_density"),
+        c["linkfarm_flag"].alias("linkfarm_flag"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5949,6 +5981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g8_modularity": q_g8_modularity,
         "c1f_host_alias_fold": q_c1f_host_alias_fold,
         "text_compression_ratio": q_text_compression_ratio,
+        "text_url_density": q_text_url_density,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -10696,6 +10729,32 @@ f AS (
   FROM h)
 SELECT doc_id, host, canonical_host, host <> canonical_host AS was_alias
 FROM f
+"""
+
+    o["text_url_density"] = """
+WITH b AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         CASE WHEN doc_id % 9 = 4 THEN text || ' ' || array_to_string(
+           list_transform(range(1, 13),
+             i -> 'https://f' || doc_id || '-' || i || '.example.com/x'),
+           ' ')
+         ELSE text END AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(trim(t)), '\\s+'),
+                         x -> x <> '')) AS n,
+         (len(regexp_extract_all(t, 'https?://[^\\s]+'))
+          + len(regexp_extract_all(t, '(^|\\s)www\\.[^\\s]+')))::BIGINT
+           AS nu
+  FROM b)
+SELECT doc_id, n::BIGINT AS n_words, nu AS n_url_mentions,
+       CASE WHEN n > 0 THEN ROUND(nu::DOUBLE / n::DOUBLE * 100.0, 6) END
+         AS url_density,
+       COALESCE(CASE WHEN n > 0
+                     THEN ROUND(nu::DOUBLE / n::DOUBLE * 100.0, 6) >= 20.0
+                END, FALSE) AS linkfarm_flag
+FROM c
 """
 
     return o

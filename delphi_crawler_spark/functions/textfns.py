@@ -555,3 +555,31 @@ def compression_ratio_udf(level: int = 6):
         return texts.map(one)
 
     return ratio
+
+
+def url_density_cols(text: Column) -> dict[str, Column]:
+    """Link-density spam signal: embedded URL mentions per 100 words —
+    link farms and SEO listicles carry an order of magnitude more
+    in-text URLs than prose (the Gopher-family companion the symbol
+    ratio misses when the URLs are plain http strings rather than
+    markup). Counts ``http(s)://`` mentions and bare ``www.`` hosts via
+    one anchored JVM regexp each; density = mentions / words × 100,
+    rounded 6, NULL when wordless."""
+    words = F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(words)
+    n_urls = (
+        F.regexp_count(text, F.lit(r"https?://[^\s]+"))
+        + F.regexp_count(text, F.lit(r"(^|\s)www\.[^\s]+"))
+    ).cast("bigint")
+    dens = F.when(
+        n > 0,
+        F.round(n_urls.cast("double") / n.cast("double") * F.lit(100.0), 6),
+    )
+    return {
+        "n_words": n.cast("bigint"),
+        "n_url_mentions": n_urls,
+        "url_density": dens,
+        "linkfarm_flag": F.coalesce(dens >= 20.0, F.lit(False)),
+    }

@@ -2267,3 +2267,26 @@ def test_compression_ratio_signal(spark):
     # determinism: same input -> same stream length on a second pass
     again = {row["doc_id"]: row for row in docs.select("doc_id", r.alias("zr")).collect()}
     assert again[1]["zr"] == out[1]["zr"]
+
+
+def test_url_density_signal(spark):
+    """A URL-block page flags; prose with one link does not; wordless
+    text reports NULL density and never flags."""
+    from delphi_crawler_spark.functions.textfns import url_density_cols
+
+    farm = "check " + " ".join(f"https://s{i}.com/x" for i in range(9))
+    prose = "read the docs at https://example.com for details " * 3
+    docs = spark.createDataFrame(
+        [(1, farm), (2, prose), (3, "   "), (4, "visit www.example.com now")],
+        ["doc_id", "text"],
+    )
+    c = url_density_cols(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in docs.select("doc_id", *[v.alias(k) for k, v in c.items()]).collect()
+    }
+    assert out[1]["n_url_mentions"] == 9 and out[1]["linkfarm_flag"]
+    assert out[1]["url_density"] == 90.0
+    assert out[2]["n_url_mentions"] == 3 and not out[2]["linkfarm_flag"]
+    assert out[3]["url_density"] is None and not out[3]["linkfarm_flag"]
+    assert out[4]["n_url_mentions"] == 1  # bare www host counts
