@@ -5742,6 +5742,29 @@ def q_text_url_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g9_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation host similarity over the planted-farm web: pairs
+    bucketed by shared target (never all-pairs), mega-hub targets capped
+    out of pair generation, Jaccard over uncapped out-degrees. The link-
+    evidence complement to digest-based mirror detection."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.graph import cocitation_similarity
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    sparse = ev.filter(F.col("event_id") % 4 == 0).select(
+        F.concat(F.lit("r"), F.substring(F.md5(F.concat(F.lit("s"), eid)), 1, 2)).alias("src"),
+        F.concat(F.lit("r"), F.substring(F.md5(F.concat(F.lit("d"), eid)), 1, 2)).alias("dst"),
+    )
+    farm = ev.select(
+        F.concat(F.lit("f"), F.substring(F.md5(F.concat(F.lit("a"), eid)), 1, 1)).alias("src"),
+        F.concat(F.lit("f"), F.substring(F.md5(F.concat(F.lit("b"), eid)), 1, 1)).alias("dst"),
+    )
+    return cocitation_similarity(
+        sparse.unionByName(farm), min_shared=2, max_target_indegree=1000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -5982,6 +6005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1f_host_alias_fold": q_c1f_host_alias_fold,
         "text_compression_ratio": q_text_compression_ratio,
         "text_url_density": q_text_url_density,
+        "g9_cocitation": q_g9_cocitation,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -10755,6 +10779,31 @@ SELECT doc_id, n::BIGINT AS n_words, nu AS n_url_mentions,
                      THEN ROUND(nu::DOUBLE / n::DOUBLE * 100.0, 6) >= 20.0
                 END, FALSE) AS linkfarm_flag
 FROM c
+"""
+
+    o["g9_cocitation"] = """
+WITH raw AS (
+  SELECT 'r' || substr(md5('s' || event_id), 1, 2) AS s,
+         'r' || substr(md5('d' || event_id), 1, 2) AS d
+  FROM events WHERE event_id % 4 = 0
+  UNION ALL
+  SELECT 'f' || substr(md5('a' || event_id), 1, 1),
+         'f' || substr(md5('b' || event_id), 1, 1)
+  FROM events),
+e AS (SELECT DISTINCT s, d FROM raw WHERE s <> d),
+outdeg AS (SELECT s, COUNT(*)::BIGINT AS deg FROM e GROUP BY s),
+indeg AS (SELECT d, COUNT(*)::BIGINT AS ind FROM e GROUP BY d),
+kept AS (SELECT e.s, e.d FROM e JOIN indeg USING (d) WHERE ind <= 1000),
+pairs AS (
+  SELECT a.s AS src_a, b.s AS src_b, COUNT(*)::BIGINT AS n_shared
+  FROM kept a JOIN kept b ON a.d = b.d AND a.s < b.s
+  GROUP BY a.s, b.s HAVING COUNT(*) >= 2)
+SELECT p.src_a, p.src_b, p.n_shared,
+       da.deg AS deg_a, db.deg AS deg_b,
+       ROUND(p.n_shared::DOUBLE
+             / (da.deg + db.deg - p.n_shared)::DOUBLE, 6) AS jaccard
+FROM pairs p JOIN outdeg da ON da.s = p.src_a
+             JOIN outdeg db ON db.s = p.src_b
 """
 
     return o

@@ -1294,3 +1294,62 @@ def modularity_score(
         F.round(F.sum(term).cast("double"), 6).alias("modularity"),
     )
     return out
+
+
+def cocitation_similarity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_shared: int = 2,
+    max_target_indegree: int = 1000,
+) -> DataFrame:
+    """Co-citation link similarity (Small 1973; the SimRank-lite every
+    related-sites feature starts from): two sources are similar when
+    they link to the same targets — Jaccard over OUT-link sets, computed
+    WITHOUT all-pairs by bucketing on the shared target (the minhash-
+    banding shape applied to graph structure; complements r7's
+    content-digest mirror detection with pure link evidence).
+
+    Skew guard: targets with in-degree > ``max_target_indegree`` are
+    DROPPED before pairing (a mega-hub like a CDN domain pairs everyone
+    with everyone and says nothing — the standard co-citation practice
+    of discounting ubiquitous cites; the cap makes the per-target pair
+    fan-out bounded, so the shuffle is Σ min(indeg, cap)² not n²).
+
+    Returns (src_a, src_b, n_shared, deg_a, deg_b, jaccard) for pairs
+    with ≥ ``min_shared`` shared targets, src_a < src_b, jaccard =
+    shared / (deg_a + deg_b − shared) over the UNCAPPED out-degrees
+    (the cap prunes pair GENERATION, not the similarity definition —
+    shared counts through capped hubs are simply underestimates, also
+    standard). Rounded 6."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
+        F.col("s") != F.col("d")
+    ).distinct()
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    indeg = e.groupBy("d").agg(F.count(F.lit(1)).alias("ind"))
+    kept = e.join(
+        indeg.filter(F.col("ind") <= max_target_indegree).select("d"), "d"
+    )
+    a = kept.select(F.col("d"), F.col("s").alias("src_a"))
+    b = kept.select(F.col("d"), F.col("s").alias("src_b"))
+    pairs = (
+        a.join(b, "d")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    da = outdeg.select(F.col("s").alias("src_a"), F.col("deg").alias("deg_a"))
+    db = outdeg.select(F.col("s").alias("src_b"), F.col("deg").alias("deg_b"))
+    j = pairs.join(da, "src_a").join(db, "src_b")
+    union = F.col("deg_a") + F.col("deg_b") - F.col("n_shared")
+    return j.select(
+        "src_a",
+        "src_b",
+        "n_shared",
+        F.col("deg_a").cast("bigint").alias("deg_a"),
+        F.col("deg_b").cast("bigint").alias("deg_b"),
+        F.round(F.col("n_shared").cast("double") / union.cast("double"), 6).alias(
+            "jaccard"
+        ),
+    )

@@ -592,3 +592,29 @@ def test_modularity_two_cliques_vs_random(spark):
     )
     r2 = modularity_score(edges, allone).collect()[0]
     assert r2["modularity"] == 0.0
+
+
+def test_cocitation_hand_built_and_hub_cap(spark):
+    """a and b share 2 of 3 targets -> jaccard 2/4; the mega-hub target
+    is capped out of pair generation but stays in the degrees."""
+    from delphi_crawler_spark.operators.graph import cocitation_similarity
+
+    edges = [
+        ("a", "t1"), ("a", "t2"), ("a", "hub"),
+        ("b", "t1"), ("b", "t2"), ("b", "hub"),
+        ("c", "t9"), ("c", "hub"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = cocitation_similarity(df, min_shared=2, max_target_indegree=2).collect()
+    got = {(r["src_a"], r["src_b"]): r for r in out}
+    # hub has indegree 3 > 2: capped. a-b share t1,t2 -> 2 shared;
+    # degrees stay 3 and 3 -> jaccard 2/(3+3-2) = 0.5
+    assert set(got) == {("a", "b")}
+    r = got[("a", "b")]
+    assert r["n_shared"] == 2 and r["deg_a"] == 3 and r["deg_b"] == 3
+    assert r["jaccard"] == 0.5
+    # without the cap, c pairs with a and b through the hub only (1 shared
+    # each) and still falls below min_shared
+    out2 = cocitation_similarity(df, min_shared=1, max_target_indegree=10).collect()
+    keys2 = {(r["src_a"], r["src_b"]) for r in out2}
+    assert ("a", "c") in keys2 and ("b", "c") in keys2
