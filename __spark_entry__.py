@@ -5765,6 +5765,33 @@ def q_g9_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_url_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrated URL admission chain (malformed -> blocklist -> robots
+    -> trap -> admit) with auditable reason codes, alias folding before
+    host-keyed gates so www/m variants cannot dodge rules. One JVM CASE
+    chain over synthetic candidates exercising every gate."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.plans.admission import url_admission
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = (
+        F.when(d % 11 == 1, F.concat(F.lit("ftp://bad"), d.cast("string"), F.lit(".com/x")))
+        .when(d % 11 == 2, F.concat(F.lit("https://www.spam"), (d % 5).cast("string"), F.lit(".bad.example/x")))
+        .when(d % 11 == 3, F.concat(F.lit("https://m.site"), (d % 7).cast("string"), F.lit(".test/private/p"), d.cast("string")))
+        .when(d % 11 == 4, F.concat(F.lit("https://site"), (d % 7).cast("string"), F.lit(".test/a/a/a/a/p")))
+        .otherwise(F.concat(F.lit("https://site"), (d % 7).cast("string"), F.lit(".test/ok/p"), d.cast("string")))
+    )
+    cand = docs.select(d.cast(BIG).alias("doc_id"), url.alias("url"))
+    out = url_admission(
+        cand,
+        blocklist_suffixes=(".bad.example",),
+        robots_disallow={f"site{i}.test": ("/private",) for i in range(7)},
+        trap_min_repeats=3,
+    )
+    return out.select("doc_id", "url", "canonical_host", "path", "verdict", "reason")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -6006,6 +6033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_compression_ratio": q_text_compression_ratio,
         "text_url_density": q_text_url_density,
         "g9_cocitation": q_g9_cocitation,
+        "pipeline_url_admission": q_pipeline_url_admission,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -10804,6 +10832,64 @@ SELECT p.src_a, p.src_b, p.n_shared,
              / (da.deg + db.deg - p.n_shared)::DOUBLE, 6) AS jaccard
 FROM pairs p JOIN outdeg da ON da.s = p.src_a
              JOIN outdeg db ON db.s = p.src_b
+"""
+
+    o["pipeline_url_admission"] = """
+WITH cand AS (
+  SELECT doc_id::BIGINT AS doc_id,
+    CASE WHEN doc_id % 11 = 1 THEN 'ftp://bad' || doc_id || '.com/x'
+         WHEN doc_id % 11 = 2
+           THEN 'https://www.spam' || (doc_id % 5) || '.bad.example/x'
+         WHEN doc_id % 11 = 3
+           THEN 'https://m.site' || (doc_id % 7) || '.test/private/p' || doc_id
+         WHEN doc_id % 11 = 4
+           THEN 'https://site' || (doc_id % 7) || '.test/a/a/a/a/p'
+         ELSE 'https://site' || (doc_id % 7) || '.test/ok/p' || doc_id
+    END AS url
+  FROM documents),
+pr AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM cand),
+hp AS (
+  SELECT doc_id, url, scheme,
+         lower(regexp_extract(rest, '^([^/]+)', 1)) AS host,
+         COALESCE(regexp_extract(rest, '^[^/]*(/.*)?$', 1), '') AS path
+  FROM pr),
+ch AS (
+  SELECT doc_id, url, scheme, path,
+         regexp_replace(regexp_replace(host, '^(www|m|mobile|amp)\\.', ''),
+                        '^(www|m|mobile|amp)\\.', '') AS chost,
+         host
+  FROM hp),
+v AS (
+  SELECT doc_id, url, chost, path,
+         scheme NOT IN ('http', 'https') OR host = '' AS malformed,
+         chost LIKE '%.bad.example' AS blocked,
+         (chost LIKE 'site_.test' AND path LIKE '/private%') AS robots_hit,
+         (len(list_filter(
+            list_filter(string_split(path, '/'), x -> x <> ''),
+            (x, i) -> i <= len(list_filter(string_split(path, '/'),
+                                           x2 -> x2 <> '')) - 2
+                      AND x = list_filter(string_split(path, '/'),
+                                          x3 -> x3 <> '')[i + 1]
+                      AND x = list_filter(string_split(path, '/'),
+                                          x4 -> x4 <> '')[i + 2])) > 0)
+           AS trap
+  FROM ch)
+SELECT doc_id, url,
+       CASE WHEN malformed THEN NULL ELSE chost END AS canonical_host,
+       CASE WHEN malformed THEN NULL ELSE path END AS path,
+       CASE WHEN malformed OR blocked OR robots_hit OR trap
+            THEN 'reject' ELSE 'admit' END AS verdict,
+       CASE WHEN malformed THEN 'malformed'
+            WHEN blocked THEN 'blocklisted'
+            WHEN robots_hit THEN 'robots'
+            WHEN trap THEN 'trap'
+            ELSE 'ok' END AS reason
+FROM v
 """
 
     return o

@@ -2290,3 +2290,37 @@ def test_url_density_signal(spark):
     assert out[2]["n_url_mentions"] == 3 and not out[2]["linkfarm_flag"]
     assert out[3]["url_density"] is None and not out[3]["linkfarm_flag"]
     assert out[4]["n_url_mentions"] == 1  # bare www host counts
+
+
+def test_url_admission_gate_order_and_reasons(spark):
+    """First failing gate wins: an ftp URL on a blocklisted host reads
+    malformed, not blocklisted; alias folding stops www-dodging; the
+    segment trap needs a full run of 3."""
+    from delphi_crawler_spark.plans.admission import url_admission
+
+    cand = spark.createDataFrame(
+        [
+            (1, "ftp://x.bad.example/a"),
+            (2, "https://www.spam.bad.example/a"),   # folded, then blocked
+            (3, "https://m.site.test/private/p"),    # alias can't dodge robots
+            (4, "https://site.test/a/a/a/p"),        # trap run of 3
+            (5, "https://site.test/a/a/b/p"),        # run of 2: fine
+            (6, "https://site.test/ok"),
+        ],
+        ["doc_id", "url"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in url_admission(
+            cand,
+            blocklist_suffixes=(".bad.example",),
+            robots_disallow={"site.test": ("/private",)},
+        ).collect()
+    }
+    assert out[1]["reason"] == "malformed" and out[1]["canonical_host"] is None
+    assert out[2]["reason"] == "blocklisted"
+    assert out[2]["canonical_host"] == "spam.bad.example"
+    assert out[3]["reason"] == "robots"
+    assert out[4]["reason"] == "trap" and out[4]["verdict"] == "reject"
+    assert out[5]["reason"] == "ok" and out[5]["verdict"] == "admit"
+    assert out[6]["verdict"] == "admit"
