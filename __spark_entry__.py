@@ -5792,6 +5792,26 @@ def q_pipeline_url_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "url", "canonical_host", "path", "verdict", "reason")
 
 
+def q_corpus_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report (within-source dup rate +
+    cross-source redundancy share on the md5 digest grain) — the
+    dump-level table that feeds source weighting. Two digest hash-aggs
+    + one broadcastable spread join."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.dedup import dedup_rate_by_source
+
+    docs = _t(spark, sf_dir, "documents")
+    # fold text so planted duplicates exist: every %6==5 doc repeats the
+    # text of doc_id-5 (cross-source when their source buckets differ)
+    d = F.col("doc_id")
+    txt = F.when(d % 6 == 5, F.concat(F.lit("dup-of-"), ((d - 5) % 97).cast("string"))).otherwise(
+        F.concat(F.lit("uniq-"), d.cast("string"))
+    )
+    return dedup_rate_by_source(
+        docs.select(F.col("source"), txt.alias("text"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -6034,6 +6054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_density": q_text_url_density,
         "g9_cocitation": q_g9_cocitation,
         "pipeline_url_admission": q_pipeline_url_admission,
+        "corpus_dedup_by_source": q_corpus_dedup_by_source,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -10890,6 +10911,32 @@ SELECT doc_id, url,
             WHEN trap THEN 'trap'
             ELSE 'ok' END AS reason
 FROM v
+"""
+
+    o["corpus_dedup_by_source"] = """
+WITH d AS (
+  SELECT source,
+         md5(CASE WHEN doc_id % 6 = 5
+                  THEN 'dup-of-' || ((doc_id - 5) % 97)
+                  ELSE 'uniq-' || doc_id END) AS digest
+  FROM documents),
+per AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs,
+         COUNT(DISTINCT digest)::BIGINT AS n_unique
+  FROM d GROUP BY source),
+spread AS (
+  SELECT digest, COUNT(*)::BIGINT AS n_sources
+  FROM (SELECT DISTINCT source, digest FROM d) GROUP BY digest),
+cross_c AS (
+  SELECT d.source, COUNT(*)::BIGINT AS n_cross
+  FROM d JOIN spread USING (digest)
+  WHERE n_sources > 1 GROUP BY d.source)
+SELECT per.source, per.n_docs, per.n_unique,
+       ROUND(1.0 - per.n_unique::DOUBLE / per.n_docs::DOUBLE, 6) AS dup_rate,
+       COALESCE(c.n_cross, 0)::BIGINT AS n_cross_source,
+       ROUND(COALESCE(c.n_cross, 0)::DOUBLE / per.n_docs::DOUBLE, 6)
+         AS cross_rate
+FROM per LEFT JOIN cross_c c ON c.source = per.source
 """
 
     return o

@@ -117,3 +117,60 @@ def frontier_merge(
         )
         .withColumn("n_sources", F.size("sources").cast("bigint"))
     )
+
+
+def dedup_rate_by_source(
+    docs: "DataFrame",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-source duplication report — the dump-level quality table that
+    feeds source weighting (a feed whose dup rate doubles between rounds
+    is re-serving old content; a source whose text mostly exists
+    elsewhere adds tokens but no information):
+
+    - ``dup_rate``    = 1 − distinct digests / docs (within-source);
+    - ``cross_rate``  = share of the source's docs whose digest also
+      occurs in ANOTHER source (cross-source redundancy — the md5
+      digest grain shared with the exact-dedup family).
+
+    Two hash-aggs on the digest grain + one broadcastable digest→
+    n_sources join; exact integer ratios rounded 6."""
+    from pyspark.sql import functions as F
+
+    d = docs.select(
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col)).alias("digest"),
+    )
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("digest").cast("bigint").alias("n_unique"),
+    )
+    spread = d.distinct().groupBy("digest").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources")
+    )
+    cross = (
+        d.join(spread, "digest")
+        .filter(F.col("n_sources") > 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cross"))
+    )
+    return (
+        per.join(cross, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_unique").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+            F.coalesce("n_cross", F.lit(0)).cast("bigint").alias("n_cross_source"),
+            F.round(
+                F.coalesce("n_cross", F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("cross_rate"),
+        )
+    )

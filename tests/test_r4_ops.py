@@ -2324,3 +2324,28 @@ def test_url_admission_gate_order_and_reasons(spark):
     assert out[4]["reason"] == "trap" and out[4]["verdict"] == "reject"
     assert out[5]["reason"] == "ok" and out[5]["verdict"] == "admit"
     assert out[6]["verdict"] == "admit"
+
+
+def test_dedup_rate_by_source(spark):
+    """Within-source dups raise dup_rate; digests shared across sources
+    count into cross_rate on BOTH sides; a clean source reports zeros."""
+    from delphi_crawler_spark.operators.dedup import dedup_rate_by_source
+
+    docs = spark.createDataFrame(
+        [
+            ("A", "x"), ("A", "x"), ("A", "y"),     # within-A dup
+            ("B", "y"), ("B", "z"),                 # y crosses A/B
+            ("C", "unique"),
+        ],
+        ["source", "text"],
+    )
+    out = {r["source"]: r for r in dedup_rate_by_source(docs).collect()}
+    a = out["A"]
+    assert a["n_docs"] == 3 and a["n_unique"] == 2
+    assert a["dup_rate"] == round(1 - 2 / 3, 6)
+    assert a["n_cross_source"] == 1  # the y doc
+    b = out["B"]
+    assert b["dup_rate"] == 0.0 and b["n_cross_source"] == 1
+    assert b["cross_rate"] == 0.5
+    c = out["C"]
+    assert c["dup_rate"] == 0.0 and c["cross_rate"] == 0.0
