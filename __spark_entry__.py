@@ -5812,6 +5812,27 @@ def q_corpus_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_r17_host_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-health dashboard: error rate, exact p95 latency
+    (in-cell sorted array), change rate, traffic-light verdict — one
+    host hash-agg over a synthetic fetch log."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.recrawl import host_crawl_summary
+
+    ev = _t(spark, sf_dir, "events")
+    d = F.col("event_id")
+    fetches = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias("host"),
+        F.when(F.col("user_id") % 50 == 7, F.lit(503))
+        .when(d % 10 == 3, F.lit(404))
+        .otherwise(F.lit(200))
+        .alias("status"),
+        (F.abs(F.col("value")) * 100 + (d % 900)).cast("bigint").alias("latency_ms"),
+        (d % 4 == 0).alias("changed"),
+    )
+    return host_crawl_summary(fetches)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -6055,6 +6076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g9_cocitation": q_g9_cocitation,
         "pipeline_url_admission": q_pipeline_url_admission,
         "corpus_dedup_by_source": q_corpus_dedup_by_source,
+        "r17_host_summary": q_r17_host_summary,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -10937,6 +10959,38 @@ SELECT per.source, per.n_docs, per.n_unique,
        ROUND(COALESCE(c.n_cross, 0)::DOUBLE / per.n_docs::DOUBLE, 6)
          AS cross_rate
 FROM per LEFT JOIN cross_c c ON c.source = per.source
+"""
+
+    o["r17_host_summary"] = """
+WITH f AS (
+  SELECT 'h' || (user_id % 50) AS host,
+         CASE WHEN user_id % 50 = 7 THEN 503
+              WHEN event_id % 10 = 3 THEN 404
+              ELSE 200 END AS status,
+         FLOOR(ABS(value) * 100 + (event_id % 900))::BIGINT AS latency_ms,
+         event_id % 4 = 0 AS changed
+  FROM events),
+a AS (
+  SELECT host, COUNT(*)::BIGINT AS n_fetches,
+         SUM((status BETWEEN 200 AND 299)::INT)::BIGINT AS n_ok,
+         SUM((NOT status BETWEEN 200 AND 299)::INT)::BIGINT AS n_err,
+         SUM(changed::INT)::BIGINT AS n_changed,
+         SUM(latency_ms::DECIMAL(28,0)) AS lat_sum,
+         list_sort(list(latency_ms)) AS lats
+  FROM f GROUP BY host),
+r AS (
+  SELECT host, n_fetches, n_ok, n_err,
+         ROUND(n_err::DOUBLE / n_fetches::DOUBLE, 6) AS err_rate,
+         ROUND(lat_sum::DOUBLE / n_fetches::DOUBLE, 6) AS mean_latency_ms,
+         lats[CEIL(n_fetches::DOUBLE * 0.95)::INT]::BIGINT AS p95_latency_ms,
+         ROUND(n_changed::DOUBLE / n_fetches::DOUBLE, 6) AS change_rate
+  FROM a)
+SELECT host, n_fetches, n_ok, n_err, err_rate, mean_latency_ms,
+       p95_latency_ms, change_rate,
+       CASE WHEN err_rate >= 0.5 THEN 'red'
+            WHEN err_rate >= 0.2 OR p95_latency_ms >= 5000 THEN 'yellow'
+            ELSE 'green' END AS health
+FROM r
 """
 
     return o

@@ -693,3 +693,63 @@ def sitemap_coverage(
         .otherwise(F.lit("crawled_only"))
         .alias("status"),
     )
+
+
+def host_crawl_summary(
+    fetches: DataFrame,
+    host_col: str = "host",
+    status_col: str = "status",
+    latency_ms_col: str = "latency_ms",
+    changed_col: str = "changed",
+) -> DataFrame:
+    """Per-host crawl-health dashboard row — the one-glance integration
+    of the signals the p/r families compute separately (error burn,
+    latency-adaptive delay, change-rate planning): per host from a
+    fetch log (host, status, latency_ms, changed):
+
+    (n_fetches, n_ok, n_err, err_rate, mean_latency_ms, p95_latency_ms,
+    change_rate, health) — ``health`` the conservative traffic-light:
+    'red' at err_rate ≥ 0.5, 'yellow' at ≥ 0.2 or p95 ≥ 5000 ms, else
+    'green'.
+
+    One host hash-agg; p95 is the exact type-1 quantile over each
+    host's latency array (in-cell sort — per-host fetch logs for one
+    round are window-sized; the corpus-scale exact path is
+    ``operators/quantiles.py``). Exact integer ratios rounded 6."""
+    ok = F.col(status_col).between(200, 299)
+    agg = fetches.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
+        F.sum(ok.cast("int")).cast("bigint").alias("n_ok"),
+        F.sum((~ok).cast("int")).cast("bigint").alias("n_err"),
+        F.sum(F.col(changed_col).cast("int")).cast("bigint").alias("n_changed"),
+        F.sum(F.col(latency_ms_col).cast("decimal(28,0)")).alias("lat_sum"),
+        F.sort_array(F.collect_list(F.col(latency_ms_col).cast("bigint"))).alias(
+            "lats"
+        ),
+    )
+    n = F.col("n_fetches")
+    err = F.round(F.col("n_err").cast("double") / n.cast("double"), 6)
+    # exact type-1 p95: element at ceil(0.95 n) in the sorted array
+    p95 = F.element_at(
+        F.col("lats"), F.ceil(n.cast("double") * F.lit(0.95)).cast("int")
+    )
+    health = (
+        F.when(err >= 0.5, F.lit("red"))
+        .when((err >= 0.2) | (p95 >= 5000), F.lit("yellow"))
+        .otherwise(F.lit("green"))
+    )
+    return agg.select(
+        "host",
+        "n_fetches",
+        "n_ok",
+        "n_err",
+        err.alias("err_rate"),
+        F.round(F.col("lat_sum").cast("double") / n.cast("double"), 6).alias(
+            "mean_latency_ms"
+        ),
+        p95.cast("bigint").alias("p95_latency_ms"),
+        F.round(F.col("n_changed").cast("double") / n.cast("double"), 6).alias(
+            "change_rate"
+        ),
+        health.alias("health"),
+    )

@@ -2349,3 +2349,25 @@ def test_dedup_rate_by_source(spark):
     assert b["cross_rate"] == 0.5
     c = out["C"]
     assert c["dup_rate"] == 0.0 and c["cross_rate"] == 0.0
+
+
+def test_host_crawl_summary_traffic_light(spark):
+    """A mostly-5xx host reads red, a slow host yellow on p95, a clean
+    host green; p95 is the exact type-1 quantile."""
+    from delphi_crawler_spark.operators.recrawl import host_crawl_summary
+
+    rows = []
+    for i in range(10):
+        rows.append(("bad", 503 if i < 6 else 200, 100, False))
+        rows.append(("slow", 200, 100 if i < 9 else 9000, False))
+        rows.append(("good", 200, 50 + i, i % 2 == 0))
+    df = spark.createDataFrame(rows, ["host", "status", "latency_ms", "changed"])
+    out = {r["host"]: r for r in host_crawl_summary(df).collect()}
+    assert out["bad"]["health"] == "red" and out["bad"]["err_rate"] == 0.6
+    # p95 of 10 values = element ceil(9.5)=10 -> the 9000ms outlier
+    assert out["slow"]["p95_latency_ms"] == 9000
+    assert out["slow"]["health"] == "yellow" and out["slow"]["err_rate"] == 0.0
+    g = out["good"]
+    assert g["health"] == "green" and g["n_ok"] == 10
+    assert g["change_rate"] == 0.5
+    assert g["p95_latency_ms"] == 59  # sorted 50..59, idx 10
