@@ -5833,6 +5833,49 @@ def q_r17_host_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_crawl_summary(fetches)
 
 
+def q_corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over the next-fit packer's output: per
+    shard, sequence count, mean fill ratio against the 89-token budget,
+    and the padding-waste share — the number that justifies (or
+    indicts) a packing config before a training run burns compute on
+    pad tokens. One (shard, seq) dedup + one shard hash-agg on top of
+    the existing packer."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast(BIG).alias("doc_id"),
+        (F.col("doc_id") % 8).cast(BIG).alias("shard"),
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tokens"),
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=89)
+    seqs = packed.select("shard", "seq_id", "seq_tokens").distinct()
+    b = F.lit(89.0)
+    return (
+        seqs.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+            F.sum("seq_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.least(F.col("seq_tokens"), F.lit(89)).cast("bigint")).alias("_cap"),
+        )
+        .select(
+            "shard",
+            "n_seqs",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double")
+                / (F.col("n_seqs").cast("double") * b),
+                6,
+            ).alias("mean_fill"),
+            F.round(
+                F.lit(1.0)
+                - F.col("_cap").cast("double") / (F.col("n_seqs").cast("double") * b),
+                6,
+            ).alias("pad_waste"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -6077,6 +6120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_url_admission": q_pipeline_url_admission,
         "corpus_dedup_by_source": q_corpus_dedup_by_source,
         "r17_host_summary": q_r17_host_summary,
+        "corpus_pack_efficiency": q_corpus_pack_efficiency,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -10991,6 +11035,54 @@ SELECT host, n_fetches, n_ok, n_err, err_rate, mean_latency_ms,
             WHEN err_rate >= 0.2 OR p95_latency_ms >= 5000 THEN 'yellow'
             ELSE 'green' END AS health
 FROM r
+"""
+
+    o["corpus_pack_efficiency"] = """
+WITH packed AS (
+
+WITH RECURSIVE d AS (
+  SELECT doc_id % 8 AS shard, doc_id,
+         len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT shard, doc_id, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id))::BIGINT AS cum,
+         (row_number() OVER (PARTITION BY shard ORDER BY doc_id))::BIGINT AS idx
+  FROM d),
+m AS (SELECT shard, max(idx) AS n FROM c GROUP BY shard),
+seqs AS (
+  SELECT m.shard, 1::BIGINT AS s, 0::BIGINT AS base, 0::BIGINT AS seq_id,
+         greatest(1::BIGINT, coalesce((SELECT max(idx) FROM c
+            WHERE c.shard = m.shard AND c.cum <= 89), 0::BIGINT)) AS e
+  FROM m
+  UNION ALL
+  SELECT sq.shard, sq.e + 1 AS s,
+         (SELECT cum FROM c WHERE c.shard = sq.shard AND c.idx = sq.e) AS base,
+         sq.seq_id + 1 AS seq_id,
+         greatest(sq.e + 1, coalesce((SELECT max(idx) FROM c
+            WHERE c.shard = sq.shard
+              AND c.cum <= (SELECT cum FROM c c2
+                            WHERE c2.shard = sq.shard AND c2.idx = sq.e) + 89),
+            0::BIGINT)) AS e
+  FROM seqs sq JOIN m ON m.shard = sq.shard
+  WHERE sq.e < m.n)
+SELECT c.shard::BIGINT AS shard, c.doc_id::BIGINT AS doc_id,
+       c.n_tokens, sq.seq_id,
+       (c.idx - sq.s)::BIGINT AS pos_in_seq,
+       (c.cum - c.n_tokens - sq.base)::BIGINT AS tok_offset,
+       ((SELECT cum FROM c c3 WHERE c3.shard = c.shard AND c3.idx = sq.e)
+        - sq.base)::BIGINT AS seq_tokens
+FROM c JOIN seqs sq ON c.shard = sq.shard AND c.idx BETWEEN sq.s AND sq.e
+
+),
+seqs AS (SELECT DISTINCT shard, seq_id, seq_tokens FROM packed)
+SELECT shard, COUNT(*)::BIGINT AS n_seqs,
+       SUM(seq_tokens)::BIGINT AS total_tokens,
+       ROUND(SUM(seq_tokens)::DOUBLE / (COUNT(*)::DOUBLE * 89.0), 6)
+         AS mean_fill,
+       ROUND(1.0 - SUM(LEAST(seq_tokens, 89))::DOUBLE
+             / (COUNT(*)::DOUBLE * 89.0), 6) AS pad_waste
+FROM seqs GROUP BY shard
 """
 
     return o

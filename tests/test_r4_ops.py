@@ -2371,3 +2371,33 @@ def test_host_crawl_summary_traffic_light(spark):
     assert g["health"] == "green" and g["n_ok"] == 10
     assert g["change_rate"] == 0.5
     assert g["p95_latency_ms"] == 59  # sorted 50..59, idx 10
+
+
+def test_pack_efficiency_report(spark):
+    """Perfectly-filled packs report fill 1 / waste 0; an oversized doc's
+    own sequence caps waste at 0 (clamped) while fill exceeds 1; a
+    half-filled pack shows its padding."""
+    from delphi_crawler_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, 10), (3, 1, 25), (4, 2, 5)],
+        ["doc_id", "shard", "n_tokens"],
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=20)
+    seqs = packed.select("shard", "seq_id", "seq_tokens").distinct()
+    rows = {
+        r["shard"]: r
+        for r in seqs.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("seq_tokens").alias("tot"),
+            F.sum(F.least(F.col("seq_tokens"), F.lit(20))).alias("cap"),
+        )
+        .collect()
+    }
+    # shard 0: one 20-token pack, full
+    assert rows[0]["n_seqs"] == 1 and rows[0]["tot"] == 20
+    # shard 1: one 25-token oversized sequence; cap clamps to 20
+    assert rows[1]["tot"] == 25 and rows[1]["cap"] == 20
+    # shard 2: one 5-token pack: 15 tokens of padding
+    assert rows[2]["tot"] == 5
