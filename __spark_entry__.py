@@ -5876,6 +5876,24 @@ def q_corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weight-aware median per host (value weighted by a synthetic
+    byte count): smallest value whose cumulative weight reaches half the
+    group mass — in-cell fold over the value-sorted structs; the
+    corpus-scale exact path remains operators/quantiles.py."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.aggs import weighted_quantile_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    d = F.col("event_id")
+    rows = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 30).cast("string")).alias("host"),
+        F.round(F.col("value"), 3).alias("v"),
+        ((d % 9) + 1).cast("double").alias("w"),
+    )
+    return weighted_quantile_by_group(rows, "host", "v", "w", q=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -6121,6 +6139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup_by_source": q_corpus_dedup_by_source,
         "r17_host_summary": q_r17_host_summary,
         "corpus_pack_efficiency": q_corpus_pack_efficiency,
+        "agg_weighted_median": q_agg_weighted_median,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -11083,6 +11102,28 @@ SELECT shard, COUNT(*)::BIGINT AS n_seqs,
        ROUND(1.0 - SUM(LEAST(seq_tokens, 89))::DOUBLE
              / (COUNT(*)::DOUBLE * 89.0), 6) AS pad_waste
 FROM seqs GROUP BY shard
+"""
+
+    o["agg_weighted_median"] = """
+WITH rows_in AS (
+  SELECT 'h' || (user_id % 30) AS host,
+         ROUND(value, 3)::DOUBLE AS v,
+         ((event_id % 9) + 1)::DOUBLE AS w
+  FROM events),
+g AS (
+  SELECT host, COUNT(*)::BIGINT AS n_rows,
+         list_sort(list({'v': v, 'w': w})) AS vw,
+         SUM(w) AS tw
+  FROM rows_in WHERE w > 0 GROUP BY host),
+sc AS (
+  SELECT host, n_rows, tw, vw,
+         list_filter(range(1, len(vw) + 1),
+           i -> list_sum(list_transform(vw[1:i], s -> s.w))
+                >= tw * 0.5 - 1e-12) AS idxs
+  FROM g)
+SELECT host, n_rows, ROUND(tw, 6) AS total_weight,
+       ROUND(vw[idxs[1]].v, 6) AS wq
+FROM sc
 """
 
     return o

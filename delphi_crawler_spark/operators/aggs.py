@@ -133,3 +133,55 @@ def distribution_drift(
         F.round(F.col("ks_raw"), 6).alias("ks_distance"),
         F.round(F.col("psi_sum").cast("double"), 6).alias("psi"),
     )
+
+
+def weighted_quantile_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    q: float = 0.5,
+) -> DataFrame:
+    """Exact weighted quantile per group — the size-aware percentile
+    (bytes-weighted latency median, token-weighted doc-length p90) that
+    an unweighted quantile silently misstates when row sizes vary: the
+    result is the smallest value whose cumulative weight reaches
+    ``q × total_weight`` over the value-sorted group.
+
+    In-cell exact form for window-sized groups (hosts, shards): one
+    group hash-agg collects (value, weight) structs, array_sort orders
+    by value (weight as deterministic tiebreak), and the threshold scan
+    is an in-cell fold — O(n²) per group via prefix re-aggregation,
+    documented bound, fine to ~10³ rows/group; the corpus-scale exact
+    path stays ``operators/quantiles.py`` (two-phase, no global sort).
+    Zero/negative weights are dropped (no mass). Returns (group,
+    n_rows, total_weight, wq) — NULL when the group carries no mass."""
+    if not (0.0 < q <= 1.0):
+        raise ValueError("weighted_quantile_by_group() needs 0 < q <= 1")
+    rows = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).filter(F.col("w") > 0)
+    agg = rows.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.array_sort(F.collect_list(F.struct("v", "w"))).alias("vw"),
+        F.sum("w").alias("tw"),
+    )
+    n = F.size("vw")
+    target = F.col("tw") * F.lit(float(q))
+    # cum weight at index i (1-based): prefix fold over the sorted structs
+    cum_at = lambda i: F.aggregate(  # noqa: E731
+        F.slice(F.col("vw"), 1, i), F.lit(0.0), lambda a, s: a + s["w"]
+    )
+    idxs = F.filter(
+        F.sequence(F.lit(1), n), lambda i: cum_at(i) >= target - F.lit(1e-12)
+    )
+    pick = F.element_at(idxs, 1)
+    wq = F.when(pick.isNotNull(), F.element_at(F.col("vw"), pick)["v"])
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_rows",
+        F.round(F.col("tw"), 6).alias("total_weight"),
+        F.round(wq, 6).alias("wq"),
+    )

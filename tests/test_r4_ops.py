@@ -2401,3 +2401,28 @@ def test_pack_efficiency_report(spark):
     assert rows[1]["tot"] == 25 and rows[1]["cap"] == 20
     # shard 2: one 5-token pack: 15 tokens of padding
     assert rows[2]["tot"] == 5
+
+
+def test_weighted_median_hand_computed(spark):
+    """One heavy row dominates: values 1,2,3 with weights 1,1,10 put the
+    weighted median at 3 (unweighted would say 2); zero weights drop;
+    q=1 returns the max."""
+    from delphi_crawler_spark.operators.aggs import weighted_quantile_by_group
+
+    rows = [
+        ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 10.0),
+        ("b", 5.0, 2.0), ("b", 7.0, 2.0),
+        ("c", 9.0, 0.0),  # no mass -> group disappears
+    ]
+    df = spark.createDataFrame(rows, ["host", "v", "w"])
+    out = {r["host"]: r for r in weighted_quantile_by_group(df, "host", "v", "w").collect()}
+    assert out["a"]["wq"] == 3.0 and out["a"]["total_weight"] == 12.0
+    assert out["b"]["wq"] == 5.0  # cum 2 >= 2 at the first value
+    assert "c" not in out
+    hi = {r["host"]: r for r in weighted_quantile_by_group(df, "host", "v", "w", q=1.0).collect()}
+    assert hi["a"]["wq"] == 3.0 and hi["b"]["wq"] == 7.0
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        weighted_quantile_by_group(df, "host", "v", "w", q=0)
