@@ -5894,6 +5894,18 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_quantile_by_group(rows, "host", "v", "w", q=0.5)
 
 
+def q_evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM engagement grid over users (recency/frequency/monetary
+    quintiles with deterministic tie-broken NTILEs over the key table) —
+    the same grid ranks hosts by yield in a crawl. One key hash-agg +
+    three metadata-sized windows."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.events import rfm_segments
+
+    ev = _t(spark, sf_dir, "events")
+    return rfm_segments(ev, now_us=1_700_000_000_000_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -6140,6 +6152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r17_host_summary": q_r17_host_summary,
         "corpus_pack_efficiency": q_corpus_pack_efficiency,
         "agg_weighted_median": q_agg_weighted_median,
+        "evt_rfm_segments": q_evt_rfm_segments,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -11124,6 +11137,30 @@ sc AS (
 SELECT host, n_rows, ROUND(tw, 6) AS total_weight,
        ROUND(vw[idxs[1]].v, 6) AS wq
 FROM sc
+"""
+
+    o["evt_rfm_segments"] = """
+WITH a AS (
+  SELECT user_id AS key, MAX(epoch_us(ts)) AS last_us,
+         COUNT(*)::BIGINT AS frequency,
+         ROUND(SUM(value), 6) AS monetary
+  FROM events GROUP BY user_id),
+b AS (
+  SELECT key,
+         ROUND((1700000000000000 - last_us) / 86400000000.0, 6)
+           AS recency_days,
+         frequency, monetary
+  FROM a),
+t AS (
+  SELECT key, recency_days, frequency, monetary,
+         NTILE(5) OVER (ORDER BY recency_days DESC, key ASC) AS r,
+         NTILE(5) OVER (ORDER BY frequency ASC, key ASC) AS f,
+         NTILE(5) OVER (ORDER BY monetary ASC, key ASC) AS m
+  FROM b)
+SELECT key AS user_id, recency_days, frequency, monetary,
+       r::BIGINT AS r, f::BIGINT AS f, m::BIGINT AS m,
+       r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment
+FROM t
 """
 
     return o

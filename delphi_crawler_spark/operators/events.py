@@ -459,3 +459,69 @@ def top_event_paths(
             ).alias("share"),
         )
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    now_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles — the
+    classic engagement grid, applied to hosts as naturally as users: R =
+    how recently a host yielded new content, F = how often, M = how much
+    value): each metric ranks into ``n_tiles`` NTILE buckets with a
+    deterministic total order (metric, then key — NTILE without a total
+    order is partition-dependent, the same trap as bare limit()), and
+    the segment code concatenates the three digits (R highest = most
+    recent = tile n).
+
+    One key hash-agg (exact integer/decimal sums) + three key-table
+    NTILE windows (metadata-sized, the key_skew_gini discipline).
+    Returns (key, recency_days, frequency, monetary, r, f, m, segment).
+    """
+    if n_tiles < 2:
+        raise ValueError("rfm_segments() needs n_tiles >= 2")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    agg = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.max(us).alias("last_us"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(F.sum(F.col(value_col)), 6).alias("monetary"),
+    )
+    rec_days = F.round(
+        (F.lit(int(now_us)) - F.col("last_us")) / F.lit(86_400_000_000.0), 6
+    )
+    base = agg.select(
+        "key",
+        rec_days.alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    from pyspark.sql import Window
+
+    # R: smaller recency (more recent) = higher tile -> order DESC so
+    # ntile 1 is the stalest, n the freshest... invert by ordering desc
+    wr = Window.orderBy(F.desc("recency_days"), F.asc("key"))
+    wf = Window.orderBy(F.asc("frequency"), F.asc("key"))
+    wm = Window.orderBy(F.asc("monetary"), F.asc("key"))
+    out = base.select(
+        "key",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_tiles).over(wr).alias("r"),
+        F.ntile(n_tiles).over(wf).alias("f"),
+        F.ntile(n_tiles).over(wm).alias("m"),
+    )
+    return out.select(
+        F.col("key").alias(key_col),
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.col("r").cast("bigint").alias("r"),
+        F.col("f").cast("bigint").alias("f"),
+        F.col("m").cast("bigint").alias("m"),
+        F.concat(F.col("r"), F.col("f"), F.col("m")).alias("segment"),
+    )

@@ -2426,3 +2426,30 @@ def test_weighted_median_hand_computed(spark):
 
     with _p.raises(ValueError):
         weighted_quantile_by_group(df, "host", "v", "w", q=0)
+
+
+def test_rfm_segments_deterministic_tiles(spark):
+    """Freshest+busiest+richest key lands in segment 'nnn'; stale quiet
+    key in '111'; ties break on key so reruns are identical."""
+    import datetime
+
+    from delphi_crawler_spark.operators.events import rfm_segments
+
+    t0 = datetime.datetime(2026, 1, 1)
+    now_us = int((t0 + datetime.timedelta(days=100)).timestamp() * 1e6)
+    rows = []
+    for u in range(1, 6):  # user u: u events, last at day u*10, value u
+        for i in range(u):
+            rows.append((u, t0 + datetime.timedelta(days=u * 10, hours=i), i, float(u)))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {r["user_id"]: r for r in rfm_segments(df, now_us).collect()}
+    assert out[5]["segment"] == "555" and out[1]["segment"] == "111"
+    assert out[5]["frequency"] == 5 and out[5]["monetary"] == 25.0
+    # two identical reruns agree exactly (deterministic NTILE order)
+    again = {r["user_id"]: r["segment"] for r in rfm_segments(df, now_us).collect()}
+    assert {u: r["segment"] for u, r in out.items()} == again
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        rfm_segments(df, now_us, n_tiles=1)
