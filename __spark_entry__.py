@@ -5906,6 +5906,26 @@ def q_evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(ev, now_us=1_700_000_000_000_000)
 
 
+def q_store_ttl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-TTL maintenance plan: per file, expired-row share and the
+    merge-on-read vs copy-on-write decision (delete vector under 30%
+    dead, rewrite above, untouched at zero). One file hash-agg."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.storage.compaction import ttl_expiry_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    rows = docs.select(
+        (d % 25).cast("bigint").alias("file_id"),
+        (F.lit(_SNAP_NOW_MS) - (d % 90) * 86_400_000).cast("bigint").alias(
+            "created_ms"
+        ),
+    )
+    return ttl_expiry_plan(
+        rows, now_ms=_SNAP_NOW_MS, ttl_ms=60 * 86_400_000, rewrite_threshold=0.3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -6153,6 +6173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_efficiency": q_corpus_pack_efficiency,
         "agg_weighted_median": q_agg_weighted_median,
         "evt_rfm_segments": q_evt_rfm_segments,
+        "store_ttl_plan": q_store_ttl_plan,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -11161,6 +11182,25 @@ SELECT key AS user_id, recency_days, frequency, monetary,
        r::BIGINT AS r, f::BIGINT AS f, m::BIGINT AS m,
        r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment
 FROM t
+"""
+
+    o["store_ttl_plan"] = """
+WITH r AS (
+  SELECT (doc_id % 25)::BIGINT AS file_id,
+         (1700000000000 - (doc_id % 90) * 86400000)::BIGINT AS created_ms
+  FROM documents),
+a AS (
+  SELECT file_id, COUNT(*)::BIGINT AS n_rows,
+         SUM((created_ms <= 1700000000000 - 60::BIGINT * 86400000)::INT)::BIGINT
+           AS n_expired
+  FROM r GROUP BY file_id)
+SELECT file_id, n_rows, n_expired,
+       ROUND(n_expired::DOUBLE / n_rows::DOUBLE, 6) AS expired_share,
+       CASE WHEN n_expired = 0 THEN 'none'
+            WHEN ROUND(n_expired::DOUBLE / n_rows::DOUBLE, 6) >= 0.3
+              THEN 'rewrite'
+            ELSE 'delete_vector' END AS action
+FROM a
 """
 
     return o

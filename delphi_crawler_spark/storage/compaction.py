@@ -233,3 +233,45 @@ def backfill_islands(
         )
         .select("source", "start_part", "end_part", "n_missing")
     )
+
+
+def ttl_expiry_plan(
+    rows: DataFrame,
+    now_ms: int,
+    ttl_ms: int,
+    file_col: str = "file_id",
+    ts_col: str = "created_ms",
+    rewrite_threshold: float = 0.3,
+) -> DataFrame:
+    """Row-TTL maintenance planning (retention enforcement over an
+    immutable-file store): per data file, how many rows have outlived
+    ``ttl_ms`` and the cheapest way to drop them — a DELETE VECTOR when
+    the expired share is small (mark rows, keep the file), a REWRITE
+    when the file is mostly dead (copy the survivors, reclaim the
+    space); files with nothing expired are left untouched.
+
+    The threshold is the standard merge-on-read vs copy-on-write
+    break-even knob (Iceberg v2 positional deletes / Delta DVs). One
+    (file) hash-agg over row timestamps — exact integer counts, share
+    rounded 6. Returns (file_id, n_rows, n_expired, expired_share,
+    action ∈ none|delete_vector|rewrite)."""
+    if ttl_ms <= 0:
+        raise ValueError("ttl_expiry_plan() needs ttl_ms > 0")
+    cutoff = int(now_ms - ttl_ms)
+    expired = (F.col(ts_col) <= F.lit(cutoff)).cast("int")
+    agg = rows.groupBy(F.col(file_col).alias("file_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(expired).cast("bigint").alias("n_expired"),
+    )
+    share = F.round(
+        F.col("n_expired").cast("double") / F.col("n_rows").cast("double"), 6
+    )
+    action = (
+        F.when(F.col("n_expired") == 0, F.lit("none"))
+        .when(share >= F.lit(float(rewrite_threshold)), F.lit("rewrite"))
+        .otherwise(F.lit("delete_vector"))
+    )
+    return agg.select(
+        "file_id", "n_rows", "n_expired", share.alias("expired_share"),
+        action.alias("action"),
+    )

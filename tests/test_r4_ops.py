@@ -2453,3 +2453,32 @@ def test_rfm_segments_deterministic_tiles(spark):
 
     with _p.raises(ValueError):
         rfm_segments(df, now_us, n_tiles=1)
+
+
+def test_ttl_plan_actions(spark):
+    """All-dead file rewrites, lightly-dead file gets a delete vector,
+    fresh file untouched; threshold boundary is inclusive."""
+    from delphi_crawler_spark.storage.compaction import ttl_expiry_plan
+
+    now, day = 1_700_000_000_000, 86_400_000
+    rows = (
+        [("dead", now - 100 * day)] * 4
+        + [("light", now - 100 * day)] + [("light", now)] * 9
+        + [("fresh", now)] * 3
+        + [("edge", now - 100 * day)] * 3 + [("edge", now)] * 7
+    )
+    df = spark.createDataFrame(rows, ["file_id", "created_ms"])
+    out = {
+        r["file_id"]: r
+        for r in ttl_expiry_plan(df, now, ttl_ms=60 * day).collect()
+    }
+    assert out["dead"]["action"] == "rewrite" and out["dead"]["expired_share"] == 1.0
+    assert out["light"]["action"] == "delete_vector"
+    assert out["fresh"]["action"] == "none" and out["fresh"]["n_expired"] == 0
+    assert out["edge"]["expired_share"] == 0.3  # exactly at threshold
+    assert out["edge"]["action"] == "rewrite"   # >= is inclusive
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        ttl_expiry_plan(df, now, ttl_ms=0)
