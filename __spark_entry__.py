@@ -5926,6 +5926,34 @@ def q_store_ttl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c1g_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural URL feature vector (length, depth, params, digit
+    share, low-value flag) over synthetic URLs spanning clean pages,
+    deep digit paths, and param-heavy endpoints — the ML companion to
+    the rule-based trap/DUST gates. Pure JVM, zero shuffle."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.functions.canonicalize import url_structure_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = (
+        F.when(d % 5 == 1, F.concat(F.lit("https://h.test/a/b/c/d/e/f/g/"), d.cast("string")))
+        .when(d % 5 == 2, F.concat(F.lit("https://h.test/p?a=1&b=2&c=3&d=4&e="), d.cast("string")))
+        .when(d % 5 == 3, F.concat(F.lit("https://h.test/20260821/"), (d * 991).cast("string")))
+        .otherwise(F.concat(F.lit("https://h.test/page/"), d.cast("string")))
+    )
+    c = url_structure_cols(url)
+    return docs.select(
+        d.cast(BIG).alias("doc_id"),
+        url.alias("url"),
+        c["url_len"].alias("url_len"),
+        c["path_depth"].alias("path_depth"),
+        c["n_params"].alias("n_params"),
+        c["digit_share"].alias("digit_share"),
+        c["low_value_flag"].alias("low_value_flag"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -6174,6 +6202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_weighted_median": q_agg_weighted_median,
         "evt_rfm_segments": q_evt_rfm_segments,
         "store_ttl_plan": q_store_ttl_plan,
+        "c1g_url_features": q_c1g_url_features,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -11201,6 +11230,40 @@ SELECT file_id, n_rows, n_expired,
               THEN 'rewrite'
             ELSE 'delete_vector' END AS action
 FROM a
+"""
+
+    o["c1g_url_features"] = """
+WITH u AS (
+  SELECT doc_id::BIGINT AS doc_id,
+    CASE WHEN doc_id % 5 = 1
+           THEN 'https://h.test/a/b/c/d/e/f/g/' || doc_id
+         WHEN doc_id % 5 = 2
+           THEN 'https://h.test/p?a=1&b=2&c=3&d=4&e=' || doc_id
+         WHEN doc_id % 5 = 3
+           THEN 'https://h.test/20260821/' || (doc_id * 991)
+         ELSE 'https://h.test/page/' || doc_id END AS url
+  FROM documents),
+f AS (
+  SELECT doc_id, url,
+         regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                        '^[^/]*(/[^?#]*)?', 1) AS pq,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM u),
+g AS (
+  SELECT doc_id, url,
+         length(url)::BIGINT AS url_len,
+         len(list_filter(string_split(pq, '/'), s -> s <> ''))::BIGINT
+           AS path_depth,
+         CASE WHEN q = '' THEN 0
+              ELSE len(string_split(q, '&')) END::BIGINT AS n_params,
+         CASE WHEN length(pq) > 0 THEN ROUND(
+           length(regexp_replace(pq, '[^0-9]', '', 'g'))::DOUBLE
+           / length(pq)::DOUBLE, 6) ELSE 0.0 END AS digit_share
+  FROM f)
+SELECT doc_id, url, url_len, path_depth, n_params, digit_share,
+       (path_depth > 6 OR n_params > 4 OR digit_share > 0.4
+        OR url_len > 200) AS low_value_flag
+FROM g
 """
 
     return o

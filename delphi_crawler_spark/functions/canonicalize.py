@@ -360,3 +360,40 @@ def fold_host_aliases(host: Column) -> Column:
     alias)."""
     once = F.regexp_replace(host, r"^(www|m|mobile|amp)\.", "")
     return F.regexp_replace(once, r"^(www|m|mobile|amp)\.", "")
+
+
+def url_structure_cols(url: Column) -> dict[str, Column]:
+    """Structural URL features — the per-URL vector crawl-value models
+    score before a fetch (long, deep, digit-ridden, parameter-heavy URLs
+    correlate with low-value template pages; the ML companion to the
+    rule-based trap/DUST gates): total length, path depth, query-param
+    count, digit share of the path, and a static low-value flag at the
+    conventional thresholds (depth > 6, params > 4, digits > 40%, or
+    length > 200). Pure JVM regexp/split — zero shuffle."""
+    rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    path_q = F.regexp_extract(rest, r"^[^/]*(/[^?#]*)?", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    segs = F.filter(F.split(path_q, "/"), lambda s: s != "")
+    depth = F.size(segs).cast("bigint")
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    ).cast("bigint")
+    plen = F.length(path_q)
+    digits = F.length(F.regexp_replace(path_q, r"[^0-9]", ""))
+    digit_share = F.when(
+        plen > 0, F.round(digits.cast("double") / plen.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    total_len = F.length(url).cast("bigint")
+    low_value = (
+        (depth > 6)
+        | (n_params > 4)
+        | (digit_share > 0.4)
+        | (total_len > 200)
+    )
+    return {
+        "url_len": total_len,
+        "path_depth": depth,
+        "n_params": n_params,
+        "digit_share": digit_share,
+        "low_value_flag": low_value,
+    }

@@ -257,3 +257,30 @@ def test_host_alias_folding(spark):
     out = df.select("host", "expected", fold_host_aliases(F.col("host")).alias("got"))
     for r in out.collect():
         assert r["got"] == r["expected"], r["host"]
+
+
+def test_url_structure_features(spark):
+    """Depth counts real segments, params need a query string, digit
+    share sees only the path, flags fire at the documented thresholds."""
+    from pyspark.sql import functions as F
+
+    from delphi_crawler_spark.functions.canonicalize import url_structure_cols
+
+    cases = [
+        (1, "https://h.test/page/one"),
+        (2, "https://h.test/a/b/c/d/e/f/g/h"),           # depth 8 -> flag
+        (3, "https://h.test/p?a=1&b=2&c=3&d=4&e=5"),     # 5 params -> flag
+        (4, "https://h.test/123456789/9"),               # digits -> flag
+        (5, "https://h.test/"),
+    ]
+    df = spark.createDataFrame(cases, ["id", "url"])
+    c = url_structure_cols(F.col("url"))
+    out = {
+        r["id"]: r
+        for r in df.select("id", *[v.alias(k) for k, v in c.items()]).collect()
+    }
+    assert out[1]["path_depth"] == 2 and not out[1]["low_value_flag"]
+    assert out[2]["path_depth"] == 8 and out[2]["low_value_flag"]
+    assert out[3]["n_params"] == 5 and out[3]["low_value_flag"]
+    assert out[4]["digit_share"] > 0.4 and out[4]["low_value_flag"]
+    assert out[5]["path_depth"] == 0 and out[5]["n_params"] == 0
