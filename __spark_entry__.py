@@ -5954,6 +5954,31 @@ def q_c1g_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evt_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear smoothing over the gapfilled per-key daily series
+    (evt_gapfill's input): level/trend fold in day order, 1-day and
+    7-day projections — the per-host volume forecast a scheduler sizes
+    tomorrow's round with. Sequential recurrence as one in-cell fold."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.events import gapfill_daily, holt_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(86400000000)
+    ).cast("bigint")
+    series = (
+        ev.filter(F.col("event_id") % 5 == 0)
+        .select(
+            F.concat(F.lit("u"), (F.col("user_id") % 40).cast("string")).alias("key"),
+            day.alias("day"),
+        )
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dense = gapfill_daily(series)
+    return holt_forecast(dense, "key", "day", "n", alpha=0.5, beta=0.3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -6203,6 +6228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_rfm_segments": q_evt_rfm_segments,
         "store_ttl_plan": q_store_ttl_plan,
         "c1g_url_features": q_c1g_url_features,
+        "evt_holt_forecast": q_evt_holt_forecast,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -11264,6 +11290,46 @@ SELECT doc_id, url, url_len, path_depth, n_params, digit_share,
        (path_depth > 6 OR n_params > 4 OR digit_share > 0.4
         OR url_len > 200) AS low_value_flag
 FROM g
+"""
+
+    o["evt_holt_forecast"] = """
+WITH series AS (
+  SELECT 'u' || (user_id % 40) AS key,
+         FLOOR(epoch_us(ts) / 86400000000)::BIGINT AS day,
+         COUNT(*)::BIGINT AS n
+  FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2),
+spans AS (
+  SELECT key, MIN(day) AS d0, MAX(day) AS d1 FROM series GROUP BY key),
+dense AS (
+  SELECT sp.key, g.day::BIGINT AS day
+  FROM spans sp, unnest(range(sp.d0, sp.d1 + 1)) g(day)),
+dn AS (
+  SELECT d.key, d.day, COALESCE(s.n, 0)::DOUBLE AS x
+  FROM dense d LEFT JOIN series s ON d.key = s.key AND d.day = s.day),
+arr AS (
+  SELECT key, list_transform(
+           list_sort(list({'d': day, 'x': x})), s -> s.x) AS vals
+  FROM dn GROUP BY key),
+st AS (
+  SELECT key, len(vals)::BIGINT AS n_days,
+         CASE WHEN len(vals) >= 2 THEN
+           list_reduce(
+             list_prepend(
+               [vals[2]::DOUBLE, (vals[2] - vals[1])::DOUBLE],
+               list_transform(vals[3:], x -> [x::DOUBLE, 0.0::DOUBLE])),
+             (acc, e) -> [
+               0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+               0.3 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+               + 0.7 * acc[2]])
+         END AS fs
+  FROM arr)
+SELECT key, n_days,
+       CASE WHEN n_days >= 2 THEN ROUND(fs[1], 6) END AS level,
+       CASE WHEN n_days >= 2 THEN ROUND(fs[2], 6) END AS trend,
+       CASE WHEN n_days >= 2 THEN ROUND(fs[1] + fs[2], 6) END AS forecast_1d,
+       CASE WHEN n_days >= 2 THEN ROUND(fs[1] + 7.0 * fs[2], 6) END
+         AS forecast_7d
+FROM st
 """
 
     return o

@@ -525,3 +525,68 @@ def rfm_segments(
         F.col("m").cast("bigint").alias("m"),
         F.concat(F.col("r"), F.col("f"), F.col("m")).alias("segment"),
     )
+
+
+def holt_forecast(
+    series: DataFrame,
+    key_col: str = "key",
+    day_col: str = "day",
+    value_col: str = "n",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Holt linear exponential smoothing per key (Holt 1957) — the
+    capacity forecast a crawl scheduler runs over per-host daily volume
+    (gapfilled first, so silence reads as 0 — compose with
+    ``gapfill_daily``): level/trend fold over the day-ordered series,
+    one-day and seven-day-ahead projections.
+
+    The recurrence is inherently sequential, so it runs as ONE in-cell
+    fold over the collected per-key series (array_sort on (day, value)
+    structs → exact day order; series length = the key's own span —
+    window-sized). The fold's float ops execute in identical order in
+    any engine's left-fold (the SQL oracle uses list_reduce with the
+    SAME expression shape), so results are bit-comparable at 6 dp.
+
+    Keys with < 2 observed days carry no trend evidence → NULL outputs.
+    Returns (key, n_days, level, trend, forecast_1d, forecast_7d)."""
+    if not (0 < alpha <= 1 and 0 <= beta <= 1):
+        raise ValueError("holt_forecast() needs 0<alpha<=1, 0<=beta<=1")
+    a, b = float(alpha), float(beta)
+    g = series.groupBy(F.col(key_col).alias("key")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(day_col).alias("d"), F.col(value_col).cast("double").alias("x"))
+            )
+        ).alias("sv")
+    )
+    vals = F.transform(F.col("sv"), lambda s: s["x"])
+    n = F.size(vals)
+    x1 = F.element_at(vals, 1)
+    x2 = F.element_at(vals, 2)
+    init = F.struct(x2.alias("l"), (x2 - x1).alias("b"))
+
+    def step(acc, x):
+        new_l = F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        new_b = (
+            F.lit(b) * ((F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"])) - acc["l"])
+            + F.lit(1.0 - b) * acc["b"]
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    folded = F.aggregate(
+        F.slice(vals, 3, F.greatest(n - 2, F.lit(0))), init, step
+    )
+    has = n >= 2
+    lvl = F.when(has, F.round(folded["l"], 6))
+    trd = F.when(has, F.round(folded["b"], 6))
+    f1 = F.when(has, F.round(folded["l"] + folded["b"], 6))
+    f7 = F.when(has, F.round(folded["l"] + F.lit(7.0) * folded["b"], 6))
+    return g.select(
+        F.col("key").alias(key_col),
+        n.cast("bigint").alias("n_days"),
+        lvl.alias("level"),
+        trd.alias("trend"),
+        f1.alias("forecast_1d"),
+        f7.alias("forecast_7d"),
+    )

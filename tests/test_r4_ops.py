@@ -2482,3 +2482,30 @@ def test_ttl_plan_actions(spark):
 
     with _p.raises(ValueError):
         ttl_expiry_plan(df, now, ttl_ms=0)
+
+
+def test_holt_forecast_hand_computed(spark):
+    """Series 1,3,2,5 at alpha=.5/beta=.3: init (l=3,b=2), two steps to
+    (5.025, 1.5425); a linear ramp forecasts its own continuation; one
+    observation yields NULLs."""
+    from delphi_crawler_spark.operators.events import holt_forecast
+
+    rows = (
+        [("a", d, x) for d, x in enumerate([1.0, 3.0, 2.0, 5.0])]
+        + [("ramp", d, float(10 + 2 * d)) for d in range(6)]
+        + [("solo", 0, 9.0)]
+    )
+    df = spark.createDataFrame(rows, ["key", "day", "n"])
+    out = {r["key"]: r for r in holt_forecast(df).collect()}
+    a = out["a"]
+    assert a["level"] == 5.025 and a["trend"] == round(1.5424999999999998, 6)
+    assert a["forecast_1d"] == round(5.025 + 1.5424999999999998, 6)
+    r = out["ramp"]  # exact linear: level tracks, trend = 2
+    assert r["trend"] == 2.0 and r["forecast_1d"] == 22.0
+    assert r["forecast_7d"] == 34.0
+    assert out["solo"]["level"] is None and out["solo"]["n_days"] == 1
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        holt_forecast(df, alpha=0)
