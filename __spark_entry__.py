@@ -5979,6 +5979,22 @@ def q_evt_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_forecast(dense, "key", "day", "n", alpha=0.5, beta=0.3)
 
 
+def q_evt_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: daily actives split into first-ever-day NEW vs
+    RETURNING keys (host-discovery reading: new vs revisited domains per
+    round). First-occurrence min(day) per key + shared-grain day agg."""
+    _ensure_pkg(spark)
+    from delphi_crawler_spark.operators.events import new_vs_returning_daily
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(86400000000)
+    ).cast("bigint")
+    return new_vs_returning_daily(
+        ev.select(F.col("user_id"), day.alias("day")), "user_id", "day"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry correctness window reaches every
     # entry across rounds: round-3's 32 never-driver-verified queries come
@@ -6229,6 +6245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_ttl_plan": q_store_ttl_plan,
         "c1g_url_features": q_c1g_url_features,
         "evt_holt_forecast": q_evt_holt_forecast,
+        "evt_new_vs_returning": q_evt_new_vs_returning,
         "text_code_detect": q_text_code_detect,
     }
 
@@ -11330,6 +11347,22 @@ SELECT key, n_days,
        CASE WHEN n_days >= 2 THEN ROUND(fs[1] + 7.0 * fs[2], 6) END
          AS forecast_7d
 FROM st
+"""
+
+    o["evt_new_vs_returning"] = """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS key,
+         FLOOR(epoch_us(ts) / 86400000000)::BIGINT AS day
+  FROM events WHERE user_id IS NOT NULL),
+fd AS (SELECT key, MIN(day) AS first_day FROM pairs GROUP BY key),
+j AS (SELECT p.key, p.day, f.first_day
+      FROM pairs p JOIN fd f ON f.key = p.key)
+SELECT day, COUNT(*)::BIGINT AS n_active,
+       SUM((day = first_day)::INT)::BIGINT AS n_new,
+       (COUNT(*) - SUM((day = first_day)::INT))::BIGINT AS n_returning,
+       ROUND(SUM((day = first_day)::INT)::DOUBLE / COUNT(*)::DOUBLE, 6)
+         AS new_share
+FROM j GROUP BY day
 """
 
     return o

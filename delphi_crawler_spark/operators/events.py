@@ -590,3 +590,42 @@ def holt_forecast(
         f1.alias("forecast_1d"),
         f7.alias("forecast_7d"),
     )
+
+
+def new_vs_returning_daily(
+    df: DataFrame, key_col: str = "user_id", day_col: str = "day"
+) -> DataFrame:
+    """Daily actives split into NEW (first-ever day) vs RETURNING — the
+    growth-accounting curve (applied to hosts: newly discovered vs
+    revisited domains per round; the companion to the Heaps curve which
+    counts content novelty rather than actor novelty).
+
+    First sighting = min(day) per key (the F1 first-occurrence
+    convention); one key hash-agg + one (key, day) dedup sharing the
+    same grain + a day hash-agg. Returns (day, n_active, n_new,
+    n_returning, new_share) with exact integer counts, share rounded 6.
+    """
+    pairs = (
+        df.select(
+            F.col(key_col).alias("key"), F.col(day_col).cast("bigint").alias("day")
+        )
+        .filter(F.col("key").isNotNull())
+        .distinct()
+    )
+    first = pairs.groupBy("key").agg(F.min("day").alias("first_day"))
+    j = pairs.join(first, "key")
+    agg = j.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum((F.col("day") == F.col("first_day")).cast("int"))
+        .cast("bigint")
+        .alias("n_new"),
+    )
+    return agg.select(
+        "day",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).cast("bigint").alias("n_returning"),
+        F.round(
+            F.col("n_new").cast("double") / F.col("n_active").cast("double"), 6
+        ).alias("new_share"),
+    )

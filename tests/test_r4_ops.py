@@ -2509,3 +2509,19 @@ def test_holt_forecast_hand_computed(spark):
 
     with _p.raises(ValueError):
         holt_forecast(df, alpha=0)
+
+
+def test_new_vs_returning_split(spark):
+    """Day 1 is all-new by definition; a user's second day counts
+    returning; repeat visits in one day never double-count."""
+    from delphi_crawler_spark.operators.events import new_vs_returning_daily
+
+    rows = [(1, 1), (1, 1), (2, 1), (1, 2), (3, 2), (1, 3)]
+    df = spark.createDataFrame(rows, ["user_id", "day"])
+    out = {r["day"]: r for r in new_vs_returning_daily(df).collect()}
+    d1 = out[1]
+    assert d1["n_active"] == 2 and d1["n_new"] == 2 and d1["new_share"] == 1.0
+    d2 = out[2]
+    assert d2["n_active"] == 2 and d2["n_new"] == 1 and d2["n_returning"] == 1
+    d3 = out[3]
+    assert d3["n_new"] == 0 and d3["n_returning"] == 1 and d3["new_share"] == 0.0
