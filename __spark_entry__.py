@@ -5996,10 +5996,156 @@ def q_evt_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so the driver's 50-entry correctness window reaches every
-    # entry across rounds: round-3's 32 never-driver-verified queries come
-    # first, then entries touched this round, then previously-green ones.
+    # Round-5 ordering: the 143 registry entries never sampled by the
+    # driver's 50-query correctness window in rounds 1-4 come FIRST
+    # (pipeline_* / stream_* / store_* / sim_* leading, per VERDICT.md),
+    # so CORRECTNESS_r05 converts selfcheck-green entries into
+    # driver-confirmed evidence. Previously driver-green entries follow.
     return {
+        "pipeline_training_write": q_pipeline_training_write,
+        "pipeline_frontier_priority": q_pipeline_frontier_priority,
+        "pipeline_quality_filter": q_pipeline_quality_filter,
+        "pipeline_adaptive_schedule": q_pipeline_adaptive_schedule,
+        "pipeline_dsir_select": q_pipeline_dsir_select,
+        "pipeline_ccnet_buckets": q_pipeline_ccnet_buckets,
+        "pipeline_dust_fold": q_pipeline_dust_fold,
+        "pipeline_dedup_verdict": q_pipeline_dedup_verdict,
+        "pipeline_soft_dedup": q_pipeline_soft_dedup,
+        "pipeline_url_admission": q_pipeline_url_admission,
+        "stream_session_window": q_stream_session_window,
+        "stream_group_sample": q_stream_group_sample,
+        "stream_watermark_audit": q_stream_watermark_audit,
+        "store_zorder_layout": q_store_zorder_layout,
+        "store_compaction_plan": q_store_compaction_plan,
+        "store_prune_stats": q_store_prune_stats,
+        "store_snapshot_expiry": q_store_snapshot_expiry,
+        "store_bloom_file_index": q_store_bloom_file_index,
+        "store_orphan_files": q_store_orphan_files,
+        "store_overlap_depth": q_store_overlap_depth,
+        "store_table_stats": q_store_table_stats,
+        "store_backfill_islands": q_store_backfill_islands,
+        "store_ttl_plan": q_store_ttl_plan,
+        "sim_random_projection": q_sim_random_projection,
+        "sim_kmeans_lloyd": q_sim_kmeans_lloyd,
+        "sim_kcenter_coreset": q_sim_kcenter_coreset,
+        "sim_pca_project": q_sim_pca_project,
+        "sim_pq_encode": q_sim_pq_encode,
+        "sim_pq_topk": q_sim_pq_topk,
+        "sim_ivf_recall": q_sim_ivf_recall,
+        "sim_mmr_rerank": q_sim_mmr_rerank,
+        "sim_binary_topk": q_sim_binary_topk,
+        "corpus_budget_select": q_corpus_budget_select,
+        "corpus_collocation_pmi": q_corpus_collocation_pmi,
+        "p13_host_quality_prior": q_p13_host_quality_prior,
+        "mm_fetch_plan": q_mm_fetch_plan,
+        "corpus_leakage_split": q_corpus_leakage_split,
+        "corpus_global_sample": q_corpus_global_sample,
+        "text_lm_perplexity": q_text_lm_perplexity,
+        "text_gopher_rules": q_text_gopher_rules,
+        "corpus_bpe_encode": q_corpus_bpe_encode,
+        "r6_term_drift": q_r6_term_drift,
+        "p14_focused_priority": q_p14_focused_priority,
+        "agg_cube_rollup": q_agg_cube_rollup,
+        "agg_pivot_langs": q_agg_pivot_langs,
+        "corpus_bm25_topk": q_corpus_bm25_topk,
+        "retrieval_rrf_fusion": q_retrieval_rrf_fusion,
+        "p15_trustrank": q_p15_trustrank,
+        "r7_mirror_detect": q_r7_mirror_detect,
+        "agg_kmv_overlap": q_agg_kmv_overlap,
+        "p16_discovery_depth": q_p16_discovery_depth,
+        "p17_adaptive_rate": q_p17_adaptive_rate,
+        "dedup_minhash_incr": q_dedup_minhash_incr,
+        "dedup_keep_best": q_dedup_keep_best,
+        "mm_phash_neardup": q_mm_phash_neardup,
+        "p18_label_propagation": q_p18_label_propagation,
+        "dedup_edit_distance": q_dedup_edit_distance,
+        "s12_json_ingest": q_s12_json_ingest,
+        "dedup_setsim_join": q_dedup_setsim_join,
+        "mm_caption_pairs": q_mm_caption_pairs,
+        "p19_opic_importance": q_p19_opic_importance,
+        "graph_neighborhood": q_graph_neighborhood,
+        "p20_ucb_priority": q_p20_ucb_priority,
+        "f7_meta_robots": q_f7_meta_robots,
+        "r8_conditional_fetch": q_r8_conditional_fetch,
+        "text_template_lines": q_text_template_lines,
+        "graph_hyperanf": q_graph_hyperanf,
+        "c1d_rel_canonical": q_c1d_rel_canonical,
+        "p21_ip_queue_slots": q_p21_ip_queue_slots,
+        "f8_robots_cache": q_f8_robots_cache,
+        "s12_archive_offsets": q_s12_archive_offsets,
+        "trap_soft404": q_trap_soft404,
+        "p22_rate_audit": q_p22_rate_audit,
+        "p23_retry_after": q_p23_retry_after,
+        "p24_age_boost": q_p24_age_boost,
+        "g2_pld_contract": q_g2_pld_contract,
+        "r9_sitemap_delta": q_r9_sitemap_delta,
+        "f9_blocklist_gate": q_f9_blocklist_gate,
+        "c1e_dust_params": q_c1e_dust_params,
+        "dedup_cdc_chunks": q_dedup_cdc_chunks,
+        "dedup_cdc_doc_ratio": q_dedup_cdc_doc_ratio,
+        "p25_wfq_schedule": q_p25_wfq_schedule,
+        "r10_refresh_allocation": q_r10_refresh_allocation,
+        "corpus_vocab_coverage": q_corpus_vocab_coverage,
+        "g3_kcore": q_g3_kcore,
+        "r11_http_cache_plan": q_r11_http_cache_plan,
+        "evt_funnel": q_evt_funnel,
+        "mm_span_integrity": q_mm_span_integrity,
+        "g4_triangles": q_g4_triangles,
+        "text_winnow_fingerprints": q_text_winnow_fingerprints,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "corpus_curriculum_order": q_corpus_curriculum_order,
+        "evt_retention": q_evt_retention,
+        "r12_trend_slope": q_r12_trend_slope,
+        "evt_gapfill": q_evt_gapfill,
+        "shard_consistent_hash": q_shard_consistent_hash,
+        "p26_burn_rate": q_p26_burn_rate,
+        "mm_pack_interleaved": q_mm_pack_interleaved,
+        "f6f_xrobots_header": q_f6f_xrobots_header,
+        "text_char_entropy": q_text_char_entropy,
+        "s13_wet_records": q_s13_wet_records,
+        "g5_bowtie": q_g5_bowtie,
+        "corpus_heaps_curve": q_corpus_heaps_curve,
+        "evt_anomaly_zscore": q_evt_anomaly_zscore,
+        "text_readability": q_text_readability,
+        "corpus_zipf_fit": q_corpus_zipf_fit,
+        "evt_distinct_sliding": q_evt_distinct_sliding,
+        "evt_bot_detect": q_evt_bot_detect,
+        "text_lm_kneser_ney": q_text_lm_kneser_ney,
+        "g6_graph_stats": q_g6_graph_stats,
+        "agg_gini_skew": q_agg_gini_skew,
+        "p27_drain_eta": q_p27_drain_eta,
+        "mm_span_transitions": q_mm_span_transitions,
+        "r14_staleness_expectation": q_r14_staleness_expectation,
+        "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
+        "s14_git_identifiers": q_s14_git_identifiers,
+        "p28_host_partition_plan": q_p28_host_partition_plan,
+        "dedup_lsh_eval": q_dedup_lsh_eval,
+        "r15_change_periodicity": q_r15_change_periodicity,
+        "agg_drift_report": q_agg_drift_report,
+        "evt_top_paths": q_evt_top_paths,
+        "g7_random_walks": q_g7_random_walks,
+        "s15_frontier_merge": q_s15_frontier_merge,
+        "r16_sitemap_coverage": q_r16_sitemap_coverage,
+        "evt_stickiness": q_evt_stickiness,
+        "f6g_robots_drift": q_f6g_robots_drift,
+        "text_script_profile": q_text_script_profile,
+        "text_lexical_diversity": q_text_lexical_diversity,
+        "evt_concurrency_profile": q_evt_concurrency_profile,
+        "g8_modularity": q_g8_modularity,
+        "c1f_host_alias_fold": q_c1f_host_alias_fold,
+        "text_compression_ratio": q_text_compression_ratio,
+        "text_url_density": q_text_url_density,
+        "g9_cocitation": q_g9_cocitation,
+        "corpus_dedup_by_source": q_corpus_dedup_by_source,
+        "r17_host_summary": q_r17_host_summary,
+        "corpus_pack_efficiency": q_corpus_pack_efficiency,
+        "agg_weighted_median": q_agg_weighted_median,
+        "evt_rfm_segments": q_evt_rfm_segments,
+        "c1g_url_features": q_c1g_url_features,
+        "evt_holt_forecast": q_evt_holt_forecast,
+        "evt_new_vs_returning": q_evt_new_vs_returning,
+        "text_code_detect": q_text_code_detect,
+        # --- below: driver-confirmed green in rounds 1-4 (unchanged) ---
         "p7_host_backoff": q_p7_host_backoff,
         "f6b_robots_parse": q_f6b_robots_parse,
         "r1_fetch_classify": q_r1_fetch_classify,
@@ -6050,48 +6196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_chunk_windows": q_corpus_chunk_windows,
         "corpus_mixture_weights": q_corpus_mixture_weights,
-        # Below this line: outside the driver's 50-entry correctness
-        # window this round — covered by the committed tools/selfcheck.py
-        # full-registry sweep + pytest. a2/a4 were driver-green in r03
-        # (v3 schema); everything further down was driver-green in r03
-        # unchanged.
-        "corpus_budget_select": q_corpus_budget_select,
-        "corpus_collocation_pmi": q_corpus_collocation_pmi,
-        "p13_host_quality_prior": q_p13_host_quality_prior,
-        "mm_fetch_plan": q_mm_fetch_plan,
-        "corpus_leakage_split": q_corpus_leakage_split,
-        "corpus_global_sample": q_corpus_global_sample,
-        "pipeline_training_write": q_pipeline_training_write,
-        "text_lm_perplexity": q_text_lm_perplexity,
-        "text_gopher_rules": q_text_gopher_rules,
-        "corpus_bpe_encode": q_corpus_bpe_encode,
-        "r6_term_drift": q_r6_term_drift,
-        "p14_focused_priority": q_p14_focused_priority,
-        "pipeline_frontier_priority": q_pipeline_frontier_priority,
-        "sim_random_projection": q_sim_random_projection,
-        "agg_cube_rollup": q_agg_cube_rollup,
-        "agg_pivot_langs": q_agg_pivot_langs,
-        "pipeline_quality_filter": q_pipeline_quality_filter,
-        "corpus_bm25_topk": q_corpus_bm25_topk,
-        "retrieval_rrf_fusion": q_retrieval_rrf_fusion,
-        "p15_trustrank": q_p15_trustrank,
-        "r7_mirror_detect": q_r7_mirror_detect,
-        "store_zorder_layout": q_store_zorder_layout,
-        "stream_session_window": q_stream_session_window,
-        "agg_kmv_overlap": q_agg_kmv_overlap,
-        "p16_discovery_depth": q_p16_discovery_depth,
-        "p17_adaptive_rate": q_p17_adaptive_rate,
-        "dedup_minhash_incr": q_dedup_minhash_incr,
-        "pipeline_adaptive_schedule": q_pipeline_adaptive_schedule,
-        "dedup_keep_best": q_dedup_keep_best,
-        "mm_phash_neardup": q_mm_phash_neardup,
-        "p18_label_propagation": q_p18_label_propagation,
-        "dedup_edit_distance": q_dedup_edit_distance,
-        "s12_json_ingest": q_s12_json_ingest,
-        "sim_kmeans_lloyd": q_sim_kmeans_lloyd,
-        "sim_kcenter_coreset": q_sim_kcenter_coreset,
-        "pipeline_dsir_select": q_pipeline_dsir_select,
-        "sim_pca_project": q_sim_pca_project,
         "a2_feature_map": q_a2_feature_map,
         "a4_span_stats": q_a4_span_stats,
         "s1_index_scan_parse": q_s1_index_scan_parse,
@@ -6141,112 +6245,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "evt_sessionize": q_evt_sessionize,
         "evt_asof_join": q_evt_asof_join,
-        "dedup_setsim_join": q_dedup_setsim_join,
-        "mm_caption_pairs": q_mm_caption_pairs,
-        "p19_opic_importance": q_p19_opic_importance,
-        "graph_neighborhood": q_graph_neighborhood,
-        "p20_ucb_priority": q_p20_ucb_priority,
-        "f7_meta_robots": q_f7_meta_robots,
-        "r8_conditional_fetch": q_r8_conditional_fetch,
-        "text_template_lines": q_text_template_lines,
-        "graph_hyperanf": q_graph_hyperanf,
-        "c1d_rel_canonical": q_c1d_rel_canonical,
-        "p21_ip_queue_slots": q_p21_ip_queue_slots,
-        "f8_robots_cache": q_f8_robots_cache,
-        "s12_archive_offsets": q_s12_archive_offsets,
-        "trap_soft404": q_trap_soft404,
-        "p22_rate_audit": q_p22_rate_audit,
-        "p23_retry_after": q_p23_retry_after,
-        "p24_age_boost": q_p24_age_boost,
-        "g2_pld_contract": q_g2_pld_contract,
-        "r9_sitemap_delta": q_r9_sitemap_delta,
-        "f9_blocklist_gate": q_f9_blocklist_gate,
-        "c1e_dust_params": q_c1e_dust_params,
-        "dedup_cdc_chunks": q_dedup_cdc_chunks,
-        "dedup_cdc_doc_ratio": q_dedup_cdc_doc_ratio,
-        "p25_wfq_schedule": q_p25_wfq_schedule,
-        "r10_refresh_allocation": q_r10_refresh_allocation,
-        "corpus_vocab_coverage": q_corpus_vocab_coverage,
-        "g3_kcore": q_g3_kcore,
-        "r11_http_cache_plan": q_r11_http_cache_plan,
-        "pipeline_ccnet_buckets": q_pipeline_ccnet_buckets,
-        "store_compaction_plan": q_store_compaction_plan,
-        "evt_funnel": q_evt_funnel,
-        "store_prune_stats": q_store_prune_stats,
-        "sim_pq_encode": q_sim_pq_encode,
-        "sim_pq_topk": q_sim_pq_topk,
-        "mm_span_integrity": q_mm_span_integrity,
-        "g4_triangles": q_g4_triangles,
-        "stream_group_sample": q_stream_group_sample,
-        "text_winnow_fingerprints": q_text_winnow_fingerprints,
-        "dedup_winnow_pairs": q_dedup_winnow_pairs,
-        "corpus_curriculum_order": q_corpus_curriculum_order,
-        "evt_retention": q_evt_retention,
-        "pipeline_dust_fold": q_pipeline_dust_fold,
-        "r12_trend_slope": q_r12_trend_slope,
-        "evt_gapfill": q_evt_gapfill,
-        "shard_consistent_hash": q_shard_consistent_hash,
-        "p26_burn_rate": q_p26_burn_rate,
-        "mm_pack_interleaved": q_mm_pack_interleaved,
-        "f6f_xrobots_header": q_f6f_xrobots_header,
-        "text_char_entropy": q_text_char_entropy,
-        "s13_wet_records": q_s13_wet_records,
-        "g5_bowtie": q_g5_bowtie,
-        "pipeline_dedup_verdict": q_pipeline_dedup_verdict,
-        "store_snapshot_expiry": q_store_snapshot_expiry,
-        "corpus_heaps_curve": q_corpus_heaps_curve,
-        "evt_anomaly_zscore": q_evt_anomaly_zscore,
-        "text_readability": q_text_readability,
-        "corpus_zipf_fit": q_corpus_zipf_fit,
-        "store_bloom_file_index": q_store_bloom_file_index,
-        "evt_distinct_sliding": q_evt_distinct_sliding,
-        "evt_bot_detect": q_evt_bot_detect,
-        "store_orphan_files": q_store_orphan_files,
-        "text_lm_kneser_ney": q_text_lm_kneser_ney,
-        "g6_graph_stats": q_g6_graph_stats,
-        "pipeline_soft_dedup": q_pipeline_soft_dedup,
-        "agg_gini_skew": q_agg_gini_skew,
-        "p27_drain_eta": q_p27_drain_eta,
-        "stream_watermark_audit": q_stream_watermark_audit,
-        "mm_span_transitions": q_mm_span_transitions,
-        "sim_ivf_recall": q_sim_ivf_recall,
-        "r14_staleness_expectation": q_r14_staleness_expectation,
-        "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
-        "s14_git_identifiers": q_s14_git_identifiers,
-        "p28_host_partition_plan": q_p28_host_partition_plan,
-        "dedup_lsh_eval": q_dedup_lsh_eval,
-        "store_overlap_depth": q_store_overlap_depth,
-        "r15_change_periodicity": q_r15_change_periodicity,
-        "agg_drift_report": q_agg_drift_report,
-        "evt_top_paths": q_evt_top_paths,
-        "store_table_stats": q_store_table_stats,
-        "g7_random_walks": q_g7_random_walks,
-        "s15_frontier_merge": q_s15_frontier_merge,
-        "r16_sitemap_coverage": q_r16_sitemap_coverage,
-        "evt_stickiness": q_evt_stickiness,
-        "sim_mmr_rerank": q_sim_mmr_rerank,
-        "f6g_robots_drift": q_f6g_robots_drift,
-        "text_script_profile": q_text_script_profile,
-        "sim_binary_topk": q_sim_binary_topk,
-        "store_backfill_islands": q_store_backfill_islands,
-        "text_lexical_diversity": q_text_lexical_diversity,
-        "evt_concurrency_profile": q_evt_concurrency_profile,
-        "g8_modularity": q_g8_modularity,
-        "c1f_host_alias_fold": q_c1f_host_alias_fold,
-        "text_compression_ratio": q_text_compression_ratio,
-        "text_url_density": q_text_url_density,
-        "g9_cocitation": q_g9_cocitation,
-        "pipeline_url_admission": q_pipeline_url_admission,
-        "corpus_dedup_by_source": q_corpus_dedup_by_source,
-        "r17_host_summary": q_r17_host_summary,
-        "corpus_pack_efficiency": q_corpus_pack_efficiency,
-        "agg_weighted_median": q_agg_weighted_median,
-        "evt_rfm_segments": q_evt_rfm_segments,
-        "store_ttl_plan": q_store_ttl_plan,
-        "c1g_url_features": q_c1g_url_features,
-        "evt_holt_forecast": q_evt_holt_forecast,
-        "evt_new_vs_returning": q_evt_new_vs_returning,
-        "text_code_detect": q_text_code_detect,
     }
 
 
@@ -11167,7 +11165,7 @@ WITH packed AS (
 
 WITH RECURSIVE d AS (
   SELECT doc_id % 8 AS shard, doc_id,
-         len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS n_tokens
+         len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n_tokens
   FROM documents),
 c AS (
   SELECT shard, doc_id, n_tokens,

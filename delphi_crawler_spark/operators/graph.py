@@ -1165,11 +1165,16 @@ def deterministic_random_walks(
     visited position: (start, step, node), step 0 = the start itself.
 
     Shape: adjacency = one (src)-keyed window (idx in dst order) +
-    degree hash-agg; each of the ``walk_len`` steps is one equi-join of
-    the frontier against the indexed adjacency on (node, pick) — keyed
-    joins only, frontier never exceeds |nodes| rows per step. At
-    10^9 edges the adjacency index is the thing to bucket by src once
-    and reuse across all steps AND all downstream walk batches."""
+    degree hash-agg; each of the ``walk_len`` steps is TWO strictly
+    keyed equi-joins: frontier × degree (node-sized, broadcastable) to
+    resolve ``pick_idx = hash % deg`` BEFORE touching the adjacency,
+    then frontier × adjacency on the two-key (u, idx). The pick filter
+    is therefore part of the join key — a degree-10^6 hub contributes
+    exactly one adjacency row per visiting walk, never a 10^6-row
+    fanout that a post-join filter would have to discard. Frontier
+    never exceeds |nodes| rows per step. At 10^9 edges the adjacency
+    index is the thing to bucket by (src, idx) once and reuse across
+    all steps AND all downstream walk batches."""
     if walk_len < 1:
         raise ValueError("deterministic_random_walks() needs walk_len >= 1")
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
@@ -1177,10 +1182,9 @@ def deterministic_random_walks(
 
     w = Window.partitionBy("u").orderBy("v")
     adj = e.select(
-        "u", "v", (F.row_number().over(w) - 1).alias("idx")
-    )
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    adj = adj.join(deg, "u").persist()
+        "u", "v", (F.row_number().over(w) - 1).cast("bigint").alias("idx")
+    ).persist()
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
 
     nodes = e.select(F.col("u").alias("node")).union(
         e.select(F.col("v").alias("node"))
@@ -1192,7 +1196,7 @@ def deterministic_random_walks(
     out = rows
     for t in range(1, walk_len + 1):
         fr = frontier.alias("fr")
-        at = adj.alias(f"a{t}")
+        dt = deg.alias(f"d{t}")
         pick = F.conv(
             F.substring(
                 F.md5(
@@ -1206,10 +1210,26 @@ def deterministic_random_walks(
             16,
             10,
         ).cast("bigint")
+        # Stage 1: node-sized join just to learn deg(cur) and compute the
+        # neighbor ordinal — no adjacency rows involved yet.
+        picked = (
+            fr.join(dt, F.col("fr.cur") == F.col(f"d{t}.u"))
+            .select(
+                F.col("fr.start").alias("start"),
+                F.col("fr.cur").alias("cur"),
+                (pick % F.col(f"d{t}.deg")).alias("pick_idx"),
+            )
+        )
+        # Stage 2: two-key equi-join — (cur, pick_idx) == (u, idx) — so the
+        # shuffle/probe key already includes the ordinal; zero fanout.
+        at = adj.alias(f"a{t}")
         stepped = (
-            fr.join(at, F.col("fr.cur") == F.col(f"a{t}.u"))
-            .filter(F.col(f"a{t}.idx") == pick % F.col(f"a{t}.deg"))
-            .select(F.col("fr.start").alias("start"), F.col(f"a{t}.v").alias("cur"))
+            picked.join(
+                at,
+                (F.col("cur") == F.col(f"a{t}.u"))
+                & (F.col("pick_idx") == F.col(f"a{t}.idx")),
+            )
+            .select(F.col("start"), F.col(f"a{t}.v").alias("cur"))
         )
         out = out.unionByName(
             stepped.select("start", F.lit(t).alias("step"), F.col("cur").alias("node"))
@@ -1218,7 +1238,9 @@ def deterministic_random_walks(
     result = out.select(
         "start", F.col("step").cast("bigint").alias("step"), "node"
     )
-    result._release_walks = lambda: adj.unpersist()  # type: ignore[attr-defined]
+    result._release_walks = (  # type: ignore[attr-defined]
+        lambda: (adj.unpersist(), deg.unpersist())
+    )
     return result
 
 

@@ -211,9 +211,19 @@ def seen_anti_join(
     """
     if seen is None:
         return candidates
-    seen_keys = seen.select(url_col)
+    # Key layout: when BOTH sides carry the 64-bit key, join on
+    # [hash64, url] with the hash FIRST — SMJ sorts/compares fixed-width
+    # longs and only falls through to the string on a hash tie, and the
+    # result is exactly the url-only anti-join (url equality is still in
+    # the key). Falls back to the url-only key when the seen side has no
+    # hash column (external callers).
+    if hash64_col in candidates.columns and hash64_col in seen.columns:
+        join_key = [hash64_col, url_col]
+    else:
+        join_key = [url_col]
+    seen_keys = seen.select(*join_key)
     if bloom is None:
-        return candidates.join(seen_keys, url_col, "left_anti")
+        return candidates.join(seen_keys, join_key, "left_anti")
     spark = candidates.sparkSession
     flagged = candidates.withColumn(
         "__maybe_seen", might_contain_col(spark, bloom, hash64_col)
@@ -221,8 +231,10 @@ def seen_anti_join(
     definite_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     maybe = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     if reshape_confirm:
-        hits = seen_keys.join(maybe.select(url_col).distinct(), url_col, "left_semi")
-        confirmed_new = maybe.join(hits, url_col, "left_anti")
+        hits = seen_keys.join(
+            maybe.select(*join_key).distinct(), join_key, "left_semi"
+        )
+        confirmed_new = maybe.join(hits, join_key, "left_anti")
     else:
-        confirmed_new = maybe.join(seen_keys, url_col, "left_anti")
+        confirmed_new = maybe.join(seen_keys, join_key, "left_anti")
     return definite_new.unionByName(confirmed_new)

@@ -263,10 +263,22 @@ class CrawlEngine:
                     self.store.restore(tbl, snap)
 
         frontier = self.store.read(FRONTIER)
-        # merge-on-read pending set: discovered minus fetched-log
+        # merge-on-read pending set: discovered minus fetched-log. The join
+        # key leads with the 8-byte url_hash64 (durable on the frontier,
+        # one narrow xxhash64 recompute on the O(emitted) fetched log) with
+        # the url string as an equality residual: SMJ sort/compare cost is
+        # fixed-width long compares (strings only break hash ties), and the
+        # result is exact — identical to a url-only anti-join — because the
+        # url equality is still part of the key. At 10^10 frontier rows
+        # this is the single biggest recurring shuffle in the engine.
         if self.store.exists(FETCHED):
+            fetched_keys = (
+                self.store.read(FETCHED)
+                .select("url")
+                .withColumn("url_hash64", F.xxhash64("url"))
+            )
             pending = frontier.join(
-                self.store.read(FETCHED).select("url"), "url", "left_anti"
+                fetched_keys, ["url_hash64", "url"], "left_anti"
             )
         else:
             pending = frontier
@@ -369,7 +381,7 @@ class CrawlEngine:
         # F1: first occurrence in discovery order (parent emission, span pos)
         cand = first_occurrence_dedup(cand, key="url", order=["parent_seq", "span_pos"])
 
-        seen = self.store.read(FRONTIER).select("url")
+        seen = self.store.read(FRONTIER).select("url", "url_hash64")
         bloom = self._load_bloom(bloom_meta) if self.cfg.use_bloom else None
         fresh = seen_anti_join(cand, seen, bloom)
 
