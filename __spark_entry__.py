@@ -705,12 +705,17 @@ def q_c5_prop_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a5_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 (rows-only: partition introspection has no SQL oracle): per-
-    partition lineage/metrics rows the north rule checkpoints each round."""
-    from delphi_crawler_spark.operators.aggs import partition_metrics
+    """A5: per-partition lineage/metrics rows the north rule checkpoints
+    each round — pinned-partitioner variant (bucket key = pmod(seq, 8),
+    physically repartitioned on it), so the lineage row is an exact pure
+    function of the input and carries a SQL oracle. The engine itself
+    checkpoints the introspective spark_partition_id() twin
+    (operators/aggs.partition_metrics), whose answer IS the runtime
+    partitioning and therefore stays oracle-free by design."""
+    from delphi_crawler_spark.operators.aggs import partition_metrics_pinned
 
-    fr = _events_frontier(spark, sf_dir).repartition(8, "host")
-    return partition_metrics(fr).select(
+    fr = _events_frontier(spark, sf_dir)
+    return partition_metrics_pinned(fr, num_buckets=8).select(
         F.col("partition_id").cast(BIG).alias("partition_id"),
         F.col("n_rows").cast(BIG).alias("n_rows"),
         F.col("min_seq").cast(BIG).alias("min_seq"),
@@ -4407,7 +4412,11 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     from delphi_crawler_spark.functions.textfns import winnow_fingerprints
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the per-doc shingle/chunk expression work: a single-file
+    # parquet scan is ONE task otherwise (see q_pipeline_dedup_verdict)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return winnow_fingerprints(docs, gram=4, win=4)
 
 
@@ -4419,7 +4428,11 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     from delphi_crawler_spark.functions.textfns import winnow_fingerprints
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the per-doc shingle/chunk expression work: a single-file
+    # parquet scan is ONE task otherwise (see q_pipeline_dedup_verdict)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     fps = winnow_fingerprints(docs, gram=4, win=4).select(
         "doc_id", "fp"
     ).distinct()
@@ -4760,7 +4773,13 @@ def q_pipeline_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delphi_crawler_spark.operators.cdc import cdc_doc_dup_ratio
 
     docs = _t(spark, sf_dir, "documents")
-    ids = docs.select(F.col("doc_id").cast(BIG).alias("doc_id"), "text")
+    # P5 engine discipline: spread the rows BEFORE the Arrow-UDF signal
+    # stages (winnowing + CDC) — a single-file parquet scan otherwise runs
+    # the per-doc UDF work as ONE task regardless of cores (measured 269 s
+    # -> 37 s at sf0.1/32 cores). Per-doc outputs are partition-invariant.
+    ids = docs.select(F.col("doc_id").cast(BIG).alias("doc_id"), "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     dig = ids.select("doc_id", F.md5("text").alias("dg"))
     exact_drop = (
@@ -4893,7 +4912,11 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     from delphi_crawler_spark.operators.cdc import cdc_chunk_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the per-doc shingle/chunk expression work: a single-file
+    # parquet scan is ONE task otherwise (see q_pipeline_dedup_verdict)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return cdc_chunk_stats(docs, window=8, mask_hex="0", min_occurrences=2)
 
 
@@ -4905,7 +4928,11 @@ def q_dedup_cdc_doc_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     from delphi_crawler_spark.operators.cdc import cdc_doc_dup_ratio
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the per-doc shingle/chunk expression work: a single-file
+    # parquet scan is ONE task otherwise (see q_pipeline_dedup_verdict)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return cdc_doc_dup_ratio(docs, window=8, mask_hex="0")
 
 
@@ -6651,6 +6678,15 @@ f AS (SELECT doc_id, ws, len(ws) AS n_spans,
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
+
+    o["a5_partition_metrics"] = """
+SELECT (event_id % 8)::BIGINT AS partition_id,
+       count(*)::BIGINT AS n_rows,
+       min(event_id)::BIGINT AS min_seq,
+       max(event_id)::BIGINT AS max_seq
+FROM events
+GROUP BY 1
+"""
 
     o["s1_index_scan_parse"] = """
 SELECT doc_id::BIGINT AS doc_id, p[1] AS grp, p[2] AS art, p[3] AS ver

@@ -618,6 +618,11 @@ BENCH_QUERIES = {
     "bloom_file_index": bloom_file_index_2m,
     "kneser_ney": E.q_text_lm_kneser_ney,
     "random_walks": random_walks_2m,
+    # composed 100-TB hot paths (VERDICT r4 #8): time the end-to-end
+    # pipelines, not just their constituent operators
+    "pipeline_dedup_verdict": E.q_pipeline_dedup_verdict,
+    "pipeline_training_write": E.q_pipeline_training_write,
+    "pipeline_url_admission": E.q_pipeline_url_admission,
 }
 
 

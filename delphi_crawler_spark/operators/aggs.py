@@ -59,6 +59,31 @@ def partition_metrics(df: DataFrame, seq_col: str = "seq") -> DataFrame:
     )
 
 
+def partition_metrics_pinned(
+    df: DataFrame, num_buckets: int = 8, seq_col: str = "seq"
+) -> DataFrame:
+    """Input-determined twin of :func:`partition_metrics` (A5): rows are
+    bucketed by the DETERMINISTIC key ``pmod(seq, num_buckets)`` and
+    physically repartitioned on it — each bucket is one co-located unit,
+    exactly like a pinned hash partitioner — and the lineage row reports
+    the bucket key instead of the opaque ``spark_partition_id()``. Same
+    information (row count + seq range per co-located unit), but a pure
+    function of the input, so an exact SQL oracle exists: the
+    introspective variant's answer IS the runtime partitioning; this
+    one's answer is pinned by construction. The engine checkpoints the
+    introspective rows (real physical lineage); this variant is the
+    verification surface."""
+    bucket = F.pmod(F.col(seq_col), F.lit(num_buckets)).cast("int")
+    b = df.withColumn("partition_id", bucket).repartition(
+        num_buckets, "partition_id"
+    )
+    return b.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(seq_col).alias("min_seq"),
+        F.max(seq_col).alias("max_seq"),
+    )
+
+
 def distribution_drift(
     a: DataFrame,
     b: DataFrame,

@@ -725,6 +725,7 @@ def lsh_candidate_eval(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    max_eval_rows: int = 10_000,
 ) -> DataFrame:
     """LSH tuning eval: precision/recall of the banded candidate set
     against exact all-pairs Jaccard ground truth at ``threshold`` — the
@@ -737,7 +738,19 @@ def lsh_candidate_eval(
     point of LSH). Returns ONE row: (n_candidates, n_true_pairs,
     n_hits, precision, recall), ratios rounded 6, NULL when their
     denominator is 0. Candidate and truth counts are scalar aggregates
-    (the graph.py discipline)."""
+    (the graph.py discipline).
+
+    ``max_eval_rows`` is the guard rail on the intentional crossJoin: the
+    quadratic truth pass refuses corpora above the cap instead of silently
+    degrading into an all-pairs scan of a production table — sample down
+    (corpus_stratified_sample) and re-run the eval on the sample."""
+    n_docs = docs.count()
+    if n_docs > max_eval_rows:
+        raise ValueError(
+            f"lsh_candidate_eval ground truth is all-pairs O(n^2): got "
+            f"{n_docs} rows > max_eval_rows={max_eval_rows}; sample the "
+            "corpus first or raise the cap explicitly for a sized eval."
+        )
     signed = minhash_signatures(docs.select(id_col, text_col), text_col,
                                 num_hashes, shingle_n, seed)
     cands = minhash_lsh_candidates(signed, id_col, bands, num_hashes // bands)
