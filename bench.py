@@ -105,11 +105,12 @@ def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = synth_frontier(spark, FRONTIER_N)
     cand = raw.withColumn("url", canonicalize_url("url")).filter(F.col("url").isNotNull())
-    # scheduling keys only (host, url_hash64) — mirrors the engine: the
-    # frontier-append keys (host_rev, murmur3) attach post-dedup on
-    # survivors in crawl_round._discover, so the F1 exchange never
-    # shuffles them (round-5 key-derivation split)
-    cand = with_url_keys(cand, minimal=True)
+    # round-5 key-derivation split, mirroring the engine: ONLY url_hash64
+    # (the bloom key) rides through the F1 exchange; host and the
+    # frontier-append keys are pure functions of the canonical url and
+    # attach post-anti-join on survivors (crawl_round._discover shape —
+    # there host is derived pre-robots and shed before the exchange)
+    cand = cand.withColumn("url_hash64", F.xxhash64("url"))
     cand = first_occurrence_dedup(cand, key="url", order=["seq"])
     # seen set: every 7th url of the first half (steady-state: most candidates new)
     seen, bloom = _steady_seen(spark)
@@ -118,6 +119,9 @@ def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan; the broadcast reshape is for frontier >> round (see
     # operators/seen.py docstring + BENCH.md round-4 close-out)
     fresh = seen_anti_join(cand, seen, bloom, reshape_confirm=False)
+    from delphi_crawler_spark.functions.canonicalize import host_col
+
+    fresh = fresh.withColumn("host", host_col(F.col("url")))
     slotted = assign_emission_slots(fresh, politeness=None)
     return emission_order(slotted).select("url", "host", "priority", "seq", "emit_ms")
 

@@ -287,15 +287,21 @@ def with_url_keys(df, url_col_name: str = "url", minimal: bool = False):
 
 
 def complete_url_keys(df, url_col_name: str = "url"):
-    """Attach the frontier-append keys (``host_rev``, murmur3
-    ``url_hash``) to a frame that already went through
+    """Attach the frontier-append keys (``host``, ``host_rev``, murmur3
+    ``url_hash``) to a frame that went through
     ``with_url_keys(minimal=True)`` — call on dedup/anti-join SURVIVORS,
-    narrow and codegen'd, no shuffle."""
+    narrow and codegen'd, no shuffle. ``host`` is restored here when the
+    caller shed it before the F1 exchange (it is a pure regexp of the
+    canonical url, so recomputing O(survivors) beats shuffling an extra
+    host-sized string per O(candidates) row — measured ~13% off the 8M-URL
+    crawl core at local[8])."""
     u = F.col(url_col_name)
     out = df
-    if "host_rev" not in df.columns:
+    if "host" not in out.columns:
+        out = out.withColumn("host", host_col(u))
+    if "host_rev" not in out.columns:
         out = out.withColumn("host_rev", host_rev_col(F.col("host")))
-    if "url_hash" not in df.columns:
+    if "url_hash" not in out.columns:
         out = out.withColumn("url_hash", url_hash_col(u))
     return out
 

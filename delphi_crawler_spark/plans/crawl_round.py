@@ -218,6 +218,7 @@ class CrawlEngine:
         # scheduling keys only pre-dedup; append keys attach on survivors
         cand = with_url_keys(cand, minimal=True)
         cand = robots_filter(cand, self.robots)
+        cand = cand.drop("host")  # shed before the F1 exchange (see _discover)
         cand = first_occurrence_dedup(cand, key="url", order=["seq"])
         cand = complete_url_keys(cand)
         frontier = cand.select(
@@ -389,6 +390,9 @@ class CrawlEngine:
         # compute instead of O(candidates) shuffled strings
         cand = with_url_keys(cand, minimal=True)
         cand = robots_filter(cand, self.robots)
+        # host served the robots gate; shed it before the F1 exchange (a
+        # pure regexp of url, restored on survivors by complete_url_keys)
+        cand = cand.drop("host")
         # F1: first occurrence in discovery order (parent emission, span pos)
         cand = first_occurrence_dedup(cand, key="url", order=["parent_seq", "span_pos"])
 
